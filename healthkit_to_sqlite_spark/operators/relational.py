@@ -1,0 +1,443 @@
+"""Relational query surface (SURVEY.md §2.B) + the flagship query.
+
+The reference delegates all querying to SQLite/Datasette; its README
+defines the required surface (reference README.md:27-110): scans,
+BETWEEN range filters, OR-of-equality filters, arithmetic projections,
+SUM aggregation, grouped aggregation, json_extract, date comparison,
+sort/limit, and cross-table joins.  Each is a pure DataFrame operator
+here, expressed declaratively so Catalyst gets predicate pushdown,
+column pruning and join planning for free.
+
+Scale notes per operator are inline.  General rules honored here:
+- filters sit directly on base scans → parquet PushedFilters;
+- aggregates use exact decimal accumulation (functions.dec_sum) so
+  results are reproducible run-to-run regardless of partitioning;
+- small-dimension joins are explicitly broadcast();
+- top-k uses orderBy+limit which Spark executes as per-partition
+  TakeOrdered (no global sort shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import DEC, dec, dec_avg, dec_sum, revenue
+from ..spec import Spec
+
+# ---------------------------------------------------------------------------
+# Flagship (Milestone 0): the Spark translation of the reference's
+# README.md:33-46 "total workout duration by type, in a date range,
+# for selected types" onto the synthetic star schema: filter + IN +
+# join + grouped SUM with arithmetic.  Exercises B1-B6 + A10/B10.
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_DATE_LO = "1996-01-01 00:00:00"
+FLAGSHIP_DATE_HI = "1997-12-31 23:59:59"
+FLAGSHIP_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def flagship(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Revenue & volume per order priority over a date window.
+
+    Mirrors reference README.md:33-46 (`sum(duration)/60 … WHERE
+    creationDate BETWEEN … AND (workoutActivityType = … OR …) GROUP
+    BY`): the BETWEEN filter, the OR-of-equalities (as isin), the
+    arithmetic aggregate, and the grouped SUM — run through a join.
+
+    Scale: both filters are on `orders` and push to the parquet scan
+    before the join; the join shuffles on l_orderkey/o_orderkey (the
+    natural co-partition key — at 100 TB both sides would be bucketed
+    on orderkey making this shuffle-free); aggregation is partial →
+    final (map-side combine) on a low-cardinality key (5 priorities),
+    so the final shuffle is tiny.
+    """
+    o = orders.filter(
+        F.col("o_orderdate").between(
+            F.lit(FLAGSHIP_DATE_LO).cast("timestamp_ntz"),
+            F.lit(FLAGSHIP_DATE_HI).cast("timestamp_ntz"))
+        & F.col("o_orderpriority").isin(*FLAGSHIP_PRIORITIES))
+    j = lineitem.join(o, lineitem.l_orderkey == o.o_orderkey)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            dec_sum("l_quantity").alias("sum_qty"),
+            F.sum(revenue()).cast("double").alias("revenue"),
+        )
+    )
+
+
+FLAGSHIP_ORACLE = f"""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate BETWEEN TIMESTAMP '{FLAGSHIP_DATE_LO}' AND TIMESTAMP '{FLAGSHIP_DATE_HI}'
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# B2 — BETWEEN range filter (reference README.md:39-41)
+# ---------------------------------------------------------------------------
+
+def filter_between(orders: DataFrame) -> DataFrame:
+    """Range predicate on the date column; pushed to the parquet scan
+    (min/max row-group pruning at scale)."""
+    return orders.select("o_orderkey", "o_totalprice", "o_orderdate").filter(
+        F.col("o_orderdate").between(
+            F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"),
+            F.lit("1997-12-31 23:59:59").cast("timestamp_ntz")))
+
+
+# ---------------------------------------------------------------------------
+# B3 — boolean OR of equality predicates (reference README.md:42-46)
+# ---------------------------------------------------------------------------
+
+def filter_or_isin(orders: DataFrame) -> DataFrame:
+    """(c = a OR c = b) expressed as isin — Catalyst emits an IN-set
+    predicate that pushes down to parquet dictionary filters."""
+    return orders.select("o_orderkey", "o_orderpriority", "o_orderstatus").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+
+
+# ---------------------------------------------------------------------------
+# B4 — expression projection with arithmetic + alias (README.md:34-35)
+# ---------------------------------------------------------------------------
+
+def project_arith(lineitem: DataFrame) -> DataFrame:
+    """Per-row arithmetic stays bit-identical across engines because the
+    expression tree (and thus IEEE op order) is identical."""
+    return lineitem.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+         * (F.lit(1.0) + F.col("l_tax"))).alias("charge"),
+        (F.col("l_quantity") / F.lit(60.0)).alias("qty_per_min"))
+
+
+# ---------------------------------------------------------------------------
+# B5 — ungrouped SUM (README.md:33-46, 51-65)
+# ---------------------------------------------------------------------------
+
+def agg_sum(lineitem: DataFrame) -> DataFrame:
+    """Global aggregate; Spark runs partial aggregation per partition
+    then a single-row final — no data-size-proportional shuffle."""
+    return lineitem.agg(
+        dec_sum("l_quantity").alias("sum_qty"),
+        dec_sum("l_extendedprice").alias("sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# B6 — grouped aggregation (TPC-H Q1 shape; README.md:96-105 facets)
+# ---------------------------------------------------------------------------
+
+def group_agg(lineitem: DataFrame) -> DataFrame:
+    """Pricing-summary aggregate: grouped sums/averages/counts with
+    exact decimal accumulation. Low-cardinality keys → tiny shuffle
+    after map-side combine, independent of input size."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(revenue()).cast("double").alias("sum_disc_price"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B7 — JSON path extraction (reference README.md:52-58: json_extract)
+# ---------------------------------------------------------------------------
+
+def json_extract_k(events: DataFrame) -> DataFrame:
+    """``json_extract(props, '$.k')`` analog via get_json_object, plus a
+    grouped rollup over the extracted value. JSON parse happens once in
+    the projection; at scale prefer materializing extracted columns."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events.select("event_id", "event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("k").alias("sum_k"),
+             F.max("k").alias("max_k"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B8 — date/timestamp parse & parts (reference core.rs:13-19 formats)
+# ---------------------------------------------------------------------------
+
+def date_parse(events: DataFrame) -> DataFrame:
+    """Round-trip the reference's timestamp text format (core.rs:13-16,
+    sans zone offset — zone-offset parsing is exercised in the HealthKit
+    ingest tests): format → parse → extract parts."""
+    s = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    parsed = F.to_timestamp(s, "yyyy-MM-dd HH:mm:ss").cast("timestamp_ntz")
+    return events.select(
+        "event_id",
+        parsed.alias("parsed_ts"),
+        F.year(parsed).alias("y"),
+        F.month(parsed).alias("m"),
+        F.dayofmonth(parsed).alias("d"),
+        F.hour(parsed).alias("h"))
+
+
+# ---------------------------------------------------------------------------
+# B9 — sort / limit (Datasette paging, README.md:96-101)
+# ---------------------------------------------------------------------------
+
+def topk_orders(orders: DataFrame, k: int = 100) -> DataFrame:
+    """Top-k by price, tie-broken by key for determinism.  Spark plans
+    orderBy+limit as TakeOrderedAndProject: per-partition heap-k then a
+    driver merge of k·P rows — no global sort, scales to any input."""
+    return (orders
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# B10/A10 — equi-join (reference's workout⋈route zip lookup, core.rs:556-633,
+# re-expressed as a declarative join; README.md:96-105 cross-table use)
+# ---------------------------------------------------------------------------
+
+def customer_order_join(customer: DataFrame, orders: DataFrame, nation: DataFrame) -> DataFrame:
+    """Two-level equi-join with an explicitly broadcast dimension.
+
+    The reference's route join is a per-row nested-loop lookup into the
+    zip archive (core.rs:580-582); the Spark-native form is a broadcast
+    hash join against the small side — per-row O(1) hash probes, zero
+    shuffle of the big side.  `nation` (25 rows) is broadcast; at 100 TB
+    `customer` would also be bucketed on c_custkey to co-locate with
+    orders."""
+    enriched = customer.join(F.broadcast(nation),
+                             customer.c_nationkey == nation.n_nationkey)
+    j = orders.join(enriched, orders.o_custkey == enriched.c_custkey)
+    return (
+        j.groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dec_sum("o_totalprice").alias("total_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additions beyond the reference (SURVEY.md §2.B honest-gaps list):
+# window/ranking, set ops, rollup, semi/anti joins — justified by the
+# driver's north star; the reference has no analog (noted per SURVEY).
+# ---------------------------------------------------------------------------
+
+def window_rank(orders: DataFrame, per_cust_k: int = 3) -> DataFrame:
+    """Ranking window: top-N orders per customer (row_number over a
+    partitioned ordered window). Shuffles once on o_custkey; skewed
+    customers are handled by AQE skew splitting at scale."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (orders
+            .select("o_custkey", "o_orderkey", "o_totalprice",
+                    F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= per_cust_k))
+
+
+def set_ops(orders: DataFrame) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer key sets, tagged.
+
+    Spark plans INTERSECT/EXCEPT as aggregate+semi/anti-join; keys
+    shuffle once per op."""
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    both = urgent.intersect(high).withColumn("tag", F.lit("both"))
+    only_urgent = urgent.subtract(high).withColumn("tag", F.lit("urgent_only"))
+    either = urgent.union(high).distinct().withColumn("tag", F.lit("either"))
+    return both.unionByName(only_urgent).unionByName(either)
+
+
+def semi_anti(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """EXISTS / NOT EXISTS as left_semi / left_anti joins (no row
+    multiplication, build side only carries the key)."""
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    with_urgent = (customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+                   .withColumn("tag", F.lit("has_urgent")))
+    without = (customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+               .withColumn("tag", F.lit("no_orders")))
+    return with_urgent.select("c_custkey", "c_mktsegment", "tag").unionByName(
+        without.select("c_custkey", "c_mktsegment", "tag"))
+
+
+def rollup_agg(orders: DataFrame) -> DataFrame:
+    """ROLLUP grouping-sets aggregate (priority × status hierarchy).
+    Spark expands grouping sets in a single shuffle pass."""
+    return (orders
+            .rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dec_sum("o_totalprice").alias("total"))
+            .select(
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                "n", "total"))
+
+
+# ---------------------------------------------------------------------------
+# Specs
+# ---------------------------------------------------------------------------
+
+def _q(table_names, op):
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return op(*[load_table(spark, sf_dir, t) for t in table_names])
+    return build
+
+
+SPECS: dict[str, Spec] = {
+    "q_flagship": Spec(
+        _q(("orders", "lineitem"), flagship), FLAGSHIP_ORACLE,
+        "Milestone-0 flagship: README.md:33-46 shape (B1-B6 + B10)"),
+    "q_filter_between": Spec(
+        _q(("orders",), filter_between),
+        """
+        SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                              AND TIMESTAMP '1997-12-31 23:59:59'
+        """,
+        "B2 range predicate (reference README.md:39-41)"),
+    "q_filter_or_isin": Spec(
+        _q(("orders",), filter_or_isin),
+        """
+        SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        """,
+        "B3 OR-of-equalities (reference README.md:42-46)"),
+    "q_project_arith": Spec(
+        _q(("lineitem",), project_arith),
+        """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge,
+               l_quantity / 60.0 AS qty_per_min
+        FROM lineitem
+        """,
+        "B4 arithmetic projection (reference README.md:34-35)"),
+    "q_agg_sum": Spec(
+        _q(("lineitem",), agg_sum),
+        """
+        SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+        """,
+        "B5 ungrouped SUM (reference README.md:33-46)"),
+    "q_group_agg": Spec(
+        _q(("lineitem",), group_agg),
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+               CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS DOUBLE) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        "B6 grouped aggregation (TPC-H Q1 shape; README.md:96-105)"),
+    "q_json_extract": Spec(
+        _q(("events",), json_extract_k),
+        """
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        GROUP BY event_type
+        """,
+        "B7 json_extract (reference README.md:52-58)"),
+    "q_date_parse": Spec(
+        _q(("events",), date_parse),
+        """
+        SELECT event_id,
+               strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS parsed_ts,
+               CAST(EXTRACT(YEAR FROM ts) AS INT) AS y,
+               CAST(EXTRACT(MONTH FROM ts) AS INT) AS m,
+               CAST(EXTRACT(DAY FROM ts) AS INT) AS d,
+               CAST(EXTRACT(HOUR FROM ts) AS INT) AS h
+        FROM events
+        """,
+        "B8 date parse/parts (reference core.rs:13-19 format)"),
+    "q_topk": Spec(
+        _q(("orders",), topk_orders),
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "B9 sort/limit (reference README.md:96-101)"),
+    "q_path_join": Spec(
+        _q(("customer", "orders", "nation"), customer_order_join),
+        """
+        SELECT n_name, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """,
+        "B10/A10 equi-join with broadcast dim (reference core.rs:556-633)"),
+    "q_window_rank": Spec(
+        _q(("orders",), window_rank),
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+          FROM orders) t
+        WHERE rn <= 3
+        """,
+        "window/ranking addition (SURVEY.md §2.B gaps)"),
+    "q_set_ops": Spec(
+        _q(("orders",), set_ops),
+        """
+        WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+             high   AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+        SELECT o_custkey, 'both' AS tag FROM (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM high)
+        UNION ALL
+        SELECT o_custkey, 'urgent_only' AS tag FROM
+          (SELECT DISTINCT o_custkey FROM urgent EXCEPT SELECT DISTINCT o_custkey FROM high)
+        UNION ALL
+        SELECT o_custkey, 'either' AS tag FROM
+          (SELECT DISTINCT o_custkey FROM (SELECT o_custkey FROM urgent UNION SELECT o_custkey FROM high))
+        """,
+        "set-operation addition (SURVEY.md §2.B gaps)"),
+    "q_semi_anti": Spec(
+        _q(("customer", "orders"), semi_anti),
+        """
+        SELECT c_custkey, c_mktsegment, 'has_urgent' AS tag FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, 'no_orders' AS tag FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "semi/anti join addition (SURVEY.md §2.B gaps)"),
+    "q_rollup": Spec(
+        _q(("orders",), rollup_agg),
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "rollup/grouping-sets addition (SURVEY.md §2.B gaps)"),
+}

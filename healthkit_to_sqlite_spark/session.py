@@ -1,0 +1,65 @@
+"""SparkSession construction and per-session runtime configuration.
+
+Two entry paths:
+
+- Our own tests/bench build a session via :func:`get_spark`.
+- The driver hands us an already-built session; :func:`configure`
+  applies the runtime-settable confs we depend on (safe to call on any
+  session, repeatedly).
+
+Scale notes (100 TB target): AQE on (runtime re-plan + skew-join +
+partition coalescing), shuffle partitions sized for the local harness
+but overridable via env; on a real cluster you'd set
+``spark.sql.shuffle.partitions`` ≈ 2-3× total cores and rely on AQE
+coalescing, which is why we keep AQE authoritative here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs every code path needs.  The parquet nanos
+#: conf is load-bearing: the driver's `events` table is written with
+#: TIMESTAMP(NANOS) which Spark's vectorized reader refuses unless it
+#: may surface the raw int64 (we rebuild a timestamp_ntz in catalog.py).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-owned session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not settable at runtime on this build — proceed; the
+            # dependent code paths raise clearly if actually required.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "healthkit_to_sqlite_spark",
+              cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a local session tuned for the test harness."""
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    shuffle_partitions = shuffle_partitions or cpus
+    spark = (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)
