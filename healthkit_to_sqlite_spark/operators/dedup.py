@@ -1,0 +1,250 @@
+"""Deduplication operators for the training-data pipeline surface.
+
+Five dedup families over `documents` (driver north star, SURVEY.md §2.C):
+
+- exact:        hash-groupBy on canonical text
+- MinHash+LSH:  shingle → 60-bit hash → k permuted min-hashes → banded
+                bucket join → candidate pairs (hand-rolled, deterministic,
+                oracle-checkable end to end)
+- MinHashLSH:   the pyspark.ml variant (approxSimilarityJoin) — the
+                scale path with library-grade banding (rows-only check)
+- SimHash:      per-bit majority vote over token hashes → 60-bit signature
+- n-gram Jaccard: exact pairwise similarity, candidate-filtered by a
+                shared-shingle equi-join (the verification stage after LSH)
+
+Scale design: every stage is equi-join/groupBy shaped — LSH banding
+turns O(n²) pair search into a bucket shuffle; the exact-Jaccard stage
+only touches candidate pairs.  Nothing collects to the driver.  The
+shared 60-bit hash is md5-derived (top 15 hex digits) so Spark and
+DuckDB agree bit-for-bit; min-hash permutations are (aᵢ·(h mod P)+bᵢ)
+mod P with P=2³¹-1, keeping every product below 2⁶² (no int64
+overflow on either engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import ws_tokens
+from ..spec import Spec
+
+P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+N_HASHES = 12      # minhash signature length
+N_BANDS = 4        # → 3 rows per band; pair-candidate if any band matches
+SHINGLE = 4        # words per shingle
+
+
+def hash60(s: Column) -> Column:
+    """Deterministic 60-bit hash shared with the DuckDB oracle:
+    top 15 hex digits of md5, parsed base-16."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """C1: exact dedup via hash-groupBy (reference has no analog; the
+    Spark-native canonical form keeps min(doc_id) per identical text).
+    dropDuplicates() would keep an *arbitrary* row — non-deterministic
+    under partitioning — so we aggregate instead."""
+    return (documents
+            .groupBy(F.md5("text").alias("text_md5"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def word_shingles(documents: DataFrame, k: int = SHINGLE) -> DataFrame:
+    """doc_id × distinct k-word shingle (long form)."""
+    toks = ws_tokens("text")
+    pos = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    sh = F.transform(pos, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return (documents
+            .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle")))
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """MinHash signature per doc: for each of N_HASHES permutations i,
+    min over shingles of (aᵢ·(h mod P)+bᵢ) mod P.  One explode + one
+    groupBy — linear in total shingle count."""
+    sh = word_shingles(documents).withColumn("hmod", hash60(F.col("shingle")) % P)
+    i = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("i")
+    perm = ((F.col("i") * 2 + 1) * F.col("hmod") + F.col("i") * 7 + 13) % P
+    return (sh.select("doc_id", "hmod", i)
+            .select("doc_id", "i", perm.alias("ph"))
+            .groupBy("doc_id", "i")
+            .agg(F.min("ph").alias("mh")))
+
+
+def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
+    """LSH banding: band signature = joined minhashes of the band's
+    rows; docs sharing any band signature are candidate pairs.
+    Equi-join on (band, signature) — the O(n²) search becomes a bucket
+    shuffle.  Output: distinct candidate pairs (a < b) + #matching bands."""
+    rows_per_band = N_HASHES // N_BANDS
+    sig = (minhash_signatures(documents)
+           .withColumn("band", F.floor(F.col("i") / rows_per_band).cast("int"))
+           .groupBy("doc_id", "band")
+           .agg(F.concat_ws(",", F.transform(
+               F.array_sort(F.collect_list(F.struct("i", "mh"))),
+               lambda s: s.mh.cast("string"))).alias("band_sig")))
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_bands")))
+
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Exact n-gram Jaccard for pairs sharing ≥1 shingle (the candidate
+    filter IS the shared-shingle equi-join).  |A∩B| from the join,
+    |A|,|B| from per-doc counts; integer arithmetic until the final
+    division so both engines agree exactly."""
+    sh = word_shingles(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", "n_inter",
+                    F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
+    """SimHash: 60-bit signature, bit b set iff the majority of token
+    hashes have bit b set (duplicate tokens weigh by frequency, like
+    the classic Charikar construction).  explode(tokens) ×
+    explode(bits) stays a linear-ish pipeline: rows = Σtokens × 60."""
+    tok = (documents
+           .select("doc_id", F.explode(ws_tokens("text")).alias("tok"))
+           .withColumn("h", hash60(F.col("tok"))))
+    b = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    contrib = F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1)
+    return (tok.select("doc_id", "h", b)
+            .select("doc_id", "b", contrib.alias("c"))
+            .groupBy("doc_id", "b")
+            .agg(F.sum("c").alias("s"))
+            .groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("s") > 0,
+                              F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0))
+                 .alias("simhash")))
+
+
+def ml_minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """C2 via pyspark.ml: HashingTF over shingles → MinHashLSH →
+    approxSimilarityJoin.  The library path scales via the same banding
+    idea with OR-amplification; kept alongside the hand-rolled variant
+    because ml feature hashing isn't reproducible in DuckDB (rows-only
+    correctness check)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = (word_shingles(documents)
+          .groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles")))
+    tf = HashingTF(inputCol="shingles", outputCol="features",
+                   numFeatures=1 << 18)
+    feats = tf.transform(sh).filter(F.expr("size(shingles) > 0"))
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5,
+                    seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - threshold,
+                                       distCol="jaccard_dist")
+    return (pairs
+            .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+            .select(F.col("datasetA.doc_id").alias("doc_a"),
+                    F.col("datasetB.doc_id").alias("doc_b"),
+                    F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard_approx")))
+
+
+# --- oracle SQL -----------------------------------------------------------
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(string_split(text,' ')) - {SHINGLE - 2}, 2)),
+                          i -> array_to_string((string_split(text,' '))[i:i+{SHINGLE - 1}], ' '))
+         )) AS shingle
+  FROM documents
+"""
+# NOTE range(1, n+1) ≡ Spark sequence(1, n); duckdb l[i:j] is inclusive
+# so [i:i+3] = 4 words.
+
+_H60_SQL = "CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)"
+
+_MINHASH_SQL = f"""
+  SELECT doc_id, i,
+         MIN(((i*2+1) * ({_H60_SQL} % {P}) + i*7 + 13) % {P}) AS mh
+  FROM ({_SHINGLES_SQL}), (SELECT unnest(range({N_HASHES})) AS i)
+  GROUP BY doc_id, i
+"""
+
+SPECS: dict[str, Spec] = {
+    "q_dedup_exact": Spec(
+        lambda spark, sf: exact_dedup(load_table(spark, sf, "documents")),
+        """
+        SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+        """,
+        "C1 exact dedup (hash-groupBy, deterministic keeper)"),
+    "q_dedup_minhash_lsh": Spec(
+        lambda spark, sf: minhash_lsh_pairs(load_table(spark, sf, "documents")),
+        f"""
+        WITH mh AS ({_MINHASH_SQL}),
+        bands AS (
+          SELECT doc_id, CAST(i // {N_HASHES // N_BANDS} AS INT) AS band,
+                 STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_sig
+          FROM mh GROUP BY 1, 2
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        """,
+        "C2 MinHash+LSH banding candidate pairs (deterministic, oracle-checked)"),
+    "q_ngram_jaccard": Spec(
+        lambda spark, sf: ngram_jaccard_pairs(load_table(spark, sf, "documents")),
+        f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_inter,
+               ROUND(n_inter / (sa.n_a + sb.n_b - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN (SELECT doc_id AS doc_a, n_sh AS n_a FROM sizes) sa USING (doc_a)
+        JOIN (SELECT doc_id AS doc_b, n_sh AS n_b FROM sizes) sb USING (doc_b)
+        WHERE ROUND(n_inter / (sa.n_a + sb.n_b - n_inter), 6) >= 0.2
+        """,
+        "n-gram Jaccard near-dup verification stage (exact, candidate-filtered)"),
+    "q_dedup_simhash": Spec(
+        lambda spark, sf: simhash(load_table(spark, sf, "documents")),
+        """
+        WITH tok AS (
+          SELECT doc_id, CAST('0x' || substr(md5(t.tok), 1, 15) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents) t
+        ), bits AS (
+          SELECT doc_id, b.b,
+                 SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM tok, (SELECT unnest(range(60)) AS b) b
+          GROUP BY doc_id, b.b
+        )
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id
+        """,
+        "SimHash 60-bit signatures (majority-vote bits)"),
+    "q_dedup_near": Spec(
+        lambda spark, sf: ml_minhash_lsh_pairs(load_table(spark, sf, "documents")),
+        None,  # ml hashing not reproducible in SQL — rows-only check
+        "C2 pyspark.ml MinHashLSH approxSimilarityJoin (scale path)"),
+}

@@ -1,0 +1,151 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Driver north star (SURVEY.md §2.C): image/audio/video travel as
+``binary`` columns with a typed metadata struct; decode / feature
+extraction / resize / frame-sample run as Arrow-batched Pandas
+functions over ``mapInPandas``.
+
+The container has no image/audio codecs, so the *decode kernels* are
+deterministic fakes behind the real Spark plumbing (schema, Arrow
+batch shape, partitioning) — swap `_fake_decode_features` for a real
+`PIL/torchaudio` call and nothing else changes.  ``decode_real`` is the
+explicitly-stubbed entry point (NotImplementedError) to make the
+boundary unmissable.
+
+Scale notes: binary payloads ride the columnar path (parquet binary +
+Arrow); mapInPandas streams batches so one task never materializes a
+partition of blobs; metadata-only queries never touch the payload
+column (column pruning — verified in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..spec import Spec
+
+FEATURE_DIM = 4
+
+
+def with_blob(documents: DataFrame) -> DataFrame:
+    """Attach a binary payload + typed metadata struct.  (Synthetic
+    stand-in for reading real media: the utf-8 bytes of `text` are the
+    payload, exactly as an image column would carry encoded JPEG.)"""
+    blob = F.col("text").cast("binary")
+    meta = F.struct(
+        F.octet_length("text").alias("n_bytes"),
+        F.lit("text/plain").alias("mime"),
+        F.md5("text").alias("checksum_md5"))
+    return documents.select("doc_id", blob.alias("payload"), meta.alias("media_meta"))
+
+
+def media_metadata(documents: DataFrame) -> DataFrame:
+    """Metadata-only projection — must not read payload bytes at scan
+    time (column pruning makes this metadata-cheap at 100 TB)."""
+    d = with_blob(documents)
+    return d.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.checksum_md5").alias("checksum_md5"))
+
+
+def _fake_decode_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a media feature extractor: 4 moments
+    of the byte histogram.  Pure-python but executed vectorized per
+    Arrow batch inside mapInPandas."""
+    if payload is None or len(payload) == 0:
+        return [0.0] * FEATURE_DIM
+    n = float(len(payload))
+    s = float(sum(payload))
+    mx = float(max(payload))
+    mn = float(min(payload))
+    return [n, s / n, mx, mn]
+
+
+def decode_features(documents: DataFrame) -> DataFrame:
+    """mapInPandas decode: binary payload → fixed-width feature vector.
+
+    The batch iterator shape is the real contract: each pandas
+    DataFrame is one Arrow batch; we emit matching-length batches with
+    the declared schema.  At scale this is the pattern for any
+    per-item media kernel (decode, resize, frame-sample)."""
+    src = with_blob(documents)
+
+    # NB: the kernel must be closure-complete (no references to this
+    # module) — cloudpickle ships it by value, so executors need neither
+    # this package on sys.path nor an addPyFile.
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def feats(payload):
+            if payload is None or len(payload) == 0:
+                return [0.0, 0.0, 0.0, 0.0]
+            n = float(len(payload))
+            return [n, float(sum(payload)) / n,
+                    float(max(payload)), float(min(payload))]
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
+                "features": pdf["payload"].map(feats),
+            })
+
+    return src.mapInPandas(
+        kernel, schema="doc_id long, n_bytes long, features array<double>")
+
+
+def decode_real(documents: DataFrame) -> DataFrame:
+    """Real media decode — requires PIL/torchaudio/ffmpeg, not present
+    in this container.  Kept as the explicit integration point."""
+    raise NotImplementedError(
+        "media codecs unavailable in this environment; use decode_features "
+        "(deterministic fake) — swap _fake_decode_features for the real "
+        "kernel when codecs are present")
+
+
+def decoded_feature_stats(documents: DataFrame) -> DataFrame:
+    """Aggregate over decoded features: oracle-checkable because the
+    fake decode is just byte arithmetic DuckDB can reproduce."""
+    feats = decode_features(documents)
+    return feats.select(
+        "doc_id", "n_bytes",
+        F.round(F.col("features")[1], 6).alias("mean_byte"),
+        F.col("features")[2].cast("int").alias("max_byte"),
+        F.col("features")[3].cast("int").alias("min_byte"))
+
+
+# The decode oracle works because the synthetic corpus is ASCII-safe:
+# unicode code points == utf-8 bytes, so DuckDB reproduces the byte
+# moments without a binary type.
+_DECODE_ORACLE = """
+WITH cp AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         list_transform(string_split(text, ''), c -> ord(c)) AS bs
+  FROM documents)
+SELECT doc_id, n_bytes,
+       ROUND(list_aggregate(bs, 'sum') / CAST(n_bytes AS DOUBLE), 6) AS mean_byte,
+       CAST(list_aggregate(bs, 'max') AS INT) AS max_byte,
+       CAST(list_aggregate(bs, 'min') AS INT) AS min_byte
+FROM cp
+"""
+
+SPECS: dict[str, Spec] = {
+    "q_multimodal_meta": Spec(
+        lambda spark, sf: media_metadata(load_table(spark, sf, "documents")),
+        """
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+               'text/plain' AS mime, md5(text) AS checksum_md5
+        FROM documents
+        """,
+        "multimodal metadata projection (payload never scanned)"),
+    "q_multimodal_decode": Spec(
+        lambda spark, sf: decoded_feature_stats(load_table(spark, sf, "documents")),
+        _DECODE_ORACLE,
+        "multimodal decode via mapInPandas (fake kernel, byte moments)"),
+}

@@ -1,0 +1,164 @@
+"""Schema inference: the reference's try-parse type cascade, Spark-first.
+
+The reference infers each column's SQL type from the first value it
+sees, by cascading try-parses (reference core.rs:170-204):
+i32 → f32 → date/datetime → TEXT, with *first-seen-wins* per column
+(core.rs:219-226).  First-seen-wins is order-dependent — unacceptable in
+a distributed engine where row order is arbitrary — so this module
+implements the documented divergence (SURVEY.md §1.2, §4.4-2):
+
+- per-value classification: the same cascade, as a Column expression
+  (``type_tag``), upgraded to 64-bit ints and doubles;
+- per-column unification: *widening* over all observed values
+  (INTEGER ⊂ REAL; DATE / TIMESTAMP / TEXT disjoint → TEXT wins mixed),
+  an order-independent commutative lattice join, computed with one
+  aggregate pass (max over tag rank) instead of a first() race.
+
+Used by sources/healthkit.py to type raw XML attribute strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..spec import Spec
+
+#: Widening lattice rank: INTEGER widens to REAL; anything mixed with a
+#: disjoint family widens to TEXT.  (Ranks only meaningful per family;
+#: cross-family max resolves to TEXT via the UNIFY table below.)
+TAGS = ("INTEGER", "REAL", "DATE", "TIMESTAMP", "TEXT")
+
+
+def type_tag(s: Column) -> Column:
+    """Classify one string value — the reference's cascade
+    (core.rs:170-189) with i32→i64 and f32→f64 upgrades, and dates
+    guarded by length so date-times fall to TIMESTAMP in both engines."""
+    # Integer branch is regex-guarded: engines disagree on casting
+    # fractional strings to int (Spark truncates, DuckDB rounds), so
+    # "integer" means *lexically* integral in both.
+    return (
+        F.when(s.rlike("^-?[0-9]+$") & s.try_cast("bigint").isNotNull(),
+               F.lit("INTEGER"))
+        .when(s.try_cast("double").isNotNull(), F.lit("REAL"))
+        .when((F.length(s) == 10) & s.try_cast("date").isNotNull(), F.lit("DATE"))
+        .when(s.try_cast("timestamp").isNotNull(), F.lit("TIMESTAMP"))
+        .otherwise(F.lit("TEXT")))
+
+
+def unify_tags(tag: Column) -> Column:
+    """Order-independent widening unification of a collection of tags.
+
+    Aggregate expression: collect the distinct tag set and resolve —
+    {INTEGER} → INTEGER; {INTEGER, REAL} → REAL; singleton {DATE} /
+    {TIMESTAMP} stay; any other mixture → TEXT.  Commutative +
+    associative, so partial aggregation is safe at any partitioning."""
+    tags = F.collect_set(tag)
+    only_numeric = F.size(F.array_except(tags, F.array(F.lit("INTEGER"), F.lit("REAL")))) == 0
+    return (
+        F.when(tags == F.array(F.lit("INTEGER")), F.lit("INTEGER"))
+        .when(only_numeric, F.lit("REAL"))
+        .when(tags == F.array(F.lit("DATE")), F.lit("DATE"))
+        .when(tags == F.array(F.lit("TIMESTAMP")), F.lit("TIMESTAMP"))
+        .otherwise(F.lit("TEXT")))
+
+
+def infer_column_types(kv: DataFrame, col_name: str = "col_name",
+                       value: str = "value") -> DataFrame:
+    """Pass-1 analog of the reference (core.rs:85-132): from a long-form
+    (column, raw string value) relation, produce (column, unified type).
+    One aggregate pass; contrast with the reference's sequential
+    first-seen scan."""
+    return (kv.select(F.col(col_name),
+                      type_tag(F.col(value)).alias("tag"))
+            .groupBy(col_name)
+            .agg(unify_tags(F.col("tag")).alias("inferred_type")))
+
+
+def classify_event_values(events: DataFrame) -> DataFrame:
+    """Oracle-checkable exercise of the cascade: derive four raw-string
+    columns of known shape from `events` (int-ish, real-ish,
+    timestamp-ish, text-ish), classify every value, count per tag."""
+    k = F.get_json_object("props", "$.k")
+    v = F.col("value").cast("decimal(18,2)").cast("string")
+    t = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    d = F.date_format("ts", "yyyy-MM-dd")
+    e = F.col("event_type")
+    pairs = F.array(
+        F.struct(F.lit("props_k").alias("col_name"), k.alias("value")),
+        F.struct(F.lit("value_str").alias("col_name"), v.alias("value")),
+        F.struct(F.lit("ts_str").alias("col_name"), t.alias("value")),
+        F.struct(F.lit("date_str").alias("col_name"), d.alias("value")),
+        F.struct(F.lit("event_type").alias("col_name"), e.alias("value")))
+    long = events.select(F.explode(pairs).alias("p")).select("p.col_name", "p.value")
+    return (long.select("col_name", type_tag(F.col("value")).alias("type_tag"))
+            .groupBy("col_name", "type_tag")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def infer_event_schema(events: DataFrame) -> DataFrame:
+    """End-to-end inference over the same long-form values: one row per
+    derived column with its widened type."""
+    k = F.get_json_object("props", "$.k")
+    v = F.col("value").cast("decimal(18,2)").cast("string")
+    t = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    d = F.date_format("ts", "yyyy-MM-dd")
+    e = F.col("event_type")
+    pairs = F.array(
+        F.struct(F.lit("props_k").alias("col_name"), k.alias("value")),
+        F.struct(F.lit("value_str").alias("col_name"), v.alias("value")),
+        F.struct(F.lit("ts_str").alias("col_name"), t.alias("value")),
+        F.struct(F.lit("date_str").alias("col_name"), d.alias("value")),
+        F.struct(F.lit("event_type").alias("col_name"), e.alias("value")))
+    long = events.select(F.explode(pairs).alias("p")).select("p.col_name", "p.value")
+    return infer_column_types(long)
+
+
+_CASCADE_SQL = """
+CASE WHEN regexp_matches(value, '^-?[0-9]+$') AND TRY_CAST(value AS BIGINT) IS NOT NULL THEN 'INTEGER'
+     WHEN TRY_CAST(value AS DOUBLE) IS NOT NULL THEN 'REAL'
+     WHEN LENGTH(value) = 10 AND TRY_CAST(value AS DATE) IS NOT NULL THEN 'DATE'
+     WHEN TRY_CAST(value AS TIMESTAMP) IS NOT NULL THEN 'TIMESTAMP'
+     ELSE 'TEXT' END
+"""
+
+_LONG_FORM_SQL = """
+    SELECT 'props_k' AS col_name, json_extract_string(props, '$.k') AS value FROM events
+    UNION ALL
+    SELECT 'value_str', CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) FROM events
+    UNION ALL
+    SELECT 'ts_str', strftime(ts, '%Y-%m-%d %H:%M:%S') FROM events
+    UNION ALL
+    SELECT 'date_str', strftime(ts, '%Y-%m-%d') FROM events
+    UNION ALL
+    SELECT 'event_type', event_type FROM events
+"""
+
+SPECS: dict[str, Spec] = {
+    "q_schema_infer": Spec(
+        lambda spark, sf: classify_event_values(load_table(spark, sf, "events")),
+        f"""
+        SELECT col_name, {_CASCADE_SQL} AS type_tag, COUNT(*) AS n
+        FROM ({_LONG_FORM_SQL})
+        GROUP BY col_name, type_tag
+        """,
+        "A3/A5 type cascade per value (reference core.rs:170-204)"),
+    "q_schema_unify": Spec(
+        lambda spark, sf: infer_event_schema(load_table(spark, sf, "events")),
+        f"""
+        WITH tagged AS (
+          SELECT col_name, {_CASCADE_SQL} AS tag FROM ({_LONG_FORM_SQL})
+        ), sets AS (
+          SELECT col_name, list_sort(list_distinct(list(tag))) AS tags FROM tagged GROUP BY col_name
+        )
+        SELECT col_name,
+               CASE WHEN tags = ['INTEGER'] THEN 'INTEGER'
+                    WHEN len(list_filter(tags, t -> t NOT IN ('INTEGER','REAL'))) = 0 THEN 'REAL'
+                    WHEN tags = ['DATE'] THEN 'DATE'
+                    WHEN tags = ['TIMESTAMP'] THEN 'TIMESTAMP'
+                    ELSE 'TEXT' END AS inferred_type
+        FROM sets
+        """,
+        "A3 widening unification (divergence from first-seen-wins, SURVEY.md §1.2)"),
+}

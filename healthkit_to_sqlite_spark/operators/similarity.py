@@ -1,0 +1,182 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-d).
+
+Two paths (driver north star C3 / SURVEY.md §2.C):
+
+- brute-force cosine top-k: the exactness baseline.  zip_with +
+  aggregate builtins (JVM-side fold, no UDF); O(n·d) per query.
+- sign-LSH (random-hyperplane) bucketing: the scale path.  Each vector
+  gets a B-bit signature (bit p = sign of a ±1-weighted projection
+  whose weights derive from md5, so the oracle reproduces them);
+  near-duplicate candidates are pairs sharing a bucket — an equi-join,
+  not an O(n²) scan.  At 100 TB this is the same shape as the
+  production IVF/LSH systems: signature → shuffle by bucket → verify
+  exact cosine within bucket.
+
+Float discipline: embeddings are float32; both engines cast elementwise
+to double before multiply/sum, folds run in index order, and outputs
+round to 6 dp so residual last-bit drift (different fold trees) cannot
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import cosine_similarity
+from ..spec import Spec
+
+N_PLANES = 8   # LSH signature bits
+DIM = 64       # embedding dimensionality (FIXTURES.md §B)
+
+
+def topk_cosine(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k against one stored query vector.
+
+    The query row is cross-joined in (Catalyst broadcasts the 1-row
+    side); top-k via orderBy+limit = TakeOrdered, no global sort.
+    Ties broken by vec_id."""
+    q = (embeddings.filter(F.col("vec_id") == query_vec_id)
+         .select(F.col("embedding").alias("q_emb")))
+    sim = cosine_similarity(F.col("embedding"), F.col("q_emb"))
+    return (embeddings.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", "label", F.round(sim, 6).alias("cosine_sim"))
+            .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+            .limit(k))
+
+
+def _plane_weight(p: Column | int, d: Column) -> Column:
+    """Deterministic ±1 hyperplane weight for (plane, dim): parity of a
+    md5-derived integer — reproducible in any engine."""
+    h = F.conv(F.substring(F.md5(F.concat_ws("_", F.lit("plane"),
+                                             F.lit(p) if isinstance(p, int) else p,
+                                             d)), 1, 15), 16, 10).cast("bigint")
+    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_signature(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """B-bit sign-LSH signature per vector.
+
+    bit_p = 1 iff Σ_d w(p,d)·v_d > 0, folded in index order.  Expressed
+    entirely with sequence/transform/aggregate builtins."""
+    def bit(p: int) -> Column:
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.transform(F.sequence(F.lit(0), F.lit(DIM - 1)),
+                            lambda d: _plane_weight(p, d.cast("string"))),
+                lambda v, w: v.cast("double") * w),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
+
+    sig = F.concat_ws("", *[bit(p).cast("string") for p in range(n_planes)])
+    return embeddings.select("vec_id", "label", sig.alias("bucket"))
+
+
+def ann_lsh_pairs(embeddings: DataFrame, min_cosine: float = 0.2) -> DataFrame:
+    """ANN candidate generation + verification: bucket equi-join on the
+    LSH signature, then exact cosine within buckets, thresholded.
+    The O(n²) scan becomes O(Σ bucket²) — with well-spread buckets,
+    linear-ish; skewed buckets are AQE-split."""
+    sig = lsh_signature(embeddings)
+    withv = sig.join(embeddings.select("vec_id", "embedding"), "vec_id")
+    a, b = withv.alias("a"), withv.alias("b")
+    sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.col("a.bucket").alias("bucket"),
+                    F.round(sim, 6).alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= min_cosine))
+
+
+def bucket_histogram(embeddings: DataFrame) -> DataFrame:
+    """LSH bucket occupancy — the skew diagnostic you'd watch at scale."""
+    return (lsh_signature(embeddings)
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs")))
+
+
+def embedding_norms(embeddings: DataFrame) -> DataFrame:
+    """L2 norms + dimension sanity (cheap full-scan vector kernel)."""
+    sq = F.aggregate(F.col("embedding"), F.lit(0.0),
+                     lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    return embeddings.select(
+        "vec_id", "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq), 6).alias("l2_norm"))
+
+
+# --- oracle SQL -----------------------------------------------------------
+
+_DOT_Q_SQL = """
+  list_aggregate(list_transform(list_zip(embedding, q.q_emb),
+                                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+"""
+_NORM_SQL = "sqrt(list_aggregate(list_transform({c}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))"
+
+_W_SQL = ("(CASE WHEN CAST('0x' || substr(md5('plane_' || p.p || '_' || d.d), 1, 15) AS BIGINT) % 2 = 0 "
+          "THEN 1.0 ELSE -1.0 END)")
+
+_SIG_SQL = f"""
+  SELECT vec_id, label,
+         STRING_AGG(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM (
+    SELECT e.vec_id, e.label, p.p,
+           SUM({_W_SQL} * CAST(e.embedding[d.d + 1] AS DOUBLE)) AS dot
+    FROM embeddings e,
+         (SELECT unnest(range({N_PLANES})) AS p) p,
+         (SELECT unnest(range({DIM})) AS d) d
+    GROUP BY e.vec_id, e.label, p.p
+  )
+  GROUP BY vec_id, label
+"""
+
+SPECS: dict[str, Spec] = {
+    "q_topk_cosine": Spec(
+        lambda spark, sf: topk_cosine(load_table(spark, sf, "embeddings")),
+        f"""
+        SELECT vec_id, label,
+               ROUND({_DOT_Q_SQL} /
+                     ({_NORM_SQL.format(c='embedding')} * {_NORM_SQL.format(c='q.q_emb')}), 6)
+                 AS cosine_sim
+        FROM embeddings, (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+        WHERE vec_id <> 0
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10
+        """,
+        "C3 brute-force cosine top-k (exact baseline)"),
+    "q_embed_norms": Spec(
+        lambda spark, sf: embedding_norms(load_table(spark, sf, "embeddings")),
+        f"""
+        SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+               ROUND({_NORM_SQL.format(c='embedding')}, 6) AS l2_norm
+        FROM embeddings
+        """,
+        "embedding L2 norm kernel"),
+    "q_ann_lsh_buckets": Spec(
+        lambda spark, sf: bucket_histogram(load_table(spark, sf, "embeddings")),
+        f"""
+        SELECT bucket, COUNT(*) AS n_vecs FROM ({_SIG_SQL}) GROUP BY bucket
+        """,
+        "sign-LSH bucket occupancy (ANN scale path, skew diagnostic)"),
+    "q_ann_lsh_pairs": Spec(
+        lambda spark, sf: ann_lsh_pairs(load_table(spark, sf, "embeddings")),
+        f"""
+        WITH sig AS ({_SIG_SQL}),
+        withv AS (SELECT s.vec_id, s.bucket, e.embedding
+                  FROM sig s JOIN embeddings e ON s.vec_id = e.vec_id)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+               ROUND(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+                     ({_NORM_SQL.format(c='a.embedding')} * {_NORM_SQL.format(c='b.embedding')}),
+                     6) AS cosine_sim
+        FROM withv a JOIN withv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ROUND(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+                    ({_NORM_SQL.format(c='a.embedding')} * {_NORM_SQL.format(c='b.embedding')}),
+                    6) >= 0.2
+        """,
+        "ANN via sign-LSH bucket join + exact verify (scale path)"),
+}

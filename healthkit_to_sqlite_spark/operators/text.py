@@ -1,0 +1,177 @@
+"""Text-analysis operators for the training-data pipeline surface.
+
+Language-ID (stopword-marker heuristic), quality scoring, token
+counting, and document fingerprinting over `documents` (driver north
+star, SURVEY.md §2.C row C4 + extensions).
+
+All pure builtin expressions — split/filter/explode/regexp — i.e. the
+whole module runs inside whole-stage codegen; there is no Python in the
+hot path.  Marker-word counting uses size(filter(tokens, …)) rather
+than array_intersect so duplicate hits count (and because engines
+disagree on intersect dedup semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import ws_tokens
+from ..spec import Spec
+
+#: Tiny per-language marker lexicons (n-gram-heuristic stand-in; a real
+#: deployment swaps in fastText-style profiles via the same argmax).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "les", "et", "est"),
+}
+LANG_ORDER = tuple(LANG_MARKERS)  # tie-break: first in this order wins
+
+
+def _hits(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-based language ID: argmax of per-language hit counts with
+    a fixed tie-break order; 'und' when nothing hits."""
+    toks = ws_tokens("text")
+    hit_cols = [_hits(toks, LANG_MARKERS[lang]).alias(f"hits_{lang}")
+                for lang in LANG_ORDER]
+    scored = documents.select("doc_id", "lang", *hit_cols)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_ORDER])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_ORDER[:-1]:  # first-match-wins = LANG_ORDER tie-break
+        pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    pred = pred.otherwise(F.lit(LANG_ORDER[-1]))
+    return scored.select("doc_id", "lang", pred.alias("pred_lang"),
+                         *[F.col(f"hits_{lang}") for lang in LANG_ORDER])
+
+
+def token_counts(documents: DataFrame, k: int = 20) -> DataFrame:
+    """C4: global top-k token frequencies.  explode → groupBy(token);
+    partial aggregation absorbs the per-partition duplication, the final
+    shuffle carries distinct tokens only."""
+    return (documents
+            .select(F.explode(ws_tokens("text")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token"))
+            .limit(k))
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Quality heuristics per doc: token count, type-token ratio,
+    stopword ratio, mean token length — all exact-integer-derived
+    doubles, so engine-identical."""
+    toks = ws_tokens("text")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    stop_hits = _hits(toks, LANG_MARKERS["en"])
+    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    return documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        (n_uniq / n_tok).alias("ttr"),
+        (stop_hits / n_tok).alias("stopword_ratio"),
+        (n_alpha / F.col("n_chars")).alias("alpha_ratio"))
+
+
+def bpe_ish_token_count(documents: DataFrame) -> DataFrame:
+    """Token counting with a BPE-ish regex (letter runs / digit runs /
+    single punctuation), the standard pre-tokenizer shape; plus the
+    whitespace count for comparison."""
+    pieces = F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)")
+    return documents.select(
+        "doc_id",
+        F.size(ws_tokens("text")).alias("n_ws_tokens"),
+        F.size(pieces).alias("n_bpe_tokens"))
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Document fingerprints: md5 of whitespace-normalized lowercase
+    text, plus a 60-bit numeric fingerprint (the rolling-hash family;
+    md5-derived so the oracle can reproduce it)."""
+    norm = F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))
+    return documents.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint").alias("fp60"))
+
+
+def _markers_sql(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+
+
+_HITS_SQL = {
+    lang: ("len(list_filter(string_split(text, ' '), "
+           f"t -> t IN ({_markers_sql(lang)})))")
+    for lang in LANG_ORDER
+}
+
+SPECS: dict[str, Spec] = {
+    "q_lang_id": Spec(
+        lambda spark, sf: lang_id(load_table(spark, sf, "documents")),
+        f"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 {_HITS_SQL['en']} AS hits_en,
+                 {_HITS_SQL['es']} AS hits_es,
+                 {_HITS_SQL['de']} AS hits_de,
+                 {_HITS_SQL['fr']} AS hits_fr
+          FROM documents)
+        SELECT doc_id, lang,
+               CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'
+                    WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+                    WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+                    WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+                    ELSE 'fr' END AS pred_lang,
+               hits_en, hits_es, hits_de, hits_fr
+        FROM scored
+        """,
+        "language-ID heuristic (marker argmax, fixed tie order)"),
+    "q_token_counts": Spec(
+        lambda spark, sf: token_counts(load_table(spark, sf, "documents")),
+        """
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        "C4 token frequency top-k"),
+    "q_quality_score": Spec(
+        lambda spark, sf: quality_scores(load_table(spark, sf, "documents")),
+        f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+               len(list_distinct(string_split(text, ' '))) /
+                 len(string_split(text, ' ')) AS ttr,
+               {_HITS_SQL['en']} / len(string_split(text, ' ')) AS stopword_ratio,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / n_chars AS alpha_ratio
+        FROM documents
+        """,
+        "quality scoring (length/stopword/alpha ratios)"),
+    "q_token_count_bpe": Spec(
+        lambda spark, sf: bpe_ish_token_count(load_table(spark, sf, "documents")),
+        r"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
+        FROM documents
+        """,
+        "token counting: whitespace + BPE-ish regex pre-tokenizer"),
+    "q_fingerprint": Spec(
+        lambda spark, sf: fingerprints(load_table(spark, sf, "documents")),
+        """
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5,
+               CAST('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15)
+                    AS BIGINT) AS fp60
+        FROM documents
+        """,
+        "document fingerprinting (normalized md5 + 60-bit)"),
+}

@@ -1,0 +1,137 @@
+"""Time-series operators: windowed aggregation, sessionization, as-of join.
+
+The reference has no streaming/temporal surface (batch-only,
+SURVEY.md §1.1 "Stream: none"); these implement the driver north-star
+C6 row plus the temporal operators any event pipeline needs.  The
+Structured Streaming twin of the tumbling window lives in
+``streaming/windowed.py`` — same logical aggregation, watermarked.
+
+Scale notes:
+- tumbling window: date_trunc bucketing keeps grouping key cardinality
+  = buckets × types; partial agg makes the shuffle proportional to
+  groups, not rows.
+- sessionize: one shuffle (by user) shared by both window passes —
+  Spark reuses the exchange since partitioning matches.
+- as-of join: implemented as union + last() over an ordered window
+  (single shuffle by key), NOT a range join — a range join at 100 TB
+  explodes; the union trick is linear and skew-tolerant (AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import dec_sum
+from ..spec import Spec
+
+
+def tumbling_window(events: DataFrame, bucket: str = "hour") -> DataFrame:
+    """C6: tumbling-window aggregate in batch form (date_trunc
+    bucketing); the streaming twin uses window(ts, '1 hour') +
+    watermark."""
+    return (events
+            .groupBy(F.date_trunc(bucket, "ts").cast("timestamp_ntz").alias("window_start"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dec_sum("value").alias("sum_value")))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user: a new session starts when the
+    inter-event gap exceeds ``gap_minutes``.  Classic lag + cumulative
+    sum over one user-partitioned ordered window; the stateful
+    streaming analog is applyInPandasWithState (streaming/sessions.py).
+    Output: per-user session stats (deterministic, no floats)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        lag_ts.isNull()
+        | (F.col("ts") > lag_ts + F.expr(f"INTERVAL {gap_minutes} MINUTES")), 1
+    ).otherwise(0)
+    sess = (events
+            .withColumn("new_sess", new_sess)
+            .withColumn("session_id", F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    per_session = (sess.groupBy("user_id", "session_id")
+                   .agg(F.count(F.lit(1)).alias("n_events")))
+    return (per_session.groupBy("user_id")
+            .agg(F.max("session_id").cast("bigint").alias("n_sessions"),
+                 F.sum("n_events").alias("n_events"),
+                 F.max("n_events").alias("max_session_events")))
+
+
+def asof_last_click(events: DataFrame) -> DataFrame:
+    """As-of join: for every purchase event, the most recent click (≤ ts)
+    by the same user.
+
+    Spark lacks a native as-of join; the scalable composition is the
+    union trick: tag both streams, sort within user by (ts, side), and
+    carry the last click timestamp forward with last(ignorenulls) —
+    O(n log n) per user partition, one shuffle, no pairwise explosion.
+    Click-before-purchase at equal ts matches DuckDB ASOF's inclusive
+    bound."""
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts"), F.lit(0).alias("side"),
+                      F.lit(None).cast("bigint").alias("event_id"),
+                      F.col("ts").alias("click_ts")))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts"), F.lit(1).alias("side"),
+                         F.col("event_id"),
+                         F.lit(None).cast("timestamp_ntz").alias("click_ts")))
+    unioned = clicks.unionByName(purchases)
+    w = (Window.partitionBy("user_id").orderBy("ts", "side")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = (unioned
+           .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+           .filter(F.col("side") == 1))
+    return out.select("event_id", "user_id", F.col("ts"), "last_click_ts")
+
+
+SPECS: dict[str, Spec] = {
+    "q_tumbling_window": Spec(
+        lambda spark, sf: tumbling_window(load_table(spark, sf, "events")),
+        """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+        """,
+        "C6 tumbling-window aggregate (batch twin of streaming/windowed.py)"),
+    "q_sessionize": Spec(
+        lambda spark, sf: sessionize(load_table(spark, sf, "events")),
+        """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+          SELECT user_id,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        ), per_session AS (
+          SELECT user_id, session_id, COUNT(*) AS n_events
+          FROM sessions GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+               SUM(n_events) AS n_events,
+               MAX(n_events) AS max_session_events
+        FROM per_session GROUP BY user_id
+        """,
+        "sessionization addition (stateful-op analog; SURVEY.md §2.C)"),
+    "q_asof_join": Spec(
+        lambda spark, sf: asof_last_click(load_table(spark, sf, "events")),
+        """
+        SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "as-of join addition (union+window composition; SURVEY.md §2.B gaps)"),
+}
