@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..catalog import load_table
 from ..spec import Spec
@@ -37,10 +38,13 @@ def type_tag(s: Column) -> Column:
     guarded by length so date-times fall to TIMESTAMP in both engines."""
     # Integer branch is regex-guarded: engines disagree on casting
     # fractional strings to int (Spark truncates, DuckDB rounds), so
-    # "integer" means *lexically* integral in both.
+    # "integer" means *lexically* integral in both.  NULL values carry
+    # no type evidence (an absent attribute, reference core.rs:693-704)
+    # → NULL tag, ignored by unification.
     return (
-        F.when(s.rlike("^-?[0-9]+$") & s.try_cast("bigint").isNotNull(),
-               F.lit("INTEGER"))
+        F.when(s.isNull(), F.lit(None).cast("string"))
+        .when(s.rlike("^-?[0-9]+$") & s.try_cast("bigint").isNotNull(),
+              F.lit("INTEGER"))
         .when(s.try_cast("double").isNotNull(), F.lit("REAL"))
         .when((F.length(s) == 10) & s.try_cast("date").isNotNull(), F.lit("DATE"))
         .when(s.try_cast("timestamp").isNotNull(), F.lit("TIMESTAMP"))
@@ -54,14 +58,53 @@ def unify_tags(tag: Column) -> Column:
     {INTEGER} → INTEGER; {INTEGER, REAL} → REAL; singleton {DATE} /
     {TIMESTAMP} stay; any other mixture → TEXT.  Commutative +
     associative, so partial aggregation is safe at any partitioning."""
-    tags = F.collect_set(tag)
+    tags = F.collect_set(tag)  # nulls (no-evidence values) drop out here
     only_numeric = F.size(F.array_except(tags, F.array(F.lit("INTEGER"), F.lit("REAL")))) == 0
     return (
-        F.when(tags == F.array(F.lit("INTEGER")), F.lit("INTEGER"))
+        F.when(F.size(tags) == 0, F.lit("TEXT"))  # no evidence at all
+        .when(tags == F.array(F.lit("INTEGER")), F.lit("INTEGER"))
         .when(only_numeric, F.lit("REAL"))
         .when(tags == F.array(F.lit("DATE")), F.lit("DATE"))
         .when(tags == F.array(F.lit("TIMESTAMP")), F.lit("TIMESTAMP"))
         .otherwise(F.lit("TEXT")))
+
+
+#: tag → Spark cast target (SURVEY.md §1.2 table: i32→i64, f32→f64
+#: upgrades; TIMESTAMP kept distinct from the reference's collapsed DATE)
+CAST_TARGETS = {"INTEGER": "bigint", "REAL": "double",
+                "DATE": "date", "TIMESTAMP": "timestamp"}
+
+
+def apply_inferred_types(df: DataFrame, cols: list[str] | None = None,
+                         drop_all_null: bool = False) -> DataFrame:
+    """Infer-and-cast string columns in ONE aggregate pass.
+
+    Per column: widening-unified tag (INTEGER/REAL/DATE/TIMESTAMP/TEXT)
+    plus a non-null count; then cast each column to its tag's Spark
+    type and optionally drop columns with no values at all (the
+    reference never creates a column it never saw, core.rs:216-227).
+
+    This is the distributed replacement for the reference's pass-1
+    sequential schema scan (core.rs:85-132): commutative aggregates,
+    so partial aggregation handles any partitioning."""
+    if cols is None:
+        cols = [f.name for f in df.schema.fields
+                if isinstance(f.dataType, T.StringType)]
+    if not cols:
+        return df
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(unify_tags(type_tag(F.col(c))).alias(f"t{i}"))
+        aggs.append(F.count(F.col(c)).alias(f"n{i}"))
+    row = df.agg(*aggs).collect()[0]
+    for i, c in enumerate(cols):
+        if drop_all_null and row[f"n{i}"] == 0:
+            df = df.drop(c)
+            continue
+        target = CAST_TARGETS.get(row[f"t{i}"])
+        if target:
+            df = df.withColumn(c, F.col(c).cast(target))
+    return df
 
 
 def infer_column_types(kv: DataFrame, col_name: str = "col_name",
@@ -116,7 +159,8 @@ def infer_event_schema(events: DataFrame) -> DataFrame:
 
 
 _CASCADE_SQL = """
-CASE WHEN regexp_matches(value, '^-?[0-9]+$') AND TRY_CAST(value AS BIGINT) IS NOT NULL THEN 'INTEGER'
+CASE WHEN value IS NULL THEN NULL
+     WHEN regexp_matches(value, '^-?[0-9]+$') AND TRY_CAST(value AS BIGINT) IS NOT NULL THEN 'INTEGER'
      WHEN TRY_CAST(value AS DOUBLE) IS NOT NULL THEN 'REAL'
      WHEN LENGTH(value) = 10 AND TRY_CAST(value AS DATE) IS NOT NULL THEN 'DATE'
      WHEN TRY_CAST(value AS TIMESTAMP) IS NOT NULL THEN 'TIMESTAMP'

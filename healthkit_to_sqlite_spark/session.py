@@ -26,6 +26,10 @@ from pyspark.sql import SparkSession
 #: may surface the raw int64 (we rebuild a timestamp_ntz in catalog.py).
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # duplicate MetadataEntry keys: deterministic last-wins (the
+    # reference appends duplicate columns non-deterministically,
+    # reference core.rs:468-472; SURVEY.md §4.4-5)
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -1,0 +1,325 @@
+"""HealthKit export.zip ingestion — the reference's entire ETL surface,
+re-expressed Spark-first.
+
+Reference pipeline (/root/reference/src/core.rs): open zip (48-51),
+stream-parse export.xml twice — schema pass (52-62, 85-132) then insert
+pass (63-73, 381-718) — flattening MetadataEntry children to
+``metadata_<key>`` columns (452-474), collecting WorkoutEvent children
+to a JSON array (541-543, 639-642), WorkoutStatistics to a JSON object
+keyed by type (544-548, 643-646), and joining each workout to its GPX
+route file inside the zip to build GeoJSON LineString geometry
+(556-633).
+
+Spark-native re-expression:
+
+- zip staging is driver-side (A1): Spark has no zip codec; unpack once
+  to a staging dir, then every subsequent step is distributed.
+- ONE schema-inferring distributed read per element class via the
+  native XML source (rowTag=Record/Workout/ActivitySummary) replaces
+  both streaming passes; the reader's inference implements the
+  *widening* policy we chose over the reference's first-seen-wins
+  (SURVEY.md §1.2, §4.4-2).
+- MetadataEntry flatten = map_from_entries + per-key projection
+  (LAST_WIN dedup conf replaces the reference's duplicate-column
+  INSERT quirk, §4.4-5).
+- Workout children = struct/array transforms + to_json at the edge.
+- Route join = a real equi-join against a GPX DataFrame (broadcast;
+  route sets are small) instead of per-row random zip access.
+- table-per-type fan-out (A4) = filtered views / partitionBy writes.
+
+At 100 TB (hypothetically many exports): staging parallelizes per
+archive; every downstream op is a plain shuffle/groupBy pipeline with
+no driver-side row handling except the bounded distinct metadata-key /
+record-type collections (cardinality ~100s — the same bound the
+reference's BTreeMap schema carries).
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import configure
+
+EXPORT_XML = "apple_health_export/export.xml"
+ARCHIVE_ROOT = "apple_health_export"
+
+
+@dataclass(frozen=True)
+class StagedExport:
+    """Filesystem layout after zip staging (A1)."""
+    root: str          # staging dir containing apple_health_export/
+    export_xml: str    # path to export.xml
+    routes_dir: str    # dir with workout-routes/*.gpx (may not exist)
+
+
+def stage_zip(zip_path: str, staging_dir: str) -> StagedExport:
+    """A1: unpack export.zip to a staging directory (driver-side; the
+    zip format is not splittable).  Mirrors reference core.rs:48-56 but
+    once, up front — the reference re-opens the archive per route file
+    (core.rs:580-582)."""
+    with zipfile.ZipFile(zip_path) as zf:
+        safe = [n for n in zf.namelist()
+                if not (n.startswith("/") or ".." in n.split("/"))]
+        zf.extractall(staging_dir, members=safe)
+    root = os.path.join(staging_dir, ARCHIVE_ROOT)
+    return StagedExport(
+        root=root,
+        export_xml=os.path.join(staging_dir, EXPORT_XML),
+        routes_dir=os.path.join(root, "workout-routes"))
+
+
+def _strip_attr_prefix(df: DataFrame) -> DataFrame:
+    """XML attributes arrive as ``_name``; surface them as ``name``
+    (reference stores bare attribute names, core.rs:216-227)."""
+    renames = {c: c[1:] for c in df.columns if c.startswith("_")}
+    for old, new in renames.items():
+        df = df.withColumnRenamed(old, new)
+    return df
+
+
+def _as_array(df: DataFrame, col: str) -> DataFrame:
+    """Normalize the XML reader's struct-vs-array ambiguity: a child
+    element appearing once per parent infers as struct, repeated as
+    array.  Downstream code always sees an array."""
+    if col not in df.columns:
+        return df
+    if not isinstance(df.schema[col].dataType, T.ArrayType):
+        # a null struct must become [], not [null] (a parent without
+        # that child has no entries)
+        df = df.withColumn(col, F.when(F.col(col).isNotNull(),
+                                       F.array(F.col(col)))
+                           .otherwise(F.array().cast(
+                               T.ArrayType(df.schema[col].dataType))))
+    else:
+        df = df.withColumn(col, F.coalesce(
+            F.col(col), F.array().cast(df.schema[col].dataType)))
+    return df
+
+
+def read_element(spark: SparkSession, xml_path: str, row_tag: str) -> DataFrame:
+    """A2: one distributed XML read per element class (replaces both of
+    the reference's sequential scans).
+
+    Attributes are read as RAW STRINGS (inferSchema=false): typing is
+    applied per output table by the widening cascade
+    (operators.schema_infer.apply_inferred_types), matching the
+    reference's per-table schema maps (core.rs:216-257) rather than one
+    global schema — e.g. Record@value must be INTEGER for StepCount but
+    REAL for WalkingSpeed."""
+    configure(spark)
+    df = (spark.read.format("xml")
+          .option("rowTag", row_tag)
+          .option("inferSchema", "false")
+          .load(xml_path))
+    return _strip_attr_prefix(df)
+
+
+def _metadata_map(col: str = "MetadataEntry"):
+    """MetadataEntry array → map.  LAST_WIN dedup (session conf) gives
+    the deterministic duplicate-key policy the reference lacks
+    (core.rs:468-472 appends duplicate columns; SURVEY.md §4.4-5)."""
+    return F.map_from_entries(
+        F.transform(F.col(col),
+                    lambda m: F.struct(m["_key"].alias("key"),
+                                       m["_value"].cast("string").alias("value"))))
+
+
+def flatten_metadata(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """A6: pivot metadata entries to ``metadata_<key>`` wide columns.
+
+    ``keys=None`` collects the distinct key set first (bounded: same
+    cardinality the reference's schema BTreeMap holds in memory,
+    core.rs:231-257).  Pass explicit keys in pipelines that must avoid
+    the extra job."""
+    if "MetadataEntry" not in df.columns:
+        return df
+    df = _as_array(df, "MetadataEntry")
+    df = df.withColumn("__md", _metadata_map())
+    if keys is None:
+        keys = [r[0] for r in
+                (df.select(F.explode(F.map_keys("__md")).alias("k"))
+                 .distinct().orderBy("k").collect())]
+    for k in keys:
+        df = df.withColumn(f"metadata_{k}", F.col("__md").getItem(k))
+    return df.drop("__md", "MetadataEntry")
+
+
+def read_records(spark: SparkSession, xml_path: str) -> DataFrame:
+    """All <Record> rows, metadata flattened, with their ``type``
+    discriminator (table name in the reference, core.rs:311-313).
+    Columns stay raw strings here; typing happens per type-table in
+    ``record_tables`` (per-table schemas, core.rs:216-227)."""
+    return flatten_metadata(read_element(spark, xml_path, "Record"))
+
+
+def read_activity_summaries(spark: SparkSession, xml_path: str) -> DataFrame:
+    """<ActivitySummary> rows (fixed table, core.rs:23, 358-365),
+    typed by the widening cascade."""
+    from ..operators.schema_infer import apply_inferred_types
+    return apply_inferred_types(read_element(spark, xml_path, "ActivitySummary"))
+
+
+def read_gpx_routes(spark: SparkSession, routes_dir: str) -> DataFrame:
+    """A11: GPX route files → one row per route with GeoJSON-shaped
+    LineString geometry.
+
+    Reference parses each file imperatively per workout row
+    (core.rs:588-627, [lon, lat] pairs in document order, dropping
+    ele/time/speed…).  Spark form: distributed read of all route files
+    (rowTag=trkpt), group by source file, order points by time (GPX
+    track time is monotone; document order surrogate), collect
+    coordinates.  Returns empty-schema DF if no routes exist."""
+    schema = T.StructType([
+        T.StructField("route_path", T.StringType()),
+        T.StructField("geometry", T.StructType([
+            T.StructField("type", T.StringType()),
+            T.StructField("coordinates",
+                          T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ])),
+        T.StructField("n_points", T.LongType()),
+    ])
+    if not os.path.isdir(routes_dir) or not any(
+            n.endswith(".gpx") for n in os.listdir(routes_dir)):
+        return spark.createDataFrame([], schema)
+    configure(spark)
+    pts = (spark.read.format("xml").option("rowTag", "trkpt")
+           .load(os.path.join(routes_dir, "*.gpx"))
+           .select(F.col("_lat").cast("double").alias("lat"),
+                   F.col("_lon").cast("double").alias("lon"),
+                   F.col("time").cast("timestamp").alias("t"),
+                   F.col("_metadata.file_path").alias("file_path")))
+    # archive-relative path: '<...>/apple_health_export/workout-routes/x.gpx'
+    # → '/workout-routes/x.gpx' (join key; reference core.rs:567-581)
+    rel = F.regexp_extract("file_path", r"apple_health_export(/.*)$", 1)
+    coord = F.struct(F.col("t"), F.array(F.col("lon"), F.col("lat")).alias("c"))
+    return (pts.groupBy(rel.alias("route_path"))
+            .agg(F.transform(F.array_sort(F.collect_list(coord)),
+                             lambda s: s.c).alias("coordinates"),
+                 F.count(F.lit(1)).alias("n_points"))
+            .select("route_path",
+                    F.struct(F.lit("LineString").alias("type"),
+                             F.col("coordinates")).alias("geometry"),
+                    "n_points"))
+
+
+def read_workouts(spark: SparkSession, xml_path: str,
+                  routes: DataFrame | None = None) -> DataFrame:
+    """<Workout> rows with the reference's three synthesized columns
+    (core.rs:639-650): workoutEvents JSON array, workoutStatistics JSON
+    object keyed by statistic type, geometry GeoJSON LineString.
+
+    Empty-children workouts keep '[]' / '{}' (reference quirk
+    preserved, SURVEY.md §4.4-6); a missing route file leaves '{}'
+    (reference hard-errors, core.rs:580-582 — we degrade gracefully
+    and record the divergence here)."""
+    df = read_element(spark, xml_path, "Workout")
+    # raw child columns get __-prefixed temp names: Spark resolves
+    # column names case-insensitively, so raw `WorkoutStatistics` would
+    # collide with the synthesized `workoutStatistics`
+    for raw in ("WorkoutEvent", "WorkoutStatistics", "WorkoutRoute"):
+        if raw in df.columns:
+            df = df.withColumnRenamed(raw, f"__{raw}")
+
+    # --- workoutEvents: ordered JSON array (A7; core.rs:541-543) ---
+    # numeric-looking attrs parse to numbers, everything else stays a
+    # string — the reference's f32-else-string JSON policy (core.rs:487-491)
+    if "__WorkoutEvent" in df.columns:
+        df = _as_array(df, "__WorkoutEvent")
+        ev = F.transform(
+            F.col("__WorkoutEvent"),
+            lambda e: F.struct(e["_type"].alias("type"),
+                               e["_date"].alias("date"),
+                               e["_duration"].try_cast("double").alias("duration"),
+                               e["_durationUnit"].alias("durationUnit")))
+        df = df.withColumn("workoutEvents", F.to_json(ev))
+    else:
+        df = df.withColumn("workoutEvents", F.lit("[]"))
+    df = df.withColumn("workoutEvents",
+                       F.coalesce("workoutEvents", F.lit("[]")))
+
+    # --- workoutStatistics: JSON object keyed by type (A8; core.rs:544-548) ---
+    if "__WorkoutStatistics" in df.columns:
+        df = _as_array(df, "__WorkoutStatistics")
+        st = F.map_from_entries(F.transform(
+            F.col("__WorkoutStatistics"),
+            lambda s: F.struct(
+                s["_type"].alias("key"),
+                F.struct(*[s[f"_{f}"].cast("string").alias(f)
+                           for f in ("type", "startDate", "endDate", "sum",
+                                     "average", "minimum", "maximum", "unit")
+                           if f"_{f}" in _struct_fields(df, "__WorkoutStatistics")]
+                         ).alias("value"))))
+        df = df.withColumn("workoutStatistics", F.to_json(st))
+    else:
+        df = df.withColumn("workoutStatistics", F.lit("{}"))
+    df = df.withColumn("workoutStatistics",
+                       F.coalesce("workoutStatistics", F.lit("{}")))
+
+    # --- route path + geometry join (A10/A11; core.rs:556-633) ---
+    if "__WorkoutRoute" in df.columns:
+        df = _as_array(df, "__WorkoutRoute")
+        df = df.withColumn(
+            "route_path",
+            F.try_element_at(F.col("__WorkoutRoute"),
+                             F.lit(1))["FileReference"]["_path"])
+    else:
+        df = df.withColumn("route_path", F.lit(None).cast("string"))
+    if routes is not None:
+        df = (df.join(F.broadcast(routes), "route_path", "left")
+              .withColumn("geometry",
+                          F.coalesce(F.to_json("geometry"), F.lit("{}")))
+              .drop("n_points"))
+    else:
+        df = df.withColumn("geometry", F.lit("{}"))
+
+    df = df.drop("__WorkoutEvent", "__WorkoutStatistics", "__WorkoutRoute")
+    from ..operators.schema_infer import apply_inferred_types
+    df = flatten_metadata(df)
+    # type the scalar attribute + metadata columns; the synthesized
+    # JSON columns classify as TEXT and stay strings
+    return apply_inferred_types(df)
+
+
+def _struct_fields(df: DataFrame, col: str) -> set[str]:
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.ArrayType):
+        dt = dt.elementType
+    return {f.name for f in dt.fields} if isinstance(dt, T.StructType) else set()
+
+
+def record_tables(records: DataFrame,
+                  types: list[str] | None = None) -> dict[str, DataFrame]:
+    """A4: table-per-Record-type fan-out (core.rs:311-313, 656-685).
+    Returns {type: DataFrame} with all-null columns pruned per type
+    (the reference's per-table column sets).  The distinct-type collect
+    is bounded (~100s of HK types)."""
+    from ..operators.schema_infer import apply_inferred_types
+
+    if types is None:
+        types = [r[0] for r in
+                 records.select("type").distinct().orderBy("type").collect()]
+    return {t: apply_inferred_types(records.filter(F.col("type") == t),
+                                    drop_all_null=True)
+            for t in types}
+
+
+def convert(spark: SparkSession, zip_path: str, staging_dir: str) -> dict[str, DataFrame]:
+    """E1 end-to-end (reference main.rs:88 → core.rs:42-76): stage the
+    zip, read all element classes, synthesize nested columns, and
+    return the logical table catalog {table_name: DataFrame} — the
+    Spark analog of the converted SQLite database."""
+    staged = stage_zip(zip_path, staging_dir)
+    routes = read_gpx_routes(spark, staged.routes_dir)
+    out: dict[str, DataFrame] = {}
+    out["Workout"] = read_workouts(spark, staged.export_xml, routes)
+    out["ActivitySummary"] = read_activity_summaries(spark, staged.export_xml)
+    records = read_records(spark, staged.export_xml)
+    for t, df in record_tables(records).items():
+        out[t] = df
+    return out

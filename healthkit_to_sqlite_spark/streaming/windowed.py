@@ -1,0 +1,119 @@
+"""Streaming operators over an events-shaped stream.
+
+The reference is strictly batch (two sequential XML scans,
+SURVEY.md §1.1); this module is the driver-north-star C6 surface:
+the same logical aggregations as operators/timeseries.py, expressed
+as incremental Structured Streaming plans.
+
+- ``tumbling_window_stream``: window(ts, 1h) aggregate with a
+  watermark bounding state: late rows beyond the watermark are
+  dropped, closed windows are evicted — state size is O(open windows ×
+  types) regardless of stream length (the 100 TB/day property).
+- ``sessionize_stream``: gap-based sessions via
+  ``applyInPandasWithState`` — the custom-stateful-operator escape
+  hatch for semantics window functions can't express incrementally.
+  State per user = running session bounds; timeouts flush idle users.
+
+Both take any streaming DataFrame with (event_id, ts, user_id,
+event_type, value) — tests feed a file stream of the driver's events
+parquet, production would use Kafka with identical code downstream of
+the source.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+
+def tumbling_window_stream(events: DataFrame,
+                           window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregate (batch twin:
+    timeseries.tumbling_window; same group keys and measures)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                 .alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "sum_value"))
+
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+_STATE_SCHEMA = "start long, end long, n long"  # epoch-micros bounds
+
+
+def sessionize_stream(events: DataFrame,
+                      gap_minutes: int = 30,
+                      idle_timeout_ms: int = 3_600_000) -> DataFrame:
+    """Custom stateful sessionization (batch twin:
+    timeseries.sessionize).  Emits a row per CLOSED session; open
+    sessions flush on processing-time timeout.
+
+    applyInPandasWithState contract honored here: the function is
+    closure-complete (no module references — executors don't share the
+    driver's sys.path) and handles both data batches and timeouts."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        closed = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n = state.get
+                closed.append((user_id, s, e, n))
+                state.remove()
+        else:
+            ts_us = []
+            for pdf in pdfs:
+                ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+            ts_us.sort()
+            if state.exists:
+                cur = list(state.get)
+            else:
+                cur = None
+            for t in ts_us:
+                if cur is None:
+                    cur = [t, t, 1]
+                elif t - cur[1] > gap_us:
+                    closed.append((user_id, cur[0], cur[1], cur[2]))
+                    cur = [t, t, 1]
+                else:
+                    cur[1] = t
+                    cur[2] += 1
+            if cur is not None:
+                state.update(tuple(cur))
+                state.setTimeoutDuration(idle_timeout_ms)
+
+        if closed:
+            yield pd.DataFrame({
+                "user_id": [c[0] for c in closed],
+                "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                "n_events": [c[3] for c in closed],
+            })
+
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=SESSION_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))

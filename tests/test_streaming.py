@@ -1,0 +1,74 @@
+"""Streaming twins verified against their batch counterparts: feed the
+same events through a file stream and assert the streaming result
+equals the batch operator's answer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    from healthkit_to_sqlite_spark.catalog import load_table
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    # a bounded slice so the test is fast; timestamp_ntz → timestamp for
+    # watermark support
+    (load_table(spark, "/root/testdata/sf0.001", "events")
+     .withColumn("ts", F.col("ts").cast("timestamp"))
+     .coalesce(2).write.mode("overwrite").parquet(d))
+    return d
+
+
+def _run_stream(spark, df, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_window_stream_matches_batch(spark, events_stream_dir):
+    from healthkit_to_sqlite_spark.streaming.windowed import tumbling_window_stream
+    from healthkit_to_sqlite_spark.operators.timeseries import tumbling_window
+
+    src = spark.readStream.schema(
+        spark.read.parquet(events_stream_dir).schema).parquet(events_stream_dir)
+    # complete-mode memory sink for aggregations: use update of final?
+    # availableNow + append only emits closed windows; use outputMode
+    # complete to get them all for the bounded input.
+    q = (tumbling_window_stream(src).writeStream.format("memory")
+         .queryName("tumbling").outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+           for r in spark.table("tumbling").collect()}
+
+    batch = tumbling_window(
+        spark.read.parquet(events_stream_dir).withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")))
+    want = {(r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in batch.collect()}
+    # streaming window_start is timestamp (UTC session) vs batch ntz —
+    # compare on naive values
+    got_naive = {(k[0].replace(tzinfo=None), k[1]): v for k, v in got.items()}
+    assert got_naive == want
+
+
+def test_sessionize_stream_closes_sessions(spark, events_stream_dir):
+    from healthkit_to_sqlite_spark.streaming.windowed import sessionize_stream
+
+    src = spark.readStream.schema(
+        spark.read.parquet(events_stream_dir).schema).parquet(events_stream_dir)
+    out = _run_stream(spark, sessionize_stream(src), "sessions")
+    rows = out.collect()
+    # availableNow: only sessions closed by a later event in the same
+    # run are emitted (open ones wait for the timeout); every emitted
+    # session must be internally consistent
+    assert len(rows) > 0
+    for r in rows:
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_events"] >= 1
+
+    # total emitted events ≤ total events, grouped by the same users
+    total = spark.read.parquet(events_stream_dir).count()
+    assert sum(r["n_events"] for r in rows) <= total
