@@ -64,31 +64,39 @@ def word_shingles(documents: DataFrame, k: int = SHINGLE) -> DataFrame:
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
     """MinHash signature per doc: for each of N_HASHES permutations i,
-    min over shingles of (aᵢ·(h mod P)+bᵢ) mod P.  One explode + one
-    groupBy — linear in total shingle count."""
+    min over shingles of (aᵢ·(h mod P)+bᵢ) mod P.
+
+    All N_HASHES minima are computed as parallel aggregates over ONE
+    shingle scan (columns mh0..mhN) — no explode-by-hash-index: the
+    naive long-form blows the shuffle up N_HASHES× for no information
+    gain.  Wide → one row per doc."""
     sh = word_shingles(documents).withColumn("hmod", hash60(F.col("shingle")) % P)
-    i = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("i")
-    perm = ((F.col("i") * 2 + 1) * F.col("hmod") + F.col("i") * 7 + 13) % P
-    return (sh.select("doc_id", "hmod", i)
-            .select("doc_id", "i", perm.alias("ph"))
-            .groupBy("doc_id", "i")
-            .agg(F.min("ph").alias("mh")))
+    mins = [F.min((F.lit(i * 2 + 1) * F.col("hmod") + F.lit(i * 7 + 13)) % P)
+            .alias(f"mh{i}") for i in range(N_HASHES)]
+    return sh.groupBy("doc_id").agg(*mins)
 
 
 def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     """LSH banding: band signature = joined minhashes of the band's
     rows; docs sharing any band signature are candidate pairs.
     Equi-join on (band, signature) — the O(n²) search becomes a bucket
-    shuffle.  Output: distinct candidate pairs (a < b) + #matching bands."""
+    shuffle.  Output: distinct candidate pairs (a < b) + #matching bands.
+
+    Band signatures are string-concats of the wide minhash columns;
+    bands melt to long form (band, sig) only for the bucket join —
+    rows = docs × N_BANDS, the minimum needed."""
     rows_per_band = N_HASHES // N_BANDS
-    sig = (minhash_signatures(documents)
-           .withColumn("band", F.floor(F.col("i") / rows_per_band).cast("int"))
-           .groupBy("doc_id", "band")
-           .agg(F.concat_ws(",", F.transform(
-               F.array_sort(F.collect_list(F.struct("i", "mh"))),
-               lambda s: s.mh.cast("string"))).alias("band_sig")))
-    a = sig.alias("a")
-    b = sig.alias("b")
+    wide = minhash_signatures(documents)
+    band_entries = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh{i}").cast("string")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_entries.append(F.struct(F.lit(b).alias("band"),
+                                     F.concat_ws(",", *cols).alias("band_sig")))
+    sig = wide.select("doc_id",
+                      F.explode(F.array(*band_entries)).alias("bs")) \
+              .select("doc_id", "bs.band", "bs.band_sig")
+    a, b = sig.alias("a"), sig.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_sig") == F.col("b.band_sig"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -127,16 +135,19 @@ def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
     tok = (documents
            .select("doc_id", F.explode(ws_tokens("text")).alias("tok"))
            .withColumn("h", hash60(F.col("tok"))))
-    b = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    contrib = F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1)
-    return (tok.select("doc_id", "h", b)
-            .select("doc_id", "b", contrib.alias("c"))
-            .groupBy("doc_id", "b")
-            .agg(F.sum("c").alias("s"))
-            .groupBy("doc_id")
-            .agg(F.sum(F.when(F.col("s") > 0,
-                              F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0))
-                 .alias("simhash")))
+    # one explode (tokens) + ONE aggregation with `bits` parallel
+    # conditional sums — not a second explode over bit indices, which
+    # would multiply shuffle rows by `bits`
+    bit_sums = [
+        F.sum(F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1).otherwise(-1))
+        .alias(f"s{b}") for b in range(bits)]
+    folded = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0,
+                      F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        folded = term if folded is None else folded + term
+    return (tok.groupBy("doc_id").agg(*bit_sums)
+            .select("doc_id", folded.alias("simhash")))
 
 
 def ml_minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6) -> DataFrame:

@@ -47,27 +47,33 @@ def topk_cosine(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
             .limit(k))
 
 
-def _plane_weight(p: Column | int, d: Column) -> Column:
-    """Deterministic ±1 hyperplane weight for (plane, dim): parity of a
-    md5-derived integer — reproducible in any engine."""
-    h = F.conv(F.substring(F.md5(F.concat_ws("_", F.lit("plane"),
-                                             F.lit(p) if isinstance(p, int) else p,
-                                             d)), 1, 15), 16, 10).cast("bigint")
-    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+def _plane_weights(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic ±1 hyperplane weights: parity of a md5-derived
+    integer per (plane, dim).  Computed ONCE driver-side and embedded
+    as literals — the naive formulation evaluates md5 row×plane×dim
+    times on executors for what is a constant matrix.  hashlib md5 ==
+    Spark md5 == DuckDB md5, so the oracle reproduces the same matrix
+    in SQL."""
+    import hashlib
+    return [[1.0 if int(hashlib.md5(f"plane_{p}_{d}".encode())
+                        .hexdigest()[:15], 16) % 2 == 0 else -1.0
+             for d in range(dim)]
+            for p in range(n_planes)]
 
 
 def lsh_signature(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     """B-bit sign-LSH signature per vector.
 
-    bit_p = 1 iff Σ_d w(p,d)·v_d > 0, folded in index order.  Expressed
-    entirely with sequence/transform/aggregate builtins."""
+    bit_p = 1 iff Σ_d w(p,d)·v_d > 0, folded in index order against a
+    constant literal weight array (whole-stage-codegen'd; zero hashing
+    in the executor hot path)."""
+    weights = _plane_weights(n_planes)
+
     def bit(p: int) -> Column:
+        w = F.array(*[F.lit(x) for x in weights[p]])
         dot = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.transform(F.sequence(F.lit(0), F.lit(DIM - 1)),
-                            lambda d: _plane_weight(p, d.cast("string"))),
-                lambda v, w: v.cast("double") * w),
+            F.zip_with(F.col("embedding"), w,
+                       lambda v, wv: v.cast("double") * wv),
             F.lit(0.0), lambda acc, x: acc + x)
         return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
 

@@ -189,7 +189,8 @@ def read_gpx_routes(spark: SparkSession, routes_dir: str) -> DataFrame:
         return spark.createDataFrame([], schema)
     configure(spark)
     pts = (spark.read.format("xml").option("rowTag", "trkpt")
-           .load(os.path.join(routes_dir, "*.gpx"))
+           .option("pathGlobFilter", "*.gpx")
+           .load(routes_dir)
            .select(F.col("_lat").cast("double").alias("lat"),
                    F.col("_lon").cast("double").alias("lon"),
                    F.col("time").cast("timestamp").alias("t"),

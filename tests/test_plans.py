@@ -1,0 +1,93 @@
+"""Physical-plan property tests — scale regressions fail here.
+
+Each assertion encodes a 100 TB survival property: filters must reach
+the parquet scan, projections must prune the read schema, small dims
+must broadcast, top-k must not global-sort, aggregations must not
+shuffle more than once.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from healthkit_to_sqlite_spark.plans import (
+    codegen_stage_count,
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def specs():
+    from healthkit_to_sqlite_spark.registry import _all_specs
+    return _all_specs()
+
+
+def test_filter_pushdown_reaches_scan(spark, specs):
+    df = specs["q_filter_between"].build(spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed and "GreaterThanOrEqual" in pushed
+
+
+def test_isin_pushdown(spark, specs):
+    df = specs["q_filter_or_isin"].build(spark, SF)
+    assert any("In(o_orderpriority" in f for f in pushed_filters(df))
+
+
+def test_column_pruning(spark, specs):
+    df = specs["q_partition_by_type"].build(spark, SF)
+    cols = read_schema_columns(df)
+    # events has 6 columns; the aggregate needs exactly these two
+    # (ts arrives via the nanos-long rebuild; it must still be pruned)
+    assert "event_type" in cols and "value" in cols
+    assert "props" not in cols and "user_id" not in cols
+
+
+def test_flagship_broadcasts_filtered_orders(spark, specs):
+    df = specs["q_flagship"].build(spark, SF)
+    assert has_broadcast_join(df)
+    pushed = " ".join(pushed_filters(df))
+    assert "In(o_orderpriority" in pushed and "o_orderdate" in pushed
+
+
+def test_dimension_join_broadcasts(spark, specs):
+    df = specs["q_path_join"].build(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_topk_avoids_global_sort(spark, specs):
+    df = specs["q_topk"].build(spark, SF)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+    assert shuffle_count(df) == 0
+
+
+def test_group_agg_single_shuffle(spark, specs):
+    df = specs["q_group_agg"].build(spark, SF)
+    assert shuffle_count(df) == 1
+    # partial + final HashAggregate pair (map-side combine)
+    assert formatted_plan(df).count("HashAggregate") >= 2
+
+
+def test_sessionize_reuses_user_partitioning(spark, specs):
+    # lag window + cumulative-sum window + two groupBys, all keyed by
+    # user_id → Spark must plan exactly ONE user_id shuffle
+    df = specs["q_sessionize"].build(spark, SF)
+    assert shuffle_count(df) == 1
+
+
+def test_simhash_single_shuffle(spark, specs):
+    # wide bit-sum aggregation: one groupBy(doc_id) shuffle, no
+    # explode-by-bit second exchange
+    df = specs["q_dedup_simhash"].build(spark, SF)
+    assert shuffle_count(df) == 1
+
+
+def test_whole_stage_codegen_everywhere(spark, specs):
+    for name in ("q_flagship", "q_group_agg", "q_project_arith"):
+        df = specs[name].build(spark, SF)
+        assert codegen_stage_count(df) >= 1, name
