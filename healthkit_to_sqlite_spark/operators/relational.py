@@ -276,6 +276,32 @@ def semi_anti(customer: DataFrame, orders: DataFrame) -> DataFrame:
         without.select("c_custkey", "c_mktsegment", "tag"))
 
 
+def cube_agg(orders: DataFrame) -> DataFrame:
+    """CUBE grouping-sets aggregate — all 4 subtotal combinations in a
+    single shuffle pass (Spark expands grouping sets map-side)."""
+    return (orders
+            .cube("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dec_sum("o_totalprice").alias("total"))
+            .select(
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                "n", "total"))
+
+
+def approx_distinct(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Approximate aggregates (HyperLogLog++): the constant-memory
+    distinct-count path for 100 TB cardinality estimation.  The sketch
+    is engine-specific, so this is a rows-only check; the exact
+    counterpart it approximates is oracle-checked in q_agg_sum /
+    q_flagship."""
+    return (lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                 F.approx_count_distinct("o_custkey").alias("approx_custs"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
 def rollup_agg(orders: DataFrame) -> DataFrame:
     """ROLLUP grouping-sets aggregate (priority × status hierarchy).
     Spark expands grouping sets in a single shuffle pass."""
@@ -430,6 +456,20 @@ SPECS: dict[str, Spec] = {
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
         "semi/anti join addition (SURVEY.md §2.B gaps)"),
+    "q_cube": Spec(
+        _q(("orders",), cube_agg),
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "cube/grouping-sets addition (SURVEY.md §2.B gaps)"),
+    "q_approx_distinct": Spec(
+        _q(("orders", "lineitem"), approx_distinct),
+        None,  # HLL++ sketch values are engine-specific — rows-only
+        "approximate aggregates addition (SURVEY.md §2.B gaps)"),
     "q_rollup": Spec(
         _q(("orders",), rollup_agg),
         """

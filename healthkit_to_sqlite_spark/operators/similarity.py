@@ -99,6 +99,106 @@ def ann_lsh_pairs(embeddings: DataFrame, min_cosine: float = 0.2) -> DataFrame:
             .filter(F.col("cosine_sim") >= min_cosine))
 
 
+def dedup_embedding_pairs(embeddings: DataFrame, min_cosine: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact (brute-force
+    self-join).  The correctness baseline for ann_lsh_pairs: at test
+    scale the O(n²) join is fine; at 100 TB you run the LSH variant and
+    use this only to audit samples."""
+    e = embeddings.select("vec_id", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.round(sim, 6).alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= min_cosine))
+
+
+N_CENTROIDS = 8
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ivf_cells(embeddings: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """IVF coarse quantization with deterministic seed centroids (the
+    first ``n_centroids`` stored vectors): every vector is assigned to
+    its nearest centroid (L2, ties → lowest centroid id).
+
+    This is the real IVF shape — centroid table broadcast, one pass
+    assignment, cell-local search — with seeds standing in for k-means
+    (whose iterations are just repeated versions of this same
+    assignment join).  Distances round to 9 dp so cross-engine
+    last-bit drift can't flip an argmin."""
+    cent = (embeddings.filter(F.col("vec_id") < n_centroids)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cemb")))
+    from pyspark.sql import Window
+    d = (embeddings.select("vec_id", "embedding")
+         .crossJoin(F.broadcast(cent))
+         .select("vec_id", "cid",
+                 F.round(_l2sq(F.col("embedding"), F.col("cemb")), 9).alias("dist")))
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cid").alias("cell")))
+
+
+def ann_ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 5) -> DataFrame:
+    """ANN via IVF: search only the query's cell (nprobe=1), exact
+    cosine within it.  The at-scale contract: assignment is a broadcast
+    join, the search scans |cell| ≈ n/K vectors instead of n."""
+    cells = ivf_cells(embeddings)
+    withv = cells.join(embeddings.select("vec_id", "embedding"), "vec_id")
+    q = (withv.filter(F.col("vec_id") == query_vec_id)
+         .select(F.col("cell").alias("q_cell"), F.col("embedding").alias("q_emb")))
+    sim = cosine_similarity(F.col("embedding"), F.col("q_emb"))
+    return (withv.crossJoin(F.broadcast(q))
+            .filter((F.col("cell") == F.col("q_cell"))
+                    & (F.col("vec_id") != query_vec_id))
+            .select("vec_id", "cell", F.round(sim, 6).alias("cosine_sim"))
+            .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+            .limit(k))
+
+
+def topk_cosine_pandas(embeddings: DataFrame, query_vec_id: int = 0,
+                       k: int = 10) -> DataFrame:
+    """The Pandas-UDF variant of topk_cosine: one Arrow-vectorized
+    numpy kernel instead of the builtin fold.  Same oracle — results
+    agree to 6 dp (numpy's pairwise summation differs from the
+    sequential fold only in last bits).
+
+    Exists to pin the UDF surface (SURVEY.md §2.B gaps: UDF/UDAF): when
+    a kernel genuinely needs Python, this is the shape — Arrow batches,
+    closure-complete, zero per-row overhead."""
+    from pyspark.sql.functions import PandasUDFType
+
+    qvec = [float(x) for x in
+            embeddings.filter(F.col("vec_id") == query_vec_id)
+            .select("embedding").collect()[0][0]]
+
+    @F.pandas_udf("double", PandasUDFType.SCALAR)
+    def cos(col):
+        import numpy as np
+        q = np.asarray(qvec, dtype=np.float64)
+        qn = np.sqrt((q * q).sum())
+
+        def one(v):
+            a = np.asarray(v, dtype=np.float64)
+            return float(a.dot(q) / (np.sqrt((a * a).sum()) * qn))
+        return col.map(one)
+
+    return (embeddings.filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", "label",
+                    F.round(cos(F.col("embedding")), 6).alias("cosine_sim"))
+            .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+            .limit(k))
+
+
 def bucket_histogram(embeddings: DataFrame) -> DataFrame:
     """LSH bucket occupancy — the skew diagnostic you'd watch at scale."""
     return (lsh_signature(embeddings)
@@ -167,6 +267,63 @@ SPECS: dict[str, Spec] = {
         SELECT bucket, COUNT(*) AS n_vecs FROM ({_SIG_SQL}) GROUP BY bucket
         """,
         "sign-LSH bucket occupancy (ANN scale path, skew diagnostic)"),
+    "q_dedup_embedding": Spec(
+        lambda spark, sf: dedup_embedding_pairs(load_table(spark, sf, "embeddings")),
+        f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+                     ({_NORM_SQL.format(c='a.embedding')} * {_NORM_SQL.format(c='b.embedding')}),
+                     6) AS cosine_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+                    ({_NORM_SQL.format(c='a.embedding')} * {_NORM_SQL.format(c='b.embedding')}),
+                    6) >= 0.4
+        """,
+        "embedding-cosine near-dup pairs (exact baseline for the LSH path)"),
+    "q_ann_ivf": Spec(
+        lambda spark, sf: ann_ivf_topk(load_table(spark, sf, "embeddings")),
+        f"""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {N_CENTROIDS}
+        ), d AS (
+          SELECT e.vec_id, c.cid,
+                 ROUND(list_aggregate(list_transform(list_zip(e.embedding, c.cemb),
+                       x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                          * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum'), 9) AS dist
+          FROM embeddings e, cent c
+        ), cells AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d) WHERE rn = 1
+        )
+        SELECT e.vec_id, cells.cell,
+               ROUND(list_aggregate(list_transform(list_zip(e.embedding, q.q_emb),
+                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+                     ({_NORM_SQL.format(c='e.embedding')} * {_NORM_SQL.format(c='q.q_emb')}),
+                     6) AS cosine_sim
+        FROM embeddings e
+        JOIN cells ON e.vec_id = cells.vec_id
+        JOIN (SELECT c2.cell AS q_cell, e2.embedding AS q_emb
+              FROM cells c2 JOIN embeddings e2 ON c2.vec_id = e2.vec_id
+              WHERE c2.vec_id = 0) q ON cells.cell = q.q_cell
+        WHERE e.vec_id <> 0
+        ORDER BY cosine_sim DESC, e.vec_id LIMIT 5
+        """,
+        "ANN via IVF coarse quantization (deterministic seed centroids, nprobe=1)"),
+    "q_topk_cosine_pandas": Spec(
+        lambda spark, sf: topk_cosine_pandas(load_table(spark, sf, "embeddings")),
+        f"""
+        SELECT vec_id, label,
+               ROUND({_DOT_Q_SQL} /
+                     ({_NORM_SQL.format(c='embedding')} * {_NORM_SQL.format(c='q.q_emb')}), 6)
+                 AS cosine_sim
+        FROM embeddings, (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+        WHERE vec_id <> 0
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10
+        """,
+        "C3 via Arrow-vectorized pandas_udf (UDF-surface pin; same oracle)"),
     "q_ann_lsh_pairs": Spec(
         lambda spark, sf: ann_lsh_pairs(load_table(spark, sf, "embeddings")),
         f"""
