@@ -42,6 +42,10 @@ HEADLINE = [
     "q_quality_score",
     "q_fingerprint",
     "q_multimodal_decode",
+    "q_dedup_clusters",
+    "q_repetition_signals",
+    "q_interval_join",
+    "q_pack_sequences",
 ]
 
 

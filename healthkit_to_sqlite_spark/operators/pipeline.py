@@ -1,0 +1,407 @@
+"""Training-data pipeline operators (driver north star, SURVEY.md §2.C+).
+
+Ops a 100 TB LLM-data pipeline needs beyond per-row transforms, each
+expressed Spark-first and oracle-checked against DuckDB:
+
+- dedup clustering:   connected components over LSH candidate pairs
+                      (iterative min-label propagation; recursive-CTE
+                      oracle) — turns pairwise near-dup hits into
+                      keep/drop decisions
+- repetition signals: Gopher-style quality stats (top-token /
+                      top-bigram fractions, distinct-token ratio)
+- PII scrubbing:      regex redaction (emails, phone numbers) with
+                      per-doc redaction counts
+- stratified sample:  deterministic hash-based mixture sampling
+                      (per-language rates; reproducible re-runs, no RNG
+                      state — the way mixtures are cut at scale)
+- sequence packing:   greedy fixed-token-budget packing of docs into
+                      training sequences (inherently sequential per
+                      group → ``applyInPandas``; oracle = recursive CTE)
+- interval join:      time-window overlap self-join on events, bucketed
+                      so it stays an equi-join shuffle (no O(n²) cross)
+- salted aggregation: explicit two-stage skew-resistant aggregate
+                      (count-distinct split into distinct-then-count)
+
+Scale notes per op live in the docstrings.  None of these collect data
+to the driver; the only driver-side values are loop-convergence scalars
+in connected components (O(iterations) longs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import dec, ws_tokens
+from ..spec import Spec
+from .dedup import _MINHASH_SQL, N_BANDS, N_HASHES, minhash_lsh_pairs
+
+# --- C2+: dedup clustering (connected components) -------------------------
+
+
+def dedup_clusters(documents: DataFrame) -> DataFrame:
+    """Connected components over MinHash-LSH candidate pairs → one
+    ``cluster_id`` (= min doc_id of the component) per document;
+    ``is_keeper`` marks the canonical survivor.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes ``min(own label, neighbors' labels)``; fixpoint = component
+    minimum.  Rounds are plain shuffles (join + groupBy), converging in
+    O(graph diameter); near-dup graphs are short chains, so diameter is
+    small.  At larger diameters switch to large-star/small-star
+    (alternating min-propagation that contracts paths in O(log n)
+    rounds) — same join/agg shape, different edge rewrite.
+
+    Scale design: iteration runs ONLY over nodes that appear in an edge
+    (near-dup graphs are sparse — the overwhelming majority of docs are
+    singletons and never enter the loop); singletons are restored with
+    a left join at the end.  ``localCheckpoint`` truncates the lineage
+    each round so the plan doesn't grow exponentially.  Convergence is
+    detected by the (monotonically decreasing) sum of labels — one
+    scalar per round to the driver, never rows.
+    """
+    pairs = minhash_lsh_pairs(documents).select("doc_a", "doc_b")
+    edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst")))
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("cluster_id", F.col("doc_id"))
+              .localCheckpoint(eager=True))
+    prev_sum = None
+    for _ in range(30):  # diameter bound; tiny for near-dup chains
+        msgs = (edges.join(labels, edges.src == labels.doc_id)
+                .select(F.col("dst").alias("doc_id"), "cluster_id"))
+        labels = (labels.union(msgs)
+                  .groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+                  .localCheckpoint(eager=True))
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return (documents.select("doc_id")
+            .join(labels, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"))
+            .withColumn("is_keeper", F.col("cluster_id") == F.col("doc_id")))
+
+
+# --- C4+: Gopher-style repetition signals ---------------------------------
+
+
+def repetition_signals(documents: DataFrame) -> DataFrame:
+    """Per-document repetition/quality stats in the Gopher-rules family:
+    token count, distinct-token fraction, most-common-token fraction,
+    most-common-bigram fraction, mean token length.
+
+    Two linear explode→count pipelines (tokens, bigrams) + one join;
+    partial aggregation keeps the shuffles proportional to distinct
+    (doc, gram), never total tokens.  All ratios derive from integer
+    counts → bit-exact across engines; round(6) only for display."""
+    toks = ws_tokens("text")
+    tok_long = documents.select("doc_id", F.explode(toks).alias("g"))
+    pos = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+    bigrams = F.transform(pos, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    bg_long = documents.select("doc_id", F.explode(bigrams).alias("g"))
+
+    def gram_stats(long_df: DataFrame, prefix: str) -> DataFrame:
+        per_gram = long_df.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        return per_gram.groupBy("doc_id").agg(
+            F.sum("c").alias(f"{prefix}_n"),
+            F.count(F.lit(1)).alias(f"{prefix}_distinct"),
+            F.max("c").alias(f"{prefix}_top"),
+            F.sum(F.length("g") * F.col("c")).alias(f"{prefix}_chars"))
+
+    t, b = gram_stats(tok_long, "tok"), gram_stats(bg_long, "bg")
+    return (t.join(b, "doc_id")
+            .select("doc_id",
+                    F.col("tok_n").alias("n_tok"),
+                    F.round(F.col("tok_distinct") / F.col("tok_n"), 6)
+                    .alias("uniq_tok_frac"),
+                    F.round(F.col("tok_top") / F.col("tok_n"), 6)
+                    .alias("top_tok_frac"),
+                    F.round(F.col("bg_top") / F.col("bg_n"), 6)
+                    .alias("top_bigram_frac"),
+                    F.round(F.col("tok_chars") / F.col("tok_n"), 6)
+                    .alias("mean_tok_len")))
+
+
+# --- C4+: PII scrubbing ----------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"555-[0-9]{4}"
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """Regex PII redaction with per-doc match counts.  The synthetic
+    corpus carries no PII, so the op first embeds a deterministic
+    email + phone per row (derived from doc_id/source — this is the
+    functional probe, not data synthesis), then redacts both and
+    reports counts + an md5 of the cleaned text.
+
+    Pure ``regexp_replace``/``regexp_count`` — JVM-side, codegen-
+    eligible; at 100 TB this is a map-only stage with zero shuffle."""
+    enriched = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@"), F.col("source"), F.lit(".net or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    clean = F.regexp_replace(F.regexp_replace(enriched, EMAIL_RE, "<EMAIL>"),
+                             PHONE_RE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        F.regexp_count(enriched, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(enriched, F.lit(PHONE_RE)).alias("n_phones"),
+        F.md5(clean).alias("clean_md5"))
+
+
+# --- mixture sampling ------------------------------------------------------
+
+EN_HEX = "0123456789ab"   # 12/16 = 75 % keep rate for English
+OTHER_HEX = "012345"      # 6/16 = 37.5 % for other languages
+
+
+def stratified_sample(documents: DataFrame) -> DataFrame:
+    """Deterministic per-language mixture sampling: keep a row iff the
+    first hex digit of md5(doc_id) falls in the language's allowed set.
+
+    Hash-based (not RNG-based) sampling is the at-scale pattern for
+    training mixtures: reproducible across reruns and engines, stable
+    under repartitioning, and tunable per stratum by widening the digit
+    set (granularity 1/16 here; use more digits for finer rates).
+    Map-only — no shuffle, no sampleBy() RNG state."""
+    hexc = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    allowed = F.when(F.col("lang") == "en", F.lit(EN_HEX)).otherwise(F.lit(OTHER_HEX))
+    return (documents
+            .filter(allowed.contains(hexc))
+            .select("doc_id", "lang", "source"))
+
+
+# --- sequence packing ------------------------------------------------------
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+def pack_sequences(documents: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Greedy sequential packing of documents into fixed-token-budget
+    training sequences, per language: walk docs in doc_id order, start
+    a new sequence whenever the next doc would overflow the budget (a
+    doc larger than the budget gets its own sequence).
+
+    The fill state makes this inherently sequential *within* a group —
+    exactly the case the north star reserves for ``applyInPandas``: one
+    Arrow-batched Python kernel per group, everything else stays JVM.
+    Scale note: parallelism = #groups; at 100 TB you shard each
+    language by hash(doc_id) % N first (packing quality is unaffected —
+    sequences never cross shards by construction) so N×|langs| groups
+    saturate the cluster."""
+
+    def _pack(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values("doc_id")
+        n_tok = pdf["text"].str.split(" ").str.len()
+        seq_ids, seq, fill = [], -1, budget + 1
+        for n in n_tok:
+            if fill + n > budget:
+                seq, fill = seq + 1, n
+            else:
+                fill += n
+            seq_ids.append(seq)
+        return pd.DataFrame({"lang": pdf["lang"], "doc_id": pdf["doc_id"],
+                             "n_tok": n_tok, "seq_id": seq_ids})
+
+    return (documents.select("lang", "doc_id", "text")
+            .groupBy("lang")
+            .applyInPandas(_pack,
+                           "lang string, doc_id bigint, n_tok bigint, seq_id bigint"))
+
+
+# --- interval overlap join -------------------------------------------------
+
+OVERLAP_S = 900  # pair events within ±15 minutes
+
+
+def interval_join(events: DataFrame, window_s: int = OVERLAP_S) -> DataFrame:
+    """Time-window overlap self-join: all event pairs of the same user
+    within ±``window_s`` seconds.  Naively an inequality join (O(n²)
+    cross per user); bucketing each timestamp to ``window_s``-wide
+    bins and joining on (user, bin ∈ {b-1, b, b+1}) turns it into an
+    equi-join shuffle — each pair matches in exactly one bin pairing,
+    so no dedup pass is needed.  This is Spark's range-join binning
+    strategy done explicitly."""
+    e = events.select("event_id", "user_id", "ts")
+    bucket = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / window_s)
+    a = e.withColumn("jb", F.explode(F.array(bucket - 1, bucket, bucket + 1)))
+    b = e.withColumn("b_bucket", bucket)
+    iv = F.expr(f"INTERVAL {window_s} SECONDS")
+    return (a.alias("a")
+            .join(b.alias("b"),
+                  (F.col("a.user_id") == F.col("b.user_id"))
+                  & (F.col("a.jb") == F.col("b.b_bucket"))
+                  & (F.col("a.event_id") < F.col("b.event_id"))
+                  & (F.col("b.ts") >= F.col("a.ts") - iv)
+                  & (F.col("b.ts") <= F.col("a.ts") + iv))
+            .select(F.col("a.user_id").alias("user_id"),
+                    F.col("a.event_id").alias("event_a"),
+                    F.col("b.event_id").alias("event_b"),
+                    F.col("a.ts").alias("ts_a"),
+                    F.col("b.ts").alias("ts_b")))
+
+
+# --- salted skew-resistant aggregation ------------------------------------
+
+
+def salted_agg(events: DataFrame, n_salt: int = 16) -> DataFrame:
+    """Per-type totals computed skew-resistantly: a salt column splits
+    each (possibly hot) key across ``n_salt`` reducers for the partial
+    aggregate, then a second tiny aggregate merges the partials; the
+    count-distinct is decomposed distinct-then-count the same way.
+
+    For plain sums Spark's partial aggregation already does this
+    map-side — the explicit salt matters when partials can't combine
+    (exact count-distinct, collect_list) and one key dominates; this
+    op pins the pattern with an oracle proving salting never changes
+    the answer.  Decimal accumulation keeps the double total bit-exact
+    across engines and partition counts."""
+    part = (events
+            .withColumn("_salt", F.pmod(F.col("event_id"), F.lit(n_salt)))
+            .groupBy("event_type", "_salt")
+            .agg(F.count(F.lit(1)).alias("pn"), F.sum(dec("value")).alias("ps")))
+    totals = (part.groupBy("event_type")
+              .agg(F.sum("pn").alias("n_events"),
+                   F.sum("ps").cast("double").alias("total_value")))
+    distinct_users = (events.select("event_type", "user_id").distinct()
+                      .groupBy("event_type")
+                      .agg(F.count(F.lit(1)).alias("n_users")))
+    return totals.join(distinct_users, "event_type")
+
+
+# --- specs ----------------------------------------------------------------
+
+_LSH_PAIRS_SQL = f"""
+  mh AS ({_MINHASH_SQL}),
+  bands AS (
+    SELECT doc_id, CAST(i // {N_HASHES // N_BANDS} AS INT) AS band,
+           STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_sig
+    FROM mh GROUP BY 1, 2),
+  pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    GROUP BY 1, 2)
+"""
+
+_BIGRAMS_SQL = """
+  SELECT doc_id, unnest(
+           list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1) + 1),
+                          i -> array_to_string((string_split(text,' '))[i:i+1], ' '))
+         ) AS g
+  FROM documents
+"""
+
+_TOKENS_SQL = "SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents"
+
+
+def _gram_stats_sql(src: str, prefix: str) -> str:
+    return f"""
+    SELECT doc_id, SUM(c) AS {prefix}_n, COUNT(*) AS {prefix}_distinct,
+           MAX(c) AS {prefix}_top, SUM(len(g) * c) AS {prefix}_chars
+    FROM (SELECT doc_id, g, COUNT(*) AS c FROM ({src}) GROUP BY doc_id, g)
+    GROUP BY doc_id
+    """
+
+
+SPECS: dict[str, Spec] = {
+    "q_dedup_clusters": Spec(
+        lambda spark, sf: dedup_clusters(load_table(spark, sf, "documents")),
+        f"""
+        WITH RECURSIVE {_LSH_PAIRS_SQL},
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node AS doc_id, MIN(lab) AS cluster_id,
+               (MIN(lab) = node) AS is_keeper
+        FROM reach GROUP BY node
+        """,
+        "connected-components dedup clustering over LSH pairs (min-label propagation)"),
+    "q_repetition_signals": Spec(
+        lambda spark, sf: repetition_signals(load_table(spark, sf, "documents")),
+        f"""
+        WITH t AS ({_gram_stats_sql(_TOKENS_SQL, 'tok')}),
+             b AS ({_gram_stats_sql(_BIGRAMS_SQL, 'bg')})
+        SELECT t.doc_id, tok_n AS n_tok,
+               ROUND(tok_distinct / tok_n, 6) AS uniq_tok_frac,
+               ROUND(tok_top / tok_n, 6) AS top_tok_frac,
+               ROUND(bg_top / bg_n, 6) AS top_bigram_frac,
+               ROUND(tok_chars / tok_n, 6) AS mean_tok_len
+        FROM t JOIN b ON t.doc_id = b.doc_id
+        """,
+        "Gopher-style repetition/quality signals (token+bigram stats)"),
+    "q_pii_scrub": Spec(
+        lambda spark, sf: pii_scrub(load_table(spark, sf, "documents")),
+        f"""
+        WITH enriched AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' ||
+                 source || '.net or 555-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS e
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(e, '{EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(e, '{PHONE_RE}')) AS n_phones,
+               md5(regexp_replace(regexp_replace(e, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{PHONE_RE}', '<PHONE>', 'g')) AS clean_md5
+        FROM enriched
+        """,
+        "regex PII redaction with per-doc counts (map-only)"),
+    "q_stratified_sample": Spec(
+        lambda spark, sf: stratified_sample(load_table(spark, sf, "documents")),
+        f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE strpos(CASE WHEN lang = 'en' THEN '{EN_HEX}' ELSE '{OTHER_HEX}' END,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) > 0
+        """,
+        "deterministic hash-based mixture sampling (per-language rates)"),
+    "q_pack_sequences": Spec(
+        lambda spark, sf: pack_sequences(load_table(spark, sf, "documents")),
+        f"""
+        WITH RECURSIVE ordered AS (
+          SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok,
+                 row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+          FROM documents),
+        packed(lang, doc_id, n_tok, rn, fill, seq_id) AS (
+          SELECT lang, doc_id, n_tok, rn, n_tok, 0 FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.lang, o.doc_id, o.n_tok, o.rn,
+                 CASE WHEN p.fill + o.n_tok > {PACK_BUDGET}
+                      THEN o.n_tok ELSE p.fill + o.n_tok END,
+                 CASE WHEN p.fill + o.n_tok > {PACK_BUDGET}
+                      THEN p.seq_id + 1 ELSE p.seq_id END
+          FROM packed p JOIN ordered o ON o.lang = p.lang AND o.rn = p.rn + 1)
+        SELECT lang, doc_id, n_tok, seq_id FROM packed
+        """,
+        "greedy token-budget sequence packing per language (applyInPandas)"),
+    "q_interval_join": Spec(
+        lambda spark, sf: interval_join(load_table(spark, sf, "events")),
+        f"""
+        SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+               a.ts AS ts_a, b.ts AS ts_b
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND b.ts >= a.ts - INTERVAL {OVERLAP_S} SECONDS
+         AND b.ts <= a.ts + INTERVAL {OVERLAP_S} SECONDS
+        """,
+        "bucketed time-window overlap self-join (range join as equi-join)"),
+    "q_salted_agg": Spec(
+        lambda spark, sf: salted_agg(load_table(spark, sf, "events")),
+        """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+        """,
+        "salted two-stage skew-resistant aggregation (oracle: plain GROUP BY)"),
+}

@@ -87,6 +87,27 @@ def test_simhash_single_shuffle(spark, specs):
     assert shuffle_count(df) == 1
 
 
+def test_interval_join_is_equi_join(spark, specs):
+    # the ±window self-join must plan as a SortMergeJoin/ShuffledHashJoin
+    # on (user, bucket) — NEVER a nested-loop/cartesian over user groups
+    df = specs["q_interval_join"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_is_map_only(spark, specs):
+    # hash-based sampling is a pure filter: no shuffle, pruned scan
+    df = specs["q_stratified_sample"].build(spark, SF)
+    assert shuffle_count(df) == 0
+    assert "text" not in read_schema_columns(df)
+
+
+def test_pii_scrub_is_map_only(spark, specs):
+    df = specs["q_pii_scrub"].build(spark, SF)
+    assert shuffle_count(df) == 0
+
+
 def test_whole_stage_codegen_everywhere(spark, specs):
     for name in ("q_flagship", "q_group_agg", "q_project_arith"):
         df = specs[name].build(spark, SF)
