@@ -315,6 +315,54 @@ def rollup_agg(orders: DataFrame) -> DataFrame:
                 "n", "total"))
 
 
+def moving_avg(orders: DataFrame, frame: int = 3) -> DataFrame:
+    """Window-frame aggregation: per-customer moving average of order
+    totals over the last ``frame``+1 orders (ROWS BETWEEN n PRECEDING
+    AND CURRENT ROW).  One o_custkey shuffle; the frame is computed by
+    a single WindowExec pass over each sorted partition.  Decimal
+    accumulation inside the frame keeps the average bit-exact across
+    engines (double window-SUM would be order-sensitive)."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(-frame, 0))
+    avg = (F.sum(dec("o_totalprice")).over(w)
+           / F.count(F.lit(1)).over(w)).cast("double")
+    return orders.select("o_custkey", "o_orderkey", "o_totalprice",
+                         F.round(avg, 6).alias("moving_avg"))
+
+
+def unpivot_measures(lineitem: DataFrame) -> DataFrame:
+    """UNPIVOT (wide→long melt) of the lineitem measure columns.
+    Spark plans Expand — one scan emitting 4 rows per input, no
+    shuffle, no UNION-of-scans re-read; the selective filter still
+    pushes down to the single parquet scan."""
+    return (lineitem
+            .filter(F.col("l_quantity") >= 45)
+            .unpivot(["l_orderkey", "l_linenumber"],
+                     ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+                     "measure", "val"))
+
+
+def correlated_scalar(spark: SparkSession, orders: DataFrame) -> DataFrame:
+    """Correlated scalar subquery through the SQL entry path: orders
+    whose total exceeds 1.5× their customer's average.  Catalyst
+    de-correlates into an aggregate + join (no per-row re-execution —
+    the rewrite that makes correlated subqueries viable at scale).
+    The comparison is cross-multiplied into exact decimal×count form
+    so no engine ever divides (2·price·n > 3·sum ⇔ price > 1.5·avg)."""
+    orders.createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders_v o
+        WHERE 2 * CAST(o_totalprice AS DECIMAL(18,2))
+                * (SELECT COUNT(*) FROM orders_v o2
+                   WHERE o2.o_custkey = o.o_custkey)
+              > 3 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+    """)
+
+
 # ---------------------------------------------------------------------------
 # Specs
 # ---------------------------------------------------------------------------
@@ -470,6 +518,43 @@ SPECS: dict[str, Spec] = {
         _q(("orders", "lineitem"), approx_distinct),
         None,  # HLL++ sketch values are engine-specific — rows-only
         "approximate aggregates addition (SURVEY.md §2.B gaps)"),
+    "q_moving_avg": Spec(
+        _q(("orders",), moving_avg),
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                     / COUNT(*) OVER w, 6) AS moving_avg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "window-frame moving average (SURVEY.md §2.B gaps: window functions)"),
+    "q_unpivot": Spec(
+        _q(("lineitem",), unpivot_measures),
+        """
+        SELECT l_orderkey, l_linenumber, m AS measure,
+               CASE m WHEN 'l_quantity' THEN l_quantity
+                      WHEN 'l_extendedprice' THEN l_extendedprice
+                      WHEN 'l_discount' THEN l_discount
+                      ELSE l_tax END AS val
+        FROM lineitem, (SELECT unnest(['l_quantity', 'l_extendedprice',
+                                       'l_discount', 'l_tax']) AS m)
+        WHERE l_quantity >= 45
+        """,
+        "UNPIVOT / melt via Expand (wide→long, single scan)"),
+    "q_correlated_scalar": Spec(
+        lambda spark, sf: correlated_scalar(
+            spark, load_table(spark, sf, "orders")),
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders o
+        WHERE 2 * CAST(o_totalprice AS DECIMAL(18,2))
+                * (SELECT COUNT(*) FROM orders o2
+                   WHERE o2.o_custkey = o.o_custkey)
+              > 3 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        """,
+        "correlated scalar subquery, de-correlated by Catalyst (SQL entry path)"),
     "q_rollup": Spec(
         _q(("orders",), rollup_agg),
         """

@@ -89,7 +89,35 @@ def asof_last_click(events: DataFrame) -> DataFrame:
     return out.select("event_id", "user_id", F.col("ts"), "last_click_ts")
 
 
+def sliding_window(events: DataFrame,
+                   window: str = "2 hours", slide: str = "30 minutes") -> DataFrame:
+    """Sliding-window aggregate, batch form — identical expression to
+    streaming/windowed.sliding_window_stream minus the watermark
+    (Spark's window() explodes each event into window/slide = 4
+    overlapping buckets via Expand, then a single partial+final agg).
+    ts arrives as timestamp_ntz; window() keys stay ntz → engine-
+    agnostic naive datetimes."""
+    return (events
+            .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                 .alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "sum_value"))
+
+
 SPECS: dict[str, Spec] = {
+    "q_sliding_window": Spec(
+        lambda spark, sf: sliding_window(load_table(spark, sf, "events")),
+        """
+        SELECT time_bucket(INTERVAL '30 minutes', ts)
+                 - k.k * INTERVAL '30 minutes' AS window_start,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events, (SELECT unnest(range(4)) AS k) k
+        GROUP BY 1, 2
+        """,
+        "C6 sliding-window aggregate (batch twin of sliding_window_stream)"),
     "q_tumbling_window": Spec(
         lambda spark, sf: tumbling_window(load_table(spark, sf, "events")),
         """

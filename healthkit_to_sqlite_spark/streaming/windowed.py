@@ -47,6 +47,46 @@ def tumbling_window_stream(events: DataFrame,
                     "n", "sum_value"))
 
 
+def sliding_window_stream(events: DataFrame,
+                          window: str = "2 hours",
+                          slide: str = "30 minutes",
+                          watermark: str = "4 hours") -> DataFrame:
+    """Watermarked sliding-window aggregate: each event lands in
+    window/slide overlapping buckets (4 here).  State is still bounded
+    — open windows × types — because the watermark closes windows as
+    event time advances.  The batch twin is the same expression without
+    the watermark (Spark's window() works identically in batch)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                 .alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "sum_value"))
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup by event_id with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it, so state is O(keys per watermark window) —
+    the property that makes exact dedup viable on an unbounded stream
+    (plain dropDuplicates on a stream retains ALL keys forever).
+    Batch twin: dropDuplicates(["event_id"])."""
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"]))
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: the static dimension is
+    broadcast to every task, so the stream never shuffles — the
+    standard shape for joining a firehose against reference data.
+    The static side is re-resolved per micro-batch (picks up dim
+    refreshes); the batch twin is the same join on a batch frame."""
+    return events.join(F.broadcast(dim), "event_type")
+
+
 SESSION_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("session_start", T.TimestampType()),

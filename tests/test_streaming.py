@@ -72,3 +72,65 @@ def test_sessionize_stream_closes_sessions(spark, events_stream_dir):
     # total emitted events ≤ total events, grouped by the same users
     total = spark.read.parquet(events_stream_dir).count()
     assert sum(r["n_events"] for r in rows) <= total
+
+
+def test_sliding_window_stream_matches_batch(spark, events_stream_dir):
+    from healthkit_to_sqlite_spark.streaming.windowed import sliding_window_stream
+
+    src = spark.readStream.schema(
+        spark.read.parquet(events_stream_dir).schema).parquet(events_stream_dir)
+    q = (sliding_window_stream(src).writeStream.format("memory")
+         .queryName("sliding").outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window_start"].replace(tzinfo=None), r["event_type"]):
+           (r["n"], r["sum_value"]) for r in spark.table("sliding").collect()}
+
+    batch = spark.read.parquet(events_stream_dir)
+    want = {(r["window_start"].replace(tzinfo=None), r["event_type"]):
+            (r["n"], r["sum_value"])
+            for r in (batch.groupBy(F.window("ts", "2 hours", "30 minutes")
+                                    .alias("w"), "event_type")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.sum(F.col("value").cast("decimal(18,2)"))
+                           .cast("double").alias("sum_value"))
+                      .select(F.col("w.start").alias("window_start"),
+                              "event_type", "n", "sum_value")
+                      .collect())}
+    assert got == want
+    # every event lands in window/slide = 4 overlapping windows
+    assert sum(n for n, _ in want.values()) == 4 * batch.count()
+
+
+def test_dedup_stream_drops_replayed_batch(spark, events_stream_dir, tmp_path):
+    from healthkit_to_sqlite_spark.streaming.windowed import dedup_stream
+
+    # replay the same events twice (duplicate files) — exactly what a
+    # source retry does
+    dup_dir = str(tmp_path / "dup")
+    base = spark.read.parquet(events_stream_dir)
+    base.write.mode("overwrite").parquet(dup_dir)
+    base.write.mode("append").parquet(dup_dir)
+    assert spark.read.parquet(dup_dir).count() == 2 * base.count()
+
+    src = spark.readStream.schema(base.schema).parquet(dup_dir)
+    out = _run_stream(spark, dedup_stream(src), "deduped")
+    assert out.count() == base.count()
+    assert out.select("event_id").distinct().count() == base.count()
+
+
+def test_enrich_stream_matches_batch_join(spark, events_stream_dir):
+    from healthkit_to_sqlite_spark.streaming.windowed import enrich_stream
+
+    batch = spark.read.parquet(events_stream_dir)
+    dim = (batch.select("event_type").distinct()
+           .withColumn("type_tag", F.upper("event_type")))
+
+    src = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    out = _run_stream(spark, enrich_stream(src, dim), "enriched")
+    assert out.count() == batch.count()
+    got = {(r["event_id"], r["type_tag"]) for r in
+           out.select("event_id", "type_tag").collect()}
+    want = {(r["event_id"], r["type_tag"]) for r in
+            enrich_stream(batch, dim).select("event_id", "type_tag").collect()}
+    assert got == want
