@@ -111,7 +111,12 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.2) -> DataFra
     |A|,|B| from per-doc counts; integer arithmetic until the final
     division so both engines agree exactly."""
     sh = word_shingles(documents)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # per-doc sizes are tiny (one row per doc) but sit atop the full
+    # shingle explode — materialize once (localCheckpoint) instead of
+    # recomputing the explode for each of the two size joins, then
+    # broadcast them so the joins add no shuffle
+    sizes = (sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+             .localCheckpoint(eager=True))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -121,7 +126,7 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.2) -> DataFra
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+    return (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
             .select("doc_a", "doc_b", "n_inter",
                     F.round(jac, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))

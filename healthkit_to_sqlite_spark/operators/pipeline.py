@@ -73,9 +73,11 @@ def dedup_clusters(documents: DataFrame) -> DataFrame:
     for _ in range(30):  # diameter bound; tiny for near-dup chains
         msgs = (edges.join(labels, edges.src == labels.doc_id)
                 .select(F.col("dst").alias("doc_id"), "cluster_id"))
+        # lazy checkpoint: the convergence aggregate below materializes
+        # it in the same job (eager=True would cost a second job/round)
         labels = (labels.union(msgs)
                   .groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
         cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if cur_sum == prev_sum:
             break
@@ -95,26 +97,37 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
     token count, distinct-token fraction, most-common-token fraction,
     most-common-bigram fraction, mean token length.
 
-    Two linear explode→count pipelines (tokens, bigrams) + one join;
-    partial aggregation keeps the shuffles proportional to distinct
+    Single-scan design: tokens and bigrams are tagged and concatenated
+    into ONE gram array before the explode, so the whole op is one
+    scan → one explode → groupBy(doc, kind, gram) → groupBy(doc) with
+    conditional aggregates — two shuffles total, no self-join (the
+    naive two-pipeline + join form costs 2 scans and 4 shuffles).
+    Partial aggregation keeps shuffle rows proportional to distinct
     (doc, gram), never total tokens.  All ratios derive from integer
     counts → bit-exact across engines; round(6) only for display."""
     toks = ws_tokens("text")
-    tok_long = documents.select("doc_id", F.explode(toks).alias("g"))
     pos = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
     bigrams = F.transform(pos, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
-    bg_long = documents.select("doc_id", F.explode(bigrams).alias("g"))
-
-    def gram_stats(long_df: DataFrame, prefix: str) -> DataFrame:
-        per_gram = long_df.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-        return per_gram.groupBy("doc_id").agg(
-            F.sum("c").alias(f"{prefix}_n"),
-            F.count(F.lit(1)).alias(f"{prefix}_distinct"),
-            F.max("c").alias(f"{prefix}_top"),
-            F.sum(F.length("g") * F.col("c")).alias(f"{prefix}_chars"))
-
-    t, b = gram_stats(tok_long, "tok"), gram_stats(bg_long, "bg")
-    return (t.join(b, "doc_id")
+    grams = F.concat(
+        F.transform(toks, lambda t: F.struct(F.lit("t").alias("kind"),
+                                             t.alias("g"))),
+        F.transform(bigrams, lambda bg: F.struct(F.lit("b").alias("kind"),
+                                                 bg.alias("g"))))
+    per_gram = (documents
+                .select("doc_id", F.explode(grams).alias("x"))
+                .select("doc_id", F.col("x.kind").alias("kind"),
+                        F.col("x.g").alias("g"))
+                .groupBy("doc_id", "kind", "g")
+                .agg(F.count(F.lit(1)).alias("c")))
+    is_t = F.col("kind") == "t"
+    stats = per_gram.groupBy("doc_id").agg(
+        F.sum(F.when(is_t, F.col("c"))).alias("tok_n"),
+        F.count(F.when(is_t, F.lit(1))).alias("tok_distinct"),
+        F.max(F.when(is_t, F.col("c"))).alias("tok_top"),
+        F.sum(F.when(is_t, F.length("g") * F.col("c"))).alias("tok_chars"),
+        F.sum(F.when(~is_t, F.col("c"))).alias("bg_n"),
+        F.max(F.when(~is_t, F.col("c"))).alias("bg_top"))
+    return (stats
             .select("doc_id",
                     F.col("tok_n").alias("n_tok"),
                     F.round(F.col("tok_distinct") / F.col("tok_n"), 6)

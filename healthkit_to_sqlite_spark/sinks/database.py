@@ -111,3 +111,19 @@ def write_partitioned_parquet(records: DataFrame, path: str,
     readers hit exactly the partitions (= reference tables) they ask
     for via partition pruning."""
     records.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   buckets: int = 8, sort: bool = True,
+                   mode: str = "overwrite") -> None:
+    """Materialize a table bucketed (and optionally sorted) by a join
+    key — the 100 TB co-location strategy: two tables bucketed on the
+    same key with the same bucket count join with ZERO exchanges (and
+    with ``sort=True``, zero sorts) because every bucket pair is
+    already co-partitioned on disk.  This is how the flagship
+    orders⋈lineitem join becomes shuffle-free at scale (SURVEY.md §7.1
+    note); tests/test_plans.py asserts the property on the plan."""
+    w = df.write.mode(mode).bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)

@@ -9,6 +9,7 @@ shuffle more than once.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from healthkit_to_sqlite_spark.plans import (
     codegen_stage_count,
@@ -112,3 +113,43 @@ def test_whole_stage_codegen_everywhere(spark, specs):
     for name in ("q_flagship", "q_group_agg", "q_project_arith"):
         df = specs[name].build(spark, SF)
         assert codegen_stage_count(df) >= 1, name
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    # the at-scale join strategy: co-bucketed tables join with zero
+    # exchanges (and zero sorts, being sorted within buckets)
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.sinks.database import write_bucketed
+
+    write_bucketed(load_table(spark, SF, "orders"), "b_orders", "o_orderkey")
+    write_bucketed(
+        load_table(spark, SF, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey")
+    # at test scale the dims fit the broadcast threshold; disable it so
+    # the plan shows what a TB-vs-TB join would do (broadcast is not an
+    # option when both sides are huge — bucketing is)
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        j = (spark.table("b_lineitem").join(spark.table("b_orders"), "o_orderkey")
+             .groupBy("o_orderpriority").agg(F.sum("l_quantity").alias("q")))
+        plan = formatted_plan(j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert shuffle_count(j) == 1  # only the final tiny groupBy
+        # the join itself must sit on bucketed scans, not exchanges:
+        # the only Exchange must hash on o_orderpriority (the agg key)
+        import re
+        exch = re.findall(r"hashpartitioning\((\w+)#", plan)
+        assert exch and all(c == "o_orderpriority" for c in exch), exch
+        assert "SelectedBucketsCount" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
