@@ -55,6 +55,62 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def bench_ingest(spark, n_records: int) -> dict:
+    """ETL throughput: synthesize a HealthKit export.zip with
+    ``n_records`` Record rows (+ the canonical workout/summary/route
+    fixture), run the full convert() pipeline, and force every output
+    table.  This is the apples-to-apples axis against the reference —
+    its engine IS this conversion (single-threaded row-at-a-time
+    SQLite INSERTs, reference core.rs:42-76); ours is a distributed
+    XML scan + columnar restructure."""
+    import shutil
+    import tempfile
+    import zipfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    from hk_fixture import ROUTE_PATH, _summaries_xml, _workout_xml, route_gpx
+
+    types = ("HKQuantityTypeIdentifierWalkingSpeed",
+             "HKQuantityTypeIdentifierStepCount",
+             "HKQuantityTypeIdentifierHeartRate",
+             "HKCategoryTypeIdentifierSleepAnalysis")
+    rows = []
+    for i in range(n_records):
+        t = types[i % len(types)]
+        val = str(i % 200) if i % 4 == 1 else f"{(i % 977) / 7.0:.5f}"
+        d = f"2022-{(i % 12) + 1:02d}-{(i % 28) + 1:02d}"
+        rows.append(
+            f'<Record type="{t}" unit="u" value="{val}" sourceName="Phone" '
+            f'creationDate="{d} 18:00:02 -0800" startDate="{d} 17:58:50 -0800" '
+            f'endDate="{d} 17:59:00 -0800"/>')
+    xml = ('<?xml version="1.0" encoding="UTF-8"?>\n<HealthData locale="en_US">\n'
+           + "\n".join(rows) + "\n" + _workout_xml() + "\n" + _summaries_xml()
+           + "\n</HealthData>\n")
+
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        zp = os.path.join(tmp, "export.zip")
+        with zipfile.ZipFile(zp, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr("apple_health_export/export.xml", xml)
+            zf.writestr("apple_health_export" + ROUTE_PATH, route_gpx())
+
+        from healthkit_to_sqlite_spark.sources.healthkit import convert
+
+        t0 = time.perf_counter()
+        tables = convert(spark, zp, os.path.join(tmp, "staging"))
+        total_rows = 0
+        for df in tables.values():
+            force(df)
+            total_rows += df.count()
+        sec = time.perf_counter() - t0
+        return {"records": n_records, "tables": len(tables),
+                "rows": total_rows, "sec": round(sec, 4),
+                "rows_per_sec": round(total_rows / sec)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
@@ -89,6 +145,11 @@ def main() -> None:
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
     }
+    try:
+        out["ingest"] = bench_ingest(
+            spark, int(os.environ.get("SPARK_GRAFT_INGEST_RECORDS", "200000")))
+    except Exception:  # noqa: BLE001 — ingest bench is auxiliary evidence
+        pass
     print(json.dumps(out))
     spark.stop()
 

@@ -89,6 +89,18 @@ def dedup_clusters(documents: DataFrame) -> DataFrame:
             .withColumn("is_keeper", F.col("cluster_id") == F.col("doc_id")))
 
 
+def dedup_apply(documents: DataFrame) -> DataFrame:
+    """The end of the near-dup pipeline: keep exactly one document per
+    cluster (the component-minimum doc_id) and drop the rest — LSH
+    pairs → connected components → semi-join back onto the corpus.
+    The keeper set is one row per retained doc_id; the final filter is
+    a left-semi join (no payload duplication, no shuffle of text)."""
+    keepers = (dedup_clusters(documents)
+               .filter(F.col("is_keeper")).select("doc_id"))
+    return (documents.join(keepers, "doc_id", "left_semi")
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
 # --- C4+: Gopher-style repetition signals ---------------------------------
 
 
@@ -340,6 +352,23 @@ SPECS: dict[str, Spec] = {
         FROM reach GROUP BY node
         """,
         "connected-components dedup clustering over LSH pairs (min-label propagation)"),
+    "q_dedup_apply": Spec(
+        lambda spark, sf: dedup_apply(load_table(spark, sf, "documents")),
+        f"""
+        WITH RECURSIVE {_LSH_PAIRS_SQL},
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+        keepers AS (
+          SELECT node AS doc_id FROM reach GROUP BY node
+          HAVING MIN(lab) = node)
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d JOIN keepers USING (doc_id)
+        """,
+        "near-dup pipeline applied: one canonical doc per CC cluster"),
     "q_repetition_signals": Spec(
         lambda spark, sf: repetition_signals(load_table(spark, sf, "documents")),
         f"""

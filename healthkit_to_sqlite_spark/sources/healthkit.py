@@ -310,17 +310,31 @@ def record_tables(records: DataFrame,
             for t in types}
 
 
-def convert(spark: SparkSession, zip_path: str, staging_dir: str) -> dict[str, DataFrame]:
+def convert(spark: SparkSession, zip_path: str, staging_dir: str,
+            stage_columnar: bool = True) -> dict[str, DataFrame]:
     """E1 end-to-end (reference main.rs:88 → core.rs:42-76): stage the
     zip, read all element classes, synthesize nested columns, and
     return the logical table catalog {table_name: DataFrame} — the
-    Spark analog of the converted SQLite database."""
+    Spark analog of the converted SQLite database.
+
+    ``stage_columnar``: materialize the parsed Record relation to
+    staging parquet before the table-per-type fan-out.  The fan-out
+    makes one type-discovery pass plus two passes per type (schema
+    vote + output); without staging each pass re-parses the XML —
+    columnar staging turns them into pruned parquet scans.  Exactly
+    the reference's two-pass design rationale (core.rs:52-73), except
+    pass 1 leaves behind a columnar artifact instead of being pure
+    overhead."""
     staged = stage_zip(zip_path, staging_dir)
     routes = read_gpx_routes(spark, staged.routes_dir)
     out: dict[str, DataFrame] = {}
     out["Workout"] = read_workouts(spark, staged.export_xml, routes)
     out["ActivitySummary"] = read_activity_summaries(spark, staged.export_xml)
     records = read_records(spark, staged.export_xml)
+    if stage_columnar:
+        staged_records = os.path.join(staging_dir, "_records_staged.parquet")
+        records.write.mode("overwrite").parquet(staged_records)
+        records = spark.read.parquet(staged_records)
     for t, df in record_tables(records).items():
         out[t] = df
     return out
