@@ -315,6 +315,53 @@ def rollup_agg(orders: DataFrame) -> DataFrame:
                 "n", "total"))
 
 
+def percentiles(lineitem: DataFrame) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group — the
+    order-statistics surface.  Spark's percentile() sorts within the
+    aggregate buffer; for 100 TB you'd reach for approx_percentile
+    (t-digest sketch, mergeable, constant memory) and accept bounded
+    error — both shapes ship here (q_approx_distinct pins the sketch
+    family's rows-only contract)."""
+    return (lineitem
+            .groupBy("l_returnflag")
+            .agg(F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4)
+                 .alias("median_price"),
+                 F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4)
+                 .alias("p90_price"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def histogram(lineitem: DataFrame, width: float = 5000.0) -> DataFrame:
+    """Fixed-width histogram by integer bin index — the constant-memory
+    distribution sketch: one groupBy on a derived low-cardinality key,
+    partial-aggregated map-side, no sort anywhere."""
+    bin_ = F.floor(F.col("l_extendedprice") / width).cast("bigint")
+    return (lineitem
+            .groupBy(bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("l_extendedprice"), 2).alias("lo"),
+                 F.round(F.max("l_extendedprice"), 2).alias("hi")))
+
+
+def full_outer(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """FULL OUTER join of the customer dimension against per-customer
+    order rollups: both null sides survive (customers without orders,
+    order keys outside the dimension).  The pre-join aggregate shrinks
+    the fact side to one row per key BEFORE the join — at scale you
+    always aggregate-then-outer-join, never outer-join raw facts."""
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     dec_sum("o_totalprice").alias("total_spend")))
+    bal = customer.filter(F.col("c_acctbal") > 9000) \
+                  .select("c_custkey", "c_mktsegment")
+    j = bal.join(per_cust, bal.c_custkey == per_cust.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"))
+
+
 def moving_avg(orders: DataFrame, frame: int = 3) -> DataFrame:
     """Window-frame aggregation: per-customer moving average of order
     totals over the last ``frame``+1 orders (ROWS BETWEEN n PRECEDING
@@ -518,6 +565,41 @@ SPECS: dict[str, Spec] = {
         _q(("orders", "lineitem"), approx_distinct),
         None,  # HLL++ sketch values are engine-specific — rows-only
         "approximate aggregates addition (SURVEY.md §2.B gaps)"),
+    "q_percentiles": Spec(
+        _q(("lineitem",), percentiles),
+        """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+        """,
+        "exact interpolated percentiles per group (order statistics)"),
+    "q_histogram": Spec(
+        _q(("lineitem",), histogram),
+        """
+        SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+               COUNT(*) AS n,
+               ROUND(MIN(l_extendedprice), 2) AS lo,
+               ROUND(MAX(l_extendedprice), 2) AS hi
+        FROM lineitem GROUP BY 1
+        """,
+        "fixed-width histogram binning (constant-memory distribution)"),
+    "q_full_outer": Spec(
+        _q(("customer", "orders"), full_outer),
+        """
+        WITH per_cust AS (
+          SELECT o_custkey, COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+          FROM orders GROUP BY o_custkey),
+        bal AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000)
+        SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+               COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(total_spend, 0.0) AS total_spend
+        FROM bal FULL OUTER JOIN per_cust ON c_custkey = o_custkey
+        """,
+        "full outer join with aggregate-before-join (SURVEY.md §2.B gaps)"),
     "q_moving_avg": Spec(
         _q(("orders",), moving_avg),
         """
