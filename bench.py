@@ -147,7 +147,7 @@ def main() -> None:
     }
     try:
         out["ingest"] = bench_ingest(
-            spark, int(os.environ.get("SPARK_GRAFT_INGEST_RECORDS", "200000")))
+            spark, int(os.environ.get("SPARK_GRAFT_INGEST_RECORDS", "400000")))
     except Exception:  # noqa: BLE001 — ingest bench is auxiliary evidence
         pass
     print(json.dumps(out))

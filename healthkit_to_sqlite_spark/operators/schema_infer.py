@@ -41,13 +41,22 @@ def type_tag(s: Column) -> Column:
     # "integer" means *lexically* integral in both.  NULL values carry
     # no type evidence (an absent attribute, reference core.rs:693-704)
     # → NULL tag, ignored by unification.
+    # The date/timestamp branches are gated by a cheap ^YYYY-MM-DD
+    # prefix regex: (a) perf — try_cast(timestamp) is by far the most
+    # expensive failure path and the gate skips it for ordinary text;
+    # (b) parity — Spark would otherwise cast bare times ('12:30:00')
+    # to today's timestamp, which DuckDB refuses; the gate makes both
+    # engines call them TEXT (pinned in test_schema_properties.py).
+    datelike = s.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}")
     return (
         F.when(s.isNull(), F.lit(None).cast("string"))
         .when(s.rlike("^-?[0-9]+$") & s.try_cast("bigint").isNotNull(),
               F.lit("INTEGER"))
         .when(s.try_cast("double").isNotNull(), F.lit("REAL"))
-        .when((F.length(s) == 10) & s.try_cast("date").isNotNull(), F.lit("DATE"))
-        .when(s.try_cast("timestamp").isNotNull(), F.lit("TIMESTAMP"))
+        .when((F.length(s) == 10) & datelike & s.try_cast("date").isNotNull(),
+              F.lit("DATE"))
+        .when(datelike & s.try_cast("timestamp").isNotNull(),
+              F.lit("TIMESTAMP"))
         .otherwise(F.lit("TEXT")))
 
 
@@ -162,8 +171,10 @@ _CASCADE_SQL = """
 CASE WHEN value IS NULL THEN NULL
      WHEN regexp_matches(value, '^-?[0-9]+$') AND TRY_CAST(value AS BIGINT) IS NOT NULL THEN 'INTEGER'
      WHEN TRY_CAST(value AS DOUBLE) IS NOT NULL THEN 'REAL'
-     WHEN LENGTH(value) = 10 AND TRY_CAST(value AS DATE) IS NOT NULL THEN 'DATE'
-     WHEN TRY_CAST(value AS TIMESTAMP) IS NOT NULL THEN 'TIMESTAMP'
+     WHEN LENGTH(value) = 10 AND regexp_matches(value, '^[0-9]{4}-[0-9]{2}-[0-9]{2}')
+          AND TRY_CAST(value AS DATE) IS NOT NULL THEN 'DATE'
+     WHEN regexp_matches(value, '^[0-9]{4}-[0-9]{2}-[0-9]{2}')
+          AND TRY_CAST(value AS TIMESTAMP) IS NOT NULL THEN 'TIMESTAMP'
      ELSE 'TEXT' END
 """
 

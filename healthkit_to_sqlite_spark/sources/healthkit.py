@@ -37,6 +37,7 @@ reference's BTreeMap schema carries).
 from __future__ import annotations
 
 import os
+import re
 import zipfile
 from dataclasses import dataclass
 
@@ -56,22 +57,85 @@ class StagedExport:
     root: str          # staging dir containing apple_health_export/
     export_xml: str    # path to export.xml
     routes_dir: str    # dir with workout-routes/*.gpx (may not exist)
+    #: small per-class side files for the RARE element classes — a
+    #: rowTag XML read must scan the whole file even when its class is
+    #: 0.01% of it, so Workout/ActivitySummary reads go against these
+    workouts_xml: str | None = None
+    summaries_xml: str | None = None
 
 
-def stage_zip(zip_path: str, staging_dir: str) -> StagedExport:
+_RARE_CLASS_RE = {
+    # Workout may nest children but never another <Workout>; an
+    # unescaped literal '</Workout>' inside an attribute value is the
+    # only false terminator and does not occur in HealthKit exports
+    "Workout": re.compile(rb"<Workout\b[^>]*/>|<Workout\b.*?</Workout>",
+                          re.DOTALL),
+    "ActivitySummary": re.compile(rb"<ActivitySummary\b[^>]*/>"),
+}
+
+
+def _split_rare_classes(export_xml: str, out_dir: str) -> dict[str, str]:
+    """One streaming pass over export.xml extracting the low-frequency
+    element classes into small side files.  O(file) like the
+    reference's pass 1 (core.rs:52-62), but it buys each subsequent
+    rare-class XML read a scan of kilobytes instead of the whole
+    archive.  Chunked with an overlap window so spans crossing chunk
+    boundaries are never missed; constant memory."""
+    chunk_size = 16 << 20
+    overlap = 1 << 20  # >> any single Workout element
+    outs = {}
+    bufs = {k: [b"<HealthData>\n"] for k in _RARE_CLASS_RE}
+    seen: dict[str, set[tuple[int, int]]] = {k: set() for k in _RARE_CLASS_RE}
+    with open(export_xml, "rb") as f:
+        base = 0
+        carry = b""
+        while True:
+            chunk = f.read(chunk_size)
+            data = carry + chunk
+            if not data:
+                break
+            for klass, rx in _RARE_CLASS_RE.items():
+                for m in rx.finditer(data):
+                    span = (base + m.start(), base + m.end())
+                    if span not in seen[klass]:
+                        seen[klass].add(span)
+                        bufs[klass].append(m.group(0) + b"\n")
+            if not chunk:
+                break
+            carry = data[-overlap:]
+            base += len(data) - len(carry)
+    for klass, parts in bufs.items():
+        parts.append(b"</HealthData>\n")
+        # NB: no leading underscore — Spark's file index treats _*/.*
+        # paths as hidden and silently reads nothing
+        path = os.path.join(out_dir, f"side-{klass.lower()}s.xml")
+        with open(path, "wb") as out:
+            out.writelines(parts)
+        outs[klass] = path
+    return outs
+
+
+def stage_zip(zip_path: str, staging_dir: str,
+              split_rare: bool = True) -> StagedExport:
     """A1: unpack export.zip to a staging directory (driver-side; the
     zip format is not splittable).  Mirrors reference core.rs:48-56 but
     once, up front — the reference re-opens the archive per route file
-    (core.rs:580-582)."""
+    (core.rs:580-582).  With ``split_rare`` the staging pass also
+    carves the rare element classes into side files (see
+    _split_rare_classes)."""
     with zipfile.ZipFile(zip_path) as zf:
         safe = [n for n in zf.namelist()
                 if not (n.startswith("/") or ".." in n.split("/"))]
         zf.extractall(staging_dir, members=safe)
     root = os.path.join(staging_dir, ARCHIVE_ROOT)
+    export_xml = os.path.join(staging_dir, EXPORT_XML)
+    side = _split_rare_classes(export_xml, staging_dir) if split_rare else {}
     return StagedExport(
         root=root,
-        export_xml=os.path.join(staging_dir, EXPORT_XML),
-        routes_dir=os.path.join(root, "workout-routes"))
+        export_xml=export_xml,
+        routes_dir=os.path.join(root, "workout-routes"),
+        workouts_xml=side.get("Workout"),
+        summaries_xml=side.get("ActivitySummary"))
 
 
 def _strip_attr_prefix(df: DataFrame) -> DataFrame:
@@ -310,6 +374,38 @@ def record_tables(records: DataFrame,
             for t in types}
 
 
+def record_tables_onepass(records: DataFrame) -> dict[str, DataFrame]:
+    """A4 fan-out with schema votes for ALL types in ONE aggregate:
+    ``groupBy(type)`` computing every column's unified tag + non-null
+    count simultaneously (one scan, partial-aggregated map-side),
+    instead of one inference pass per type (``record_tables`` — N
+    extra scans for N types).  Same per-table schemas, same all-null
+    column pruning; the collect is bounded at one row per HK type
+    (~100s).  This is the scan-count winner whenever the staged
+    relation is large and types are many."""
+    from ..operators.schema_infer import CAST_TARGETS, type_tag, unify_tags
+
+    str_cols = [f.name for f in records.schema.fields
+                if isinstance(f.dataType, T.StringType) and f.name != "type"]
+    aggs = []
+    for i, c in enumerate(str_cols):
+        aggs.append(unify_tags(type_tag(F.col(c))).alias(f"t{i}"))
+        aggs.append(F.count(F.col(c)).alias(f"n{i}"))
+    votes = records.groupBy("type").agg(*aggs).collect()
+
+    out: dict[str, DataFrame] = {}
+    for row in sorted(votes, key=lambda r: r["type"]):
+        t = row["type"]
+        proj = [F.col("type")]
+        for i, c in enumerate(str_cols):
+            if row[f"n{i}"] == 0:
+                continue  # column never seen for this type (core.rs:216-227)
+            target = CAST_TARGETS.get(row[f"t{i}"])
+            proj.append(F.col(c).cast(target).alias(c) if target else F.col(c))
+        out[t] = records.filter(F.col("type") == t).select(*proj)
+    return out
+
+
 def convert(spark: SparkSession, zip_path: str, staging_dir: str,
             stage_columnar: bool = True) -> dict[str, DataFrame]:
     """E1 end-to-end (reference main.rs:88 → core.rs:42-76): stage the
@@ -328,13 +424,17 @@ def convert(spark: SparkSession, zip_path: str, staging_dir: str,
     staged = stage_zip(zip_path, staging_dir)
     routes = read_gpx_routes(spark, staged.routes_dir)
     out: dict[str, DataFrame] = {}
-    out["Workout"] = read_workouts(spark, staged.export_xml, routes)
-    out["ActivitySummary"] = read_activity_summaries(spark, staged.export_xml)
+    # rare classes read from their small side files (a rowTag read
+    # scans its whole input; don't make it the full archive)
+    out["Workout"] = read_workouts(
+        spark, staged.workouts_xml or staged.export_xml, routes)
+    out["ActivitySummary"] = read_activity_summaries(
+        spark, staged.summaries_xml or staged.export_xml)
     records = read_records(spark, staged.export_xml)
     if stage_columnar:
         staged_records = os.path.join(staging_dir, "_records_staged.parquet")
         records.write.mode("overwrite").parquet(staged_records)
         records = spark.read.parquet(staged_records)
-    for t, df in record_tables(records).items():
+    for t, df in record_tables_onepass(records).items():
         out[t] = df
     return out

@@ -146,12 +146,13 @@ def test_cascade_agrees_across_engines_and_model(spark):
 
 
 def test_documented_cascade_divergences(spark):
-    """The two known domain edges where the engines' casts disagree —
-    pinned so a dependency upgrade that shifts them is caught, and so
-    the divergence is a documented fact rather than a silent one:
+    """The known domain edge where the engines' casts disagree — pinned
+    so a dependency upgrade that shifts it is caught, and so the
+    divergence is a documented fact rather than a silent one:
     - '1_000': DuckDB accepts underscore digit separators; Spark doesn't
-    - bare times '12:30:00': Spark promotes to today's timestamp;
-      DuckDB does not cast them"""
+    Bare times ('12:30:00') USED to diverge (Spark promotes them to
+    today's timestamp); the ^YYYY-MM-DD gate in both cascades now
+    classifies them TEXT on both engines — asserted below."""
     import duckdb
     from healthkit_to_sqlite_spark.operators.schema_infer import (
         _CASCADE_SQL, type_tag)
@@ -165,7 +166,7 @@ def test_documented_cascade_divergences(spark):
     con.executemany("INSERT INTO t VALUES (?)", [("1_000",), ("12:30:00",)])
     duck_tags = dict(con.execute(f"SELECT value, {_CASCADE_SQL} FROM t").fetchall())
     assert spark_tags["1_000"] == "TEXT" and duck_tags["1_000"] == "REAL"
-    assert spark_tags["12:30:00"] == "TIMESTAMP" and duck_tags["12:30:00"] == "TEXT"
+    assert spark_tags["12:30:00"] == "TEXT" and duck_tags["12:30:00"] == "TEXT"
 
 
 def test_inferred_casts_never_null_non_null_values(spark):
