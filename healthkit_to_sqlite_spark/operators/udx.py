@@ -1,0 +1,136 @@
+"""User-defined extension surface: UDTF, pandas UDAF, ml LSH.
+
+The reference has no UDF surface at all (SQLite built-ins only,
+reference README.md:27-110); Spark's three extension points are pinned
+here so the engine demonstrably supports them — each with the honest
+scale caveat in its docstring:
+
+- Python UDTF (lateral table function): row-at-a-time Python — the
+  SLOWEST extension point; exists for API parity and for logic that
+  genuinely must emit a variable number of rows from driver-opaque
+  code.  The same chunking below is expressible with builtin
+  sequence/explode (the production shape, cf. dedup.word_shingles).
+- pandas GROUPED_AGG UDAF: Arrow-batched per-group numpy reduction —
+  the right escape hatch when the aggregate has no builtin (here:
+  interpolated median, which Spark DOES have as percentile(); the
+  oracle proves the UDAF agrees with the engine-native path).
+- pyspark.ml BucketedRandomProjectionLSH: library Euclidean LSH for
+  embedding ANN — the scale path alongside our hand-rolled sign-LSH /
+  IVF (similarity.py); ml hashing isn't reproducible in SQL → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..spec import Spec
+
+CHUNK = 10  # tokens per UDTF chunk
+
+
+def chunk_sentences(spark: SparkSession, documents: DataFrame,
+                    chunk: int = CHUNK) -> DataFrame:
+    """Python UDTF splitting each document into fixed-size token chunks
+    (doc_id, chunk_id, chunk, n_tok) — a lateral table function fed by
+    a correlated subquery.  Row-at-a-time Python: fine for API parity,
+    wrong for 100 TB (use the builtin sequence/slice explode instead —
+    same output, whole-stage codegen)."""
+    from pyspark.sql.functions import lit, udtf  # noqa: F401
+
+    @udtf(returnType="doc_id bigint, chunk_id int, chunk string, n_tok int")
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str):  # noqa: D401
+            toks = text.split(" ")
+            for i in range(0, len(toks), chunk):
+                part = toks[i:i + chunk]
+                yield doc_id, i // chunk, " ".join(part), len(part)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    documents.select("doc_id", "text").createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        "SELECT c.* FROM docs_for_udtf, LATERAL chunk_doc(doc_id, text) AS c")
+
+
+def grouped_median_udaf(lineitem: DataFrame) -> DataFrame:
+    """pandas GROUPED_AGG UDAF: per-group interpolated median via
+    numpy, Arrow-batched.  The oracle (quantile_cont) proves the UDAF
+    path agrees with the engine-native order statistic — the agreement
+    contract you want before trusting custom aggregates at scale."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG function type: with `from __future__ import
+    # annotations` the hint-based signature detection sees strings
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def np_median(v):
+        import numpy as np
+        return float(np.median(v.to_numpy()))
+
+    # Spark refuses to mix GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one agg, so the count is a second pandas aggregate
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def np_count(v):
+        return len(v)
+
+    return (lineitem
+            .groupBy("l_returnflag")
+            .agg(F.round(np_median("l_extendedprice"), 4).alias("median_price"),
+                 np_count("l_extendedprice").alias("n")))
+
+
+def ann_brp_lsh(embeddings: DataFrame, threshold: float = 1.2) -> DataFrame:
+    """Embedding ANN via pyspark.ml BucketedRandomProjectionLSH
+    (Euclidean): random-projection bucketing turns the O(n²) pair
+    search into bucket joins, like our hand-rolled sign-LSH but with
+    library-grade multi-table amplification.  Hashing is seeded but
+    not SQL-reproducible → rows-only correctness check."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features"))
+    lsh = BucketedRandomProjectionLSH(inputCol="features", outputCol="hashes",
+                                      bucketLength=0.5, numHashTables=3,
+                                      seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, threshold,
+                                       distCol="l2_dist")
+    return (pairs
+            .filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+            .select(F.col("datasetA.vec_id").alias("vec_a"),
+                    F.col("datasetB.vec_id").alias("vec_b"),
+                    F.round("l2_dist", 6).alias("l2_dist")))
+
+
+SPECS: dict[str, Spec] = {
+    "q_udtf_chunks": Spec(
+        lambda spark, sf: chunk_sentences(
+            spark, load_table(spark, sf, "documents")),
+        f"""
+        SELECT doc_id,
+               CAST(k.k AS INT) AS chunk_id,
+               array_to_string((string_split(text, ' '))[k.k * {CHUNK} + 1
+                                                         :k.k * {CHUNK} + {CHUNK}],
+                               ' ') AS chunk,
+               CAST(least({CHUNK}, len(string_split(text, ' ')) - k.k * {CHUNK})
+                    AS INT) AS n_tok
+        FROM documents,
+             (SELECT unnest(range(200)) AS k) k
+        WHERE k.k * {CHUNK} < len(string_split(text, ' '))
+        """,
+        "Python UDTF lateral chunking (UDF surface; builtin explode is the scale path)"),
+    "q_udaf_median": Spec(
+        lambda spark, sf: grouped_median_udaf(load_table(spark, sf, "lineitem")),
+        """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+        """,
+        "pandas GROUPED_AGG UDAF vs engine-native order statistic"),
+    "q_ann_brp": Spec(
+        lambda spark, sf: ann_brp_lsh(load_table(spark, sf, "embeddings")),
+        None,  # ml random projections not SQL-reproducible — rows-only
+        "pyspark.ml BucketedRandomProjectionLSH embedding ANN (scale path)"),
+}

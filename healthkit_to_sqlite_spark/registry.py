@@ -18,7 +18,7 @@ def _all_specs() -> dict[str, Spec]:
     specs: dict[str, Spec] = {}
     for mod_name in ("relational", "restructure", "schema_infer", "dedup",
                      "similarity", "text", "timeseries", "multimodal",
-                     "pipeline"):
+                     "pipeline", "udx"):
         try:
             mod = __import__(f"healthkit_to_sqlite_spark.operators.{mod_name}",
                              fromlist=[mod_name])
