@@ -115,3 +115,60 @@ def test_sqlite_sink_roundtrip(hk_tables, tmp_path):
         "WHERE workoutActivityType='HKWorkoutActivityTypeRunning'").fetchone()[0]
     assert geom == "LineString"
     con.close()
+
+
+def test_reference_readme_queries_on_sqlite_output(hk_tables, tmp_path):
+    """Run the reference README's own example SQL (README.md:33-65)
+    verbatim-shape against OUR converted SQLite file — the literal
+    'switch engines, keep your queries' guarantee.  Dates adapted to
+    the fixture's February 2020 workout."""
+    from healthkit_to_sqlite_spark.sinks.database import write_sqlite
+
+    db = str(tmp_path / "healthkit.db")
+    write_sqlite(hk_tables, db, drop=True)
+    con = sqlite3.connect(db)
+
+    # README.md:33-46 — total duration over a date range + activity OR
+    total_duration = con.execute("""
+        select sum(duration) / 60 as total_duration
+        from workout
+        where (creationDate between '2020-02-01' and '2020-02-29')
+          and (workoutActivityType = 'HKWorkoutActivityTypeWalking' or
+               workoutActivityType = 'HKWorkoutActivityTypeRunning' or
+               workoutActivityType = 'HKWorkoutActivityTypeHiking')
+    """).fetchone()[0]
+    assert abs(total_duration - 23.59 / 60) < 1e-9
+
+    # README.md:51-65 — SUM over json_extract into workoutStatistics
+    total_miles = con.execute("""
+        select sum(json_extract(workoutStatistics,
+                   '$.HKQuantityTypeIdentifierDistanceWalkingRunning.sum'))
+               as total_distance_miles
+        from workout
+        where (creationDate between '2020-02-01' and '2020-02-29')
+    """).fetchone()[0]
+    assert abs(total_miles - 2.235) < 1e-9
+    con.close()
+
+
+def test_cli_end_to_end(hk_zip, tmp_path):
+    """The reference CLI surface (main.rs:12-29) end to end:
+    python -m healthkit_to_sqlite_spark <zip> sqlite://<db> --drop
+    --yes --quiet, then open the database as a Datasette user would."""
+    import subprocess
+    import sys as _sys
+
+    db = str(tmp_path / "cli_out.db")
+    proc = subprocess.run(
+        [_sys.executable, "-m", "healthkit_to_sqlite_spark",
+         str(hk_zip), f"sqlite://{db}", "--drop", "--yes", "--quiet"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    con = sqlite3.connect(db)
+    tables = {r[0] for r in con.execute(
+        "select name from sqlite_master where type='table'")}
+    assert {"Workout", "ActivitySummary"} <= tables
+    assert any(t.startswith("HK") for t in tables)
+    n = con.execute('select count(*) from "Workout"').fetchone()[0]
+    assert n == 2
+    con.close()
