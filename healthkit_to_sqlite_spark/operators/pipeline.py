@@ -273,6 +273,53 @@ def interval_join(events: DataFrame, window_s: int = OVERLAP_S) -> DataFrame:
                     F.col("b.ts").alias("ts_b")))
 
 
+# --- CDC merge / upsert ----------------------------------------------------
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE (upsert) as a batch operator: updates override base rows
+    by key, unmatched updates insert, unmatched base rows pass through
+    — the CDC-apply primitive vanilla Spark lacks (lakehouse formats
+    add it; this is the engine-level shape they compile to).
+
+    One full-outer join on the key, coalesce(update, base) per column.
+    At scale: base is bucketed by the key (sinks.write_bucketed) so
+    only the (small) update side shuffles; with AQE the join side
+    handling skewed hot keys splits automatically."""
+    b = base.select(key, *[F.col(c).alias(f"b_{c}")
+                           for c in base.columns if c != key])
+    u = updates.select(key, *[F.col(c).alias(f"u_{c}")
+                              for c in updates.columns if c != key])
+    j = b.join(u, key, "full_outer")
+    upd_cols = set(updates.columns)
+    cols = [F.col(key)]
+    for c in base.columns:
+        if c == key:
+            continue
+        # partial-update batches are the norm in CDC: columns absent
+        # from the update schema pass through from base
+        cols.append(F.coalesce(f"u_{c}", f"b_{c}").alias(c)
+                    if c in upd_cols else F.col(f"b_{c}").alias(c))
+    cols.append((F.col(f"u_{updates.columns[1]}").isNotNull())
+                .alias("from_update"))
+    return j.select(*cols)
+
+
+def orders_cdc_batch(orders: DataFrame) -> DataFrame:
+    """Deterministic synthetic CDC batch derived from orders itself:
+    every 10th key gets a 10%-raised total (update), and a shifted key
+    range simulates inserts.  Exists so q_merge_upsert is
+    oracle-checkable without external change data."""
+    upd = (orders.filter(F.col("o_orderkey") % 10 == 0)
+           .select("o_orderkey",
+                   (dec("o_totalprice") * F.lit(1.1).cast("decimal(3,1)"))
+                   .cast("double").alias("o_totalprice")))
+    ins = (orders.filter(F.col("o_orderkey") % 97 == 0)
+           .select((F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                   F.col("o_totalprice")))
+    return upd.union(ins)
+
+
 # --- salted skew-resistant aggregation ------------------------------------
 
 
@@ -437,6 +484,30 @@ SPECS: dict[str, Spec] = {
          AND b.ts <= a.ts + INTERVAL {OVERLAP_S} SECONDS
         """,
         "bucketed time-window overlap self-join (range join as equi-join)"),
+    "q_merge_upsert": Spec(
+        lambda spark, sf: merge_upsert(
+            load_table(spark, sf, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+            orders_cdc_batch(load_table(spark, sf, "orders")),
+            "o_orderkey"),
+        """
+        WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                   FROM orders),
+        u AS (
+          SELECT o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1 AS DOUBLE)
+                   AS o_totalprice
+          FROM orders WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_totalprice
+          FROM orders WHERE o_orderkey % 97 = 0)
+        SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+               b.o_custkey, b.o_orderstatus,
+               COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+               (u.o_totalprice IS NOT NULL) AS from_update
+        FROM b FULL OUTER JOIN u ON b.o_orderkey = u.o_orderkey
+        """,
+        "CDC MERGE/upsert via full-outer coalesce (lakehouse-apply shape)"),
     "q_salted_agg": Spec(
         lambda spark, sf: salted_agg(load_table(spark, sf, "events")),
         """
