@@ -410,6 +410,97 @@ def correlated_scalar(spark: SparkSession, orders: DataFrame) -> DataFrame:
     """)
 
 
+def grouping_sets_agg(spark: SparkSession, orders: DataFrame) -> DataFrame:
+    """GROUPING SETS — the general form of rollup/cube: an explicit,
+    sparse list of subtotal combinations ((priority), (status), ())
+    computed in ONE shuffle pass via map-side Expand, instead of three
+    separate scans UNIONed together.  At 100 TB the difference is 3
+    full scans vs 1.  SQL entry path (the DataFrame API only exposes
+    the rollup/cube special cases)."""
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+def exists_in_subquery(spark: SparkSession, customer: DataFrame,
+                       orders: DataFrame) -> DataFrame:
+    """EXISTS + IN subqueries through the SQL entry path.  Catalyst
+    rewrites both to left-semi joins (RewritePredicateSubquery) — no
+    per-row re-execution, each subquery shuffles only its key column.
+    Complements q_semi_anti, which pins the same plan shape via the
+    DataFrame API."""
+    customer.createOrReplaceTempView("customer_sq")
+    orders.createOrReplaceTempView("orders_sq")
+    return spark.sql("""
+        SELECT c_mktsegment, COUNT(*) AS n_cust
+        FROM customer_sq c
+        WHERE EXISTS (SELECT 1 FROM orders_sq o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND c_custkey IN (SELECT o_custkey FROM orders_sq
+                            WHERE o_totalprice > 50000)
+        GROUP BY c_mktsegment
+    """)
+
+
+def conditional_agg(lineitem: DataFrame) -> DataFrame:
+    """Conditional (filtered) aggregation — SUM/COUNT over CASE WHEN,
+    the idiom behind pivot-style reports without a second scan.  All
+    conditions evaluate in the same partial-aggregate pass; decimal
+    accumulation keeps the filtered sums bit-stable under
+    repartitioning."""
+    returned = F.col("l_returnflag") == "R"
+    big = F.col("l_quantity") > 25
+    return (lineitem
+            .groupBy("l_linestatus")
+            .agg(
+                F.count(F.when(returned, 1)).alias("n_returned"),
+                F.count(F.when(big, 1)).alias("n_big_qty"),
+                F.sum(F.when(returned, dec("l_extendedprice"))
+                      .otherwise(F.lit(0).cast(DEC))).cast("double")
+                .alias("returned_price"),
+                F.count(F.lit(1)).alias("n_rows")))
+
+
+def string_funcs(part: DataFrame) -> DataFrame:
+    """String-function surface: LIKE pushdown filter + case fold,
+    length, substring, split-part projection.  All JVM builtins inside
+    whole-stage codegen; the LIKE 'x%' prefix form pushes to the
+    parquet scan as a StringStartsWith filter."""
+    first_word = F.split(F.col("p_name"), " ").getItem(0)
+    return (part
+            .filter(F.col("p_type").like("STANDARD%"))
+            .select(
+                "p_partkey",
+                F.upper("p_brand").alias("brand_uc"),
+                F.length("p_name").alias("name_len"),
+                F.substring("p_type", 1, 8).alias("type_prefix"),
+                first_word.alias("first_word")))
+
+
+def ntile_quartiles(customer: DataFrame) -> DataFrame:
+    """NTILE ranking window: account-balance quartiles per market
+    segment, then a per-(segment, quartile) rollup.  One shuffle on
+    the partition key; the quartile assignment is deterministic given
+    the (balance, custkey) total order."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (customer
+            .select("c_mktsegment", "c_acctbal",
+                    F.ntile(4).over(w).alias("quartile"))
+            .groupBy("c_mktsegment", "quartile")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+                 F.round(F.max("c_acctbal"), 2).alias("max_bal")))
+
+
 # ---------------------------------------------------------------------------
 # Specs
 # ---------------------------------------------------------------------------
@@ -647,4 +738,69 @@ SPECS: dict[str, Spec] = {
         FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         """,
         "rollup/grouping-sets addition (SURVEY.md §2.B gaps)"),
+    "q_grouping_sets": Spec(
+        lambda spark, sf: grouping_sets_agg(
+            spark, load_table(spark, sf, "orders")),
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """,
+        "explicit GROUPING SETS — general grouping-sets form (§2.B gaps)"),
+    "q_exists_in": Spec(
+        lambda spark, sf: exists_in_subquery(
+            spark, load_table(spark, sf, "customer"),
+            load_table(spark, sf, "orders")),
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_cust
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 50000)
+        GROUP BY c_mktsegment
+        """,
+        "EXISTS/IN subqueries → semi-join rewrite (SQL entry path, §2.B gaps)"),
+    "q_conditional_agg": Spec(
+        _q(("lineitem",), conditional_agg),
+        """
+        SELECT l_linestatus,
+               COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
+               COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_big_qty,
+               CAST(SUM(CASE WHEN l_returnflag = 'R'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   AS returned_price,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_linestatus
+        """,
+        "conditional/filtered aggregation — CASE WHEN in one agg pass"),
+    "q_string_funcs": Spec(
+        _q(("part",), string_funcs),
+        """
+        SELECT p_partkey,
+               UPPER(p_brand) AS brand_uc,
+               LENGTH(p_name) AS name_len,
+               SUBSTRING(p_type, 1, 8) AS type_prefix,
+               SPLIT_PART(p_name, ' ', 1) AS first_word
+        FROM part WHERE p_type LIKE 'STANDARD%'
+        """,
+        "string-function surface: LIKE pushdown + fold/length/substr/split"),
+    "q_ntile": Spec(
+        _q(("customer",), ntile_quartiles),
+        """
+        SELECT c_mktsegment, quartile, COUNT(*) AS n,
+               ROUND(MIN(c_acctbal), 2) AS min_bal,
+               ROUND(MAX(c_acctbal), 2) AS max_bal
+        FROM (SELECT c_mktsegment, c_acctbal,
+                     NTILE(4) OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey) AS quartile
+              FROM customer)
+        GROUP BY c_mktsegment, quartile
+        """,
+        "NTILE ranking window + rollup (§2.B gaps: ranking breadth)"),
 }
