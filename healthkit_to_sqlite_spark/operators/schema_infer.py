@@ -63,18 +63,31 @@ def type_tag(s: Column) -> Column:
 def unify_tags(tag: Column) -> Column:
     """Order-independent widening unification of a collection of tags.
 
-    Aggregate expression: collect the distinct tag set and resolve —
-    {INTEGER} → INTEGER; {INTEGER, REAL} → REAL; singleton {DATE} /
-    {TIMESTAMP} stay; any other mixture → TEXT.  Commutative +
-    associative, so partial aggregation is safe at any partitioning."""
-    tags = F.collect_set(tag)  # nulls (no-evidence values) drop out here
-    only_numeric = F.size(F.array_except(tags, F.array(F.lit("INTEGER"), F.lit("REAL")))) == 0
+    Aggregate expression: each tag maps to one bit (INTEGER=1, REAL=2,
+    DATE=4, TIMESTAMP=8, TEXT=16), the observed set is a ``bit_or``,
+    and the set resolves to {INTEGER} → INTEGER; ⊆{INTEGER,REAL} →
+    REAL; singleton {DATE} / {TIMESTAMP} stay; any other mixture (or
+    no evidence) → TEXT.  Commutative + associative, so partial
+    aggregation is safe at any partitioning.
+
+    The bit-mask form (vs the equivalent ``collect_set``) is
+    load-bearing for throughput: collect_set plans as
+    ObjectHashAggregate, which disables whole-stage codegen for the
+    stage and drops the per-value ``type_tag`` regex cascade into
+    interpreted evaluation; bit_or keeps the entire inference pass
+    inside codegen."""
+    bit = (F.when(tag == "INTEGER", 1)
+           .when(tag == "REAL", 2)
+           .when(tag == "DATE", 4)
+           .when(tag == "TIMESTAMP", 8)
+           .when(tag == "TEXT", 16))  # NULL (no evidence) stays NULL
+    mask = F.bit_or(bit)
     return (
-        F.when(F.size(tags) == 0, F.lit("TEXT"))  # no evidence at all
-        .when(tags == F.array(F.lit("INTEGER")), F.lit("INTEGER"))
-        .when(only_numeric, F.lit("REAL"))
-        .when(tags == F.array(F.lit("DATE")), F.lit("DATE"))
-        .when(tags == F.array(F.lit("TIMESTAMP")), F.lit("TIMESTAMP"))
+        F.when(mask.isNull(), F.lit("TEXT"))       # no evidence at all
+        .when(mask == 1, F.lit("INTEGER"))
+        .when((mask == 2) | (mask == 3), F.lit("REAL"))
+        .when(mask == 4, F.lit("DATE"))
+        .when(mask == 8, F.lit("TIMESTAMP"))
         .otherwise(F.lit("TEXT")))
 
 
@@ -101,11 +114,20 @@ def apply_inferred_types(df: DataFrame, cols: list[str] | None = None,
                 if isinstance(f.dataType, T.StringType)]
     if not cols:
         return df
+    # tag each value ONCE in a projection, then aggregate the cheap tag
+    # columns: unify_tags references its input in every when-branch, so
+    # inlining type_tag would replicate the try-cast cascade per branch
+    # — at ~25 columns the generated code alone takes seconds to
+    # compile (measured 7s plan time on the Workout read)
+    proj = []
+    for i, c in enumerate(cols):
+        proj.append(type_tag(F.col(c)).alias(f"g{i}"))
+        proj.append(F.col(c).isNotNull().cast("bigint").alias(f"p{i}"))
     aggs = []
     for i, c in enumerate(cols):
-        aggs.append(unify_tags(type_tag(F.col(c))).alias(f"t{i}"))
-        aggs.append(F.count(F.col(c)).alias(f"n{i}"))
-    row = df.agg(*aggs).collect()[0]
+        aggs.append(unify_tags(F.col(f"g{i}")).alias(f"t{i}"))
+        aggs.append(F.sum(F.col(f"p{i}")).alias(f"n{i}"))
+    row = df.select(*proj).agg(*aggs).collect()[0]
     for i, c in enumerate(cols):
         if drop_all_null and row[f"n{i}"] == 0:
             df = df.drop(c)
