@@ -103,6 +103,38 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint").alias("fp60"))
 
 
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k distinctive terms by TF-IDF.
+
+    The score is the exact rational form ``tf · N / df`` (rank-order
+    equivalent to tf·(N/df); the usual ``ln`` idf is monotone in it) —
+    all-integer numerator under 2⁵³, one IEEE division, so Spark and
+    DuckDB agree bit-for-bit where ``ln`` could drift in the last ulp.
+
+    Plan: one explode → groupBy(doc, token) for tf; df reuses the SAME
+    aggregate output (count over per-doc rows, one more shuffle on
+    token); N is a broadcast one-row aggregate.  Top-k per doc is a
+    row_number window over (score desc, token) — deterministic
+    tie-break, per-doc partitions, AQE handles skew."""
+    from pyspark.sql import Window
+
+    tf = (documents
+          .select("doc_id", F.explode(ws_tokens("text")).alias("token"))
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(df_t, "token")
+              .join(F.broadcast(n_docs))
+              .withColumn("score", (F.col("tf") * F.col("n_docs")) / F.col("df_t")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (scored
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("doc_id", "token", "tf", "df_t",
+                    F.round("score", 6).alias("score"), "rn"))
+
+
 def _markers_sql(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
 
@@ -174,4 +206,25 @@ SPECS: dict[str, Spec] = {
         FROM documents
         """,
         "document fingerprinting (normalized md5 + 60-bit)"),
+    "q_tfidf": Spec(
+        lambda spark, sf: tfidf_top_terms(load_table(spark, sf, "documents")),
+        """
+        WITH tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents)
+          GROUP BY doc_id, token),
+        df_t AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf, df_t.df_t,
+                 (tf.tf * n.n_docs) / df_t.df_t AS score
+          FROM tf JOIN df_t USING (token) CROSS JOIN n)
+        SELECT doc_id, token, tf, df_t, ROUND(score, 6) AS score, rn
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, token) AS rn
+              FROM scored)
+        WHERE rn <= 3
+        """,
+        "TF-IDF per-doc top-k distinctive terms (exact rational score)"),
 }
