@@ -135,6 +135,17 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
                     F.round("score", 6).alias("score"), "rn"))
 
 
+def posexplode_tokens(documents: DataFrame, max_doc: int = 50) -> DataFrame:
+    """LATERAL explode with ordinality: (doc_id, position, token) long
+    form — the tokenized-corpus layout downstream NLP joins expect.
+    ``posexplode`` runs inside Generate (no shuffle); the doc_id
+    filter prunes at the parquet scan."""
+    return (documents
+            .filter(F.col("doc_id") < max_doc)
+            .select("doc_id",
+                    F.posexplode(ws_tokens("text")).alias("pos", "token")))
+
+
 def _markers_sql(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
 
@@ -227,4 +238,13 @@ SPECS: dict[str, Spec] = {
         WHERE rn <= 3
         """,
         "TF-IDF per-doc top-k distinctive terms (exact rational score)"),
+    "q_posexplode": Spec(
+        lambda spark, sf: posexplode_tokens(load_table(spark, sf, "documents")),
+        """
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE doc_id < 50
+        """,
+        "LATERAL explode with ordinality → (doc, pos, token) long form"),
 }

@@ -106,7 +106,39 @@ def sliding_window(events: DataFrame,
                     "n", "sum_value"))
 
 
+def lag_lead_deltas(events: DataFrame) -> DataFrame:
+    """LAG/LEAD offset windows: per-user inter-event gaps (seconds to
+    previous and next event).  One user_id shuffle feeds both offsets
+    — same WindowExec pass, same (ts, event_id) deterministic order
+    the other temporal ops use; first/last rows keep NULL gaps."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # diff on second-truncated values = DuckDB date_diff('second')
+    # boundary-count semantics, exact even for sub-second timestamps
+    trunc = F.date_trunc("second", F.col("ts"))
+    staged = events.select(
+        "user_id", "event_id", "ts",
+        F.lag(trunc).over(w).alias("__prev"),
+        F.lead(trunc).over(w).alias("__next"),
+        trunc.alias("__cur"))
+    return staged.select(
+        "user_id", "event_id", "ts",
+        F.expr("timestampdiff(SECOND, __prev, __cur)")
+        .alias("secs_since_prev"),
+        F.expr("timestampdiff(SECOND, __cur, __next)")
+        .alias("secs_to_next"))
+
+
 SPECS: dict[str, Spec] = {
+    "q_lag_lead": Spec(
+        lambda spark, sf: lag_lead_deltas(load_table(spark, sf, "events")),
+        """
+        SELECT user_id, event_id, ts,
+               date_diff('second', lag(ts)  OVER w, ts) AS secs_since_prev,
+               date_diff('second', ts, lead(ts) OVER w) AS secs_to_next
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "LAG/LEAD offset windows — per-user inter-event gaps (§2.B gaps)"),
     "q_sliding_window": Spec(
         lambda spark, sf: sliding_window(load_table(spark, sf, "events")),
         """
