@@ -522,3 +522,66 @@ def convert(spark: SparkSession, zip_path: str, staging_dir: str,
     for t, df in record_tables_onepass(records).items():
         out[t] = df
     return out
+
+
+def convert_many(spark: SparkSession, zip_paths: list[str],
+                 staging_dir: str) -> dict[str, DataFrame]:
+    """Fleet ingest: N export archives → ONE logical catalog, each row
+    tagged with its archive stem in an ``archive`` column.
+
+    This is the shape the 100 TB deployment actually runs — thousands
+    of per-user archives, not one file.  Staging (unzip + rare-class
+    split + record chunking) is per-archive driver work, trivially
+    farmed out; every Spark job then runs ONCE over the union:
+    - Record chunks from all archives are read in a single multi-path
+      XML scan (one task per chunk file, cross-archive parallelism —
+      unionByName of per-archive reads would instead plan N separate
+      scans);
+    - schema votes/fan-out, workout restructuring, and route joins are
+      single jobs over the union, so per-archive fixed cost is paid in
+      the driver loop only, never per Spark job.
+    allowMissingColumns handles archives whose attribute sets differ
+    (the union schema is the per-column union, exactly the reference's
+    schema-map union semantics, core.rs:216-227)."""
+    out: dict[str, DataFrame] = {}
+    record_dirs: list[str] = []
+    workouts = []
+    summaries = []
+    for zp in zip_paths:
+        stem = os.path.splitext(os.path.basename(zp))[0]
+        sub = os.path.join(staging_dir, stem)
+        staged = stage_zip(zp, sub)
+        routes = read_gpx_routes(spark, staged.routes_dir)
+        workouts.append(
+            read_workouts(spark, staged.workouts_xml or staged.export_xml,
+                          routes).withColumn("archive", F.lit(stem)))
+        summaries.append(
+            read_activity_summaries(
+                spark, staged.summaries_xml or staged.export_xml)
+            .withColumn("archive", F.lit(stem)))
+        record_dirs.append(staged.records_dir or staged.export_xml)
+
+    def union_all(dfs):
+        acc = dfs[0]
+        for d in dfs[1:]:
+            acc = acc.unionByName(d, allowMissingColumns=True)
+        return acc
+
+    out["Workout"] = union_all(workouts)
+    out["ActivitySummary"] = union_all(summaries)
+    # one multi-path scan for ALL archives' record chunks; archive
+    # recovered from the file path (no per-archive read loop)
+    chunked = F.regexp_extract(F.col("_metadata.file_path"),
+                               r"([^/]+)/records-chunks/", 1)
+    whole = F.regexp_extract(F.col("_metadata.file_path"),
+                             r"([^/]+)/apple_health_export/", 1)
+    records = (read_element(spark, record_dirs, "Record")
+               .withColumn("archive",
+                           F.when(chunked != "", chunked).otherwise(whole)))
+    records = flatten_metadata(records)
+    staged_records = os.path.join(staging_dir, "records-staged.parquet")
+    records.write.mode("overwrite").parquet(staged_records)
+    records = spark.read.parquet(staged_records)
+    for t, df in record_tables_onepass(records).items():
+        out[t] = df
+    return out

@@ -172,3 +172,29 @@ def test_cli_end_to_end(hk_zip, tmp_path):
     n = con.execute('select count(*) from "Workout"').fetchone()[0]
     assert n == 2
     con.close()
+
+
+def test_convert_many_archives(spark, tmp_path_factory):
+    """Fleet ingest: two archives → one catalog, every row tagged with
+    its archive stem; per-type tables hold the union of both."""
+    from tests.hk_fixture import build_export_zip
+    from healthkit_to_sqlite_spark.sources.healthkit import convert_many
+
+    d = tmp_path_factory.mktemp("fleet")
+    zips = [build_export_zip(str(d / f"user{i}.zip")) for i in (1, 2)]
+    tables = convert_many(spark, zips, str(d / "staging"))
+
+    assert {"Workout", "ActivitySummary",
+            "HKQuantityTypeIdentifierWalkingSpeed",
+            "HKQuantityTypeIdentifierStepCount"} <= set(tables)
+    # both archives contribute; archive column distinguishes them
+    w = tables["Workout"]
+    assert w.count() == 4  # 2 workouts per archive
+    assert ({r[0] for r in w.select("archive").distinct().collect()}
+            == {"user1", "user2"})
+    steps = tables["HKQuantityTypeIdentifierStepCount"]
+    assert steps.count() == 4  # 2 step records per archive
+    per_archive = dict(steps.groupBy("archive").count().collect())
+    assert per_archive == {"user1": 2, "user2": 2}
+    # typed columns survive the union + fan-out
+    assert dict(steps.dtypes)["value"] == "bigint"
