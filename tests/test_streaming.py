@@ -134,3 +134,49 @@ def test_enrich_stream_matches_batch_join(spark, events_stream_dir):
     want = {(r["event_id"], r["type_tag"]) for r in
             enrich_stream(batch, dim).select("event_id", "type_tag").collect()}
     assert got == want
+
+
+def test_streaming_record_ingest_matches_batch(spark, tmp_path):
+    """Two-pass streaming ingest: pass-1 plan over the staged sample,
+    pass-2 incremental parse/type/fan-out equals the batch read."""
+    import os
+    import shutil
+    from tests.hk_fixture import build_export_zip
+    from healthkit_to_sqlite_spark.sources.healthkit import (
+        read_records, stage_zip)
+    from healthkit_to_sqlite_spark.streaming.ingest import (
+        plan_record_ingest, start_record_ingest)
+
+    zp = build_export_zip(str(tmp_path / "export.zip"))
+    staged = stage_zip(zp, str(tmp_path / "staging"))
+    sample = staged.records_dir or staged.export_xml
+
+    plan = plan_record_ingest(spark, sample)
+    assert plan.casts.get("value") == "double"  # widened across types
+    assert "Test Entry" in plan.metadata_keys
+
+    # drop dir receives the staged xml as if an archive just landed
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    src = sample if os.path.isfile(sample) else None
+    if src:
+        shutil.copy(src, drop / "chunk-000.xml")
+    else:
+        for n in os.listdir(sample):
+            shutil.copy(os.path.join(sample, n), drop / n)
+
+    out = str(tmp_path / "ingested")
+    q = start_record_ingest(spark, str(drop), out,
+                            str(tmp_path / "ckpt"), plan,
+                            available_now=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch = read_records(spark, sample)
+    assert got.count() == batch.count()
+    assert (dict(got.groupBy("type").count().collect())
+            == dict(batch.groupBy("type").count().collect()))
+    assert dict(got.dtypes)["value"] == "double"
+    assert dict(got.dtypes)["creationDate"] == "timestamp"
+    # metadata pivot survives with the fixed key set
+    assert "metadata_Test Entry" in got.columns
