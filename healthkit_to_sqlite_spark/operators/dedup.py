@@ -34,6 +34,7 @@ P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 N_HASHES = 12      # minhash signature length
 N_BANDS = 4        # → 3 rows per band; pair-candidate if any band matches
 SHINGLE = 4        # words per shingle
+MAX_SHINGLE_DF = 50  # hot-shingle document-frequency cap (ngram_jaccard)
 
 
 def hash60(s: Column) -> Column:
@@ -129,12 +130,29 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_bands")))
 
 
-def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.2) -> DataFrame:
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.2,
+                        max_df: int = MAX_SHINGLE_DF) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing ≥1 shingle (the candidate
     filter IS the shared-shingle equi-join).  |A∩B| from the join,
     |A|,|B| from per-doc counts; integer arithmetic until the final
-    division so both engines agree exactly."""
-    sh = word_shingles(documents)
+    division so both engines agree exactly.
+
+    Hot-shingle cap: shingles appearing in more than ``max_df``
+    documents are dropped BEFORE the pair join (Jaccard is then over
+    each doc's rare-shingle set, both sides of the ratio).  A shingle
+    with document frequency D contributes D² join rows — one
+    stop-phrase shared by 1M docs is 10¹² rows on a single key, which
+    AQE can split across tasks but cannot shrink; the df cut bounds
+    the worst key to max_df² rows while near-identical pairs keep
+    nearly all their (discriminative) shared shingles.  The df count
+    runs as a window over the shingle-partitioned shuffle the pair
+    join needs anyway, so the cap adds no extra exchange."""
+    from pyspark.sql import Window
+
+    sh_all = word_shingles(documents)
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    sh = (sh_all.withColumn("df", df_w)
+          .filter(F.col("df") <= max_df).drop("df"))
     # per-doc sizes are tiny (one row per doc) but sit atop the full
     # shingle explode — materialize once (localCheckpoint) instead of
     # recomputing the explode for each of the two size joins, then
@@ -257,7 +275,13 @@ SPECS: dict[str, Spec] = {
     "q_ngram_jaccard": Spec(
         lambda spark, sf: ngram_jaccard_pairs(load_table(spark, sf, "documents")),
         f"""
-        WITH sh AS ({_SHINGLES_SQL}),
+        WITH sh0 AS ({_SHINGLES_SQL}),
+        sh AS (
+          SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM sh0)
+          WHERE df <= {MAX_SHINGLE_DF}),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -285,7 +309,8 @@ SPECS: dict[str, Spec] = {
           GROUP BY doc_id, b.b
         )
         SELECT doc_id,
-               SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                    AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id
         """,
         "SimHash 60-bit signatures (majority-vote bits)"),

@@ -89,6 +89,88 @@ def dedup_clusters(documents: DataFrame) -> DataFrame:
             .withColumn("is_keeper", F.col("cluster_id") == F.col("doc_id")))
 
 
+def connected_components_star(edges: DataFrame,
+                              max_rounds: int = 25) -> tuple[DataFrame, int]:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    public algorithm): each round rewires every edge toward the
+    smallest node seen in its neighborhood, contracting paths in
+    O(log n) rounds where min-label propagation needs O(diameter).
+
+    ``edges`` is an undirected edge list (src, dst), either
+    orientation; returns ``(labels, rounds)`` with one (node, label =
+    component minimum) row per edge-touching node.
+
+    Both stars are pure groupBy-min + equi-join — no per-node
+    neighbor lists are ever materialized (a collect_list formulation
+    would recreate the hot-node skew this variant exists to kill).
+    Per round: 2 shuffles (group + join) per star; convergence via one
+    scalar (count + order-insensitive hash-sum of the edge set) per
+    round, never rows to the driver.  ``localCheckpoint`` truncates
+    lineage so the plan stays O(1) across rounds."""
+    # canonicalize (u > v), drop self-loops/dups
+    u = F.greatest("src", "dst").alias("u")
+    v = F.least("src", "dst").alias("v")
+    cur = (edges.select(u, v).filter(F.col("u") != F.col("v"))
+           .distinct().localCheckpoint(eager=True))
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # large-star: from each node's smaller endpoint view, connect
+        # every LARGER neighbor to min(Γ(x) ∪ {x})
+        sym = cur.union(cur.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+        mins = (sym.groupBy("u")
+                .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        large = (sym.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v")).distinct())
+        # small-star: on canonical edges, connect every neighbor (and
+        # the node itself) to the neighborhood minimum
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (large.join(smins, "u")
+                 .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                 .union(smins.select(F.col("u").alias("a"),
+                                     F.col("m").alias("b")))
+                 .filter(F.col("a") != F.col("b"))
+                 .select(F.greatest("a", "b").alias("u"),
+                         F.least("a", "b").alias("v"))
+                 .distinct().localCheckpoint(eager=False))
+        sig = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 64-bit hashes
+            # overflows under ANSI arithmetic
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
+        ).collect()[0]
+        cur = small
+        if prev_sig == (sig.n, sig.h):
+            break
+        prev_sig = (sig.n, sig.h)
+    labels = (cur.select(F.col("u").alias("node"), F.col("v").alias("label"))
+              .union(cur.select(F.col("v").alias("node"),
+                                F.col("v").alias("label")))
+              .distinct())
+    return labels, rounds
+
+
+def dedup_clusters_star(documents: DataFrame) -> DataFrame:
+    """dedup_clusters with the large-star/small-star CC kernel: same
+    contract (doc_id, cluster_id = component-min doc_id, is_keeper),
+    O(log n) rounds instead of O(diameter) — the variant to run when
+    near-dup chains are long (template families, boilerplate farms).
+    Equivalence with the propagation kernel is property-tested."""
+    pairs = minhash_lsh_pairs(documents).select("doc_a", "doc_b")
+    labels, _ = connected_components_star(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")))
+    return (documents.select("doc_id")
+            .join(labels, documents.doc_id == labels.node, "left")
+            .select("doc_id",
+                    F.coalesce("label", F.col("doc_id")).alias("cluster_id"))
+            .withColumn("is_keeper", F.col("cluster_id") == F.col("doc_id")))
+
+
 def dedup_apply(documents: DataFrame) -> DataFrame:
     """The end of the near-dup pipeline: keep exactly one document per
     cluster (the component-minimum doc_id) and drop the rest — LSH
@@ -391,8 +473,8 @@ _TOKENS_SQL = "SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM document
 
 def _gram_stats_sql(src: str, prefix: str) -> str:
     return f"""
-    SELECT doc_id, SUM(c) AS {prefix}_n, COUNT(*) AS {prefix}_distinct,
-           MAX(c) AS {prefix}_top, SUM(len(g) * c) AS {prefix}_chars
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS {prefix}_n, COUNT(*) AS {prefix}_distinct,
+           MAX(c) AS {prefix}_top, CAST(SUM(len(g) * c) AS BIGINT) AS {prefix}_chars
     FROM (SELECT doc_id, g, COUNT(*) AS c FROM ({src}) GROUP BY doc_id, g)
     GROUP BY doc_id
     """
@@ -414,6 +496,22 @@ SPECS: dict[str, Spec] = {
         FROM reach GROUP BY node
         """,
         "connected-components dedup clustering over LSH pairs (min-label propagation)"),
+    "q_dedup_clusters_star": Spec(
+        lambda spark, sf: dedup_clusters_star(load_table(spark, sf, "documents")),
+        f"""
+        WITH RECURSIVE {_LSH_PAIRS_SQL},
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node AS doc_id, MIN(lab) AS cluster_id,
+               (MIN(lab) = node) AS is_keeper
+        FROM reach GROUP BY node
+        """,
+        "CC dedup clustering via large-star/small-star (O(log n) rounds; "
+        "same component-min contract as q_dedup_clusters)"),
     "q_dedup_apply": Spec(
         lambda spark, sf: dedup_apply(load_table(spark, sf, "documents")),
         f"""

@@ -569,7 +569,7 @@ SPECS: dict[str, Spec] = {
         _q(("events",), json_extract_k),
         """
         SELECT event_type, COUNT(*) AS n,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events
         WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL

@@ -99,11 +99,13 @@ def ann_lsh_pairs(embeddings: DataFrame, min_cosine: float = 0.2) -> DataFrame:
             .filter(F.col("cosine_sim") >= min_cosine))
 
 
-def dedup_embedding_pairs(embeddings: DataFrame, min_cosine: float = 0.4) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, exact (brute-force
-    self-join).  The correctness baseline for ann_lsh_pairs: at test
-    scale the O(n²) join is fine; at 100 TB you run the LSH variant and
-    use this only to audit samples."""
+def brute_force_embedding_pairs(embeddings: DataFrame,
+                                min_cosine: float = 0.4) -> DataFrame:
+    """Exact all-pairs cosine — O(n²) BroadcastNestedLoopJoin.  AUDIT
+    UTILITY ONLY (recall measurement on samples in tests); deliberately
+    NOT registered as a contract query: an unguarded non-equi self-join
+    is a scale-killer at any real corpus size.  The registered query is
+    :func:`dedup_embedding_pairs` (banded LSH + exact verify)."""
     e = embeddings.select("vec_id", "embedding")
     a, b = e.alias("a"), e.alias("b")
     sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
@@ -114,7 +116,52 @@ def dedup_embedding_pairs(embeddings: DataFrame, min_cosine: float = 0.4) -> Dat
             .filter(F.col("cosine_sim") >= min_cosine))
 
 
+N_EMB_BANDS = 2  # OR-amplification: candidate iff ANY band matches
+
+
+def dedup_embedding_pairs(embeddings: DataFrame, min_cosine: float = 0.4,
+                          n_bands: int = N_EMB_BANDS) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded sign-LSH
+    candidates + exact in-bucket verification — the O(n²) self-join
+    re-expressed as an equi-join (VERDICT r1 #4).
+
+    The 8-bit signature splits into ``n_bands`` bands (4 bits each);
+    a pair is a candidate iff it collides in ANY band (classic
+    OR-amplification — recall amplifies as 1-(1-s^r)^b while each
+    band's bucket join stays an equi-shuffle).  Exact cosine then
+    verifies candidates; pairs matching in both bands dedupe through
+    the groupBy.  The ``repartition`` on the band key makes AQE reuse
+    ONE shuffle stage for both self-join sides (same trick measured
+    3.8s→2.3s on minhash_lsh_pairs).  Missed pairs are those agreeing
+    in neither 4-bit half — for cosine ≥ 0.4 neighbors that's rare
+    (recall vs the brute-force audit is pinned in tests).  At 100 TB:
+    cost is Σ_bucket |bucket|², bounded by signature spread; hot
+    buckets split under AQE skew handling."""
+    r = N_PLANES // n_bands
+    sig = lsh_signature(embeddings)
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.substring("bucket", b * r + 1, r).alias("bsig"))
+        for b in range(n_bands)])
+    banded = (sig.select("vec_id", F.explode(bands).alias("bs"))
+              .select("vec_id", "bs.band", "bs.bsig")
+              .join(embeddings.select("vec_id", "embedding"), "vec_id")
+              .repartition("band", "bsig"))
+    a, b = banded.alias("a"), banded.alias("b")
+    sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bsig") == F.col("b.bsig"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.round(sim, 6).alias("cosine_sim"))
+            .groupBy("vec_a", "vec_b")
+            .agg(F.max("cosine_sim").alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= min_cosine))
+
+
 N_CENTROIDS = 8
+IVF_ITERS = 2  # Lloyd refinement rounds after the seed assignment
 
 
 def _l2sq(a: Column, b: Column) -> Column:
@@ -124,19 +171,10 @@ def _l2sq(a: Column, b: Column) -> Column:
         F.lit(0.0), lambda acc, v: acc + v)
 
 
-def ivf_cells(embeddings: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
-    """IVF coarse quantization with deterministic seed centroids (the
-    first ``n_centroids`` stored vectors): every vector is assigned to
-    its nearest centroid (L2, ties → lowest centroid id).
-
-    This is the real IVF shape — centroid table broadcast, one pass
-    assignment, cell-local search — with seeds standing in for k-means
-    (whose iterations are just repeated versions of this same
-    assignment join).  Distances round to 9 dp so cross-engine
-    last-bit drift can't flip an argmin."""
-    cent = (embeddings.filter(F.col("vec_id") < n_centroids)
-            .select(F.col("vec_id").alias("cid"),
-                    F.col("embedding").alias("cemb")))
+def _assign_cells(embeddings: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (L2, ties → lowest cid): centroid
+    table broadcast, one scan over the vectors.  Distances round to
+    9 dp so cross-engine last-bit drift can't flip an argmin."""
     from pyspark.sql import Window
     d = (embeddings.select("vec_id", "embedding")
          .crossJoin(F.broadcast(cent))
@@ -148,18 +186,73 @@ def ivf_cells(embeddings: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFram
             .select("vec_id", F.col("cid").alias("cell")))
 
 
-def ann_ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 5) -> DataFrame:
-    """ANN via IVF: search only the query's cell (nprobe=1), exact
-    cosine within it.  The at-scale contract: assignment is a broadcast
-    join, the search scans |cell| ≈ n/K vectors instead of n."""
-    cells = ivf_cells(embeddings)
+def kmeans_centroids(embeddings: DataFrame, n_centroids: int = N_CENTROIDS,
+                     iters: int = IVF_ITERS) -> DataFrame:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer: seed
+    centroids = the first ``n_centroids`` vectors, then ``iters``
+    rounds of (assign to nearest) → (centroid = elementwise member
+    mean).
+
+    Each round is the same broadcast-assignment join; the mean is a
+    posexplode → groupBy(cell, dim) → rebuild-array pipeline (K·D
+    tiny rows out).  Means accumulate in DECIMAL(30,10) — exact and
+    summation-order independent — then divide as double, so Spark and
+    DuckDB produce bit-identical centroids regardless of partitioning
+    (a raw double sum would drift with partition order and could flip
+    downstream argmins).  A centroid that loses every member simply
+    drops out (deterministic in both engines; K shrinks).  At scale:
+    iteration cost = iters × (scan + K·D-row shuffle) — the standard
+    distributed k-means shape."""
+    cent = (embeddings.filter(F.col("vec_id") < n_centroids)
+            .select(F.col("vec_id").cast("int").alias("cid"),
+                    F.transform("embedding",
+                                lambda x: x.cast("double")).alias("cemb")))
+    for _ in range(iters):
+        assign = _assign_cells(embeddings, cent)
+        exploded = (embeddings.select("vec_id", "embedding")
+                    .join(assign, "vec_id")
+                    .select("cell", F.posexplode("embedding").alias("pos", "val")))
+        means = (exploded.groupBy("cell", "pos")
+                 .agg((F.sum(F.col("val").cast("double").cast("decimal(30,10)"))
+                       .cast("double") / F.count(F.lit(1))).alias("m")))
+        cent = (means.groupBy("cell")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m).alias("cemb"))
+                .select(F.col("cell").alias("cid"), "cemb"))
+    return cent
+
+
+def ivf_cells(embeddings: DataFrame, n_centroids: int = N_CENTROIDS,
+              iters: int = IVF_ITERS) -> DataFrame:
+    """IVF coarse quantization: Lloyd-iterated centroids, then one
+    final nearest-centroid assignment per vector."""
+    return _assign_cells(embeddings, kmeans_centroids(embeddings, n_centroids, iters))
+
+
+def ann_ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 5,
+                 nprobe: int = 1) -> DataFrame:
+    """ANN via IVF: search the ``nprobe`` cells nearest the query
+    vector's centroid distance, exact cosine within them.  The at-scale
+    contract: assignment is a broadcast join, the search scans
+    nprobe·n/K vectors instead of n; raising nprobe trades scan volume
+    for recall (recall pinned vs brute force in tests)."""
+    cent = kmeans_centroids(embeddings)
+    cells = _assign_cells(embeddings, cent)
     withv = cells.join(embeddings.select("vec_id", "embedding"), "vec_id")
-    q = (withv.filter(F.col("vec_id") == query_vec_id)
-         .select(F.col("cell").alias("q_cell"), F.col("embedding").alias("q_emb")))
+    qvec = (embeddings.filter(F.col("vec_id") == query_vec_id)
+            .select(F.col("embedding").alias("q_emb")))
+    # nprobe nearest cells by centroid↔query distance (tiny: K rows)
+    probe = (cent.crossJoin(F.broadcast(qvec))
+             .select(F.col("cid").alias("q_cell"),
+                     F.round(_l2sq(F.transform("q_emb", lambda x: x.cast("double")),
+                                   F.col("cemb")), 9).alias("qdist"))
+             .orderBy("qdist", "q_cell").limit(nprobe)
+             .select("q_cell"))
     sim = cosine_similarity(F.col("embedding"), F.col("q_emb"))
-    return (withv.crossJoin(F.broadcast(q))
-            .filter((F.col("cell") == F.col("q_cell"))
-                    & (F.col("vec_id") != query_vec_id))
+    return (withv.join(F.broadcast(probe), withv.cell == probe.q_cell)
+            .crossJoin(F.broadcast(qvec))
+            .filter(F.col("vec_id") != query_vec_id)
             .select("vec_id", "cell", F.round(sim, 6).alias("cosine_sim"))
             .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
             .limit(k))
@@ -240,6 +333,41 @@ _SIG_SQL = f"""
   GROUP BY vec_id, label
 """
 
+_L2_SQL = ("ROUND(list_aggregate(list_transform(list_zip({e}, {c}), "
+           "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+           " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum'), 9)")
+
+
+def _kmeans_cells_sql(iters: int = IVF_ITERS, k: int = N_CENTROIDS,
+                      dim: int = DIM) -> str:
+    """CTE chain mirroring kmeans_centroids + final assignment —
+    Lloyd unrolled (no recursion needed for a fixed iteration count).
+    Ends with a ``cells(vec_id, cell)`` CTE."""
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_L2_SQL.format(e='e.embedding', c='c.cemb')}, c.cid) AS rn
+            FROM embeddings e, {cent} c) WHERE rn = 1)"""
+
+    parts = [f"""cent0 AS (
+      SELECT CAST(vec_id AS INT) AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+      FROM embeddings WHERE vec_id < {k})"""]
+    for i in range(1, iters + 1):
+        parts.append(assign(f"assign{i}", f"cent{i - 1}"))
+        parts.append(f"""cent{i} AS (
+          SELECT cell AS cid, list(m ORDER BY d) AS cemb FROM (
+            SELECT a.cell, d.d,
+                   CAST(SUM(CAST(CAST(e.embedding[d.d + 1] AS DOUBLE)
+                                 AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS m
+            FROM embeddings e JOIN assign{i} a USING (vec_id),
+                 (SELECT unnest(range({dim})) AS d) d
+            GROUP BY a.cell, d.d) GROUP BY cell)""")
+    parts.append(assign("cells", f"cent{iters}"))
+    return ",\n".join(parts)
+
 SPECS: dict[str, Spec] = {
     "q_topk_cosine": Spec(
         lambda spark, sf: topk_cosine(load_table(spark, sf, "embeddings")),
@@ -270,34 +398,30 @@ SPECS: dict[str, Spec] = {
     "q_dedup_embedding": Spec(
         lambda spark, sf: dedup_embedding_pairs(load_table(spark, sf, "embeddings")),
         f"""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               ROUND(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
-                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
-                     ({_NORM_SQL.format(c='a.embedding')} * {_NORM_SQL.format(c='b.embedding')}),
-                     6) AS cosine_sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE ROUND(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
-                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
-                    ({_NORM_SQL.format(c='a.embedding')} * {_NORM_SQL.format(c='b.embedding')}),
-                    6) >= 0.4
+        WITH sig AS ({_SIG_SQL}),
+        banded AS (
+          SELECT s.vec_id, b.b AS band,
+                 substr(s.bucket, b.b * {N_PLANES // N_EMB_BANDS} + 1,
+                        {N_PLANES // N_EMB_BANDS}) AS bsig,
+                 e.embedding
+          FROM sig s JOIN embeddings e ON s.vec_id = e.vec_id,
+               (SELECT unnest(range({N_EMB_BANDS})) AS b) b)
+        SELECT vec_a, vec_b, cosine_sim FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 MAX(ROUND(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+                       ({_NORM_SQL.format(c='a.embedding')} * {_NORM_SQL.format(c='b.embedding')}),
+                       6)) AS cosine_sim
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id
+          GROUP BY 1, 2)
+        WHERE cosine_sim >= 0.4
         """,
-        "embedding-cosine near-dup pairs (exact baseline for the LSH path)"),
+        "embedding near-dup pairs: banded sign-LSH candidates + exact verify"),
     "q_ann_ivf": Spec(
         lambda spark, sf: ann_ivf_topk(load_table(spark, sf, "embeddings")),
         f"""
-        WITH cent AS (
-          SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {N_CENTROIDS}
-        ), d AS (
-          SELECT e.vec_id, c.cid,
-                 ROUND(list_aggregate(list_transform(list_zip(e.embedding, c.cemb),
-                       x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-                          * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum'), 9) AS dist
-          FROM embeddings e, cent c
-        ), cells AS (
-          SELECT vec_id, cid AS cell FROM (
-            SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-            FROM d) WHERE rn = 1
-        )
+        WITH {_kmeans_cells_sql()}
         SELECT e.vec_id, cells.cell,
                ROUND(list_aggregate(list_transform(list_zip(e.embedding, q.q_emb),
                          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
@@ -311,7 +435,8 @@ SPECS: dict[str, Spec] = {
         WHERE e.vec_id <> 0
         ORDER BY cosine_sim DESC, e.vec_id LIMIT 5
         """,
-        "ANN via IVF coarse quantization (deterministic seed centroids, nprobe=1)"),
+        "ANN via IVF with Lloyd-iterated k-means centroids (nprobe=1 path; "
+        "nprobe>1 recall pinned in tests)"),
     "q_topk_cosine_pandas": Spec(
         lambda spark, sf: topk_cosine_pandas(load_table(spark, sf, "embeddings")),
         f"""

@@ -9,6 +9,14 @@ optional ``oracle`` is equivalent ANSI SQL that DuckDB can execute over
 the same parquet tables (driver pre-registers views named after the
 tables).  Column names MUST match between the two — the driver's
 comparator sorts columns by name before hashing values.
+
+Result dtypes must match too: DuckDB's integer ``SUM`` returns
+HUGEINT (int128), which pandas widens to float64, while the Spark
+side is int64 — the driver's value hash then sees ``72315.0`` vs
+``72315`` and flags a mismatch even when values are equal.  Every
+integer aggregate in an oracle must be wrapped ``CAST(... AS
+BIGINT)`` (or DOUBLE when the Spark side is double).  tests/parity.py
+compares pandas dtypes to catch this class before the driver does.
 """
 
 from __future__ import annotations

@@ -69,10 +69,23 @@ def _rowset(rows, colnames):
     return out
 
 
+def _dtype_kinds(df):
+    """pandas dtype kind per column name — the driver compares values
+    through pandas, where DuckDB HUGEINT surfaces as float64 while the
+    Spark side is int64; str(72315.0) != str(72315) ⇒ hash mismatch
+    even when values are numerically equal.  Comparing kinds catches
+    that class locally (int-ish 'i'/'u' vs float 'f' vs object 'O')."""
+    return {c: df[c].dtype.kind for c in df.columns}
+
+
 def compare_query(spark, con, name, build, sql, sf_dir) -> ParityResult:
     sdf = build(spark, sf_dir)
     scols = sdf.columns
+    # dtype check reads through pandas (the driver's path); the value
+    # compare stays on Python-native rows so NULL is None on both sides
+    spdf = sdf.toPandas()
     srows = [tuple(r) for r in sdf.collect()]
+    opdf = con.execute(sql).df()
     ores = con.execute(sql)
     ocols = [d[0] for d in ores.description]
     orows = ores.fetchall()
@@ -80,6 +93,18 @@ def compare_query(spark, con, name, build, sql, sf_dir) -> ParityResult:
     if sorted(scols) != sorted(ocols):
         return ParityResult(name, False,
                             f"column mismatch: spark={sorted(scols)} oracle={sorted(ocols)}",
+                            len(srows), len(orows))
+    skinds, okinds = _dtype_kinds(spdf), _dtype_kinds(opdf)
+    # int-vs-float is the driver-visible formatting divergence; only
+    # flag when neither side holds NULLs (pandas itself widens nullable
+    # int columns to float64 on BOTH engines, which hashes identically)
+    bad_kinds = {
+        c: (skinds[c], okinds[c]) for c in scols
+        if {skinds[c], okinds[c]} == {"i", "f"}
+        and not (spdf[c].isna().any() or opdf[c].isna().any())}
+    if bad_kinds:
+        return ParityResult(name, False,
+                            f"dtype mismatch (spark,oracle): {bad_kinds}",
                             len(srows), len(orows))
     if len(srows) != len(orows):
         return ParityResult(name, False,
@@ -126,7 +151,15 @@ def run_all(sf_dir: str | None = None, only: list[str] | None = None):
 
 
 if __name__ == "__main__":
-    only = sys.argv[1:] or None
+    import json
+
+    argv = sys.argv[1:]
+    out_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    only = argv or None
     results = run_all(only=only)
     failed = [r for r in results if not r.ok]
     for r in results:
@@ -135,4 +168,12 @@ if __name__ == "__main__":
         for i, a, b in r.mismatches:
             print(f"    row {i}: spark={a!r}\n           oracle={b!r}")
     print(f"\n{len(results) - len(failed)}/{len(results)} passed")
+    if out_path:
+        payload = {r.name: {"ok": r.ok, "detail": r.detail,
+                            "spark_rows": r.spark_rows,
+                            "oracle_rows": r.oracle_rows}
+                   for r in results}
+        with open(out_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"wrote {out_path}")
     sys.exit(1 if failed else 0)

@@ -1,0 +1,51 @@
+"""Pipeline operator properties: CC kernel equivalence + round counts.
+
+The large-star/small-star kernel must produce exactly the same
+component-min labels as min-label propagation (they share the
+q_dedup_clusters oracle), and must converge in O(log n) rounds where
+propagation needs O(diameter) — pinned on a path graph, the
+worst-case diameter shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from healthkit_to_sqlite_spark.catalog import load_table
+from healthkit_to_sqlite_spark.operators.pipeline import (
+    connected_components_star,
+    dedup_clusters,
+    dedup_clusters_star,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_star_equals_propagation_on_lsh_graph(spark):
+    docs = load_table(spark, SF, "documents")
+    prop = {(r.doc_id, r.cluster_id, r.is_keeper)
+            for r in dedup_clusters(docs).collect()}
+    star = {(r.doc_id, r.cluster_id, r.is_keeper)
+            for r in dedup_clusters_star(docs).collect()}
+    assert star == prop
+
+
+def test_star_contracts_long_chain_in_log_rounds(spark):
+    # path 0-1-2-…-63: diameter 63 ⇒ min-label propagation needs ~63
+    # rounds; star contraction must finish in O(log n)
+    n = 64
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    labels, rounds = connected_components_star(edges)
+    got = {(r.node, r.label) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(n)}
+    assert rounds <= 10, rounds
+
+
+def test_star_handles_multiple_components_and_orientation(spark):
+    # two components, edges in mixed orientation with dups/self-loops
+    rows = [(5, 3), (3, 5), (3, 1), (7, 9), (9, 11), (4, 4)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    labels, _ = connected_components_star(edges)
+    got = {(r.node, r.label) for r in labels.collect()}
+    assert got == {(1, 1), (3, 1), (5, 1), (7, 7), (9, 7), (11, 7)}
