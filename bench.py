@@ -46,6 +46,14 @@ HEADLINE = [
     "q_repetition_signals",
     "q_interval_join",
     "q_pack_sequences",
+    # VERDICT r1 #8: previously untimed heavy hitters — regressions in
+    # the de-fanged dedup paths must be measurable round over round
+    "q_tfidf",
+    "q_merge_upsert",
+    "q_ngram_jaccard",
+    "q_dedup_embedding",
+    "q_dedup_clusters_star",
+    "q_ann_ivf",
 ]
 
 

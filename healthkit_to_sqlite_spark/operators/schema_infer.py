@@ -96,6 +96,33 @@ def unify_tags(tag: Column) -> Column:
 CAST_TARGETS = {"INTEGER": "bigint", "REAL": "double",
                 "DATE": "date", "TIMESTAMP": "timestamp"}
 
+#: trailing zone offset of the reference's timestamp format
+#: ("[offset_hour sign:mandatory][offset_minute]", core.rs:13-16)
+_TZ_SUFFIX = r"\s*[+-][0-9]{2}:?[0-9]{2}$"
+
+
+def cast_to_tag(col: Column, tag: str) -> Column | None:
+    """Cast a raw string column to its unified tag's Spark type; None
+    for TEXT/unknown (leave the string column as is).
+
+    TIMESTAMP preserves the LOCAL wall-clock: HealthKit datetimes carry
+    explicit offsets ("2020-02-24 10:18:12 -0800").  A plain
+    cast("timestamp") rebases them to the session zone (UTC), so a
+    device-local 23:30 becomes next-day 07:30 and the reference
+    README's date-range queries return different rows near day
+    boundaries — the reference stores the original text, whose
+    comparisons see local time (core.rs:199-200 binds OffsetDateTime;
+    sqlx encodes it with its original offset).  Stripping the offset
+    and casting to timestamp_ntz keeps the wall-clock the reference's
+    text comparisons see; the absolute instant is the documented loss
+    (acceptable: HealthKit analytics are local-day-centric)."""
+    target = CAST_TARGETS.get(tag)
+    if target is None:
+        return None
+    if target == "timestamp":
+        return F.regexp_replace(col, _TZ_SUFFIX, "").try_cast("timestamp_ntz")
+    return col.cast(target)
+
 
 def apply_inferred_types(df: DataFrame, cols: list[str] | None = None,
                          drop_all_null: bool = False) -> DataFrame:
@@ -132,9 +159,9 @@ def apply_inferred_types(df: DataFrame, cols: list[str] | None = None,
         if drop_all_null and row[f"n{i}"] == 0:
             df = df.drop(c)
             continue
-        target = CAST_TARGETS.get(row[f"t{i}"])
-        if target:
-            df = df.withColumn(c, F.col(c).cast(target))
+        casted = cast_to_tag(F.col(c), row[f"t{i}"])
+        if casted is not None:
+            df = df.withColumn(c, casted)
     return df
 
 

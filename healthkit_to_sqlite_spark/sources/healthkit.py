@@ -41,7 +41,7 @@ import re
 import zipfile
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -79,18 +79,28 @@ _RARE_CLASS_RE = {
 }
 
 
-def _split_rare_classes(export_xml: str, out_dir: str) -> dict[str, str]:
+def _split_rare_classes(export_xml: str, out_dir: str,
+                        chunk_size: int = 16 << 20,
+                        overlap: int = 1 << 20) -> dict[str, str]:
     """One streaming pass over export.xml extracting the low-frequency
     element classes into small side files.  O(file) like the
     reference's pass 1 (core.rs:52-62), but it buys each subsequent
     rare-class XML read a scan of kilobytes instead of the whole
-    archive.  Chunked with an overlap window so spans crossing chunk
-    boundaries are never missed; constant memory."""
-    chunk_size = 16 << 20
-    overlap = 1 << 20  # >> any single Workout element
+    archive.  Chunked with an ``overlap`` window (default ≫ any single
+    Workout element) so spans crossing chunk boundaries are captured;
+    an element that still straddles a cut is *detected* by the open-tag
+    census below and the class falls back to a full-file read."""
     outs = {}
     bufs = {k: [b"<HealthData>\n"] for k in _RARE_CLASS_RE}
     seen: dict[str, set[tuple[int, int]]] = {k: set() for k in _RARE_CLASS_RE}
+    # independent open-tag census: an element longer than the overlap
+    # window would start before a chunk boundary and end after it, so
+    # the span regex never sees it complete and silently drops it; the
+    # open-tag count (short pattern, can't itself span a cut given the
+    # overlap) detects the loss so we can fall back to the full file
+    opens: dict[str, set[int]] = {k: set() for k in _RARE_CLASS_RE}
+    open_rx = {k: re.compile(rb"<" + k.encode() + rb"[\s/>]")
+               for k in _RARE_CLASS_RE}
     with open(export_xml, "rb") as f:
         base = 0
         carry = b""
@@ -105,11 +115,23 @@ def _split_rare_classes(export_xml: str, out_dir: str) -> dict[str, str]:
                     if span not in seen[klass]:
                         seen[klass].add(span)
                         bufs[klass].append(m.group(0) + b"\n")
+                for m in open_rx[klass].finditer(data):
+                    opens[klass].add(base + m.start())
             if not chunk:
                 break
             carry = data[-overlap:]
             base += len(data) - len(carry)
     for klass, parts in bufs.items():
+        if len(opens[klass]) != len(seen[klass]):
+            # pathological export: at least one element crossed a chunk
+            # boundary un-captured — omit the side file; callers fall
+            # back to reading the class from the full export.xml
+            import warnings
+            warnings.warn(
+                f"{klass}: {len(opens[klass])} open tags vs "
+                f"{len(seen[klass])} extracted spans; side-file "
+                "extraction abandoned for this class (full-file read)")
+            continue
         parts.append(b"</HealthData>\n")
         # NB: no leading underscore — Spark's file index treats _*/.*
         # paths as hidden and silently reads nothing
@@ -363,17 +385,18 @@ def read_workouts(spark: SparkSession, xml_path: str,
             df = df.withColumnRenamed(raw, f"__{raw}")
 
     # --- workoutEvents: ordered JSON array (A7; core.rs:541-543) ---
-    # numeric-looking attrs parse to numbers, everything else stays a
-    # string — the reference's f32-else-string JSON policy (core.rs:487-491)
+    # every attribute passes through (no fixed list); values follow the
+    # reference's f32-else-string JSON policy via _unquote_numeric_json
     if "__WorkoutEvent" in df.columns:
         df = _as_array(df, "__WorkoutEvent")
+        ev_fields = sorted(f[1:] for f in _struct_fields(df, "__WorkoutEvent")
+                           if f.startswith("_"))
         ev = F.transform(
             F.col("__WorkoutEvent"),
-            lambda e: F.struct(e["_type"].alias("type"),
-                               e["_date"].alias("date"),
-                               e["_duration"].try_cast("double").alias("duration"),
-                               e["_durationUnit"].alias("durationUnit")))
-        df = df.withColumn("workoutEvents", F.to_json(ev))
+            lambda e: F.struct(*[e[f"_{f}"].cast("string").alias(f)
+                                 for f in ev_fields]))
+        df = df.withColumn("workoutEvents",
+                           _unquote_numeric_json(F.to_json(ev)))
     else:
         df = df.withColumn("workoutEvents", F.lit("[]"))
     df = df.withColumn("workoutEvents",
@@ -382,16 +405,17 @@ def read_workouts(spark: SparkSession, xml_path: str,
     # --- workoutStatistics: JSON object keyed by type (A8; core.rs:544-548) ---
     if "__WorkoutStatistics" in df.columns:
         df = _as_array(df, "__WorkoutStatistics")
+        st_fields = sorted(f[1:] for f in
+                           _struct_fields(df, "__WorkoutStatistics")
+                           if f.startswith("_"))
         st = F.map_from_entries(F.transform(
             F.col("__WorkoutStatistics"),
             lambda s: F.struct(
                 s["_type"].alias("key"),
                 F.struct(*[s[f"_{f}"].cast("string").alias(f)
-                           for f in ("type", "startDate", "endDate", "sum",
-                                     "average", "minimum", "maximum", "unit")
-                           if f"_{f}" in _struct_fields(df, "__WorkoutStatistics")]
-                         ).alias("value"))))
-        df = df.withColumn("workoutStatistics", F.to_json(st))
+                           for f in st_fields]).alias("value"))))
+        df = df.withColumn("workoutStatistics",
+                           _unquote_numeric_json(F.to_json(st)))
     else:
         df = df.withColumn("workoutStatistics", F.lit("{}"))
     df = df.withColumn("workoutStatistics",
@@ -420,6 +444,24 @@ def read_workouts(spark: SparkSession, xml_path: str,
     # type the scalar attribute + metadata columns; the synthesized
     # JSON columns classify as TEXT and stay strings
     return apply_inferred_types(df)
+
+
+#: a complete quoted JSON *value* that is a valid JSON number literal;
+#: anchored on the preceding ':' so keys never match.  Leading-zero
+#: strings ("0081") deliberately excluded: the reference's f32 parse
+#: accepts them (emitting 81.0) but unquoting them verbatim would
+#: produce invalid JSON — they stay strings here (documented edge).
+_NUM_JSON_VALUE = r'":"(-?(?:0|[1-9][0-9]*)(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)"'
+
+
+def _unquote_numeric_json(col: Column) -> Column:
+    """Reference JSON policy (core.rs:476-495, f32-else-string): every
+    element attribute becomes a JSON *number* when numeric, else a
+    string.  Spark struct fields are single-typed, so a per-value
+    number-else-string union can't be expressed in the struct itself;
+    instead all values serialize as strings and numeric literals are
+    unquoted in the JSON text — one JVM-side regexp_replace, map-only."""
+    return F.regexp_replace(col, _NUM_JSON_VALUE, '":$1')
 
 
 def _struct_fields(df: DataFrame, col: str) -> set[str]:
@@ -454,7 +496,7 @@ def record_tables_onepass(records: DataFrame) -> dict[str, DataFrame]:
     column pruning; the collect is bounded at one row per HK type
     (~100s).  This is the scan-count winner whenever the staged
     relation is large and types are many."""
-    from ..operators.schema_infer import CAST_TARGETS, type_tag, unify_tags
+    from ..operators.schema_infer import cast_to_tag, type_tag, unify_tags
 
     str_cols = [f.name for f in records.schema.fields
                 if isinstance(f.dataType, T.StringType) and f.name != "type"]
@@ -481,8 +523,8 @@ def record_tables_onepass(records: DataFrame) -> dict[str, DataFrame]:
         for i, c in enumerate(str_cols):
             if row[f"n{i}"] == 0:
                 continue  # column never seen for this type (core.rs:216-227)
-            target = CAST_TARGETS.get(row[f"t{i}"])
-            proj.append(F.col(c).cast(target).alias(c) if target else F.col(c))
+            casted = cast_to_tag(F.col(c), row[f"t{i}"])
+            proj.append(casted.alias(c) if casted is not None else F.col(c))
         out[t] = records.filter(F.col("type") == t).select(*proj)
     return out
 

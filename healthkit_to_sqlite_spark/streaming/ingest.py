@@ -42,7 +42,7 @@ from ..session import configure
 class RecordIngestPlan:
     """Serializable output of the bounded pass-1."""
     raw_schema: T.StructType            # XML reader schema (pre-strip, raw strings)
-    casts: dict                         # flat column -> Spark type string
+    casts: dict                         # flat column -> inference tag
     metadata_keys: list = field(default_factory=list)
 
 
@@ -52,7 +52,7 @@ def plan_record_ingest(spark: SparkSession, sample_path) -> RecordIngestPlan:
     Reads the sample as Records, votes per-column widening types
     (operators.schema_infer cascade), and collects the metadata key
     set — everything the unbounded pass needs pinned up front."""
-    from ..operators.schema_infer import CAST_TARGETS, type_tag, unify_tags
+    from ..operators.schema_infer import CAST_TARGETS, type_tag, unify_tags  # noqa: F401
     from ..sources.healthkit import _metadata_map, _as_array
 
     configure(spark)
@@ -77,9 +77,10 @@ def plan_record_ingest(spark: SparkSession, sample_path) -> RecordIngestPlan:
     if str_cols:
         row = flat.select(*proj).agg(*aggs).collect()[0]
         for i, c in enumerate(str_cols):
-            target = CAST_TARGETS.get(row[f"t{i}"])
-            if target is not None and c != "type":
-                casts[c] = target
+            tag = row[f"t{i}"]
+            if tag in CAST_TARGETS and c != "type":
+                casts[c] = tag  # tag, not type string: cast_to_tag
+                # owns the tag→cast policy (offset-preserving ntz)
     return RecordIngestPlan(raw_schema=raw_schema, casts=casts,
                             metadata_keys=keys)
 
@@ -102,8 +103,9 @@ def records_stream(spark: SparkSession, chunks_path,
     configure(spark)
     raw = (spark.readStream.format("xml").option("rowTag", "Record")
            .schema(plan.raw_schema).load(chunks_path))
+    from ..operators.schema_infer import cast_to_tag
     df = _flatten(raw, plan.metadata_keys)
-    out = [F.col(c).cast(plan.casts[c]).alias(c) if c in plan.casts
+    out = [cast_to_tag(F.col(c), plan.casts[c]).alias(c) if c in plan.casts
            else F.col(c) for c in df.columns]
     return df.select(*out)
 

@@ -62,7 +62,13 @@ def test_workout_nested_columns(hk_tables):
         "HKQuantityTypeIdentifierHeartRate",
         "HKQuantityTypeIdentifierActiveEnergyBurned",
         "HKQuantityTypeIdentifierDistanceWalkingRunning"}
-    assert stats["HKQuantityTypeIdentifierHeartRate"]["average"] == "149"
+    # numeric attrs are JSON numbers, not strings (the reference's
+    # f32-else-string policy, core.rs:487-491); text attrs stay strings
+    hr = stats["HKQuantityTypeIdentifierHeartRate"]
+    assert hr["average"] == 149 and isinstance(hr["average"], (int, float))
+    assert isinstance(hr["unit"], str)
+    dist = stats["HKQuantityTypeIdentifierDistanceWalkingRunning"]
+    assert dist["sum"] == 2.235 and isinstance(dist["sum"], float)
 
     geom = json.loads(run["geometry"])
     assert geom["type"] == "LineString"
@@ -172,6 +178,57 @@ def test_cli_end_to_end(hk_zip, tmp_path):
     n = con.execute('select count(*) from "Workout"').fetchone()[0]
     assert n == 2
     con.close()
+
+
+def test_offset_timestamps_keep_local_wall_clock(spark):
+    """HealthKit datetimes carry explicit offsets; the reference stores
+    the original text, so its README date-range queries compare LOCAL
+    time (core.rs:199-200).  A plain cast would rebase a device-local
+    23:30 -0800 to next-day 07:30 UTC and flip day-boundary queries;
+    the cascade must keep the wall-clock instead."""
+    from healthkit_to_sqlite_spark.operators.schema_infer import (
+        apply_inferred_types)
+    df = spark.createDataFrame(
+        [("2020-03-01 23:30:00 -0800",), ("2020-03-02 01:00:00 +0100",)],
+        "creationDate string")
+    out = apply_inferred_types(df)
+    assert dict(out.dtypes)["creationDate"] == "timestamp_ntz"
+    vals = sorted(r[0].isoformat(sep=" ") for r in out.collect())
+    assert vals == ["2020-03-01 23:30:00", "2020-03-02 01:00:00"]
+
+
+def test_rare_class_split_detects_boundary_loss(tmp_path):
+    """A Workout longer than the overlap window that straddles a chunk
+    boundary cannot be captured by the span regex; the open-tag census
+    must detect the miss and abandon the side file (callers then read
+    the class from the full export.xml) instead of silently dropping
+    rows."""
+    from healthkit_to_sqlite_spark.sources.healthkit import (
+        _split_rare_classes)
+    big = "x" * 3000  # element body ≫ the (test-sized) overlap
+    xml = (
+        "<HealthData>\n"
+        + "<pad>" + "p" * 2000 + "</pad>\n"
+        + f'<Workout workoutActivityType="A" note="{big}"></Workout>\n'
+        + '<ActivitySummary dateComponents="2020-01-01"/>\n'
+        + "</HealthData>\n")
+    p = tmp_path / "export.xml"
+    p.write_text(xml)
+    import warnings as _w
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        outs = _split_rare_classes(str(p), str(tmp_path),
+                                   chunk_size=4096, overlap=512)
+    assert "Workout" not in outs          # loss detected → no side file
+    assert "ActivitySummary" in outs      # unaffected class still split
+    assert any("Workout" in str(w.message) for w in caught)
+
+    # sanity: with a big-enough overlap the same file splits cleanly
+    ok_dir = tmp_path / "ok"
+    ok_dir.mkdir()
+    outs2 = _split_rare_classes(str(p), str(ok_dir),
+                                chunk_size=4096, overlap=4096)
+    assert "Workout" in outs2
 
 
 def test_convert_many_archives(spark, tmp_path_factory):

@@ -152,7 +152,7 @@ def test_streaming_record_ingest_matches_batch(spark, tmp_path):
     sample = staged.records_dir or staged.export_xml
 
     plan = plan_record_ingest(spark, sample)
-    assert plan.casts.get("value") == "double"  # widened across types
+    assert plan.casts.get("value") == "REAL"  # widened across types
     assert "Test Entry" in plan.metadata_keys
 
     # drop dir receives the staged xml as if an archive just landed
@@ -177,6 +177,7 @@ def test_streaming_record_ingest_matches_batch(spark, tmp_path):
     assert (dict(got.groupBy("type").count().collect())
             == dict(batch.groupBy("type").count().collect()))
     assert dict(got.dtypes)["value"] == "double"
-    assert dict(got.dtypes)["creationDate"] == "timestamp"
+    # ntz: wall-clock-preserving cast (schema_infer.cast_to_tag)
+    assert dict(got.dtypes)["creationDate"] == "timestamp_ntz"
     # metadata pivot survives with the fixed key set
     assert "metadata_Test Entry" in got.columns
