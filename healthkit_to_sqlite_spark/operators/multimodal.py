@@ -100,6 +100,75 @@ def decode_features(documents: DataFrame) -> DataFrame:
         kernel, schema="doc_id long, n_bytes long, features array<double>")
 
 
+THUMB_SIZE = 16     # fixed output width of the "resize" kernel
+FRAME_BYTES = 64    # bytes per synthetic "frame"
+FRAME_STRIDE = 4    # keep every 4th frame
+
+
+def resize_thumbnail(documents: DataFrame) -> DataFrame:
+    """The *resize* media kernel shape: variable-size payload in →
+    fixed-size vector out.  Deterministic stand-in: sample THUMB_SIZE
+    bytes at stride ``max(1, n // THUMB_SIZE)`` (an image resize has
+    exactly this contract — the real kernel swaps byte-sampling for
+    PIL.Image.resize; schema/batching/plumbing identical).
+
+    mapInPandas, map-only, payload read once; output is fixed-width so
+    downstream ops (e.g. similarity over thumbnails) are vector
+    kernels, never blob scans."""
+    src = with_blob(documents)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def thumb(payload):
+            if payload is None or len(payload) == 0:
+                return []
+            n = len(payload)
+            s = max(1, n // 16)
+            return [int(payload[i * s]) for i in range(16) if i * s < n]
+
+        for pdf in batches:
+            th = pdf["payload"].map(thumb)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "thumb": th,
+                "thumb_len": th.map(len),
+                "thumb_sum": th.map(sum),
+            })
+
+    return src.mapInPandas(
+        kernel,
+        schema="doc_id long, thumb array<int>, thumb_len int, thumb_sum bigint")
+
+
+def frame_sample(documents: DataFrame) -> DataFrame:
+    """The *frame-sample* media kernel shape: one payload row →
+    several frame rows (video frame extraction's contract).  The
+    payload splits into FRAME_BYTES-wide frames; every FRAME_STRIDE-th
+    frame is kept with per-frame stats.  mapInPandas legitimately
+    changes cardinality (unlike a scalar UDF); at scale the explode
+    happens inside the Arrow batch — no shuffle, no blob duplication."""
+    src = with_blob(documents)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, lens, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n = len(payload)
+                for fno in range(0, (n + 63) // 64, 4):
+                    fr = payload[fno * 64:(fno + 1) * 64]
+                    ids.append(doc_id)
+                    frames.append(fno)
+                    lens.append(len(fr))
+                    sums.append(int(sum(fr)))
+            yield pd.DataFrame({"doc_id": ids, "frame_no": frames,
+                                "frame_len": lens, "frame_sum": sums})
+
+    return src.mapInPandas(
+        kernel,
+        schema="doc_id long, frame_no int, frame_len int, frame_sum bigint")
+
+
 def decode_real(documents: DataFrame) -> DataFrame:
     """Real media decode — requires PIL/torchaudio/ffmpeg, not present
     in this container.  Kept as the explicit integration point."""
@@ -135,6 +204,35 @@ SELECT doc_id, n_bytes,
 FROM cp
 """
 
+_RESIZE_ORACLE = """
+WITH cp AS (
+  SELECT doc_id, list_transform(string_split(text, ''), c -> ord(c)) AS bs
+  FROM documents),
+t AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(range(16),
+             i -> CASE WHEN i * greatest(len(bs) // 16, 1) < len(bs)
+                       THEN bs[i * greatest(len(bs) // 16, 1) + 1] END),
+           x -> x IS NOT NULL) AS thumb
+  FROM cp)
+SELECT doc_id, thumb, CAST(len(thumb) AS INT) AS thumb_len,
+       CAST(COALESCE(list_aggregate(thumb, 'sum'), 0) AS BIGINT) AS thumb_sum
+FROM t
+"""
+
+_FRAMES_ORACLE = """
+WITH cp AS (
+  SELECT doc_id, list_transform(string_split(text, ''), c -> ord(c)) AS bs
+  FROM documents)
+SELECT doc_id, CAST(f.fno AS INT) AS frame_no,
+       CAST(len(bs[f.fno * 64 + 1 : (f.fno + 1) * 64]) AS INT) AS frame_len,
+       CAST(list_aggregate(bs[f.fno * 64 + 1 : (f.fno + 1) * 64], 'sum')
+            AS BIGINT) AS frame_sum
+FROM cp, (SELECT unnest(range(0, 4096, 4)) AS fno) f
+WHERE f.fno * 64 < len(bs)
+"""
+
 SPECS: dict[str, Spec] = {
     "q_multimodal_meta": Spec(
         lambda spark, sf: media_metadata(load_table(spark, sf, "documents")),
@@ -148,4 +246,12 @@ SPECS: dict[str, Spec] = {
         lambda spark, sf: decoded_feature_stats(load_table(spark, sf, "documents")),
         _DECODE_ORACLE,
         "multimodal decode via mapInPandas (fake kernel, byte moments)"),
+    "q_multimodal_resize": Spec(
+        lambda spark, sf: resize_thumbnail(load_table(spark, sf, "documents")),
+        _RESIZE_ORACLE,
+        "resize kernel shape: payload → fixed-width thumbnail (mapInPandas)"),
+    "q_multimodal_frames": Spec(
+        lambda spark, sf: frame_sample(load_table(spark, sf, "documents")),
+        _FRAMES_ORACLE,
+        "frame-sample kernel shape: payload → strided frame rows (mapInPandas)"),
 }

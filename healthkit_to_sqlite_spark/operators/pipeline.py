@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions import dec, ws_tokens
 from ..spec import Spec
-from .dedup import _MINHASH_SQL, N_BANDS, N_HASHES, minhash_lsh_pairs
+from .dedup import (_MINHASH_SQL, N_BANDS, N_HASHES, _shingles_sql,
+                    minhash_lsh_pairs)
 
 # --- C2+: dedup clustering (connected components) -------------------------
 
@@ -275,6 +276,43 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
         F.regexp_count(enriched, F.lit(EMAIL_RE)).alias("n_emails"),
         F.regexp_count(enriched, F.lit(PHONE_RE)).alias("n_phones"),
         F.md5(clean).alias("clean_md5"))
+
+
+# --- benchmark decontamination ---------------------------------------------
+
+#: n-gram width for overlap detection.  Production decontamination
+#: uses 8-13-grams; the synthetic corpus shares almost no 8-grams
+#: (1 hit at sf0.01 — too thin a correctness signal), so the
+#: registered query runs at 4 (19 hits); the op is parameterized.
+DECON_NGRAM = 4
+BENCH_MOD = 50      # docs with doc_id % BENCH_MOD == 0 play the eval set
+
+
+def decontaminate(documents: DataFrame, n: int = DECON_NGRAM,
+                  bench_mod: int = BENCH_MOD) -> DataFrame:
+    """Benchmark decontamination: find training documents that share
+    any ``n``-gram with the evaluation/benchmark set — the standard
+    leakage guard before training (docs with ``doc_id % bench_mod ==
+    0`` stand in for an external eval corpus, keeping the op
+    oracle-checkable).
+
+    Shape at 100 TB: the corpus n-gram explode stays distributed; the
+    benchmark n-gram inventory is bounded by eval-suite size (tiny) →
+    BROADCAST inner join, no shuffle of corpus grams; per-doc overlap
+    counts come from the one groupBy.  Returns (doc_id, n_shared)
+    for contaminated non-benchmark docs — the drop set a left-anti
+    join applies downstream."""
+    from .dedup import word_shingles
+
+    grams = word_shingles(documents, k=n)
+    bench_grams = (word_shingles(
+        documents.filter(F.col("doc_id") % bench_mod == 0), k=n)
+        .select("shingle").distinct())
+    return (grams
+            .filter(F.col("doc_id") % bench_mod != 0)
+            .join(F.broadcast(bench_grams), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared")))
 
 
 # --- mixture sampling ------------------------------------------------------
@@ -559,6 +597,18 @@ SPECS: dict[str, Spec] = {
         FROM enriched
         """,
         "regex PII redaction with per-doc counts (map-only)"),
+    "q_decontaminate": Spec(
+        lambda spark, sf: decontaminate(load_table(spark, sf, "documents")),
+        f"""
+        WITH grams AS ({_shingles_sql(DECON_NGRAM)}),
+        bench AS (
+          SELECT DISTINCT shingle FROM grams WHERE doc_id % {BENCH_MOD} = 0)
+        SELECT g.doc_id, COUNT(*) AS n_shared
+        FROM grams g JOIN bench USING (shingle)
+        WHERE g.doc_id % {BENCH_MOD} <> 0
+        GROUP BY g.doc_id
+        """,
+        "benchmark decontamination: n-gram overlap vs eval set (broadcast join)"),
     "q_stratified_sample": Spec(
         lambda spark, sf: stratified_sample(load_table(spark, sf, "documents")),
         f"""

@@ -30,9 +30,10 @@ from .spec import Spec
 #: order; unknown names here are ignored, so the list is safe to
 #: curate ahead of the code.
 PRIORITY: tuple[str, ...] = (
-    # (1) fixed or semantics-changed this round
+    # (1) fixed, semantics-changed, or new this round
     "q_json_extract", "q_dedup_simhash", "q_dedup_embedding",
     "q_ngram_jaccard", "q_ann_ivf", "q_dedup_clusters_star",
+    "q_decontaminate", "q_multimodal_resize", "q_multimodal_frames",
     # (2) no CORRECTNESS row in round 1 (driver 50-query window overflow)
     "q_tfidf", "q_asof_join", "q_sessionize", "q_tumbling_window",
     "q_sliding_window", "q_lag_lead", "q_posexplode",

@@ -109,6 +109,22 @@ def test_pii_scrub_is_map_only(spark, specs):
     assert shuffle_count(df) == 0
 
 
+def test_decontaminate_broadcasts_benchmark_grams(spark, specs):
+    # the eval-set n-gram inventory is bounded by eval-suite size → it
+    # must broadcast; corpus grams must never shuffle for this join
+    df = specs["q_decontaminate"].build(spark, SF)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_multimodal_kernels_are_map_only(spark, specs):
+    # resize and frame-sample are per-row/batch media kernels — any
+    # shuffle of blob payloads is a scale bug
+    for name in ("q_multimodal_resize", "q_multimodal_frames"):
+        df = specs[name].build(spark, SF)
+        assert shuffle_count(df) == 0, name
+
+
 def test_whole_stage_codegen_everywhere(spark, specs):
     for name in ("q_flagship", "q_group_agg", "q_project_arith"):
         df = specs[name].build(spark, SF)
