@@ -270,6 +270,68 @@ def ann_ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 5,
             .limit(k))
 
 
+PQ_M = 4                    # subspaces
+PQ_SUB_DIM = DIM // PQ_M    # dims per subspace
+PQ_K = N_CENTROIDS          # codes per subspace (k≤256 ⇒ 1 byte/code)
+
+
+def pq_codes(embeddings: DataFrame, m: int = PQ_M, sub_dim: int = PQ_SUB_DIM,
+             k: int = PQ_K, iters: int = IVF_ITERS):
+    """Product quantization: per subspace ``j`` a Lloyd codebook over
+    the j-th slice of every vector, then each vector's nearest-centroid
+    code.  Returns ``(codes_df, codebooks)``: codes = (vec_id,
+    code0..code{m-1}) — m small ints replacing dim floats (16×
+    compression at m=4, dim=64/float32), the representation that makes
+    a 100 TB embedding corpus scannable; codebooks = m tiny (k rows)
+    centroid tables.  Training reuses the exact IVF machinery
+    (kmeans_centroids/_assign_cells are slice-agnostic), so codes are
+    deterministic and oracle-reproducible."""
+    codes = None
+    books = []
+    for j in range(m):
+        sub = embeddings.select(
+            "vec_id",
+            F.slice("embedding", j * sub_dim + 1, sub_dim).alias("embedding"))
+        cent = kmeans_centroids(sub, k, iters)
+        cj = _assign_cells(sub, cent).select(
+            "vec_id", F.col("cell").alias(f"code{j}"))
+        codes = cj if codes is None else codes.join(cj, "vec_id")
+        books.append(cent)
+    return codes, books
+
+
+def ann_pq_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                k: int = 5) -> DataFrame:
+    """ANN via PQ asymmetric distance (ADC): build a lookup table of
+    squared distances from the query's j-th slice to every code-j
+    centroid, then a vector's approximate distance is the SUM of its
+    m table entries.  The scan touches only the m code columns plus m
+    BROADCAST joins against k-row LUTs — the original vectors are
+    never read at query time, which is the entire point of PQ at
+    scale.  Per-term distances round to 9 dp (same discipline as the
+    assignment argmin) so the summed rank is cross-engine stable."""
+    codes, books = pq_codes(embeddings)
+    approx = codes
+    dist_terms = []
+    for j, cent in enumerate(books):
+        qslice = (embeddings.filter(F.col("vec_id") == query_vec_id)
+                  .select(F.slice("embedding", j * PQ_SUB_DIM + 1,
+                                  PQ_SUB_DIM).alias("qe")))
+        lut = (cent.crossJoin(F.broadcast(qslice))
+               .select(F.col("cid").alias(f"code{j}"),
+                       F.round(_l2sq(F.col("qe"), F.col("cemb")), 9)
+                       .alias(f"d{j}")))
+        approx = approx.join(F.broadcast(lut), f"code{j}")
+        dist_terms.append(F.col(f"d{j}"))
+    total = dist_terms[0]
+    for t in dist_terms[1:]:
+        total = total + t
+    return (approx.filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", F.round(total, 9).alias("approx_dist"))
+            .orderBy("approx_dist", "vec_id")
+            .limit(k))
+
+
 def topk_cosine_pandas(embeddings: DataFrame, query_vec_id: int = 0,
                        k: int = 10) -> DataFrame:
     """The Pandas-UDF variant of topk_cosine: one Arrow-vectorized
@@ -351,34 +413,72 @@ _L2_SQL = ("ROUND(list_aggregate(list_transform(list_zip({e}, {c}), "
 
 
 def _kmeans_cells_sql(iters: int = IVF_ITERS, k: int = N_CENTROIDS,
-                      dim: int = DIM) -> str:
+                      dim: int = DIM, emb: str = "embedding",
+                      prefix: str = "") -> str:
     """CTE chain mirroring kmeans_centroids + final assignment —
     Lloyd unrolled (no recursion needed for a fixed iteration count).
-    Ends with a ``cells(vec_id, cell)`` CTE."""
+    Ends with a ``{prefix}cells(vec_id, cell)`` CTE.  ``emb`` is any
+    list-valued expression over an ``embeddings`` row (e.g. a slice
+    for PQ subspaces); ``prefix`` namespaces the CTEs so several
+    chains can coexist in one query."""
     def assign(name: str, cent: str) -> str:
         return f"""{name} AS (
           SELECT vec_id, cid AS cell FROM (
             SELECT e.vec_id, c.cid,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                       ORDER BY {_L2_SQL.format(e='e.embedding', c='c.cemb')}, c.cid) AS rn
+                       ORDER BY {_L2_SQL.format(e=f'({emb})', c='c.cemb')}, c.cid) AS rn
             FROM embeddings e, {cent} c) WHERE rn = 1)"""
 
-    parts = [f"""cent0 AS (
+    p = prefix
+    parts = [f"""{p}cent0 AS (
       SELECT CAST(vec_id AS INT) AS cid,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
-      FROM embeddings WHERE vec_id < {k})"""]
+             list_transform(({emb}), x -> CAST(x AS DOUBLE)) AS cemb
+      FROM embeddings e WHERE vec_id < {k})"""]
     for i in range(1, iters + 1):
-        parts.append(assign(f"assign{i}", f"cent{i - 1}"))
-        parts.append(f"""cent{i} AS (
+        parts.append(assign(f"{p}assign{i}", f"{p}cent{i - 1}"))
+        parts.append(f"""{p}cent{i} AS (
           SELECT cell AS cid, list(m ORDER BY d) AS cemb FROM (
             SELECT a.cell, d.d,
-                   CAST(SUM(CAST(CAST(e.embedding[d.d + 1] AS DOUBLE)
+                   CAST(SUM(CAST(CAST(({emb})[d.d + 1] AS DOUBLE)
                                  AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS m
-            FROM embeddings e JOIN assign{i} a USING (vec_id),
+            FROM embeddings e JOIN {p}assign{i} a USING (vec_id),
                  (SELECT unnest(range({dim})) AS d) d
             GROUP BY a.cell, d.d) GROUP BY cell)""")
-    parts.append(assign("cells", f"cent{iters}"))
+    parts.append(assign(f"{p}cells", f"{p}cent{iters}"))
     return ",\n".join(parts)
+
+def _pq_oracle_sql(k: int = 5) -> str:
+    """m prefixed k-means chains (one per subspace slice) + codes +
+    query LUTs + ADC sum — the full PQ pipeline in DuckDB."""
+    chains, luts, join_luts = [], [], ""
+    for j in range(PQ_M):
+        lo, hi = j * PQ_SUB_DIM + 1, (j + 1) * PQ_SUB_DIM
+        emb = f"e.embedding[{lo}:{hi}]"
+        chains.append(_kmeans_cells_sql(IVF_ITERS, PQ_K, PQ_SUB_DIM,
+                                        emb=emb, prefix=f"s{j}_"))
+        luts.append(f"""lut{j} AS (
+          SELECT c.cid AS code{j},
+                 ROUND({_L2_SQL.format(e='(q.qe)', c='c.cemb')}, 9) AS d{j}
+          FROM s{j}_cent{IVF_ITERS} c,
+               (SELECT embedding[{lo}:{hi}] AS qe
+                FROM embeddings WHERE vec_id = 0) q)""")
+        join_luts += f" JOIN lut{j} USING (code{j})"
+    code_cols = ", ".join(f"s{j}_cells.cell AS code{j}" for j in range(PQ_M))
+    froms = "s0_cells" + "".join(
+        f" JOIN s{j}_cells USING (vec_id)" for j in range(1, PQ_M))
+    dist = " + ".join(f"d{j}" for j in range(PQ_M))
+    return f"""
+    WITH {", ".join(chains)},
+    codes AS (
+      SELECT s0_cells.vec_id, {code_cols}
+      FROM {froms}),
+    {", ".join(luts)}
+    SELECT codes.vec_id, ROUND({dist}, 9) AS approx_dist
+    FROM codes{join_luts}
+    WHERE codes.vec_id <> 0
+    ORDER BY approx_dist, codes.vec_id LIMIT {k}
+    """
+
 
 SPECS: dict[str, Spec] = {
     "q_topk_cosine": Spec(
@@ -449,6 +549,11 @@ SPECS: dict[str, Spec] = {
         """,
         "ANN via IVF with Lloyd-iterated k-means centroids (nprobe=1 path; "
         "nprobe>1 recall pinned in tests)"),
+    "q_ann_pq": Spec(
+        lambda spark, sf: ann_pq_topk(load_table(spark, sf, "embeddings")),
+        _pq_oracle_sql(),
+        "ANN via product quantization + ADC lookup (16× compression; "
+        "query never reads original vectors)"),
     "q_topk_cosine_pandas": Spec(
         lambda spark, sf: topk_cosine_pandas(load_table(spark, sf, "embeddings")),
         f"""

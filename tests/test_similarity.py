@@ -65,6 +65,21 @@ def test_ivf_nprobe_widens_recall(spark, emb):
     assert r_all == 1.0
 
 
+def test_pq_codes_shape_and_determinism(spark, emb):
+    # codes: one row per vector, m code columns each in [0, K);
+    # repeated encoding is bit-identical (decimal-exact centroids)
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        PQ_K, PQ_M, ann_pq_topk, pq_codes)
+    codes, books = pq_codes(emb)
+    assert codes.count() == emb.count()
+    for j in range(PQ_M):
+        lo, hi = codes.agg(F.min(f"code{j}"), F.max(f"code{j}")).collect()[0]
+        assert 0 <= lo and hi < PQ_K
+    a = sorted(tuple(r) for r in ann_pq_topk(emb).collect())
+    b = sorted(tuple(r) for r in ann_pq_topk(emb).collect())
+    assert a == b
+
+
 def test_ngram_jaccard_hot_shingle_bound(spark):
     # VERDICT r1 #5: a stop-phrase shingle shared by D ≫ max_df docs
     # must NOT contribute its D·(D-1)/2 pairs — the df cap drops it
