@@ -54,6 +54,7 @@ HEADLINE = [
     "q_dedup_embedding",
     "q_dedup_clusters_star",
     "q_ann_ivf",
+    "q_ann_pq",
 ]
 
 
@@ -160,6 +161,12 @@ def main() -> None:
         "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
     }
     try:
+        # small untimed warm-up first: the cold first convert() pays
+        # XML-datasource init + codegen compilation for the wide
+        # inference aggregate (measured 19.1s cold vs 7.8s warm for
+        # the identical 400k run) — without it the single timed run
+        # mostly measures JVM warm-up, not the pipeline
+        bench_ingest(spark, 5000)
         out["ingest"] = bench_ingest(
             spark, int(os.environ.get("SPARK_GRAFT_INGEST_RECORDS", "400000")))
     except Exception:  # noqa: BLE001 — ingest bench is auxiliary evidence
