@@ -411,6 +411,26 @@ def topk_cosine_pandas(embeddings: DataFrame, query_vec_id: int = 0,
             .limit(k))
 
 
+def incremental_topk_query(spark: SparkSession, sf_dir: str,
+                           k: int = 10) -> DataFrame:
+    """Contract wrapper for streaming.similarity.run_incremental_topk:
+    stream the embeddings table micro-batch by micro-batch, merge
+    per-batch local top-k into O(k) state, return the final top-k.
+    Top-k merge is monotone, so the answer is EXACTLY the batch
+    topk_cosine result — the two queries share one oracle."""
+    import tempfile
+
+    from ..streaming.similarity import run_incremental_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding")
+            .collect()[0][0]]
+    work = tempfile.mkdtemp(prefix="inc_topk_")
+    return run_incremental_topk(spark, f"{sf_dir}/embeddings.parquet",
+                                work, qvec, k=k)
+
+
 def bucket_histogram(embeddings: DataFrame) -> DataFrame:
     """LSH bucket occupancy — the skew diagnostic you'd watch at scale."""
     return (lsh_signature(embeddings)
@@ -594,6 +614,19 @@ SPECS: dict[str, Spec] = {
         """,
         "ANN via IVF with Lloyd-iterated k-means centroids (nprobe=1 path; "
         "nprobe>1 recall pinned in tests)"),
+    "q_topk_cosine_incremental": Spec(
+        incremental_topk_query,
+        f"""
+        SELECT vec_id, label,
+               ROUND({_DOT_Q_SQL} /
+                     ({_NORM_SQL.format(c='embedding')} * {_NORM_SQL.format(c='q.q_emb')}), 6)
+                 AS cosine_sim
+        FROM embeddings, (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+        WHERE vec_id <> 0
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10
+        """,
+        "incremental streaming top-k (foreachBatch O(k)-state merge; "
+        "monotone merge ⇒ exact batch answer, same oracle as q_topk_cosine)"),
     "q_ann_pq": Spec(
         lambda spark, sf: ann_pq_topk(load_table(spark, sf, "embeddings")),
         _pq_oracle_sql(),

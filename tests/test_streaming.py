@@ -181,3 +181,26 @@ def test_streaming_record_ingest_matches_batch(spark, tmp_path):
     assert dict(got.dtypes)["creationDate"] == "timestamp_ntz"
     # metadata pivot survives with the fixed key set
     assert "metadata_Test Entry" in got.columns
+
+
+def test_incremental_topk_equals_batch(spark, tmp_path):
+    """Streaming incremental top-k (O(k)-state foreachBatch merge)
+    must produce EXACTLY the batch topk_cosine answer — the top-k
+    merge is monotone, so no approximation is tolerated.  Four chunk
+    files × maxFilesPerTrigger=1 force a genuine multi-batch merge."""
+    from pyspark.sql import functions as F
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.similarity import topk_cosine
+    from healthkit_to_sqlite_spark.streaming.similarity import (
+        run_incremental_topk)
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding")
+            .collect()[0][0]]
+    inc = run_incremental_topk(spark, f"{sf}/embeddings.parquet",
+                               str(tmp_path / "work"), qvec, k=10)
+    batch = topk_cosine(emb, k=10)
+    assert [tuple(r) for r in inc.collect()] == \
+           [tuple(r) for r in batch.collect()]
