@@ -50,6 +50,17 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\) Exchange\b", formatted_plan(df)))
 
 
+def executed_reuse_count(df: DataFrame) -> int:
+    """Reused shuffle stages in the FINAL (post-AQE) plan — how many
+    identical exchange subtrees AQE deduplicated into one materialized
+    stage.  This is the mechanism that lets a self-join compute its
+    (identical) two sides ONCE when both sit on the same explicit
+    repartition key.  Executes the query (AQE finalizes at runtime)."""
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return s.count("ReusedQueryStage") + s.count("ReusedExchange")
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """WholeStageCodegen spans in the FINAL (post-AQE) plan; fewer
     boundaries = wider fused pipelines.  Executes the query: AQE only
