@@ -483,6 +483,31 @@ def salted_agg(events: DataFrame, n_salt: int = 16) -> DataFrame:
     return totals.join(distinct_users, "event_type")
 
 
+def salted_join(events: DataFrame, n_salt: int = 8) -> DataFrame:
+    """Skew-resistant fact⋈dim equi-join: the fact side adds a salt
+    column, the dim side replicates ×``n_salt``, and the join key
+    becomes (key, salt) — a hot key's rows spread across n_salt
+    reducers instead of landing on one.  This is the join-side twin of
+    salted_agg: AQE's skew-join splits a hot partition at runtime, but
+    only AFTER it materialized the skewed shuffle; explicit salting
+    shapes the shuffle itself, which matters when one key is a large
+    fraction of the fact table (the Zipf reality of user/domain keys).
+
+    The dim here is derived per-user stats (keeps the op
+    oracle-checkable without external data); the salt provably never
+    changes the answer — the oracle is the PLAIN join.  At test scale
+    the dim would broadcast and make salting moot, so the plan
+    property (SMJ on (user_id, _salt) with broadcast disabled) is
+    pinned separately in test_plans."""
+    dim = (events.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_events_user")))
+    fact = events.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(n_salt)))
+    dim_x = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+    return (fact.join(dim_x, ["user_id", "_salt"])
+            .select("event_id", "user_id", "event_type", "n_events_user"))
+
+
 # --- specs ----------------------------------------------------------------
 
 _LSH_PAIRS_SQL = f"""
@@ -647,6 +672,16 @@ SPECS: dict[str, Spec] = {
          AND b.ts <= a.ts + INTERVAL {OVERLAP_S} SECONDS
         """,
         "bucketed time-window overlap self-join (range join as equi-join)"),
+    "q_salted_join": Spec(
+        lambda spark, sf: salted_join(load_table(spark, sf, "events")),
+        """
+        SELECT e.event_id, e.user_id, e.event_type, u.n_events_user
+        FROM events e
+        JOIN (SELECT user_id, COUNT(*) AS n_events_user
+              FROM events GROUP BY user_id) u USING (user_id)
+        """,
+        "salted skew-resistant equi-join (salt provably answer-neutral: "
+        "oracle is the plain join)"),
     "q_merge_upsert": Spec(
         lambda spark, sf: merge_upsert(
             load_table(spark, sf, "orders").select(

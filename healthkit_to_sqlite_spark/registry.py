@@ -34,7 +34,7 @@ PRIORITY: tuple[str, ...] = (
     "q_json_extract", "q_dedup_simhash", "q_dedup_embedding",
     "q_ngram_jaccard", "q_ann_ivf", "q_dedup_clusters_star",
     "q_decontaminate", "q_multimodal_resize", "q_multimodal_frames",
-    "q_ann_pq", "q_topk_cosine_incremental",
+    "q_ann_pq", "q_topk_cosine_incremental", "q_salted_join",
     # (2) no CORRECTNESS row in round 1 (driver 50-query window overflow)
     "q_tfidf", "q_asof_join", "q_sessionize", "q_tumbling_window",
     "q_sliding_window", "q_lag_lead", "q_posexplode",

@@ -137,6 +137,33 @@ def test_lsh_self_joins_reuse_one_shuffle_stage(spark, specs):
         assert executed_reuse_count(df) >= 1, name
 
 
+def test_salted_join_spreads_key_with_broadcast_off(spark, specs):
+    # with broadcast disabled (the regime where salting matters — a
+    # dim too big to broadcast), the join must be a shuffle join keyed
+    # on (user_id, _salt), never a nested loop; the salt column is
+    # what spreads one hot user across reducers
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        df = specs["q_salted_join"].build(spark, SF)
+        plan = formatted_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # formatted mode lists join keys as "Left keys [2]: [user_id…, _salt…]"
+        import re
+        left_keys = re.search(r"Left keys \[\d+\]: \[([^\]]*)\]", plan)
+        assert left_keys and "_salt" in left_keys.group(1), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_whole_stage_codegen_everywhere(spark, specs):
     for name in ("q_flagship", "q_group_agg", "q_project_arith"):
         df = specs[name].build(spark, SF)
