@@ -114,29 +114,36 @@ def resize_thumbnail(documents: DataFrame) -> DataFrame:
 
     mapInPandas, map-only, payload read once; output is fixed-width so
     downstream ops (e.g. similarity over thumbnails) are vector
-    kernels, never blob scans."""
+    kernels, never blob scans.
+
+    The thumbnail is emitted as a CSV string, not array<int>: the
+    driver's comparator canonicalizes through a pandas sort, where a
+    list-typed cell is unhashable (r02 failure mode).  A scalar column
+    keeps the contract driver-checkable; downstream vector kernels can
+    re-split cheaply (F.split + cast)."""
     src = with_blob(documents)
+    thumb_size = THUMB_SIZE  # captured by value — kernel stays closure-complete
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def thumb(payload):
             if payload is None or len(payload) == 0:
                 return []
             n = len(payload)
-            s = max(1, n // 16)
-            return [int(payload[i * s]) for i in range(16) if i * s < n]
+            s = max(1, n // thumb_size)
+            return [int(payload[i * s]) for i in range(thumb_size) if i * s < n]
 
         for pdf in batches:
             th = pdf["payload"].map(thumb)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "thumb": th,
+                "thumb_csv": th.map(lambda t: ",".join(map(str, t))),
                 "thumb_len": th.map(len),
                 "thumb_sum": th.map(sum),
             })
 
     return src.mapInPandas(
         kernel,
-        schema="doc_id long, thumb array<int>, thumb_len int, thumb_sum bigint")
+        schema="doc_id long, thumb_csv string, thumb_len int, thumb_sum bigint")
 
 
 def frame_sample(documents: DataFrame) -> DataFrame:
@@ -147,6 +154,7 @@ def frame_sample(documents: DataFrame) -> DataFrame:
     changes cardinality (unlike a scalar UDF); at scale the explode
     happens inside the Arrow batch — no shuffle, no blob duplication."""
     src = with_blob(documents)
+    fb, stride = FRAME_BYTES, FRAME_STRIDE  # by value — kernel stays closure-complete
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -155,8 +163,8 @@ def frame_sample(documents: DataFrame) -> DataFrame:
                 if payload is None:
                     continue
                 n = len(payload)
-                for fno in range(0, (n + 63) // 64, 4):
-                    fr = payload[fno * 64:(fno + 1) * 64]
+                for fno in range(0, (n + fb - 1) // fb, stride):
+                    fr = payload[fno * fb:(fno + 1) * fb]
                     ids.append(doc_id)
                     frames.append(fno)
                     lens.append(len(fr))
@@ -204,33 +212,45 @@ SELECT doc_id, n_bytes,
 FROM cp
 """
 
-_RESIZE_ORACLE = """
+# Both oracles are f-strings over the SAME module constants the Spark
+# kernels capture — changing THUMB_SIZE/FRAME_BYTES/FRAME_STRIDE can no
+# longer desync kernel and oracle (round-2 advisor finding).
+_RESIZE_ORACLE = f"""
 WITH cp AS (
   SELECT doc_id, list_transform(string_split(text, ''), c -> ord(c)) AS bs
   FROM documents),
 t AS (
   SELECT doc_id,
          list_filter(
-           list_transform(range(16),
-             i -> CASE WHEN i * greatest(len(bs) // 16, 1) < len(bs)
-                       THEN bs[i * greatest(len(bs) // 16, 1) + 1] END),
+           list_transform(range({THUMB_SIZE}),
+             i -> CASE WHEN i * greatest(len(bs) // {THUMB_SIZE}, 1) < len(bs)
+                       THEN bs[i * greatest(len(bs) // {THUMB_SIZE}, 1) + 1] END),
            x -> x IS NOT NULL) AS thumb
   FROM cp)
-SELECT doc_id, thumb, CAST(len(thumb) AS INT) AS thumb_len,
+SELECT doc_id, COALESCE(array_to_string(thumb, ','), '') AS thumb_csv,
+       CAST(len(thumb) AS INT) AS thumb_len,
        CAST(COALESCE(list_aggregate(thumb, 'sum'), 0) AS BIGINT) AS thumb_sum
 FROM t
 """
 
-_FRAMES_ORACLE = """
+# Frame range derives from len(bs) per row (correlated range unnest) —
+# no payload-size cap to silently diverge past (round-2 advisor: the
+# old range(0, 4096, 4) form broke for payloads over 256 KiB).
+_FRAMES_ORACLE = f"""
 WITH cp AS (
   SELECT doc_id, list_transform(string_split(text, ''), c -> ord(c)) AS bs
-  FROM documents)
-SELECT doc_id, CAST(f.fno AS INT) AS frame_no,
-       CAST(len(bs[f.fno * 64 + 1 : (f.fno + 1) * 64]) AS INT) AS frame_len,
-       CAST(list_aggregate(bs[f.fno * 64 + 1 : (f.fno + 1) * 64], 'sum')
-            AS BIGINT) AS frame_sum
-FROM cp, (SELECT unnest(range(0, 4096, 4)) AS fno) f
-WHERE f.fno * 64 < len(bs)
+  FROM documents),
+fr AS (
+  SELECT doc_id, bs,
+         unnest(range(0, (len(bs) + {FRAME_BYTES - 1}) // {FRAME_BYTES},
+                      {FRAME_STRIDE})) AS fno
+  FROM cp)
+SELECT doc_id, CAST(fno AS INT) AS frame_no,
+       CAST(len(bs[fno * {FRAME_BYTES} + 1 : (fno + 1) * {FRAME_BYTES}]) AS INT)
+         AS frame_len,
+       CAST(list_aggregate(bs[fno * {FRAME_BYTES} + 1 : (fno + 1) * {FRAME_BYTES}],
+                           'sum') AS BIGINT) AS frame_sum
+FROM fr
 """
 
 SPECS: dict[str, Spec] = {

@@ -116,6 +116,7 @@ def connected_components_star(edges: DataFrame,
            .distinct().localCheckpoint(eager=True))
     prev_sig = None
     rounds = 0
+    converged = False
     for _ in range(max_rounds):
         rounds += 1
         # large-star: from each node's smaller endpoint view, connect
@@ -147,8 +148,20 @@ def connected_components_star(edges: DataFrame,
         ).collect()[0]
         cur = small
         if prev_sig == (sig.n, sig.h):
+            converged = True
             break
         prev_sig = (sig.n, sig.h)
+    if not converged:
+        # A non-star (non-converged) edge set can carry several label
+        # rows per node; silently returning it would propagate
+        # nondeterministic duplicate doc_ids downstream (round-2
+        # advisor).  Star convergence is O(log n) rounds, so hitting
+        # the cap means the input (or a bug) broke the contraction
+        # invariant — fail loudly rather than emit conflicting labels.
+        raise RuntimeError(
+            f"connected_components_star: edge-set signature did not "
+            f"stabilize within max_rounds={max_rounds}; refusing to "
+            f"emit possibly-conflicting labels")
     labels = (cur.select(F.col("u").alias("node"), F.col("v").alias("label"))
               .union(cur.select(F.col("v").alias("node"),
                                 F.col("v").alias("label")))

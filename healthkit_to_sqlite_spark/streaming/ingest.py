@@ -103,7 +103,17 @@ def records_stream(spark: SparkSession, chunks_path,
     configure(spark)
     raw = (spark.readStream.format("xml").option("rowTag", "Record")
            .schema(plan.raw_schema).load(chunks_path))
-    from ..operators.schema_infer import cast_to_tag
+    from ..operators.schema_infer import CAST_TARGETS, cast_to_tag
+    # Plans serialize; a stale plan from before casts held inference
+    # tags (it once held Spark type strings like 'double') would hit
+    # cast_to_tag's unknown-tag path and silently leave raw strings
+    # (round-2 advisor).  Reject unknown tags up front instead.
+    bad = {c: t for c, t in plan.casts.items() if t not in CAST_TARGETS}
+    if bad:
+        raise ValueError(
+            f"RecordIngestPlan.casts holds non-inference-tag values {bad}; "
+            f"expected tags from {sorted(CAST_TARGETS)} — re-run "
+            f"plan_record_ingest (stale/legacy serialized plan?)")
     df = _flatten(raw, plan.metadata_keys)
     out = [cast_to_tag(F.col(c), plan.casts[c]).alias(c) if c in plan.casts
            else F.col(c) for c in df.columns]

@@ -22,6 +22,7 @@ is; the driver-side state round-trip is k≈10 rows, inside the
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,6 +32,27 @@ from ..functions import cosine_similarity
 _STATE_SCHEMA = "vec_id long, label int, cosine_sim double"
 
 
+def _latest_state(state_dir: str) -> str | None:
+    """Resolve the last durably committed state version, or None.
+
+    State layout: ``state_dir/v=<batch_id>/`` parquet versions plus a
+    ``LATEST`` pointer file.  Round 2 overwrote one flat dir in place;
+    a crash between the delete and the rewrite — before the streaming
+    checkpoint recorded the batch — lost all accumulated state, and
+    the retried batch merged against nothing (round-2 advisor).  With
+    versions, a retried batch re-reads the previous committed version
+    and rewrites only its own."""
+    ptr = os.path.join(state_dir, "LATEST")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        name = fh.read().strip()
+    d = os.path.join(state_dir, name)
+    if name and os.path.exists(os.path.join(d, "_SUCCESS")):
+        return d
+    return None
+
+
 def incremental_topk(stream: DataFrame, query_vec: list[float],
                      state_dir: str, k: int = 10, exclude_vec_id: int = 0):
     """Wire the merge: returns a ``DataStreamWriter`` whose foreachBatch
@@ -38,7 +60,7 @@ def incremental_topk(stream: DataFrame, query_vec: list[float],
     ``state_dir``.  Caller starts it with its own checkpoint/trigger."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
 
-    def merge(batch_df, _batch_id):
+    def merge(batch_df, batch_id):
         spark = batch_df.sparkSession
         cand = (batch_df
                 .filter(F.col("vec_id") != exclude_vec_id)
@@ -48,9 +70,10 @@ def incremental_topk(stream: DataFrame, query_vec: list[float],
                 .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
                 .limit(k))
         rows = [tuple(r) for r in cand.collect()]  # ≤ k rows
-        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+        prev = _latest_state(state_dir)
+        if prev is not None:
             rows += [tuple(r) for r in
-                     spark.read.schema(_STATE_SCHEMA).parquet(state_dir)
+                     spark.read.schema(_STATE_SCHEMA).parquet(prev)
                      .collect()]  # ≤ k rows
         # dedupe on vec_id (reprocessed batches under at-least-once),
         # then keep the k best — all driver-side on ≤ 2k tuples
@@ -59,15 +82,38 @@ def incremental_topk(stream: DataFrame, query_vec: list[float],
             if vec_id not in best or sim > best[vec_id][2]:
                 best[vec_id] = (vec_id, label, sim)
         top = sorted(best.values(), key=lambda t: (-t[2], t[0]))[:k]
+        # Commit protocol: write a FRESH version dir (a retried batch
+        # overwrites only its own failed attempt, never the committed
+        # previous), then atomically repoint LATEST, then best-effort
+        # GC of superseded versions.  A crash at any step leaves the
+        # last committed version readable.  (Local-fs rename is the
+        # atomic primitive here; on an object store the same pattern
+        # rides the FileSystem API / a manifest write.)
+        vname = f"v={batch_id}"
+        vdir = os.path.join(state_dir, vname)
         (spark.createDataFrame(top, _STATE_SCHEMA)
-         .coalesce(1).write.mode("overwrite").parquet(state_dir))
+         .coalesce(1).write.mode("overwrite").parquet(vdir))
+        tmp = os.path.join(state_dir, "LATEST.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(vname)
+        os.replace(tmp, os.path.join(state_dir, "LATEST"))
+        for stale in os.listdir(state_dir):
+            if stale.startswith("v=") and stale != vname:
+                shutil.rmtree(os.path.join(state_dir, stale),
+                              ignore_errors=True)
 
     return stream.writeStream.foreachBatch(merge)
 
 
 def read_topk_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The current global top-k (ordered)."""
-    return (spark.read.schema(_STATE_SCHEMA).parquet(state_dir)
+    """The current global top-k (ordered), from the last committed
+    state version."""
+    latest = _latest_state(state_dir)
+    if latest is None:
+        raise FileNotFoundError(
+            f"no committed top-k state under {state_dir} (no LATEST "
+            f"pointer / _SUCCESS-marked version)")
+    return (spark.read.schema(_STATE_SCHEMA).parquet(latest)
             .orderBy(F.col("cosine_sim").desc(), F.col("vec_id")))
 
 

@@ -94,6 +94,20 @@ def compare_query(spark, con, name, build, sql, sf_dir) -> ParityResult:
         return ParityResult(name, False,
                             f"column mismatch: spark={sorted(scols)} oracle={sorted(ocols)}",
                             len(srows), len(orows))
+    # The driver canonicalizes with pandas sort_values over ALL columns;
+    # a list/dict-typed cell is unhashable there and the whole query
+    # errors out (r02: q_multimodal_resize).  Catch that class locally:
+    # contract queries must emit scalar-typed columns only.
+    unhashable = {
+        c for df in (spdf, opdf) for c in df.columns
+        if df[c].dtype.kind == "O"
+        and df[c].map(lambda v: isinstance(v, (list, dict, set))
+                      or type(v).__name__ == "ndarray").any()}
+    if unhashable:
+        return ParityResult(
+            name, False,
+            f"driver-unsortable (list/dict) columns: {sorted(unhashable)}",
+            len(srows), len(orows))
     skinds, okinds = _dtype_kinds(spdf), _dtype_kinds(opdf)
     # int-vs-float is the driver-visible formatting divergence; only
     # flag when neither side holds NULLs (pandas itself widens nullable
