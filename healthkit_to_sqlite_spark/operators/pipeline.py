@@ -556,6 +556,122 @@ def _gram_stats_sql(src: str, prefix: str) -> str:
     """
 
 
+# --- training-order global shuffle ----------------------------------------
+
+N_SHUFFLE_SHARDS = 8
+SHUFFLE_SEED = "42"
+
+
+def _md5_bucket(col, salt: str, n_hex: int = 4):
+    """First ``n_hex`` hex digits of a salted md5, as a bigint — the
+    one deterministic cross-engine hash idiom this package uses for all
+    sampling/splitting (reproducible across reruns, engines, and
+    repartitioning, unlike RNG-based sampling)."""
+    h = F.md5(F.concat_ws(":", F.lit(salt), col.cast("string")))
+    return F.conv(F.substring(h, 1, n_hex), 16, 10).cast("bigint")
+
+
+def global_shuffle(documents: DataFrame,
+                   n_shards: int = N_SHUFFLE_SHARDS,
+                   seed: str = SHUFFLE_SEED) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets
+    a (shard, pos) — shard by hash, position by hash order within the
+    shard.
+
+    This is the at-scale form of "ORDER BY random()": a single global
+    row_number would serialize the sort tail into ONE partition (the
+    window has no PARTITION BY — a non-starter at 100 TB), so the order
+    contract is per-shard: readers consume shards in shard order, rows
+    in pos order, which is a fixed global permutation.  Both columns
+    derive from the same salted md5, so the permutation is reproducible
+    across engines and repartitioning; the window sorts each shard
+    independently (32+ parallel sorts, bounded by shard size ≈ n/8)."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws(":", F.lit("shuf"), F.lit(seed),
+                            F.col("doc_id").cast("string")))
+    shard = (_md5_bucket(F.col("doc_id"), f"shard:{seed}")
+             % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return (documents
+            .select("doc_id", shard.alias("shard"), key.alias("sort_key"))
+            .select("doc_id", "shard",
+                    F.row_number().over(w).alias("pos")))
+
+
+# --- hash-based train/val/test split --------------------------------------
+
+SPLIT_SEED = "split7"
+
+
+def train_val_test_split(documents: DataFrame,
+                         seed: str = SPLIT_SEED) -> DataFrame:
+    """80/10/10 train/val/test assignment by salted hash bucket, with
+    per-split corpus stats.  Hash-based (not RNG) assignment is the
+    training-pipeline standard: a document's split never changes as the
+    corpus grows or repartitions, and dedup/decontamination can join on
+    it deterministically.  Map-only assignment + one partial-aggregated
+    groupBy on a 3-value key."""
+    pct = _md5_bucket(F.col("doc_id"), f"split:{seed}") % 100
+    split = (F.when(pct < 80, "train")
+             .when(pct < 90, "val").otherwise("test"))
+    return (documents
+            .groupBy(split.alias("split"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.countDistinct("source").alias("n_sources")))
+
+
+# --- staged quality-filter funnel ------------------------------------------
+
+FUNNEL_LEN_LO, FUNNEL_LEN_HI = 120, 480
+FUNNEL_TTR = 0.45
+FUNNEL_LANGS = ("en", "de", "fr", "es")
+
+
+def quality_funnel(documents: DataFrame) -> DataFrame:
+    """Per-source survival counts through the standard quality-filter
+    cascade (length gate → lexical-diversity gate → language gate),
+    cumulatively: n_len ⊇ n_diversity ⊇ n_lang.
+
+    The naive form is three filtered passes over the corpus; this is
+    ONE map + one partial-aggregated groupBy — conditional aggregation
+    turns the funnel into per-row booleans, so the corpus is read once
+    no matter how many stages the cascade grows.  All gates are
+    exact-integer-derived (token counts, char counts), so the funnel is
+    engine-identical."""
+    toks = ws_tokens("text")
+    ttr = F.size(F.array_distinct(toks)) / F.size(toks)
+    s1 = F.col("n_chars").between(FUNNEL_LEN_LO, FUNNEL_LEN_HI)
+    s2 = s1 & (ttr >= FUNNEL_TTR)
+    s3 = s2 & F.col("lang").isin(*FUNNEL_LANGS)
+    one = lambda c: F.sum(c.cast("bigint")).alias  # noqa: E731
+    return (documents
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 one(s1)("n_len"),
+                 one(s2)("n_diversity"),
+                 one(s3)("n_lang")))
+
+
+# --- custom stateful streaming (applyInPandasWithState) ---------------------
+
+
+def stateful_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper for streaming.stateful.run_stateful_counts:
+    stream `events` micro-batch by micro-batch through a custom
+    applyInPandasWithState counter; the final per-user state must equal
+    the batch GROUP BY (counters only accumulate), so this custom
+    stateful operator shares a plain-SQL oracle."""
+    import tempfile
+
+    from ..streaming.stateful import run_stateful_counts
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="stateful_counts_")
+    return run_stateful_counts(spark, events, work)
+
+
 SPECS: dict[str, Spec] = {
     "q_dedup_clusters": Spec(
         lambda spark, sf: dedup_clusters(load_table(spark, sf, "documents")),
@@ -728,4 +844,73 @@ SPECS: dict[str, Spec] = {
         FROM events GROUP BY event_type
         """,
         "salted two-stage skew-resistant aggregation (oracle: plain GROUP BY)"),
+    "q_global_shuffle": Spec(
+        lambda spark, sf: global_shuffle(load_table(spark, sf, "documents")),
+        f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(CAST('0x' || substr(md5('shard:{SHUFFLE_SEED}:'
+                        || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+                      % {N_SHUFFLE_SHARDS} AS INT) AS shard,
+                 md5('shuf:{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR))
+                   AS sort_key
+          FROM documents)
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                                       ORDER BY sort_key, doc_id) AS INT) AS pos
+        FROM t
+        """,
+        "deterministic sharded training-order shuffle (salted-md5 permutation; "
+        "per-shard row_number, never a single global sort partition)"),
+    "q_train_split": Spec(
+        lambda spark, sf: train_val_test_split(load_table(spark, sf, "documents")),
+        f"""
+        WITH t AS (
+          SELECT n_chars, source,
+                 CAST('0x' || substr(md5('split:{SPLIT_SEED}:'
+                        || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
+                   AS pct
+          FROM documents)
+        SELECT CASE WHEN pct < 80 THEN 'train'
+                    WHEN pct < 90 THEN 'val' ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               COUNT(DISTINCT source) AS n_sources
+        FROM t GROUP BY 1
+        """,
+        "hash-based 80/10/10 train/val/test split with per-split stats "
+        "(assignment stable under corpus growth/repartition)"),
+    "q_quality_funnel": Spec(
+        lambda spark, sf: quality_funnel(load_table(spark, sf, "documents")),
+        f"""
+        WITH t AS (
+          SELECT source, lang,
+                 (n_chars BETWEEN {FUNNEL_LEN_LO} AND {FUNNEL_LEN_HI}) AS s1,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS ttr
+          FROM documents),
+        s AS (
+          SELECT source, s1,
+                 (s1 AND ttr >= {FUNNEL_TTR}) AS s2,
+                 (s1 AND ttr >= {FUNNEL_TTR}
+                     AND lang IN {FUNNEL_LANGS!r}) AS s3
+          FROM t)
+        SELECT source, COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+               CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_diversity,
+               CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang
+        FROM s GROUP BY source
+        """,
+        "staged quality-filter funnel as ONE conditional-agg pass "
+        "(length → lexical diversity → language), per source"),
+    "q_stateful_counts": Spec(
+        stateful_counts_query,
+        """
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM events GROUP BY user_id
+        """,
+        "custom stateful streaming counter (applyInPandasWithState, O(1) "
+        "state/key); accumulate-only ⇒ final state equals batch GROUP BY"),
 }

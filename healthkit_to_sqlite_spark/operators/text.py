@@ -92,6 +92,33 @@ def bpe_ish_token_count(documents: DataFrame) -> DataFrame:
         F.size(pieces).alias("n_bpe_tokens"))
 
 
+def ngram_counts(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k bigram frequencies — the n-gram statistics a
+    contamination/memorization audit reads (token_counts is the n=1
+    case).
+
+    The bigram array is built in-row with builtin higher-order
+    functions (transform over a 1..n-1 sequence) — no self-join of the
+    token long-form on position, which would shuffle the whole exploded
+    corpus twice.  After the in-row build: explode → partial-aggregated
+    groupBy → TakeOrdered, the same shape as token_counts.  The
+    size-guard matters: Spark's ``sequence(1, 0)`` DESCENDS (yields
+    [1,0]) rather than returning empty, so 1-token docs must shortcut
+    to an empty array explicitly."""
+    toks = ws_tokens("text")
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    bigram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(toks, i), F.element_at(toks, i + 1))
+    bigrams = F.when(F.size(toks) >= 2, F.transform(idx, bigram)) \
+        .otherwise(F.array().cast("array<string>"))
+    return (documents
+            .select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "bigram")
+            .limit(k))
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Document fingerprints: md5 of whitespace-normalized lowercase
     text, plus a 60-bit numeric fingerprint (the rolling-hash family;
@@ -185,6 +212,17 @@ SPECS: dict[str, Spec] = {
         GROUP BY token ORDER BY n DESC, token LIMIT 20
         """,
         "C4 token frequency top-k"),
+    "q_ngram_counts": Spec(
+        lambda spark, sf: ngram_counts(load_table(spark, sf, "documents")),
+        """
+        SELECT bigram, COUNT(*) AS n
+        FROM (SELECT unnest(list_transform(range(1, len(ws)),
+                                           i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+              FROM (SELECT string_split(text, ' ') AS ws FROM documents))
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+        """,
+        "corpus top-k bigram frequencies (in-row higher-order build, "
+        "no positional self-join)"),
     "q_quality_score": Spec(
         lambda spark, sf: quality_scores(load_table(spark, sf, "documents")),
         f"""

@@ -1,0 +1,97 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``:
+per-user running event counters over an unbounded event stream.
+
+This is the escape hatch the built-in windowed aggregations can't
+cover — arbitrary per-key state with user-defined merge logic (the
+Structured Streaming analog of a custom stateful operator; same role
+as Flink's KeyedProcessFunction).  The windowed/sessionized aggs in
+``streaming.windowed`` stay in built-in watermarked operators (the
+fast JVM path); this module exists for semantics those can't express
+and pins the harness: Arrow-batched state updates, explicit state
+schema, and timeout plumbing.
+
+State discipline: O(1) per key (two counters), the same bounded-state
+rule every operator in this package follows.  The update function is
+closure-complete (no module-level helpers) so it pickles to executors
+that don't have the repo on sys.path.
+
+Determinism note: the running sum accumulates integer cents
+(``floor(value * 100)``) — float addition order would otherwise make
+the final state depend on batch boundaries, and floor over identical
+IEEE doubles is engine-identical (Python round() is banker's,
+DuckDB's is half-away — floor sidesteps the class).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+OUT_SCHEMA = "user_id long, n_events long, sum_cents long"
+_STATE_SCHEMA = "n_events long, sum_cents long"
+
+
+def stateful_user_counts(stream: DataFrame) -> DataFrame:
+    """Running (n_events, sum_cents) per user_id, emitted on every
+    update — ``applyInPandasWithState`` with NoTimeout (counters are
+    meant to live for the stream's lifetime; TTL eviction would change
+    the answer)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            cents += int(np.floor(pdf["value"].to_numpy() * 100).sum())
+        state.update((n, cents))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_cents": [cents]})
+
+    return (stream.groupBy("user_id")
+            .applyInPandasWithState(update, OUT_SCHEMA, _STATE_SCHEMA,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
+def run_stateful_counts(spark: SparkSession, source: DataFrame,
+                        work_dir: str, n_chunks: int = 4) -> DataFrame:
+    """Batch-bounded end-to-end run (availableNow): re-chunk the source
+    so several micro-batches exercise the cross-batch state merge, sink
+    every update row with its batch id, and return the LAST update per
+    key — which, because the counters only ever accumulate, must equal
+    the batch ``GROUP BY user_id`` answer.  That makes this custom
+    stateful operator oracle-checkable, not rows-only.  ``source`` is a
+    bounded DataFrame (caller loads it through ``catalog.load_table``
+    so reader configs like nanos-timestamp handling are applied)."""
+    src = source.select("user_id", "value")
+    chunks_dir = os.path.join(work_dir, "chunks")
+    src.repartition(n_chunks).write.mode("overwrite").parquet(chunks_dir)
+    stream = (spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(chunks_dir))
+    out_dir = os.path.join(work_dir, "updates")
+    ckpt = os.path.join(work_dir, "ckpt")
+
+    def sink(batch_df, batch_id):
+        from pyspark.sql import functions as F
+        (batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("append").parquet(out_dir))
+
+    (stateful_user_counts(stream)
+     .writeStream.foreachBatch(sink)
+     .outputMode("update")
+     .option("checkpointLocation", ckpt)
+     .trigger(availableNow=True)
+     .start().awaitTermination())
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    updates = spark.read.parquet(out_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    return (updates.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n_events", "sum_cents"))

@@ -49,3 +49,41 @@ def test_star_handles_multiple_components_and_orientation(spark):
     labels, _ = connected_components_star(edges)
     got = {(r.node, r.label) for r in labels.collect()}
     assert got == {(1, 1), (3, 1), (5, 1), (7, 7), (9, 7), (11, 7)}
+
+
+def test_global_shuffle_is_a_permutation(spark):
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        N_SHUFFLE_SHARDS, global_shuffle)
+    docs = load_table(spark, SF, "documents")
+    n = docs.count()
+    out = global_shuffle(docs)
+    rows = out.collect()
+    assert len(rows) == n
+    assert len({r.doc_id for r in rows}) == n
+    # per shard, positions are exactly 1..|shard| (dense, no gaps)
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(N_SHUFFLE_SHARDS))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_train_split_fractions_and_stability(spark):
+    from healthkit_to_sqlite_spark.operators.pipeline import train_val_test_split
+    docs = load_table(spark, SF, "documents")
+    got = {r.split: r.n_docs for r in train_val_test_split(docs).collect()}
+    n = sum(got.values())
+    assert got["train"] / n > 0.7 and got["test"] / n < 0.2
+    # hash assignment: a subset of the corpus gets identical splits
+    sub = {r.split: r.n_docs
+           for r in train_val_test_split(docs.filter(F.col("doc_id") < 100))
+           .collect()}
+    assert sum(sub.values()) == 100 and set(sub) == set(got)
+
+
+def test_quality_funnel_is_monotone(spark):
+    from healthkit_to_sqlite_spark.operators.pipeline import quality_funnel
+    docs = load_table(spark, SF, "documents")
+    for r in quality_funnel(docs).collect():
+        assert r.n_total >= r.n_len >= r.n_diversity >= r.n_lang

@@ -208,3 +208,22 @@ def test_bucketed_join_is_shuffle_free(spark):
                 spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_global_shuffle_has_no_single_partition_sort(spark, specs):
+    # the training-order shuffle must sort per shard; a global
+    # row_number (empty PARTITION BY) plans an Exchange SinglePartition
+    # — the one-reducer scale killer this operator exists to avoid
+    plan = formatted_plan(specs["q_global_shuffle"].build(spark, SF))
+    assert "SinglePartition" not in plan
+    assert shuffle_count(specs["q_global_shuffle"].build(spark, SF)) <= 1
+
+
+def test_funnel_single_pass(spark, specs):
+    # the 3-stage funnel must stay ONE scan + ONE aggregation shuffle
+    df = specs["q_quality_funnel"].build(spark, SF)
+    assert shuffle_count(df) <= 1
+    plan = formatted_plan(df)
+    # one scan node: the formatted plan prints each node twice (tree +
+    # detail), so count the per-scan Location line instead
+    assert plan.count("Location: InMemoryFileIndex") == 1
