@@ -78,6 +78,41 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             .dropDuplicatesWithinWatermark(["event_id"]))
 
 
+def stream_stream_join(left: DataFrame, right: DataFrame,
+                       max_lag_minutes: int = 30,
+                       watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with
+    the right-stream events of the SAME user that follow it within
+    ``max_lag_minutes`` (the funnel/attribution join — "which action
+    followed which trigger").
+
+    The two state-boundedness obligations Spark imposes on
+    stream-stream joins are both explicit here: (1) watermarks on BOTH
+    sides bound how late either stream can be; (2) the time-range
+    predicate bounds how long a buffered row can still find partners —
+    together they let the join evict state instead of buffering both
+    streams forever (state is O(events per watermark+lag horizon per
+    user)).  An equi-key (user_id) keeps the join a hash shuffle, never
+    a cross-stream scan.  Batch twin: identical join condition on
+    bounded frames — equivalence pinned in tests."""
+    l = (left.select(F.col("event_id").alias("l_id"), "user_id",
+                     F.col("ts").alias("l_ts"),
+                     F.col("event_type").alias("l_type"))
+         .withWatermark("l_ts", watermark))
+    r = (right.select(F.col("event_id").alias("r_id"),
+                      F.col("user_id").alias("r_user"),
+                      F.col("ts").alias("r_ts"),
+                      F.col("event_type").alias("r_type"))
+         .withWatermark("r_ts", watermark))
+    cond = ((F.col("user_id") == F.col("r_user"))
+            & (F.col("r_ts") > F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts")
+               + F.expr(f"INTERVAL {int(max_lag_minutes)} MINUTES")))
+    return (l.join(r, cond)
+            .select("l_id", "r_id", "user_id", "l_ts", "r_ts",
+                    "l_type", "r_type"))
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static enrichment join: the static dimension is
     broadcast to every task, so the stream never shuffles — the

@@ -204,3 +204,19 @@ def test_incremental_topk_equals_batch(spark, tmp_path):
     batch = topk_cosine(emb, k=10)
     assert [tuple(r) for r in inc.collect()] == \
            [tuple(r) for r in batch.collect()]
+
+
+def test_stream_stream_join_matches_batch(spark, events_stream_dir):
+    from healthkit_to_sqlite_spark.streaming.windowed import stream_stream_join
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    src_l = spark.readStream.schema(schema).parquet(events_stream_dir)
+    src_r = spark.readStream.schema(schema).parquet(events_stream_dir)
+    got = {(r.l_id, r.r_id) for r in
+           _run_stream(spark, stream_stream_join(src_l, src_r),
+                       "ssjoin").collect()}
+
+    batch = spark.read.parquet(events_stream_dir)
+    want_df = stream_stream_join(batch, batch)
+    want = {(r.l_id, r.r_id) for r in want_df.collect()}
+    assert got == want and len(want) > 0
