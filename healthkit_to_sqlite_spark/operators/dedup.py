@@ -175,6 +175,41 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.2,
             .filter(F.col("jaccard") >= threshold))
 
 
+def containment_pairs(documents: DataFrame, threshold: float = 0.5,
+                      max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Asymmetric n-gram containment |A∩B| / min(|A|,|B|): detects
+    near-SUBSET duplication (one doc embedded in a larger one) that
+    symmetric Jaccard dilutes — a boilerplate page pasted into a long
+    document scores ~1.0 here but near 0 on Jaccard.
+
+    Same candidate shape as :func:`ngram_jaccard_pairs` (shared-shingle
+    equi-join with the hot-shingle df cap — one shingle-partitioned
+    shuffle shared by both join sides and the size aggregate under
+    AQE); only the final ratio differs, so the scale analysis there
+    carries over unchanged.  Integer counts until the final division →
+    bit-exact across engines."""
+    from pyspark.sql import Window
+
+    sh_all = word_shingles(documents)
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    sh = (sh_all.withColumn("df", df_w)
+          .filter(F.col("df") <= max_df).drop("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont = F.col("n_inter") / F.least("n_a", "n_b")
+    return (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+            .select("doc_a", "doc_b", "n_inter",
+                    F.round(cont, 6).alias("containment"))
+            .filter(F.col("containment") >= threshold))
+
+
 def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
     """SimHash: 60-bit signature, bit b set iff the majority of token
     hashes have bit b set (duplicate tokens weigh by frequency, like
@@ -301,6 +336,30 @@ SPECS: dict[str, Spec] = {
         WHERE ROUND(n_inter / (sa.n_a + sb.n_b - n_inter), 6) >= 0.2
         """,
         "n-gram Jaccard near-dup verification stage (exact, candidate-filtered)"),
+    "q_containment": Spec(
+        lambda spark, sf: containment_pairs(load_table(spark, sf, "documents")),
+        f"""
+        WITH sh0 AS ({_SHINGLES_SQL}),
+        sh AS (
+          SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM sh0)
+          WHERE df <= {MAX_SHINGLE_DF}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_inter,
+               ROUND(n_inter / least(sa.n_a, sb.n_b), 6) AS containment
+        FROM inter
+        JOIN (SELECT doc_id AS doc_a, n_sh AS n_a FROM sizes) sa USING (doc_a)
+        JOIN (SELECT doc_id AS doc_b, n_sh AS n_b FROM sizes) sb USING (doc_b)
+        WHERE ROUND(n_inter / least(sa.n_a, sb.n_b), 6) >= 0.5
+        """,
+        "asymmetric n-gram containment |A∩B|/min(|A|,|B|) — near-subset "
+        "duplication the symmetric Jaccard dilutes"),
     "q_dedup_simhash": Spec(
         lambda spark, sf: simhash(load_table(spark, sf, "documents")),
         """

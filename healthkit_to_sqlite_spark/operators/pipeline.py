@@ -197,6 +197,99 @@ def dedup_apply(documents: DataFrame) -> DataFrame:
             .select("doc_id", "lang", "source", "n_chars"))
 
 
+# --- graph ranking over the near-dup graph ---------------------------------
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def pagerank(documents: DataFrame, iters: int = PR_ITERS,
+             damping: float = PR_DAMPING) -> DataFrame:
+    """PageRank over the MinHash-LSH near-duplicate graph — the
+    canonical-document / centrality signal: within a template family,
+    the highest-rank doc is the best keeper, and rank mass flags
+    boilerplate hubs.  (Same edge input as dedup_clusters; CC answers
+    "which group", this answers "who matters inside it".)
+
+    Power iteration with a FIXED round count (``iters``), so the oracle
+    unrolls to a CTE chain — no convergence scalar needed.  Each round
+    is one equi-join (edges ⋈ ranks) + one partial-aggregated groupBy —
+    the standard distributed PageRank shape; like the CC kernels, only
+    edge-touching nodes iterate.  Cross-engine float discipline:
+    per-edge contributions are IEEE-double ops (identical everywhere),
+    per-node sums accumulate in DECIMAL(38,18) (order-independent), and
+    each round's rank is rounded to 12 dp so residual last-bit drift
+    cannot compound across rounds.  ``edges`` is localCheckpointed once
+    — it feeds deg + every round; without it the whole LSH pipeline
+    would re-run per round."""
+    pairs = minhash_lsh_pairs(documents).select("doc_a", "doc_b")
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionAll(pairs.select(F.col("doc_b").alias("src"),
+                                    F.col("doc_a").alias("dst")))
+             .localCheckpoint(eager=True))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n = deg.count() or 1  # O(1) scalar; graph is empty only if no pairs
+    # round() collapses 1-0.85 = 0.15000…02 to the same double the
+    # oracle's literal 0.15 parses to
+    base = round(1.0 - damping, 10) / n
+    state = deg.select(F.col("src").alias("doc_id"), "outdeg",
+                       F.lit(1.0 / n).alias("pr"))
+    for _ in range(iters):
+        contrib = (edges.join(state, edges.src == state.doc_id)
+                   .select(F.col("dst"),
+                           (F.col("pr") / F.col("outdeg")).alias("c")))
+        sums = (contrib.groupBy("dst")
+                .agg(F.sum(F.col("c").cast("decimal(38,18)"))
+                     .cast("double").alias("s")))
+        state = (deg.join(sums, deg.src == sums.dst)
+                 .select(F.col("src").alias("doc_id"), "outdeg",
+                         F.round(F.lit(base)
+                                 + F.lit(damping) * F.col("s"), 12).alias("pr")))
+    return state.select("doc_id", F.round("pr", 6).alias("pagerank"))
+
+
+# --- multi-dimensional data layout (Z-order) --------------------------------
+
+ZORDER_BITS = 4   # bits per dimension → 256 z-cells
+ZORDER_FILES = 16  # z-contiguous file groups
+
+
+def zorder_layout(events: DataFrame, bits: int = ZORDER_BITS,
+                  n_files: int = ZORDER_FILES) -> DataFrame:
+    """Z-order (Morton-curve) clustering for multi-dimensional data
+    skipping: bucket two independent query dimensions (user,
+    time-of-day), interleave their bits into a z-value, group rows into
+    z-contiguous "files", and emit each file's min/max range on BOTH
+    dims — exactly the footer stats a scan would prune with.
+
+    Why this matters at 100 TB: sorting by (user) alone makes user
+    predicates prunable but time predicates scan every file; the
+    z-curve bounds BOTH ranges per file (each file covers a small
+    square-ish region of the grid), so either predicate skips most
+    files.  The write path is ``repartitionByRange(n_files, zval)`` +
+    ``sortWithinPartitions(zval)`` — a single range shuffle; this
+    contract query emits the resulting layout-quality table
+    (deterministic, engine-checkable).  All bit ops are integer
+    arithmetic — bit-identical across engines."""
+    xb = F.pmod("user_id", F.lit(1 << bits)).cast("int")
+    minutes = F.hour("ts") * 60 + F.minute("ts")
+    yb = F.floor(minutes / F.lit(1440 // (1 << bits))).cast("int")
+    z = F.lit(0)
+    for i in range(bits):
+        z = (z
+             + F.shiftleft(F.shiftright(xb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+             + F.shiftleft(F.shiftright(yb, i).bitwiseAND(F.lit(1)), 2 * i))
+    cells_per_file = (1 << (2 * bits)) // n_files
+    staged = events.select(
+        xb.alias("xb"), yb.alias("yb"),
+        F.floor(z / F.lit(cells_per_file)).cast("int").alias("zfile"))
+    return (staged.groupBy("zfile")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("xb").alias("x_min"), F.max("xb").alias("x_max"),
+                 F.min("yb").alias("y_min"), F.max("yb").alias("y_max")))
+
+
 # --- C4+: Gopher-style repetition signals ---------------------------------
 
 
@@ -547,6 +640,53 @@ _BIGRAMS_SQL = """
 _TOKENS_SQL = "SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents"
 
 
+def _pagerank_oracle_sql(iters: int = PR_ITERS) -> str:
+    """Power iteration unrolled to a CTE chain (fixed round count —
+    mirrors pagerank()'s decimal-sum / 12-dp-round discipline)."""
+    rounds, prev = [], "pr0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""pr{i} AS (
+          SELECT d.src AS doc_id, d.outdeg,
+                 ROUND(CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+                       CAST(SUM(CAST(p.pr / p.outdeg AS DECIMAL(38,18)))
+                            AS DOUBLE), 12) AS pr
+          FROM edges e JOIN {prev} p ON e.src = p.doc_id
+               JOIN deg d ON d.src = e.dst, nn
+          GROUP BY d.src, d.outdeg, nn.n)""")
+        prev = f"pr{i}"
+    return f"""
+    WITH {_LSH_PAIRS_SQL},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    pr0 AS (SELECT src AS doc_id, outdeg, CAST(1.0 AS DOUBLE) / nn.n AS pr
+            FROM deg, nn),
+    {", ".join(rounds)}
+    SELECT doc_id, ROUND(pr, 6) AS pagerank FROM {prev}
+    """
+
+
+def _zorder_oracle_sql(bits: int = ZORDER_BITS,
+                       n_files: int = ZORDER_FILES) -> str:
+    z_terms = " + ".join(
+        f"(((xb >> {i}) & 1) << {2 * i + 1}) + (((yb >> {i}) & 1) << {2 * i})"
+        for i in range(bits))
+    return f"""
+    WITH staged AS (
+      SELECT CAST(user_id % {1 << bits} AS INT) AS xb,
+             CAST(floor((hour(ts) * 60 + minute(ts))
+                        / {1440 // (1 << bits)}) AS INT) AS yb
+      FROM events),
+    z AS (SELECT xb, yb, {z_terms} AS zv FROM staged)
+    SELECT CAST(floor(zv / {(1 << (2 * bits)) // n_files}) AS INT) AS zfile,
+           COUNT(*) AS n_rows,
+           MIN(xb) AS x_min, MAX(xb) AS x_max,
+           MIN(yb) AS y_min, MAX(yb) AS y_max
+    FROM z GROUP BY 1
+    """
+
+
 def _gram_stats_sql(src: str, prefix: str) -> str:
     return f"""
     SELECT doc_id, CAST(SUM(c) AS BIGINT) AS {prefix}_n, COUNT(*) AS {prefix}_distinct,
@@ -721,6 +861,16 @@ SPECS: dict[str, Spec] = {
         FROM documents d JOIN keepers USING (doc_id)
         """,
         "near-dup pipeline applied: one canonical doc per CC cluster"),
+    "q_pagerank": Spec(
+        lambda spark, sf: pagerank(load_table(spark, sf, "documents")),
+        _pagerank_oracle_sql(),
+        "PageRank over the LSH near-dup graph (fixed-round power "
+        "iteration; join+groupBy per round, edge-touching nodes only)"),
+    "q_zorder": Spec(
+        lambda spark, sf: zorder_layout(load_table(spark, sf, "events")),
+        _zorder_oracle_sql(),
+        "Z-order multi-dim layout: Morton interleave + per-file min/max "
+        "on both dims (data-skipping quality table)"),
     "q_repetition_signals": Spec(
         lambda spark, sf: repetition_signals(load_table(spark, sf, "documents")),
         f"""

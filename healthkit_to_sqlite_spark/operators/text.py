@@ -119,6 +119,33 @@ def ngram_counts(documents: DataFrame, k: int = 20) -> DataFrame:
             .limit(k))
 
 
+def vocab_topk(documents: DataFrame, k: int = 500) -> DataFrame:
+    """Tokenizer-vocabulary build: the top-``k`` tokens by corpus
+    frequency with rank, frequency share, and cumulative coverage —
+    the table a tokenizer trainer (or a coverage audit: "how many
+    vocab entries cover 95% of the corpus") reads.
+
+    Plan: explode → partial-aggregated groupBy(token) → TakeOrdered
+    ``k`` — the full vocabulary never sorts globally, only the top-k
+    heap per partition ships to the driver-side merge.  The
+    rank/cumulative window then runs over k rows (single tiny
+    partition — bounded by ``k``, not corpus size).  Counts stay
+    integers until the final share division → engine-exact."""
+    from pyspark.sql import Window
+
+    toks = documents.select(F.explode(ws_tokens("text")).alias("token"))
+    counts = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+              .orderBy(F.col("n").desc(), "token").limit(k))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    w = Window.orderBy(F.col("n").desc(), "token")
+    cum = F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (counts.join(F.broadcast(total))
+            .select("token", "n",
+                    F.row_number().over(w).alias("rank"),
+                    F.round(F.col("n") / F.col("total"), 6).alias("share"),
+                    F.round(cum / F.col("total"), 6).alias("cum_share")))
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Document fingerprints: md5 of whitespace-normalized lowercase
     text, plus a 60-bit numeric fingerprint (the rolling-hash family;
@@ -245,6 +272,25 @@ SPECS: dict[str, Spec] = {
         FROM documents
         """,
         "token counting: whitespace + BPE-ish regex pre-tokenizer"),
+    "q_vocab_topk": Spec(
+        lambda spark, sf: vocab_topk(load_table(spark, sf, "documents")),
+        """
+        WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+                      FROM documents),
+        counts AS (
+          SELECT token, COUNT(*) AS n
+          FROM toks GROUP BY token ORDER BY n DESC, token LIMIT 500),
+        tot AS (SELECT COUNT(*) AS total FROM toks)
+        SELECT token, n,
+               CAST(ROW_NUMBER() OVER ord AS INT) AS rank,
+               ROUND(CAST(n AS DOUBLE) / total, 6) AS share,
+               ROUND(CAST(SUM(n) OVER (ord ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / total, 6) AS cum_share
+        FROM counts CROSS JOIN tot
+        WINDOW ord AS (ORDER BY n DESC, token)
+        """,
+        "tokenizer-vocab build: top-k tokens + rank + cumulative "
+        "coverage share"),
     "q_fingerprint": Spec(
         lambda spark, sf: fingerprints(load_table(spark, sf, "documents")),
         """

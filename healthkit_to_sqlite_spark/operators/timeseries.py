@@ -89,6 +89,23 @@ def asof_last_click(events: DataFrame) -> DataFrame:
     return out.select("event_id", "user_id", F.col("ts"), "last_click_ts")
 
 
+def funnel_join(events: DataFrame, max_lag_minutes: int = 30) -> DataFrame:
+    """Batch twin of streaming/windowed.stream_stream_join: every
+    (click → purchase) pair of the same user where the purchase lands
+    within ``max_lag_minutes`` after the click — the attribution /
+    funnel join.
+
+    The join keeps an equi-key (user_id) so it shuffles by user and
+    applies the time-range predicate post-match; the streaming form is
+    the same condition with watermarks bounding both sides' state.
+    Batch↔stream equivalence is pinned in tests/test_streaming.py."""
+    from ..streaming.windowed import stream_stream_join
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    return stream_stream_join(clicks, purchases,
+                              max_lag_minutes=max_lag_minutes)
+
+
 def sliding_window(events: DataFrame,
                    window: str = "2 hours", slide: str = "30 minutes") -> DataFrame:
     """Sliding-window aggregate, batch form — identical expression to
@@ -185,6 +202,19 @@ SPECS: dict[str, Spec] = {
         FROM per_session GROUP BY user_id
         """,
         "sessionization addition (stateful-op analog; SURVEY.md §2.C)"),
+    "q_funnel_join": Spec(
+        lambda spark, sf: funnel_join(load_table(spark, sf, "events")),
+        """
+        SELECT c.event_id AS l_id, p.event_id AS r_id, c.user_id,
+               c.ts AS l_ts, p.ts AS r_ts,
+               c.event_type AS l_type, p.event_type AS r_type
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+        """,
+        "funnel/attribution join — batch twin of the watermarked "
+        "stream-stream join (streaming/windowed.stream_stream_join)"),
     "q_asof_join": Spec(
         lambda spark, sf: asof_last_click(load_table(spark, sf, "events")),
         """

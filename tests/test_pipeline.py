@@ -87,3 +87,41 @@ def test_quality_funnel_is_monotone(spark):
     docs = load_table(spark, SF, "documents")
     for r in quality_funnel(docs).collect():
         assert r.n_total >= r.n_len >= r.n_diversity >= r.n_lang
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark):
+    from healthkit_to_sqlite_spark.operators.pipeline import pagerank
+    docs = load_table(spark, SF, "documents")
+    rows = pagerank(docs).collect()
+    assert rows, "LSH graph should be non-empty on the test corpus"
+    # undirected graph has no dangling nodes ⇒ total rank stays 1
+    assert abs(sum(r.pagerank for r in rows) - 1.0) < 1e-3
+    assert all(r.pagerank > 0 for r in rows)
+
+
+def test_zorder_bounds_both_dims_per_file(spark):
+    from healthkit_to_sqlite_spark.operators.pipeline import zorder_layout
+    events = load_table(spark, SF, "events")
+    rows = zorder_layout(events).collect()
+    # 16 z-contiguous cells = one 4×4 block of the 16×16 grid: every
+    # file's min/max range must be tight in BOTH dims — the property
+    # that makes either-dim predicates prune (an x-sorted layout would
+    # leave y spans at 15)
+    for r in rows:
+        assert r.x_max - r.x_min <= 3, r
+        assert r.y_max - r.y_min <= 3, r
+
+
+def test_containment_catches_embedded_subset(spark):
+    from healthkit_to_sqlite_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs)
+    words_b = " ".join(f"w{i}" for i in range(12))
+    text_a = words_b + " " + " ".join(f"x{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, text_a), (2, words_b)], "doc_id long, text string")
+    got = containment_pairs(docs).collect()
+    assert len(got) == 1 and got[0].containment == 1.0
+    # the same pair scores low on symmetric Jaccard — the dilution
+    # containment exists to fix
+    jac = ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    assert jac and jac[0].jaccard < 0.2
