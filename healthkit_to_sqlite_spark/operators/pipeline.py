@@ -29,7 +29,7 @@ in connected components (O(iterations) longs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -614,6 +614,68 @@ def salted_join(events: DataFrame, n_salt: int = 8) -> DataFrame:
             .select("event_id", "user_id", "event_type", "n_events_user"))
 
 
+# --- Bloom-filter runtime-pruned semi join ---------------------------------
+
+BLOOM_BITS = 1 << 16   # 64 Kbit filter = 1024 longs ≈ 8 KB
+BLOOM_NATION = 3
+
+
+def bloom_semi_join(lineitem: DataFrame, supplier: DataFrame,
+                    nationkey: int = BLOOM_NATION,
+                    m: int = BLOOM_BITS) -> DataFrame:
+    """Semi join with an explicit Bloom runtime filter: revenue stats
+    for lineitems whose supplier sits in one nation.  The dim side's
+    keys build a k=2 Bloom bitmask (map-side partial ``bit_or``, a
+    1024-row shuffle, one broadcast map row ≈ 8 KB); the fact side
+    probes it with two O(1) bit tests BEFORE the exact semi join, so
+    only Bloom survivors reach the join.
+
+    Why at 100 TB: this is the runtime-filter / DPP pattern made
+    explicit — when the fact side must SHUFFLE to a non-broadcast semi
+    join, pushing an 8 KB filter into the fact scan first cuts the
+    shuffle to matching(+false-positive) rows, i.e. shuffle volume
+    becomes O(selectivity·n) instead of O(n).  (Spark's own
+    ``runtime.bloomFilter`` optimizer rule injects exactly this shape;
+    ``bloom_filter_agg`` isn't in the public function registry, so the
+    operator builds the filter from public primitives.)  False
+    positives are removed by the exact join, so the Bloom stage is
+    provably answer-neutral — the oracle is the plain semi join."""
+    # both sides hash the SAME physical type: xxhash64(int) ≠
+    # xxhash64(bigint) for equal values, so keys pin to bigint
+    keys = (supplier.filter(F.col("s_nationkey") == nationkey)
+            .select(F.col("s_suppkey").cast("bigint").alias("k")))
+
+    def positions(key_sql: str) -> list[str]:
+        return [f"pmod(xxhash64(CAST({key_sql} AS BIGINT)), {m})",
+                f"pmod(xxhash64(CAST({key_sql} AS BIGINT), 1), {m})"]
+
+    pos = keys.select(F.explode(F.array(
+        *[F.expr(p) for p in positions("k")])).alias("p"))
+    buckets = (pos.groupBy(F.expr("CAST(p DIV 64 AS INT)").alias("b"))
+               .agg(F.bit_or(F.expr(
+                   "shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))"))
+                   .alias("bits")))
+    bf = buckets.agg(F.map_from_entries(
+        F.collect_list(F.struct("b", "bits"))).alias("bf"))
+
+    hit = " AND ".join(
+        f"((shiftright(coalesce(element_at(bf, CAST(({p}) DIV 64 AS INT)), "
+        f"CAST(0 AS BIGINT)), CAST(pmod({p}, 64) AS INT)) & 1) = 1)"
+        for p in positions("l_suppkey"))
+    pruned = (lineitem.select("l_suppkey", "l_returnflag", "l_quantity",
+                              "l_extendedprice")
+              .crossJoin(F.broadcast(bf))
+              .filter(F.expr(hit))
+              .drop("bf"))
+    verified = pruned.join(F.broadcast(keys),
+                           pruned.l_suppkey == F.col("k"), "left_semi")
+    return (verified.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                 F.sum(dec("l_extendedprice")).cast("double")
+                 .alias("sum_price")))
+
+
 # --- specs ----------------------------------------------------------------
 
 _LSH_PAIRS_SQL = f"""
@@ -861,6 +923,23 @@ SPECS: dict[str, Spec] = {
         FROM documents d JOIN keepers USING (doc_id)
         """,
         "near-dup pipeline applied: one canonical doc per CC cluster"),
+    "q_bloom_prune": Spec(
+        lambda spark, sf: bloom_semi_join(load_table(spark, sf, "lineitem"),
+                                          load_table(spark, sf, "supplier")),
+        f"""
+        SELECT l_returnflag, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                            WHERE s_nationkey = {BLOOM_NATION})
+        GROUP BY l_returnflag
+        """,
+        "Bloom-runtime-filter pruned semi join (8 KB bitmask pushed into "
+        "the fact scan; filter provably answer-neutral — oracle is the "
+        "plain semi join)"),
     "q_pagerank": Spec(
         lambda spark, sf: pagerank(load_table(spark, sf, "documents")),
         _pagerank_oracle_sql(),

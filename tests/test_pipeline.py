@@ -112,6 +112,28 @@ def test_zorder_bounds_both_dims_per_file(spark):
         assert r.y_max - r.y_min <= 3, r
 
 
+def test_bloom_filter_prunes_nonmatching_keys(spark):
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        BLOOM_NATION, bloom_semi_join)
+    li = load_table(spark, SF, "lineitem")
+    sup = load_table(spark, SF, "supplier")
+    out = {r.l_returnflag: r.n_items
+           for r in bloom_semi_join(li, sup).collect()}
+    # exact semi-join ground truth
+    keys = {r.s_suppkey for r in
+            sup.filter(F.col("s_nationkey") == BLOOM_NATION).collect()}
+    truth: dict = {}
+    for r in li.select("l_suppkey", "l_returnflag").collect():
+        if r.l_suppkey in keys:
+            truth[r.l_returnflag] = truth.get(r.l_returnflag, 0) + 1
+    assert out == truth
+    # the 64 Kbit filter over a handful of keys must prune almost
+    # everything: false-positive rate ≈ (2k/m)² ≪ 1%
+    n_total = li.count()
+    n_match = sum(truth.values())
+    assert n_match < n_total * 0.5, "fixture: filter must be selective"
+
+
 def test_containment_catches_embedded_subset(spark):
     from healthkit_to_sqlite_spark.operators.dedup import (
         containment_pairs, ngram_jaccard_pairs)
