@@ -614,6 +614,44 @@ def salted_join(events: DataFrame, n_salt: int = 8) -> DataFrame:
             .select("event_id", "user_id", "event_type", "n_events_user"))
 
 
+# --- source-mixture rebalance ----------------------------------------------
+
+MIX_SEED = "mix1"
+
+
+def mixture_rebalance(documents: DataFrame, seed: str = MIX_SEED) -> DataFrame:
+    """Downsample over-represented sources toward a UNIFORM target
+    mixture: source ``s`` keeps each doc with probability
+    ``min(1, (N/k)/n_s)`` (N = corpus size, k = #sources, n_s = source
+    size) — the mixture-weighting step every multi-source training run
+    applies before token budgeting.
+
+    Plan shape at 100 TB: the per-source histogram is one tiny
+    partial-aggregated groupBy (k rows, broadcast back); acceptance is
+    then MAP-ONLY — salted-md5 bucket vs rate, evaluated as the pure
+    INTEGER cross-multiplication ``hb·k·n_s < N·65536`` so no float
+    rounding can disagree between engines.  Unlike stratified_sample's
+    fixed per-stratum rates, the rates here derive from the live
+    histogram by design; determinism is per (corpus, seed) — same
+    inputs give the same sample on any engine or partitioning.
+    Output: per-source before/after with achieved rate."""
+    hb = _md5_bucket(F.col("doc_id"), f"mix:{seed}")  # 0..65535
+    stats = documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = stats.agg(F.sum("n_s").alias("n_total"),
+                    F.count(F.lit(1)).alias("k"))
+    accept = (hb * F.col("k") * F.col("n_s")
+              < F.col("n_total") * F.lit(65536))
+    return (documents.select("doc_id", "source", hb.alias("hb"))
+            .join(F.broadcast(stats), "source")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("source")
+            .agg(F.max("n_s").alias("n_docs"),
+                 F.sum(accept.cast("bigint")).alias("n_kept"))
+            .select("source", "n_docs", "n_kept",
+                    F.round(F.col("n_kept") / F.col("n_docs"), 6)
+                    .alias("rate")))
+
+
 # --- Bloom-filter runtime-pruned semi join ---------------------------------
 
 BLOOM_BITS = 1 << 16   # 64 Kbit filter = 1024 longs ≈ 8 KB
@@ -923,6 +961,28 @@ SPECS: dict[str, Spec] = {
         FROM documents d JOIN keepers USING (doc_id)
         """,
         "near-dup pipeline applied: one canonical doc per CC cluster"),
+    "q_mixture_rebalance": Spec(
+        lambda spark, sf: mixture_rebalance(load_table(spark, sf, "documents")),
+        f"""
+        WITH stats AS (SELECT source, COUNT(*) AS n_s
+                       FROM documents GROUP BY source),
+        tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_total,
+                       COUNT(*) AS k FROM stats)
+        SELECT d.source,
+               CAST(MAX(s.n_s) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN CAST('0x' || substr(md5('mix:{MIX_SEED}:'
+                          || CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+                          * t.k * s.n_s < t.n_total * 65536
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               ROUND(CAST(SUM(CASE WHEN CAST('0x' || substr(md5('mix:{MIX_SEED}:'
+                          || CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+                          * t.k * s.n_s < t.n_total * 65536
+                         THEN 1 ELSE 0 END) AS DOUBLE) / MAX(s.n_s), 6) AS rate
+        FROM documents d JOIN stats s USING (source) CROSS JOIN tot t
+        GROUP BY d.source
+        """,
+        "uniform-target source-mixture rebalance: histogram-derived "
+        "acceptance rates applied map-only via integer hash compare"),
     "q_bloom_prune": Spec(
         lambda spark, sf: bloom_semi_join(load_table(spark, sf, "lineitem"),
                                           load_table(spark, sf, "supplier")),

@@ -89,6 +89,26 @@ def asof_last_click(events: DataFrame) -> DataFrame:
     return out.select("event_id", "user_id", F.col("ts"), "last_click_ts")
 
 
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session aggregates via Spark's NATIVE ``session_window``
+    operator (gap-merged dynamic windows) — the declarative twin of the
+    lag+cumsum ``sessionize``: one partial-merging aggregate, no window
+    function pass, and the identical expression runs under Structured
+    Streaming with a watermark (where lag+cumsum cannot).
+
+    Session semantics: a session spans [first ts, last ts + gap); an
+    event at exactly ``prev + gap`` starts a NEW session (windows merge
+    only on strict overlap) — the oracle's island detection uses ``>=``
+    to match.  Deterministic: boundaries derive from event times only."""
+    return (events
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dec_sum("value").alias("sum_value"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "sum_value"))
+
+
 def funnel_join(events: DataFrame, max_lag_minutes: int = 30) -> DataFrame:
     """Batch twin of streaming/windowed.stream_stream_join: every
     (click → purchase) pair of the same user where the purchase lands
@@ -202,6 +222,29 @@ SPECS: dict[str, Spec] = {
         FROM per_session GROUP BY user_id
         """,
         "sessionization addition (stateful-op analog; SURVEY.md §2.C)"),
+    "q_session_window": Spec(
+        lambda spark, sf: session_window_agg(load_table(spark, sf, "events")),
+        """
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+          SELECT user_id, ts, value,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged)
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM sess GROUP BY user_id, sid
+        """,
+        "gap-merged session aggregates via Spark's native session_window "
+        "(single aggregate, streaming-capable; oracle = island detection)"),
     "q_funnel_join": Spec(
         lambda spark, sf: funnel_join(load_table(spark, sf, "events")),
         """

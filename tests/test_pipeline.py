@@ -134,6 +134,38 @@ def test_bloom_filter_prunes_nonmatching_keys(spark):
     assert n_match < n_total * 0.5, "fixture: filter must be selective"
 
 
+def test_mixture_rebalance_targets_uniform(spark):
+    from healthkit_to_sqlite_spark.operators.pipeline import mixture_rebalance
+    docs = load_table(spark, SF, "documents")
+    rows = mixture_rebalance(docs).collect()
+    n_total = sum(r.n_docs for r in rows)
+    target = n_total / len(rows)
+    for r in rows:
+        assert 0 < r.n_kept <= r.n_docs
+        # under-represented sources keep everything; over-represented
+        # ones land near the uniform target (hash granularity ± slack)
+        if r.n_docs <= target:
+            assert r.n_kept == r.n_docs, r
+        else:
+            assert abs(r.n_kept - target) < 0.35 * target, (r, target)
+
+
+def test_session_windows_are_disjoint_per_user(spark):
+    from healthkit_to_sqlite_spark.operators.timeseries import (
+        session_window_agg)
+    events = load_table(spark, SF, "events")
+    by_user: dict = {}
+    for r in session_window_agg(events).collect():
+        assert r.n_events >= 1
+        assert r.session_end > r.session_start
+        by_user.setdefault(r.user_id, []).append(
+            (r.session_start, r.session_end))
+    for sessions in by_user.values():
+        sessions.sort()
+        for (s1, e1), (s2, _) in zip(sessions, sessions[1:]):
+            assert s2 >= e1, "gap-merged sessions must not overlap"
+
+
 def test_containment_catches_embedded_subset(spark):
     from healthkit_to_sqlite_spark.operators.dedup import (
         containment_pairs, ngram_jaccard_pairs)
