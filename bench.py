@@ -60,6 +60,18 @@ HEADLINE = [
     "q_ngram_counts",
     "q_global_shuffle",
     "q_quality_funnel",
+    # round 3 new operators: iterative graph rank, shingle-join
+    # containment, native session windows, Bloom-pruned semi join,
+    # stream-stream-shaped funnel join, Morton layout, vocab build,
+    # histogram-driven mixture rebalance
+    "q_pagerank",
+    "q_containment",
+    "q_session_window",
+    "q_bloom_prune",
+    "q_funnel_join",
+    "q_zorder",
+    "q_vocab_topk",
+    "q_mixture_rebalance",
 ]
 
 

@@ -227,3 +227,47 @@ def test_funnel_single_pass(spark, specs):
     # one scan node: the formatted plan prints each node twice (tree +
     # detail), so count the per-scan Location line instead
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_bloom_probe_prunes_before_semi_join(spark, specs):
+    # the 8 KB bitmask probe must sit as a Filter on the fact side
+    # BEFORE the exact semi join — that ordering is the whole point
+    # (prune, then join); and nothing may plan as a nested loop
+    df = specs["q_bloom_prune"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "shiftright" in plan and "LeftSemi" in plan, plan[:2000]
+    # the only nested-loop allowed is the 1-row bitmask attach (a
+    # broadcast cross carrying the probe as its condition; formatted
+    # mode prints each node twice — tree line + detail header)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_join_is_equi_join(spark, specs):
+    # stream-stream-shaped join: equi-key (user) + time-range
+    # predicate — must plan as a hash/sort-merge join with the range
+    # as a post-join condition, never a nested loop over users
+    df = specs["q_funnel_join"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_topk_never_sorts_globally(spark, specs):
+    # the corpus-wide vocabulary must reach the driver via TakeOrdered
+    # (per-partition heaps), not a global sort of all distinct tokens
+    plan = formatted_plan(specs["q_vocab_topk"].build(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_and_session_window_single_shuffle(spark, specs):
+    for name in ("q_zorder", "q_session_window"):
+        df = specs[name].build(spark, SF)
+        assert shuffle_count(df) == 1, name
+
+
+def test_mixture_rebalance_broadcasts_histogram(spark, specs):
+    # the per-source histogram (k rows) must broadcast back onto the
+    # corpus — the corpus itself must not shuffle for the stats join
+    df = specs["q_mixture_rebalance"].build(spark, SF)
+    assert has_broadcast_join(df)
