@@ -530,7 +530,8 @@ def record_tables_onepass(records: DataFrame) -> dict[str, DataFrame]:
 
 
 def convert(spark: SparkSession, zip_path: str, staging_dir: str,
-            stage_columnar: bool = True) -> dict[str, DataFrame]:
+            stage_columnar: bool = True,
+            parallel: bool = True) -> dict[str, DataFrame]:
     """E1 end-to-end (reference main.rs:88 → core.rs:42-76): stage the
     zip, read all element classes, synthesize nested columns, and
     return the logical table catalog {table_name: DataFrame} — the
@@ -543,26 +544,57 @@ def convert(spark: SparkSession, zip_path: str, staging_dir: str,
     columnar staging turns them into pruned parquet scans.  Exactly
     the reference's two-pass design rationale (core.rs:52-73), except
     pass 1 leaves behind a columnar artifact instead of being pure
-    overhead."""
+    overhead.
+
+    ``parallel``: the three element-class pipelines (workouts+routes /
+    summaries / records) are independent, but each fires several small
+    BLOCKING driver jobs (XML structure discovery, metadata key
+    census, schema votes) whose fixed latency — not data volume —
+    dominates the rare classes.  Running them on three threads lets
+    the Spark scheduler interleave those jobs instead of serializing
+    ~6 back-to-back round-trips (same-JVM A/B at 400k records incl.
+    forcing all 6 tables: 7.5→3.7s first run, 4.7→2.8s repeat;
+    identical outputs — threads only submit jobs)."""
     staged = stage_zip(zip_path, staging_dir)
-    routes = read_gpx_routes(spark, staged.routes_dir)
-    out: dict[str, DataFrame] = {}
+
     # rare classes read from their small side files (a rowTag read
     # scans its whole input; don't make it the full archive)
-    out["Workout"] = read_workouts(
-        spark, staged.workouts_xml or staged.export_xml, routes)
-    out["ActivitySummary"] = read_activity_summaries(
-        spark, staged.summaries_xml or staged.export_xml)
+    def _workouts() -> DataFrame:
+        routes = read_gpx_routes(spark, staged.routes_dir)
+        return read_workouts(
+            spark, staged.workouts_xml or staged.export_xml, routes)
+
+    def _summaries() -> DataFrame:
+        return read_activity_summaries(
+            spark, staged.summaries_xml or staged.export_xml)
+
     # records read from the boundary-safe chunk dir → one parse task
     # per chunk (a single export.xml would parse on one task)
-    records = read_records(spark, staged.records_dir or staged.export_xml)
-    if stage_columnar:
-        # NB: no leading underscore — Spark's file index hides _* paths
-        staged_records = os.path.join(staging_dir, "records-staged.parquet")
-        records.write.mode("overwrite").parquet(staged_records)
-        records = spark.read.parquet(staged_records)
-    for t, df in record_tables_onepass(records).items():
-        out[t] = df
+    def _record_tables() -> dict[str, DataFrame]:
+        records = read_records(spark, staged.records_dir or staged.export_xml)
+        if stage_columnar:
+            # NB: no leading underscore — Spark's file index hides _* paths
+            staged_records = os.path.join(staging_dir, "records-staged.parquet")
+            records.write.mode("overwrite").parquet(staged_records)
+            staged_df = spark.read.parquet(staged_records)
+        else:
+            staged_df = records
+        return record_tables_onepass(staged_df)
+
+    out: dict[str, DataFrame] = {}
+    if parallel:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            fw = ex.submit(_workouts)
+            fs = ex.submit(_summaries)
+            fr = ex.submit(_record_tables)
+            out["Workout"] = fw.result()
+            out["ActivitySummary"] = fs.result()
+            out.update(fr.result())
+    else:
+        out["Workout"] = _workouts()
+        out["ActivitySummary"] = _summaries()
+        out.update(_record_tables())
     return out
 
 
