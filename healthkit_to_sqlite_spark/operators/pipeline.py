@@ -614,6 +614,35 @@ def salted_join(events: DataFrame, n_salt: int = 8) -> DataFrame:
             .select("event_id", "user_id", "event_type", "n_events_user"))
 
 
+# --- mergeable distinct-count sketches --------------------------------------
+
+
+def hll_merge(events: DataFrame) -> DataFrame:
+    """Distinct users per event type AND overall via mergeable
+    HyperLogLog sketches (Apache DataSketches HLL, public Spark ≥3.5
+    SQL functions): one scan builds a per-type sketch; the corpus-wide
+    distinct count comes from ``hll_union_agg`` over those FIVE
+    sketches — never a second scan, never a shuffle of raw user_ids.
+
+    This mergeability is the at-scale point: per-partition /
+    per-day / per-type sketches (KBs each) roll up to any coarser
+    grain for free, where exact count-distinct must re-shuffle the
+    full key set per grain.  Estimates are deterministic for a given
+    input set (no RNG) but engine-specific → rows-only contract
+    (same declared class as q_approx_distinct); accuracy vs exact is
+    pinned in test_pipeline (<2% at lgK=12 on this corpus)."""
+    sk = (events.groupBy("event_type")
+          .agg(F.expr("hll_sketch_agg(user_id)").alias("sk")))
+    per_type = sk.select(
+        "event_type",
+        F.expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").alias("approx_users"))
+    overall = (sk.agg(F.expr(
+        "CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)")
+        .alias("approx_users"))
+        .select(F.lit("__all__").alias("event_type"), "approx_users"))
+    return per_type.unionByName(overall)
+
+
 # --- source-mixture rebalance ----------------------------------------------
 
 MIX_SEED = "mix1"
@@ -961,6 +990,11 @@ SPECS: dict[str, Spec] = {
         FROM documents d JOIN keepers USING (doc_id)
         """,
         "near-dup pipeline applied: one canonical doc per CC cluster"),
+    "q_hll_merge": Spec(
+        lambda spark, sf: hll_merge(load_table(spark, sf, "events")),
+        None,  # sketch encoding is engine-specific — rows-only check
+        "mergeable HLL distinct-count sketches: per-type sketches union "
+        "to the global count without rescanning (accuracy pinned in tests)"),
     "q_mixture_rebalance": Spec(
         lambda spark, sf: mixture_rebalance(load_table(spark, sf, "documents")),
         f"""

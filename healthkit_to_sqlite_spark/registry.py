@@ -37,6 +37,7 @@ PRIORITY: tuple[str, ...] = (
     "q_ngram_counts", "q_stateful_counts",
     "q_funnel_join", "q_containment", "q_vocab_topk", "q_pagerank",
     "q_zorder", "q_bloom_prune", "q_session_window", "q_mixture_rebalance",
+    "q_hll_merge",
     # (2) last driver row in r01 (r02 window overflow) — rotate back in
     "q_window_rank", "q_set_ops", "q_semi_anti", "q_cube",
     "q_approx_distinct", "q_percentiles", "q_histogram", "q_full_outer",

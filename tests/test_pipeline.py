@@ -166,6 +166,19 @@ def test_session_windows_are_disjoint_per_user(spark):
             assert s2 >= e1, "gap-merged sessions must not overlap"
 
 
+def test_hll_merge_accuracy(spark):
+    from healthkit_to_sqlite_spark.operators.pipeline import hll_merge
+    events = load_table(spark, SF, "events")
+    got = {r.event_type: r.approx_users for r in hll_merge(events).collect()}
+    exact = {r.event_type: r.n for r in
+             events.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    exact["__all__"] = events.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.02 * exact[k]), (k, est, exact[k])
+
+
 def test_containment_catches_embedded_subset(spark):
     from healthkit_to_sqlite_spark.operators.dedup import (
         containment_pairs, ngram_jaccard_pairs)
