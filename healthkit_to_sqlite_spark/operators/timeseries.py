@@ -143,6 +143,72 @@ def sliding_window(events: DataFrame,
                     "n", "sum_value"))
 
 
+def gapfill_hourly(events: DataFrame, max_user: int = 50) -> DataFrame:
+    """Time-series resample + gap-fill: regularize each user's event
+    stream onto an hourly grid between that user's first and last
+    active hour, filling silent hours with zero counts and a
+    forward-filled last observation — the hypertable
+    ``time_bucket_gapfill``/``locf`` shape every monitoring pipeline
+    needs before rate or trend math.
+
+    Plan: (1) hourly partial-aggregated groupBy (shuffle carries
+    groups, not events); (2) per-user min/max span — same user_id
+    partitioning, so AQE reuses the exchange; (3) the grid is
+    ``explode(sequence(h0, h1, 1 hour))`` — generated IN-ROW from two
+    scalars, never a driver-side range or a cross join; (4) left join
+    grid←aggregates on (user, hour) and one ordered window pass for
+    the locf carry-forward.  Row count = Σ_user span_hours, which the
+    ``max_user`` scan-pruned filter bounds; at 100 TB the same plan
+    holds with user_id bucketing making the join co-located."""
+    ev = events.filter(F.col("user_id") < max_user)
+    hourly = (ev.groupBy(
+        "user_id",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             dec_sum("value").alias("sum_value")))
+    spans = hourly.groupBy("user_id").agg(F.min("hour").alias("h0"),
+                                          F.max("hour").alias("h1"))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (Window.partitionBy("user_id").orderBy("hour")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return joined.select(
+        "user_id", "hour",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.col("sum_value"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
+        F.col("n").isNull().alias("is_gap"))
+
+
+def anomaly_zscore(events: DataFrame, threshold: float = 2.5) -> DataFrame:
+    """Per-type z-score outlier detection: events whose ``value``
+    deviates from their event_type's mean by more than ``threshold``
+    standard deviations.
+
+    The per-type moments aggregate in exact DECIMAL (sum and sum of
+    squares are associative there, so partition order can't drift the
+    result); mean/variance then derive in double with one expression
+    shared verbatim with the oracle — identical IEEE inputs + identical
+    operation order ⇒ bit-identical z on both engines.  The stats table
+    is K rows (one per type) and broadcast back onto the events scan:
+    one shuffle of K·partitions partial rows, one map-side join, no
+    window pass over the full stream."""
+    v = F.col("value").cast("decimal(18,2)")
+    stats = (events.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_type"),
+                  F.sum(v).cast("double").alias("s1"),
+                  F.sum(v * v).cast("double").alias("s2")))
+    mean = F.col("s1") / F.col("n_type")
+    var = F.col("s2") / F.col("n_type") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (events.join(F.broadcast(stats), "event_type")
+            .withColumn("z", F.round(z, 6))
+            .filter(F.abs(F.col("z")) >= threshold)
+            .select("event_id", "event_type", "ts", "value", "z"))
+
+
 def lag_lead_deltas(events: DataFrame) -> DataFrame:
     """LAG/LEAD offset windows: per-user inter-event gaps (seconds to
     previous and next event).  One user_id shuffle feeds both offsets
