@@ -1,0 +1,118 @@
+"""Python Data Source (`format("healthkit")`) tests: batch read parity
+with the JVM-XML ingest path, partition planning, and the streaming
+reader's offset/replay contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    from healthkit_to_sqlite_spark.sources.datasource import register
+    register(spark)
+    return spark
+
+
+def test_batch_read_counts_and_values(registered, hk_zip):
+    df = registered.read.format("healthkit").load(hk_zip)
+    rows = df.collect()
+    assert len(rows) == 5  # 3 WalkingSpeed + 2 StepCount (hk_fixture)
+    by_type = {r["type"]: r for r in rows}
+    ws = [r for r in rows
+          if r["type"] == "HKQuantityTypeIdentifierWalkingSpeed"]
+    assert len(ws) == 3
+    assert {r["value"] for r in ws} == {"2.95276", "3.10000", "2.50000"}
+    # MetadataEntry children land in the map column
+    assert ws[0]["metadata"]["Test Entry"] == "FooBar"
+    sc = by_type["HKQuantityTypeIdentifierStepCount"]
+    assert sc["unit"] == "count"
+    assert sc["metadata"] == {}
+
+
+def test_batch_parity_with_xml_reader(registered, hk_zip, hk_tables):
+    """The datasource and the JVM rowTag path agree on the Record
+    relation (count per type + value multiset)."""
+    ds = (registered.read.format("healthkit").load(hk_zip)
+          .groupBy("type").agg(F.count(F.lit(1)).alias("n"),
+                               F.sort_array(F.collect_list("value")).alias("vals")))
+    got = {r["type"]: (r["n"], r["vals"]) for r in ds.collect()}
+    for t in ("HKQuantityTypeIdentifierWalkingSpeed",
+              "HKQuantityTypeIdentifierStepCount"):
+        tbl = hk_tables[t]
+        vals = sorted(str(r[0]) for r in tbl.select(
+            F.col("value").cast("string")).collect())
+        assert got[t][0] == tbl.count()
+        # typed values (100 → "100"/"100.0" formatting differs); compare
+        # as doubles
+        assert sorted(float(v) for v in got[t][1]) == \
+            sorted(float(v) for v in vals)
+
+
+def test_partition_planning_multifile(tmp_path):
+    """Byte-range planner: record-aligned cuts, loss-free slicing."""
+    from healthkit_to_sqlite_spark.sources.datasource import (
+        _parse_slice, _record_boundaries)
+    # a synthetic export big enough to split (>1 MiB)
+    rec = (b'<Record type="T" value="%d" startDate="2020-01-01 00:00:00 '
+           b'+0000"><MetadataEntry key="k" value="v%d"/></Record>\n')
+    n = 12000
+    body = b"".join(rec % (i, i) for i in range(n))
+    p = tmp_path / "big.xml"
+    p.write_bytes(b"<HealthData>\n" + body + b"</HealthData>\n")
+    ranges = _record_boundaries(str(p), 8)
+    assert len(ranges) > 1
+    # contiguous, disjoint, covering
+    assert ranges[0][0] == 0 and ranges[-1][1] == p.stat().st_size
+    for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+        assert e1 == s2
+    data = p.read_bytes()
+    seen = []
+    for s, e in ranges:
+        for attrs, md in _parse_slice(data[s:e]):
+            seen.append(int(attrs["value"]))
+            assert md == {"k": f"v{attrs['value']}"}
+    assert sorted(seen) == list(range(n))
+
+
+def test_stream_reader_offsets(hk_zip):
+    """Offset monotonicity + exact replay between offsets."""
+    from healthkit_to_sqlite_spark.sources.datasource import (
+        HealthKitStreamReader)
+    r = HealthKitStreamReader({"path": hk_zip, "chunkbytes": "1024"})
+    pos = r.initialOffset()
+    all_rows = []
+    while pos["pos"] < r.size:
+        it, nxt = r.read(pos)
+        rows = list(it)
+        assert nxt["pos"] > pos["pos"]
+        # replay of the same range returns identical rows
+        assert list(r.readBetweenOffsets(pos, nxt)) == rows
+        all_rows += rows
+        pos = nxt
+    assert len(all_rows) == 5
+    types = {t[0] for t in all_rows}
+    assert types == {"HKQuantityTypeIdentifierWalkingSpeed",
+                     "HKQuantityTypeIdentifierStepCount"}
+
+
+def test_streaming_end_to_end(registered, hk_zip, tmp_path):
+    """readStream → availableNow → memory sink: the full Structured
+    Streaming path over the Python source."""
+    q = (registered.readStream.format("healthkit")
+         .option("chunkBytes", "1024")
+         .load(hk_zip)
+         .groupBy("type").agg(F.count(F.lit(1)).alias("n"))
+         .writeStream.format("memory").queryName("hk_stream")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    # availableNow falls back to single-batch for Simple stream readers;
+    # processAllAvailable drains every pending micro-batch instead
+    q.processAllAvailable()
+    q.stop()
+    out = {r["type"]: r["n"] for r in
+           registered.sql("SELECT * FROM hk_stream").collect()}
+    assert out == {"HKQuantityTypeIdentifierWalkingSpeed": 3,
+                   "HKQuantityTypeIdentifierStepCount": 2}
