@@ -239,6 +239,55 @@ def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
             .select("doc_id", folded.alias("simhash")))
 
 
+def _band_signatures(documents: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) long form — the reusable LSH banding
+    stage shared by the self-join and incremental variants."""
+    rows_per_band = N_HASHES // N_BANDS
+    wide = minhash_signatures(documents)
+    band_entries = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh{i}").cast("string")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_entries.append(F.struct(F.lit(b).alias("band"),
+                                     F.concat_ws(",", *cols).alias("band_sig")))
+    return (wide.select("doc_id",
+                        F.explode(F.array(*band_entries)).alias("bs"))
+            .select("doc_id", "bs.band", "bs.band_sig"))
+
+
+def incremental_dedup(documents: DataFrame,
+                      corpus_max_src: int = 10) -> DataFrame:
+    """Incremental (cross-snapshot) near-dedup: flag each NEW document
+    that LSH-collides with any document already in the CORPUS — the
+    daily-ingest shape, where re-pairing corpus×corpus every day would
+    be quadratic waste.  Here corpus = sources src0..src{max-1}, batch
+    = the rest (the fixture's stand-in for "yesterday's lake" vs
+    "today's crawl").
+
+    Only batch↔corpus collisions are generated (a one-sided equi-join
+    on (band, band_sig)), never corpus↔corpus: at 100 TB the corpus
+    side is a *precomputed, persisted, bucketed-by-band_sig* signature
+    table, so the daily job shuffles just the new batch's signatures
+    against it and appends survivors' signatures back — cost scales
+    with |batch|, not |lake|.  Output: one row per flagged new doc
+    with its earliest colliding corpus doc and collision stats."""
+    src_num = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+    sig = _band_signatures(documents)
+    membership = documents.select(
+        "doc_id", (src_num < corpus_max_src).alias("in_corpus"))
+    sig = sig.join(membership, "doc_id")
+    corpus = sig.filter(F.col("in_corpus"))
+    batch = sig.filter(~F.col("in_corpus"))
+    return (batch.alias("n")
+            .join(corpus.alias("c"),
+                  (F.col("n.band") == F.col("c.band"))
+                  & (F.col("n.band_sig") == F.col("c.band_sig")))
+            .groupBy(F.col("n.doc_id").alias("doc_id"))
+            .agg(F.min(F.col("c.doc_id")).alias("first_corpus_dup"),
+                 F.countDistinct(F.col("c.doc_id")).alias("n_corpus_dups"),
+                 F.count(F.lit(1)).alias("n_collisions")))
+
+
 def ml_minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6) -> DataFrame:
     """C2 via pyspark.ml: HashingTF over shingles → MinHashLSH →
     approxSimilarityJoin.  The library path scales via the same banding
@@ -379,6 +428,32 @@ SPECS: dict[str, Spec] = {
         FROM bits GROUP BY doc_id
         """,
         "SimHash 60-bit signatures (majority-vote bits)"),
+    "q_dedup_incremental": Spec(
+        lambda spark, sf: incremental_dedup(load_table(spark, sf, "documents")),
+        f"""
+        WITH mh AS ({_MINHASH_SQL}),
+        bands AS (
+          SELECT doc_id, CAST(i // {N_HASHES // N_BANDS} AS INT) AS band,
+                 STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_sig
+          FROM mh GROUP BY 1, 2
+        ),
+        tagged AS (
+          SELECT b.doc_id, b.band, b.band_sig,
+                 CAST(regexp_extract(d.source, 'src(\\d+)', 1) AS INT) < 10
+                   AS in_corpus
+          FROM bands b JOIN documents d USING (doc_id)
+        )
+        SELECT n.doc_id,
+               MIN(c.doc_id) AS first_corpus_dup,
+               CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_corpus_dups,
+               CAST(COUNT(*) AS BIGINT) AS n_collisions
+        FROM tagged n JOIN tagged c
+          ON n.band = c.band AND n.band_sig = c.band_sig
+        WHERE NOT n.in_corpus AND c.in_corpus
+        GROUP BY n.doc_id
+        """,
+        "incremental batch-vs-corpus LSH dedup (daily-ingest shape: cost "
+        "scales with |batch|, corpus signatures precomputed)"),
     "q_dedup_near": Spec(
         lambda spark, sf: ml_minhash_lsh_pairs(load_table(spark, sf, "documents")),
         None,  # ml hashing not reproducible in SQL — rows-only check

@@ -175,6 +175,31 @@ def json_extract_k(events: DataFrame) -> DataFrame:
     )
 
 
+def variant_extract_k(events: DataFrame) -> DataFrame:
+    """B7 via the VARIANT type (Spark 4): ``parse_json`` once into a
+    binary variant, then typed path extraction with ``try_variant_get``
+    — the modern engine answer to the reference's SQLite
+    ``json_extract`` delegation (README.md:52-58).
+
+    Vs. ``get_json_object`` (q_json_extract): the variant encodes the
+    parsed structure ONCE; N path extractions reuse it instead of
+    re-parsing the text N times, and at scale a variant column stored
+    in parquet supports shredded columnar access.  ``try_variant_get``
+    on a missing path yields NULL (counted here to pin the semantics)
+    rather than erroring."""
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.not_there", "string")
+    return (events
+            .select("event_type", k.alias("k"), missing.alias("m"))
+            .filter(F.col("k").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.max("k").alias("max_k"),
+                 F.count("m").alias("n_missing")))
+
+
 # ---------------------------------------------------------------------------
 # B8 — date/timestamp parse & parts (reference core.rs:13-19 formats)
 # ---------------------------------------------------------------------------
@@ -576,6 +601,19 @@ SPECS: dict[str, Spec] = {
         GROUP BY event_type
         """,
         "B7 json_extract (reference README.md:52-58)"),
+    "q_variant_extract": Spec(
+        _q(("events",), variant_extract_k),
+        """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+               CAST(COUNT(json_extract_string(props, '$.not_there')) AS BIGINT) AS n_missing
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        GROUP BY event_type
+        """,
+        "B7 via Spark 4 VARIANT (parse_json + try_variant_get typed paths; "
+        "single parse, shredded-columnar-ready)"),
     "q_date_parse": Spec(
         _q(("events",), date_parse),
         """

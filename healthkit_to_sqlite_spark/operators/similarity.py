@@ -401,6 +401,46 @@ def ann_pq_topk(embeddings: DataFrame, query_vec_id: int = 0,
             .limit(k))
 
 
+SEMANTIC_COS = 0.4  # intra-cluster near-duplicate threshold
+
+
+def semantic_dedup(embeddings: DataFrame,
+                   min_cosine: float = SEMANTIC_COS,
+                   n_centroids: int = N_CENTROIDS,
+                   iters: int = IVF_ITERS) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: k-means-cluster the
+    embedding space (reusing the deterministic Lloyd quantizer), then
+    compare ONLY within each cluster and drop every vector that has a
+    lower-id neighbor above the cosine threshold.
+
+    This is the published semantic-dedup recipe for web-scale corpora:
+    clustering bounds the pair search to Σ|cell|² (an equi-join on the
+    cell id — same shape as the LSH bucket join, with the quantizer
+    instead of random planes deciding the buckets), and the
+    deterministic lowest-id-wins keeper rule replaces the paper's
+    arbitrary-order greedy scan so both engines agree exactly.  A
+    vector whose nearest semantic twin lands in another cell is missed
+    — the standard recall tradeoff, tunable via n_centroids (and the
+    same caveat the paper accepts).  Output: every vector with its
+    cell and keep flag."""
+    cells = ivf_cells(embeddings, n_centroids, iters)
+    withv = (cells.join(embeddings.select("vec_id", "embedding"), "vec_id")
+             .select("vec_id", "cell", "embedding",
+                     l2_norm(F.col("embedding")).alias("nrm")))
+    a, b = withv.alias("a"), withv.alias("b")
+    sim = cosine_from_norms(F.col("a.embedding"), F.col("b.embedding"),
+                            F.col("a.nrm"), F.col("b.nrm"))
+    dup = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                  & (F.col("b.vec_id") < F.col("a.vec_id")))
+           .filter(F.round(sim, 6) >= min_cosine)
+           .select(F.col("a.vec_id").alias("vec_id"))
+           .distinct()
+           .withColumn("is_dup", F.lit(True)))
+    return (cells.join(dup, "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep")))
+
+
 def topk_cosine_pandas(embeddings: DataFrame, query_vec_id: int = 0,
                        k: int = 10) -> DataFrame:
     """The Pandas-UDF variant of topk_cosine: one Arrow-vectorized
@@ -647,6 +687,26 @@ SPECS: dict[str, Spec] = {
         """,
         "ANN via IVF with Lloyd-iterated k-means centroids (nprobe=1 path; "
         "nprobe>1 recall pinned in tests)"),
+    "q_dedup_semantic": Spec(
+        lambda spark, sf: semantic_dedup(load_table(spark, sf, "embeddings")),
+        f"""
+        WITH {_kmeans_cells_sql()},
+        withv AS (
+          SELECT c.vec_id, c.cell, e.embedding
+          FROM cells c JOIN embeddings e USING (vec_id)),
+        dup AS (
+          SELECT DISTINCT a.vec_id
+          FROM withv a JOIN withv b
+            ON a.cell = b.cell AND b.vec_id < a.vec_id
+          WHERE ROUND(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+                      ({_NORM_SQL.format(c='a.embedding')} * {_NORM_SQL.format(c='b.embedding')}),
+                      6) >= {SEMANTIC_COS})
+        SELECT c.vec_id, c.cell, d.vec_id IS NULL AS keep
+        FROM cells c LEFT JOIN dup d ON c.vec_id = d.vec_id
+        """,
+        "SemDeDup-shaped semantic dedup: k-means cells bound the pair "
+        "search; deterministic lowest-id keeper within cluster"),
     "q_topk_cosine_incremental": Spec(
         incremental_topk_query,
         f"""

@@ -103,6 +103,57 @@ def ann_brp_lsh(embeddings: DataFrame, threshold: float = 1.2) -> DataFrame:
                     F.round("l2_dist", 6).alias("l2_dist")))
 
 
+def cogroup_attribution(events: DataFrame) -> DataFrame:
+    """Cogrouped-pandas surface pin: per-user purchase→last-click
+    attribution via ``groupBy().cogroup().applyInPandas`` running
+    ``pd.merge_asof`` on each (purchases, clicks) group pair.
+
+    The cogroup is the fourth pandas extension point (scalar / grouped
+    map / grouped agg are pinned elsewhere): Spark shuffles BOTH sides
+    by the group key and hands each key's two frames to one Arrow
+    batch — the natural home for per-entity stream alignment that
+    needs imperative pandas semantics.  Scale shape: one co-shuffle on
+    user_id, group-local O(n log n) sorts, no driver involvement;
+    skewed users are the caveat (a single user's pair must fit one
+    task).  The engine-native equivalent is timeseries.asof_join
+    (union + last-over-window) — this pins API parity and proves the
+    two strategies agree with one SQL oracle."""
+    ev = events.select("user_id", "event_id", "ts", "event_type")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+
+    schema = ("user_id bigint, purchase_id bigint, purchase_ts timestamp_ntz, "
+              "click_id bigint, gap_s double")
+
+    def merge(left, right):
+        import pandas as pd
+        left = left.sort_values(["ts", "event_id"])
+        if right.empty:
+            out = left.assign(click_event_id=pd.Series(dtype="Int64"),
+                              click_ts=pd.Series(dtype=left["ts"].dtype))
+        else:
+            right = (right.sort_values(["ts", "event_id"])
+                     .rename(columns={"event_id": "click_event_id",
+                                      "ts": "click_ts"}))
+            # merge_asof keeps the LAST right row ≤ left ts; right is
+            # sorted (ts, event_id) so ties resolve to max event_id
+            out = pd.merge_asof(left, right[["click_event_id", "click_ts"]],
+                                left_on="ts", right_on="click_ts",
+                                direction="backward")
+        gap = (out["ts"] - out["click_ts"]).dt.total_seconds()
+        return pd.DataFrame({
+            "user_id": out["user_id"],
+            "purchase_id": out["event_id"],
+            "purchase_ts": out["ts"],
+            "click_id": out["click_event_id"].astype("Int64"),
+            "gap_s": gap,
+        })
+
+    return (purchases.groupBy("user_id")
+            .cogroup(clicks.groupBy("user_id"))
+            .applyInPandas(merge, schema))
+
+
 SPECS: dict[str, Spec] = {
     "q_udtf_chunks": Spec(
         lambda spark, sf: chunk_sentences(
@@ -129,6 +180,30 @@ SPECS: dict[str, Spec] = {
         FROM lineitem GROUP BY l_returnflag
         """,
         "pandas GROUPED_AGG UDAF vs engine-native order statistic"),
+    "q_cogroup_asof": Spec(
+        lambda spark, sf: cogroup_attribution(load_table(spark, sf, "events")),
+        """
+        WITH p AS (SELECT user_id, event_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, event_id, ts FROM events
+                   WHERE event_type = 'click'),
+             j AS (
+               SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+                      c.event_id AS click_id, c.ts AS click_ts,
+                      ROW_NUMBER() OVER (PARTITION BY p.event_id
+                          ORDER BY c.ts DESC, c.event_id DESC) AS rn
+               FROM p LEFT JOIN c
+                 ON c.user_id = p.user_id AND c.ts <= p.ts)
+        SELECT user_id, purchase_id,
+               strptime(strftime(purchase_ts, '%Y-%m-%d %H:%M:%S.%f'),
+                        '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+               click_id,
+               CAST(date_sub('microsecond', click_ts, purchase_ts) AS DOUBLE)
+                 / 1000000 AS gap_s
+        FROM j WHERE rn = 1
+        """,
+        "cogrouped applyInPandas (merge_asof attribution) — pandas "
+        "cogroup API pin; same oracle family as q_asof_join"),
     "q_ann_brp": Spec(
         lambda spark, sf: ann_brp_lsh(load_table(spark, sf, "embeddings")),
         None,  # ml random projections not SQL-reproducible — rows-only
