@@ -72,6 +72,12 @@ HEADLINE = [
     "q_zorder",
     "q_vocab_topk",
     "q_mixture_rebalance",
+    # round 3 session 2: variant JSON, cogrouped pandas as-of,
+    # incremental batch-vs-corpus dedup, semantic (k-means) dedup
+    "q_variant_extract",
+    "q_cogroup_asof",
+    "q_dedup_incremental",
+    "q_dedup_semantic",
 ]
 
 

@@ -271,3 +271,33 @@ def test_mixture_rebalance_broadcasts_histogram(spark, specs):
     # corpus — the corpus itself must not shuffle for the stats join
     df = specs["q_mixture_rebalance"].build(spark, SF)
     assert has_broadcast_join(df)
+
+
+def test_incremental_dedup_is_one_sided_equi_join(spark, specs):
+    # batch↔corpus collisions only: an equi-join on (band, band_sig),
+    # never a nested loop; corpus×corpus pairs are never generated
+    # (the join's two sides are disjoint filters of the signature set)
+    df = specs["q_dedup_incremental"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pairs_are_cell_local(spark, specs):
+    # the pair search must be an equi-join on the k-means cell id —
+    # the O(n²) scan bounded to Σ|cell|²; no nested-loop anywhere
+    df = specs["q_dedup_semantic"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # nested loops may appear only as K-row centroid broadcasts into
+    # the assignment scans (crossJoin(broadcast(cent))); the pair
+    # search itself must be a hash or sort-merge equi-join on cell
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_variant_extract_single_shuffle(spark, specs):
+    # parse_json + typed paths stay in the projection; one aggregate
+    # exchange total
+    df = specs["q_variant_extract"].build(spark, SF)
+    assert shuffle_count(df) == 1

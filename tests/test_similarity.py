@@ -93,3 +93,41 @@ def test_ngram_jaccard_hot_shingle_bound(spark):
     assert capped.count() == 0
     uncapped = ngram_jaccard_pairs(docs, threshold=0.0, max_df=10_000)
     assert uncapped.count() == 100 * 99 // 2
+
+
+def test_semantic_dedup_drops_exact_twins(spark):
+    # two identical vectors must land in the same k-means cell and the
+    # higher-id one must lose its keep flag; a distant vector keeps it
+    from healthkit_to_sqlite_spark.operators.similarity import semantic_dedup
+
+    base = [1.0] + [0.0] * 63
+    far = [0.0] * 32 + [1.0] + [0.0] * 31
+    rows = [(0, base, "a"), (1, base, "a_dup"), (2, far, "b")]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label string")
+    # 2 centroids seeded from vec 0/1 (identical) — vec 1's centroid
+    # loses all members after round 1 and drops out; all three vectors
+    # then assign deterministically
+    out = {r["vec_id"]: (r["cell"], r["keep"])
+           for r in semantic_dedup(df, min_cosine=0.9,
+                                   n_centroids=2, iters=1).collect()}
+    assert out[0][1] is True          # lowest id kept
+    assert out[1][1] is False         # identical twin dropped
+    assert out[2][1] is True          # distant vector kept
+    assert out[0][0] == out[1][0]     # twins share a cell
+
+
+def test_incremental_dedup_only_flags_batch_docs(spark):
+    # output doc_ids must all come from the batch side (src10+), and
+    # every first_corpus_dup from the corpus side (src0-src9)
+    from healthkit_to_sqlite_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, SF, "documents")
+    out = incremental_dedup(docs).collect()
+    assert len(out) > 0
+    src = {r["doc_id"]: r["source"] for r in
+           docs.select("doc_id", "source").collect()}
+    for r in out:
+        assert int(src[r["doc_id"]][3:]) >= 10
+        assert int(src[r["first_corpus_dup"]][3:]) < 10
+        assert r["n_corpus_dups"] >= 1
