@@ -78,6 +78,7 @@ HEADLINE = [
     "q_cogroup_asof",
     "q_dedup_incremental",
     "q_dedup_semantic",
+    "q_skew_report",
 ]
 
 

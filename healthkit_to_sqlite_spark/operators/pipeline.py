@@ -923,6 +923,39 @@ def quality_funnel(documents: DataFrame) -> DataFrame:
                  one(s3)("n_lang")))
 
 
+def skew_report(df: DataFrame, key: str = "o_custkey") -> DataFrame:
+    """Key-skew diagnostics — the report you run BEFORE choosing a
+    partitioning/salting strategy at scale: per-key count distribution
+    (max / interpolated p50/p90/p99 / mean), key and row totals, and
+    the heaviest key with its row share.
+
+    Shape: one partial-aggregated groupBy to per-key counts (shuffle
+    carries one row per key), then a singleton global aggregate and a
+    1-row TakeOrdered for the top key — nothing driver-side, output is
+    one row regardless of input size.  This is the exact analog of the
+    skew probes AQE runs internally, surfaced as data: top1_share ≈ 1/K
+    means uniform; top1_share ≫ 1/K says salt this key (the q_salted_*
+    operators are the remedies)."""
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+    top = (counts.orderBy(F.col("cnt").desc(), F.col("key"))
+           .limit(1)
+           .select(F.col("key").alias("top1_key"),
+                   F.col("cnt").alias("top1_cnt")))
+    stats = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 4).alias("p50_cnt"),
+        F.round(F.expr("percentile(cnt, 0.9)"), 4).alias("p90_cnt"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
+        F.round(F.sum("cnt") / F.count(F.lit(1)), 4).alias("avg_cnt"))
+    return (stats.crossJoin(F.broadcast(top))
+            .withColumn("top1_share",
+                        F.round(F.col("top1_cnt") / F.col("n_rows"), 6))
+            .drop("top1_cnt"))
+
+
 # --- custom stateful streaming (applyInPandasWithState) ---------------------
 
 
@@ -939,6 +972,19 @@ def stateful_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="stateful_counts_")
     return run_stateful_counts(spark, events, work)
+
+
+def transform_state_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper for streaming.transform_state (the Spark 4
+    state-API-v2 MapState processor); accumulate-only ⇒ final state
+    equals the batch GROUP BY, sharing a plain-SQL oracle."""
+    import tempfile
+
+    from ..streaming.transform_state import run_transform_state_counts
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="transform_state_")
+    return run_transform_state_counts(spark, events, work)
 
 
 SPECS: dict[str, Spec] = {
@@ -1236,4 +1282,34 @@ SPECS: dict[str, Spec] = {
         """,
         "custom stateful streaming counter (applyInPandasWithState, O(1) "
         "state/key); accumulate-only ⇒ final state equals batch GROUP BY"),
+    # q_transform_state (streaming.transform_state, state API v2) is
+    # deliberately NOT registered: the transformWithStateInPandas
+    # driver worker needs the protobuf package, absent from this
+    # container (no installs allowed).  The module + its gated test
+    # (tests/test_streaming.py::test_transform_state_counts) activate
+    # wherever protobuf exists; applyInPandasWithState
+    # (q_stateful_counts) covers custom stateful streaming in the
+    # contract meanwhile.
+    "q_skew_report": Spec(
+        lambda spark, sf: skew_report(load_table(spark, sf, "orders")),
+        """
+        WITH c AS (
+          SELECT o_custkey AS key, COUNT(*) AS cnt
+          FROM orders GROUP BY o_custkey),
+        t AS (SELECT key AS top1_key, cnt AS top1_cnt FROM c
+              ORDER BY cnt DESC, key LIMIT 1)
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+               ROUND(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+               ROUND(quantile_cont(cnt, 0.9), 4) AS p90_cnt,
+               ROUND(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+               ROUND(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 4) AS avg_cnt,
+               (SELECT top1_key FROM t) AS top1_key,
+               ROUND(CAST((SELECT top1_cnt FROM t) AS DOUBLE) / SUM(cnt), 6)
+                 AS top1_share
+        FROM c
+        """,
+        "key-skew diagnostics (per-key count distribution + heaviest-key "
+        "share) — the pre-salting probe; remedies are q_salted_agg/join"),
 }

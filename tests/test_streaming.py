@@ -220,3 +220,23 @@ def test_stream_stream_join_matches_batch(spark, events_stream_dir):
     want_df = stream_stream_join(batch, batch)
     want = {(r.l_id, r.r_id) for r in want_df.collect()}
     assert got == want and len(want) > 0
+
+
+def test_transform_state_counts(spark, tmp_path):
+    """State API v2 (transformWithStateInPandas, MapState, RocksDB
+    provider): final emitted counts equal the batch GROUP BY.  Skips
+    where protobuf is unavailable (the v2 state-server protocol needs
+    it; this container ships without)."""
+    pytest.importorskip("google.protobuf")
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.streaming.transform_state import (
+        run_transform_state_counts)
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    got = {(r["user_id"], r["event_type"]): r["n"]
+           for r in run_transform_state_counts(
+               spark, events, str(tmp_path / "tws")).collect()}
+    want = {(r["user_id"], r["event_type"]): r["n"]
+            for r in events.groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
