@@ -79,6 +79,7 @@ HEADLINE = [
     "q_dedup_incremental",
     "q_dedup_semantic",
     "q_skew_report",
+    "q_dedup_normalized",
 ]
 
 

@@ -54,6 +54,27 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
                  F.count(F.lit(1)).alias("n_copies")))
 
 
+def normalized_dedup(documents: DataFrame) -> DataFrame:
+    """Normalized-exact dedup: casefold, strip punctuation, collapse
+    whitespace, THEN hash-groupBy — catches the trivially-reformatted
+    duplicates (case, spacing, punctuation) that byte-exact dedup
+    misses while staying a pure map + one groupBy (the same shape and
+    scale profile as :func:`exact_dedup`).  In production corpora this
+    normalized pass typically removes 2-5× more than byte-exact dedup
+    at identical cost, which is why it is the standard first stage
+    before any LSH machinery.  Normalization is ASCII-regex based so
+    both engines agree byte-for-byte (Unicode NFC/NFKC fold is the
+    production upgrade; Spark-side it is one extra UDF-free
+    ``translate``/ICU step, documented rather than faked here)."""
+    canon = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+        r"\s+", " "))
+    return (documents
+            .groupBy(F.md5(canon).alias("canon_md5"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
 def word_shingles(documents: DataFrame, k: int = SHINGLE) -> DataFrame:
     """doc_id × distinct k-word shingle (long form)."""
     toks = ws_tokens("text")
@@ -347,6 +368,17 @@ SPECS: dict[str, Spec] = {
         FROM documents GROUP BY md5(text)
         """,
         "C1 exact dedup (hash-groupBy, deterministic keeper)"),
+    "q_dedup_normalized": Spec(
+        lambda spark, sf: normalized_dedup(load_table(spark, sf, "documents")),
+        r"""
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS canon_md5,
+               MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+        """,
+        "normalized-exact dedup (casefold/punct-strip/ws-collapse before "
+        "hash — the standard first pass ahead of LSH; same cost as C1)"),
     "q_dedup_minhash_lsh": Spec(
         lambda spark, sf: minhash_lsh_pairs(load_table(spark, sf, "documents")),
         f"""
