@@ -80,6 +80,7 @@ HEADLINE = [
     "q_dedup_semantic",
     "q_skew_report",
     "q_dedup_normalized",
+    "q_ivf_postings",
 ]
 
 

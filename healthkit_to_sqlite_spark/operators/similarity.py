@@ -495,6 +495,26 @@ def incremental_topk_query(spark: SparkSession, sf_dir: str,
                                 work, qvec, k=k)
 
 
+def ivf_postings(embeddings: DataFrame) -> DataFrame:
+    """IVF index BUILD artifact: one row per cell with its posting
+    list (sorted vec_ids, CSV-serialized — the comparator cannot hash
+    array cells) and occupancy.  This is the table an ANN serving
+    layer consumes: query time = probe nprobe cells → scan their
+    postings.  One extra groupBy over the assignment; posting arrays
+    are written once and append-merged on ingest (the incremental
+    story), while occupancy doubles as the rebalance signal (a cell
+    growing hot ⇒ split/re-train, same remedy as any hot key).  CSV
+    cells are bounded here (≤n/K ids); at 100 TB the postings column
+    is a real array written to parquet and the CSV view is just the
+    contract surface."""
+    cells = ivf_cells(embeddings)
+    return (cells.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("vec_id")),
+                     lambda v: v.cast("string"))).alias("postings")))
+
+
 def bucket_histogram(embeddings: DataFrame) -> DataFrame:
     """LSH bucket occupancy — the skew diagnostic you'd watch at scale."""
     return (lsh_signature(embeddings)
@@ -707,6 +727,17 @@ SPECS: dict[str, Spec] = {
         """,
         "SemDeDup-shaped semantic dedup: k-means cells bound the pair "
         "search; deterministic lowest-id keeper within cluster"),
+    "q_ivf_postings": Spec(
+        lambda spark, sf: ivf_postings(load_table(spark, sf, "embeddings")),
+        f"""
+        WITH {_kmeans_cells_sql()}
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               STRING_AGG(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id)
+                 AS postings
+        FROM cells GROUP BY cell
+        """,
+        "IVF index build: per-cell posting lists + occupancy (the ANN "
+        "serving artifact; occupancy doubles as the rebalance signal)"),
     "q_topk_cosine_incremental": Spec(
         incremental_topk_query,
         f"""
