@@ -81,6 +81,7 @@ HEADLINE = [
     "q_skew_report",
     "q_dedup_normalized",
     "q_ivf_postings",
+    "q_expectations",
 ]
 
 

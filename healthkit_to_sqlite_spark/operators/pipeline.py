@@ -956,6 +956,38 @@ def skew_report(df: DataFrame, key: str = "o_custkey") -> DataFrame:
             .drop("top1_cnt"))
 
 
+def expectations_report(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Data-quality expectations suite — the validation gate a 100 TB
+    pipeline runs before promoting a snapshot: required-column null
+    counts, primary-key duplicate count, referential orphans, and
+    domain-range violations, each as a violation COUNT in one row.
+
+    Shapes: null/range checks are conditional sums inside ONE
+    partial-aggregated scan per table (adding expectations never adds
+    scans — same single-pass trick as the quality funnel); the PK check
+    is a groupBy(key) counting keys seen twice; the referential check
+    is a left-anti join lineitem→orders (the same broadcast/shuffle
+    planning any semi join gets).  All counts are exact integers —
+    engine-identical.  A zero row means the snapshot passes; the
+    columns name the violated expectation directly."""
+    o_scan = orders.agg(
+        F.sum(F.col("o_custkey").isNull().cast("bigint")).alias("o_null_custkey"),
+        F.sum(F.col("o_totalprice").isNull().cast("bigint")).alias("o_null_price"),
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias("o_nonpos_price"))
+    o_dupes = (orders.groupBy("o_orderkey")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .agg(F.sum((F.col("n") > 1).cast("bigint")).alias("o_dup_pk")))
+    l_scan = lineitem.agg(
+        F.sum(F.col("l_quantity").isNull().cast("bigint")).alias("l_null_qty"),
+        F.sum((F.col("l_discount") < 0).cast("bigint")
+              + (F.col("l_discount") > 1).cast("bigint")).alias("l_bad_discount"))
+    orphans = (lineitem.join(orders.select("o_orderkey"),
+                             lineitem.l_orderkey == orders.o_orderkey,
+                             "left_anti")
+               .agg(F.count(F.lit(1)).alias("l_orphans")))
+    return (o_scan.crossJoin(o_dupes).crossJoin(l_scan).crossJoin(orphans))
+
+
 # --- custom stateful streaming (applyInPandasWithState) ---------------------
 
 
@@ -1290,6 +1322,31 @@ SPECS: dict[str, Spec] = {
     # wherever protobuf exists; applyInPandasWithState
     # (q_stateful_counts) covers custom stateful streaming in the
     # contract meanwhile.
+    "q_expectations": Spec(
+        lambda spark, sf: expectations_report(load_table(spark, sf, "orders"),
+                                              load_table(spark, sf, "lineitem")),
+        """
+        SELECT
+          (SELECT CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT)
+           FROM orders) AS o_null_custkey,
+          (SELECT CAST(COUNT(*) FILTER (o_totalprice IS NULL) AS BIGINT)
+           FROM orders) AS o_null_price,
+          (SELECT CAST(COUNT(*) FILTER (o_totalprice <= 0) AS BIGINT)
+           FROM orders) AS o_nonpos_price,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM
+             (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+              HAVING COUNT(*) > 1)) AS o_dup_pk,
+          (SELECT CAST(COUNT(*) FILTER (l_quantity IS NULL) AS BIGINT)
+           FROM lineitem) AS l_null_qty,
+          (SELECT CAST(COUNT(*) FILTER (l_discount < 0) AS BIGINT)
+                + CAST(COUNT(*) FILTER (l_discount > 1) AS BIGINT)
+           FROM lineitem) AS l_bad_discount,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+           WHERE NOT EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_orderkey = l.l_orderkey)) AS l_orphans
+        """,
+        "data-quality expectations gate (null/PK-dup/referential/range "
+        "violation counts; single scan per table + one anti join)"),
     "q_skew_report": Spec(
         lambda spark, sf: skew_report(load_table(spark, sf, "orders")),
         """

@@ -34,6 +34,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE's coalesce floor (default 1m) collapses small shuffles to ONE
+    # partition — correct for JVM operators, pathological ahead of
+    # per-group Python ops (cogroup/applyInPandas serialize every
+    # group through one worker: q_cogroup_asof measured 12.8s at 1
+    # partition vs 1.5s at 10).  A 64k floor only changes behavior
+    # when a shuffle is tiny (the floor never binds at real scale,
+    # where targets ≫ 1m), and A/B shows no JVM-side cost.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
 }
 
 

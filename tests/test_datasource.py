@@ -116,3 +116,38 @@ def test_streaming_end_to_end(registered, hk_zip, tmp_path):
            registered.sql("SELECT * FROM hk_stream").collect()}
     assert out == {"HKQuantityTypeIdentifierWalkingSpeed": 3,
                    "HKQuantityTypeIdentifierStepCount": 2}
+
+
+def test_streaming_checkpoint_restart(registered, hk_zip, tmp_path):
+    """Exactly-once across engine restarts: stop the query after the
+    first micro-batch, restart from the same checkpoint, and verify
+    the sink holds every record exactly once (offset replay + commit
+    log, no dupes, no loss)."""
+    out = str(tmp_path / "rows")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (registered.readStream.format("healthkit")
+                .option("chunkBytes", "512")
+                .load(hk_zip)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .start())
+
+    q = start()
+    # wait for the first committed batch, then stop mid-stream
+    import time
+    for _ in range(600):
+        if q.lastProgress and q.lastProgress["numInputRows"] >= 0 \
+                and q.recentProgress:
+            break
+        time.sleep(0.1)
+    q.stop()
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    rows = registered.read.parquet(out).collect()
+    assert len(rows) == 5  # every record exactly once
+    vals = sorted(r["value"] for r in rows)
+    assert vals == sorted(["2.95276", "3.10000", "2.50000", "100", "250"])
