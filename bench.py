@@ -82,6 +82,7 @@ HEADLINE = [
     "q_dedup_normalized",
     "q_ivf_postings",
     "q_expectations",
+    "q_funnel_left",
 ]
 
 

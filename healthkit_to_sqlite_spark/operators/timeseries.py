@@ -126,6 +126,21 @@ def funnel_join(events: DataFrame, max_lag_minutes: int = 30) -> DataFrame:
                               max_lag_minutes=max_lag_minutes)
 
 
+def funnel_left_join(events: DataFrame, max_lag_minutes: int = 30) -> DataFrame:
+    """Batch twin of streaming/windowed.stream_stream_left_join: the
+    LEFT OUTER funnel — every click, paired with its in-window
+    purchases OR emitted once with nulls when none followed
+    (conversion analysis needs the non-converters, which the inner
+    form drops).  In streaming the null rows flush on watermark
+    expiry; batch↔stream equivalence incl. the unmatched set is
+    pinned in tests/test_streaming.py."""
+    from ..streaming.windowed import stream_stream_left_join
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    return stream_stream_left_join(clicks, purchases,
+                                   max_lag_minutes=max_lag_minutes)
+
+
 def sliding_window(events: DataFrame,
                    window: str = "2 hours", slide: str = "30 minutes") -> DataFrame:
     """Sliding-window aggregate, batch form — identical expression to
@@ -324,6 +339,20 @@ SPECS: dict[str, Spec] = {
         """,
         "funnel/attribution join — batch twin of the watermarked "
         "stream-stream join (streaming/windowed.stream_stream_join)"),
+    "q_funnel_left": Spec(
+        lambda spark, sf: funnel_left_join(load_table(spark, sf, "events")),
+        """
+        SELECT c.event_id AS l_id, p.event_id AS r_id, c.user_id,
+               c.ts AS l_ts, p.ts AS r_ts,
+               c.event_type AS l_type, p.event_type AS r_type
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+        """,
+        "LEFT OUTER funnel join (keeps non-converters) — batch twin of "
+        "the watermarked outer stream-stream join, whose null rows "
+        "flush on watermark expiry"),
     "q_asof_join": Spec(
         lambda spark, sf: asof_last_click(load_table(spark, sf, "events")),
         """

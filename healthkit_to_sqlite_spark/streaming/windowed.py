@@ -113,6 +113,40 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
                     "l_type", "r_type"))
 
 
+def stream_stream_left_join(left: DataFrame, right: DataFrame,
+                            max_lag_minutes: int = 30,
+                            watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the semantics the
+    inner funnel join can't pin: a left event with NO follower within
+    the lag window must still be emitted (with nulls), and Structured
+    Streaming can only do that once the watermark proves no matching
+    right row can still arrive.  So null-joined rows are emitted ON
+    WATERMARK EXPIRY, not on arrival — the outer join is where the
+    eviction machinery becomes user-visible output rather than just
+    state hygiene.  Same two boundedness obligations as the inner
+    form (two-sided watermarks + time-range bound), same equi-key
+    hash-shuffle shape.  Batch twin: the identical condition as a
+    plain left join — equivalence pinned in tests (with availableNow,
+    all watermarks advance past the bounded input, so every
+    unmatched row flushes)."""
+    l = (left.select(F.col("event_id").alias("l_id"), "user_id",
+                     F.col("ts").alias("l_ts"),
+                     F.col("event_type").alias("l_type"))
+         .withWatermark("l_ts", watermark))
+    r = (right.select(F.col("event_id").alias("r_id"),
+                      F.col("user_id").alias("r_user"),
+                      F.col("ts").alias("r_ts"),
+                      F.col("event_type").alias("r_type"))
+         .withWatermark("r_ts", watermark))
+    cond = ((F.col("user_id") == F.col("r_user"))
+            & (F.col("r_ts") > F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts")
+               + F.expr(f"INTERVAL {int(max_lag_minutes)} MINUTES")))
+    return (l.join(r, cond, "left_outer")
+            .select("l_id", "r_id", "user_id", "l_ts", "r_ts",
+                    "l_type", "r_type"))
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static enrichment join: the static dimension is
     broadcast to every task, so the stream never shuffles — the

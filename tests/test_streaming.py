@@ -240,3 +240,44 @@ def test_transform_state_counts(spark, tmp_path):
             for r in events.groupBy("user_id", "event_type")
             .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want
+
+
+def test_stream_stream_left_join_matches_batch(spark, events_stream_dir,
+                                               tmp_path):
+    """LEFT OUTER stream-stream join: null-joined rows are emitted on
+    WATERMARK EXPIRY (the engine must prove no match can still
+    arrive), so lefts inside the final watermark horizon never flush
+    on a bounded stream — the standard fix is a future sentinel row
+    that drags the watermark past all real data.  With per-file
+    micro-batches + the sentinel, the streamed result must equal the
+    batch left join exactly."""
+    from healthkit_to_sqlite_spark.streaming.windowed import (
+        stream_stream_left_join)
+
+    batch = spark.read.parquet(events_stream_dir)
+    d = str(tmp_path / "with_sentinel")
+    batch.write.mode("overwrite").parquet(d)
+    sentinel = (batch.limit(1)
+                .withColumn("event_id", F.lit(-1).cast("long"))
+                .withColumn("user_id", F.lit(10**9).cast("long"))
+                .drop("ts")
+                .crossJoin(batch.agg(F.max("ts").alias("mx")))
+                .withColumn("ts", F.expr("mx + INTERVAL 30 DAYS"))
+                .drop("mx")
+                .select(*batch.columns))
+    sentinel.write.mode("append").parquet(d)
+
+    schema = batch.schema
+    src_l = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1").parquet(d))
+    src_r = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1").parquet(d))
+    got = {(r.l_id, r.r_id) for r in
+           _run_stream(spark, stream_stream_left_join(src_l, src_r),
+                       "ssljoin").collect() if r.l_id != -1}
+
+    want = {(r.l_id, r.r_id) for r in
+            stream_stream_left_join(batch, batch).collect()}
+    assert got == want
+    # the outer semantics must actually fire: some lefts are unmatched
+    assert any(b is None for _, b in want)
