@@ -83,6 +83,7 @@ HEADLINE = [
     "q_ivf_postings",
     "q_expectations",
     "q_funnel_left",
+    "q_multimodal_embed",
 ]
 
 

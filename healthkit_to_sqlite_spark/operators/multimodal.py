@@ -177,6 +177,34 @@ def frame_sample(documents: DataFrame) -> DataFrame:
         schema="doc_id long, frame_no int, frame_len int, frame_sum bigint")
 
 
+def embed_search(documents: DataFrame, query_doc_id: int = 0,
+                 k: int = 10) -> DataFrame:
+    """The multimodal retrieval composite end to end: decode payloads
+    to feature vectors (the Python-kernel stage), then similarity
+    search over the vectors (pure JVM) — media in, neighbors out.
+
+    This is the pipeline shape that matters at 100 TB: Python touches
+    each payload exactly ONCE (Arrow-batched mapInPandas decode);
+    everything downstream — broadcast of the 1-row query vector, the
+    cosine fold, TakeOrdered top-k — runs whole-stage-codegen'd on the
+    4-float vectors, never on blobs.  Swapping the fake byte-moment
+    features for a real encoder changes one kernel, no plan shape."""
+    feats = decode_features(documents).select("doc_id", "features")
+    q = (feats.filter(F.col("doc_id") == query_doc_id)
+         .select(F.col("features").alias("q_f")))
+    dot = F.aggregate(
+        F.zip_with(F.col("features"), F.col("q_f"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda acc, x: acc + x * x))
+    sim = dot / (nrm(F.col("features")) * nrm(F.col("q_f")))
+    return (feats.crossJoin(F.broadcast(q))
+            .filter(F.col("doc_id") != query_doc_id)
+            .select("doc_id", F.round(sim, 6).alias("cosine_sim"))
+            .orderBy(F.col("cosine_sim").desc(), F.col("doc_id"))
+            .limit(k))
+
+
 def decode_real(documents: DataFrame) -> DataFrame:
     """Real media decode — requires PIL/torchaudio/ffmpeg, not present
     in this container.  Kept as the explicit integration point."""
@@ -274,4 +302,31 @@ SPECS: dict[str, Spec] = {
         lambda spark, sf: frame_sample(load_table(spark, sf, "documents")),
         _FRAMES_ORACLE,
         "frame-sample kernel shape: payload → strided frame rows (mapInPandas)"),
+    "q_multimodal_embed": Spec(
+        lambda spark, sf: embed_search(load_table(spark, sf, "documents")),
+        """
+        WITH cp AS (
+          SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                 list_transform(string_split(text, ''), c -> ord(c)) AS bs
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+                 [CAST(n_bytes AS DOUBLE),
+                  list_aggregate(bs, 'sum') / CAST(n_bytes AS DOUBLE),
+                  CAST(list_aggregate(bs, 'max') AS DOUBLE),
+                  CAST(list_aggregate(bs, 'min') AS DOUBLE)] AS features
+          FROM cp),
+        q AS (SELECT features AS qf FROM f WHERE doc_id = 0)
+        SELECT doc_id,
+               ROUND(list_aggregate(list_transform(list_zip(features, q.qf),
+                         x -> x[1] * x[2]), 'sum') /
+                     (sqrt(list_aggregate(list_transform(features, v -> v * v), 'sum'))
+                      * sqrt(list_aggregate(list_transform(q.qf, v -> v * v), 'sum'))),
+                     6) AS cosine_sim
+        FROM f, q
+        WHERE doc_id <> 0
+        ORDER BY cosine_sim DESC, doc_id LIMIT 10
+        """,
+        "multimodal retrieval composite: mapInPandas decode → JVM cosine "
+        "top-k (Python touches each payload once; search never sees blobs)"),
 }
