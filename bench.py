@@ -84,6 +84,7 @@ HEADLINE = [
     "q_expectations",
     "q_funnel_left",
     "q_multimodal_embed",
+    "q_resample_ffill",
 ]
 
 

@@ -126,6 +126,42 @@ def funnel_join(events: DataFrame, max_lag_minutes: int = 30) -> DataFrame:
                               max_lag_minutes=max_lag_minutes)
 
 
+def resample_ffill(events: DataFrame) -> DataFrame:
+    """Regular-grid resampling with forward fill — the gap-filling
+    operator every sensor/metrics pipeline needs (HealthKit's own data
+    is exactly this shape: irregular samples → hourly series).  Per
+    user: an hourly slot grid spanning [min ts, max ts] (sequence +
+    explode — generated, not shuffled), the last observation within
+    each slot (deterministic ``max(struct(ts, event_id, value))`` —
+    partial-aggregating, ties impossible since event_id is unique),
+    then ``last(value, ignorenulls)`` over the user-ordered grid to
+    carry observations across empty slots.
+
+    Scale shape: one groupBy for bounds, one for slot-last, one window
+    — all keyed by user_id, so AQE shares the user partitioning; grid
+    rows are span/granularity per user (bounded by time horizon, NOT
+    by event count — the one cardinality to watch when the horizon is
+    years and the grain is seconds)."""
+    slot = F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz")
+    bounds = events.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).cast("timestamp_ntz").alias("t0"),
+        F.date_trunc("hour", F.max("ts")).cast("timestamp_ntz").alias("t1"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1",
+                             F.expr("INTERVAL 1 HOUR"))).alias("slot"))
+    hourly = (events
+              .groupBy("user_id", slot.alias("slot"))
+              .agg(F.max(F.struct("ts", "event_id", "value"))["value"]
+                   .alias("obs")))
+    w = (Window.partitionBy("user_id").orderBy("slot")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (grid.join(hourly, ["user_id", "slot"], "left")
+            .select("user_id", "slot",
+                    F.last("obs", ignorenulls=True).over(w).alias("value_ffill"),
+                    F.col("obs").isNull().alias("is_gap")))
+
+
 def funnel_left_join(events: DataFrame, max_lag_minutes: int = 30) -> DataFrame:
     """Batch twin of streaming/windowed.stream_stream_left_join: the
     LEFT OUTER funnel — every click, paired with its in-window
@@ -339,6 +375,36 @@ SPECS: dict[str, Spec] = {
         """,
         "funnel/attribution join — batch twin of the watermarked "
         "stream-stream join (streaming/windowed.stream_stream_join)"),
+    "q_resample_ffill": Spec(
+        lambda spark, sf: resample_ffill(load_table(spark, sf, "events")),
+        """
+        WITH bounds AS (
+          SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+                 date_trunc('hour', MAX(ts)) AS t1
+          FROM events GROUP BY user_id),
+        grid AS (
+          SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
+                   AS slot
+          FROM bounds),
+        hourly AS (
+          SELECT user_id, date_trunc('hour', ts) AS slot, value AS obs
+          FROM (SELECT user_id, ts, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id,
+                                          date_trunc('hour', ts)
+                                          ORDER BY ts DESC, event_id DESC)
+                         AS rn
+                FROM events)
+          WHERE rn = 1)
+        SELECT g.user_id, g.slot,
+               last_value(h.obs IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.slot
+                 ROWS UNBOUNDED PRECEDING) AS value_ffill,
+               h.obs IS NULL AS is_gap
+        FROM grid g LEFT JOIN hourly h
+          ON g.user_id = h.user_id AND g.slot = h.slot
+        """,
+        "regular-grid resample + forward fill (sensor gap-filling; "
+        "grid generated per user, deterministic slot-last observation)"),
     "q_funnel_left": Spec(
         lambda spark, sf: funnel_left_join(load_table(spark, sf, "events")),
         """

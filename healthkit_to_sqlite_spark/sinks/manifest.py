@@ -1,0 +1,160 @@
+"""Manifest-committed parquet tables: atomic append, time travel,
+compaction — the minimal transactional-table-format core (the idea
+underneath Delta/Iceberg/Hudi) with zero library dependencies.
+
+Why this exists at 100 TB: a plain ``mode("append")`` parquet
+directory has no commit point — readers see half-written files,
+failed jobs leave poison partials, and there is no way to ask "what
+did the table contain yesterday".  The fix is the standard log-of-
+manifests design:
+
+- Data files are IMMUTABLE; a writer stages them under a unique
+  subdirectory no reader ever lists.
+- A MANIFEST (JSON: schema + explicit file list) defines a table
+  version.  Readers read files named by a manifest — never by
+  directory listing — so unreferenced partials are invisible.
+- Publishing a manifest is one atomic ``os.link`` (fails with EEXIST
+  if the version was taken): optimistic concurrency.  A losing writer
+  re-reads the head and retries against the next version — appends
+  from concurrent writers serialize without locks.
+- Old manifests stay: ``read(version=k)`` is time travel; compaction
+  rewrites small files into large ones and publishes a new version
+  whose LOGICAL content is unchanged (verified in tests); ``vacuum``
+  deletes data unreferenced by any manifest (failed-writer garbage).
+
+On an object store, ``os.link`` becomes put-if-absent /
+conditional-PUT — the same primitive every production table format
+uses; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first (retryable)."""
+
+
+class ManifestTable:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
+
+    # -- manifest log ------------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, _MANIFEST_DIR, f"v{version:08d}.json")
+
+    def current_version(self) -> int:
+        """Highest published version (0 = empty table)."""
+        names = [n for n in os.listdir(os.path.join(self.root, _MANIFEST_DIR))
+                 if n.startswith("v") and n.endswith(".json")]
+        return max((int(n[1:9]) for n in names), default=0)
+
+    def _load(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def _publish(self, manifest: dict, version: int) -> None:
+        """Atomic publish: exclusive-create via link (put-if-absent)."""
+        tmp = os.path.join(self.root, _MANIFEST_DIR,
+                           f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            os.link(tmp, self._manifest_path(version))
+        except FileExistsError as e:
+            raise CommitConflict(f"version {version} already published") from e
+        finally:
+            os.unlink(tmp)
+
+    # -- write paths -------------------------------------------------------
+
+    def _stage(self, df: DataFrame) -> tuple[list[str], str]:
+        """Write df's files under a unique staging dir; return (files,
+        schema json).  Staged files are invisible until a manifest
+        names them."""
+        stage = os.path.join(self.root, _DATA_DIR, uuid.uuid4().hex)
+        df.write.parquet(stage)
+        files = sorted(
+            os.path.join(stage, n) for n in os.listdir(stage)
+            if n.endswith(".parquet"))
+        return files, df.schema.json()
+
+    def append(self, df: DataFrame, max_retries: int = 10) -> int:
+        """Atomically append: stage files once, then CAS the manifest
+        (retrying against new heads — staged data never rewrites).
+        Returns the published version."""
+        files, schema = self._stage(df)
+        for _ in range(max_retries):
+            head = self.current_version()
+            prev = self._load(head)["files"] if head else []
+            try:
+                self._publish({"schema": schema, "files": prev + files,
+                               "parent": head}, head + 1)
+                return head + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"lost {max_retries} publish races")
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """Rewrite the current content into ``target_files`` files and
+        publish a version with identical logical content (the
+        small-files remedy; old versions remain time-travelable)."""
+        head = self.current_version()
+        df = self.read(spark, head).coalesce(target_files)
+        files, schema = self._stage(df)
+        self._publish({"schema": schema, "files": files, "parent": head,
+                       "compaction_of": head}, head + 1)
+        return head + 1
+
+    # -- read paths --------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read a table version (default: head).  Files come from the
+        manifest, never a directory listing — in-flight writers are
+        invisible."""
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return spark.createDataFrame(
+                [], T.StructType([]))
+        m = self._load(v)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if not m["files"]:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*m["files"])
+
+    # -- maintenance -------------------------------------------------------
+
+    def vacuum(self) -> list[str]:
+        """Delete staged data unreferenced by ANY manifest — the
+        garbage failed or superseded writers left.  Returns removed
+        paths.  (Production formats add a retention window so
+        in-flight reads of old versions don't lose files; here every
+        manifest pins its files forever until its deletion.)"""
+        referenced: set[str] = set()
+        for v in range(1, self.current_version() + 1):
+            if os.path.exists(self._manifest_path(v)):
+                referenced.update(self._load(v)["files"])
+        removed = []
+        data_root = os.path.join(self.root, _DATA_DIR)
+        for stage in os.listdir(data_root):
+            sdir = os.path.join(data_root, stage)
+            for n in os.listdir(sdir):
+                p = os.path.join(sdir, n)
+                if n.endswith(".parquet") and p not in referenced:
+                    os.unlink(p)
+                    removed.append(p)
+            if not os.listdir(sdir):
+                os.rmdir(sdir)
+        return removed

@@ -1,0 +1,85 @@
+"""Manifest-table properties: atomic append, reader isolation, commit
+races, time travel, compaction invariance, vacuum safety."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthkit_to_sqlite_spark.sinks.manifest import (
+    CommitConflict, ManifestTable)
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return ManifestTable(str(tmp_path / "tbl"))
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"),
+                                      (F.col("id") * 2).alias("v"))
+
+
+def test_append_and_read(spark, tbl):
+    assert tbl.current_version() == 0
+    assert tbl.append(_batch(spark, 0, 10)) == 1
+    assert tbl.append(_batch(spark, 10, 25)) == 2
+    df = tbl.read(spark)
+    assert df.count() == 25
+    assert df.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(25))
+
+
+def test_time_travel(spark, tbl):
+    tbl.append(_batch(spark, 0, 10))
+    tbl.append(_batch(spark, 10, 30))
+    assert tbl.read(spark, version=1).count() == 10
+    assert tbl.read(spark, version=2).count() == 30
+    assert tbl.read(spark).count() == 30
+
+
+def test_staged_but_uncommitted_is_invisible(spark, tbl):
+    tbl.append(_batch(spark, 0, 10))
+    # a crashed writer: staged files, no manifest
+    tbl._stage(_batch(spark, 100, 200))
+    assert tbl.read(spark).count() == 10
+    # vacuum removes exactly the orphans; committed data survives
+    removed = tbl.vacuum()
+    assert len(removed) > 0
+    assert tbl.read(spark).count() == 10
+
+
+def test_commit_race_serializes(spark, tbl):
+    tbl.append(_batch(spark, 0, 5))
+    # simulate a rival writer taking version 2 between stage and publish
+    files, schema = tbl._stage(_batch(spark, 5, 10))
+    tbl._publish({"schema": schema, "files":
+                  tbl._load(1)["files"] + files, "parent": 1}, 2)
+    # our append must retry onto version 3 and include both batches
+    v = tbl.append(_batch(spark, 10, 20))
+    assert v == 3
+    assert tbl.read(spark).count() == 20
+
+
+def test_publish_conflict_raises(spark, tbl):
+    tbl.append(_batch(spark, 0, 5))
+    files, schema = tbl._stage(_batch(spark, 5, 10))
+    with pytest.raises(CommitConflict):
+        tbl._publish({"schema": schema, "files": files, "parent": 0}, 1)
+
+
+def test_compaction_preserves_content(spark, tbl):
+    for i in range(4):
+        tbl.append(_batch(spark, i * 10, (i + 1) * 10))
+    before = sorted(r["id"] for r in tbl.read(spark).collect())
+    n_files_before = len(tbl._load(tbl.current_version())["files"])
+    v = tbl.compact(spark, target_files=1)
+    after = sorted(r["id"] for r in tbl.read(spark, v).collect())
+    assert after == before
+    assert len(tbl._load(v)["files"]) == 1 < n_files_before
+    # pre-compaction version still time-travels
+    assert tbl.read(spark, v - 1).count() == 40
+    # vacuum keeps every manifest-referenced file (both versions readable)
+    tbl.vacuum()
+    assert sorted(r["id"] for r in tbl.read(spark, v - 1).collect()) == before
