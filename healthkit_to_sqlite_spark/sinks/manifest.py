@@ -134,6 +134,47 @@ class ManifestTable:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*m["files"])
 
+    # -- streaming ---------------------------------------------------------
+
+    def append_batch(self, df: DataFrame, batch_id: int,
+                     max_retries: int = 10) -> int | None:
+        """Idempotent append for ``foreachBatch``: the manifest records
+        each writer batch id, so a RETRIED micro-batch (failure after
+        publish, before the streaming checkpoint committed) detects
+        its id on the head manifest chain and becomes a no-op instead
+        of double-appending.  This + staged-invisible files = an
+        exactly-once streaming sink on plain parquet.  Returns the
+        published version, or None when the batch was already
+        committed."""
+        staged: tuple[list[str], str] | None = None  # stage once per call
+        for _ in range(max_retries):
+            head = self.current_version()
+            committed: set[int] = set()
+            if head:
+                m = self._load(head)
+                committed = set(m.get("batch_ids", []))
+            if batch_id in committed:
+                return None  # retried batch — already durable, no-op
+            if staged is None:
+                staged = self._stage(df)
+            files, schema = staged
+            prev = self._load(head)["files"] if head else []
+            try:
+                self._publish({"schema": schema, "files": prev + files,
+                               "parent": head,
+                               "batch_ids": sorted(committed | {batch_id})},
+                              head + 1)
+                return head + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"lost {max_retries} publish races")
+
+    def foreach_batch_writer(self):
+        """``writeStream.foreachBatch(tbl.foreach_batch_writer())``."""
+        def write(batch_df: DataFrame, batch_id: int) -> None:
+            self.append_batch(batch_df, int(batch_id))
+        return write
+
     # -- maintenance -------------------------------------------------------
 
     def vacuum(self) -> list[str]:

@@ -83,3 +83,27 @@ def test_compaction_preserves_content(spark, tbl):
     # vacuum keeps every manifest-referenced file (both versions readable)
     tbl.vacuum()
     assert sorted(r["id"] for r in tbl.read(spark, v - 1).collect()) == before
+
+
+def test_streaming_exactly_once_sink(spark, tbl, tmp_path):
+    """foreachBatch into the manifest table: a replayed batch id is a
+    no-op (exactly-once), and a full availableNow run lands every
+    source row exactly once."""
+    src_dir = str(tmp_path / "src")
+    _batch(spark, 0, 40).repartition(4).write.parquet(src_dir)
+    stream = (spark.readStream.schema(spark.read.parquet(src_dir).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    q = (stream.writeStream.foreachBatch(tbl.foreach_batch_writer())
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert tbl.read(spark).count() == 40
+
+    # simulate a sink-level retry of an already-committed batch
+    v_before = tbl.current_version()
+    assert tbl.append_batch(_batch(spark, 0, 10), batch_id=0) is None
+    assert tbl.current_version() == v_before
+    assert tbl.read(spark).count() == 40
+    # a NEW batch id still appends
+    assert tbl.append_batch(_batch(spark, 40, 45), batch_id=99) == v_before + 1
+    assert tbl.read(spark).count() == 45
