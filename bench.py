@@ -85,6 +85,7 @@ HEADLINE = [
     "q_funnel_left",
     "q_multimodal_embed",
     "q_resample_ffill",
+    "q_fuzzy_join",
 ]
 
 

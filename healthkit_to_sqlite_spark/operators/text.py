@@ -200,6 +200,33 @@ def posexplode_tokens(documents: DataFrame, max_doc: int = 50) -> DataFrame:
                     F.posexplode(ws_tokens("text")).alias("pos", "token")))
 
 
+def fuzzy_name_pairs(part: DataFrame, max_dist: int = 4) -> DataFrame:
+    """Fuzzy string join: candidate pairs via WORD BLOCKING (token
+    equi-join — the string analog of LSH banding), verified with exact
+    edit distance.  Unblocked fuzzy joins are O(n²) comparisons of an
+    expensive kernel; sharing ≥1 word bounds candidates the same way a
+    shingle join bounds Jaccard, and `levenshtein` (identical builtin
+    in Spark and DuckDB — integer, no float drift) runs only on the
+    survivors.  Recall caveat: a pair sharing NO exact word is missed
+    (e.g. every word typo'd) — q-gram blocking is the standard tighter
+    net, same join shape."""
+    tok = part.select(F.col("p_partkey").alias("pk"),
+                      F.col("p_name").alias("name"),
+                      F.explode(F.split("p_name", " ")).alias("w"))
+    a, b = tok.alias("a"), tok.alias("b")
+    cand = (a.join(b, (F.col("a.w") == F.col("b.w"))
+                   & (F.col("a.pk") < F.col("b.pk")))
+            .select(F.col("a.pk").alias("part_a"),
+                    F.col("a.name").alias("name_a"),
+                    F.col("b.pk").alias("part_b"),
+                    F.col("b.name").alias("name_b"))
+            .distinct())
+    dist = F.levenshtein("name_a", "name_b")
+    return (cand.select("part_a", "part_b",
+                        dist.cast("int").alias("edit_dist"))
+            .filter(F.col("edit_dist") <= max_dist))
+
+
 def _markers_sql(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
 
@@ -301,6 +328,23 @@ SPECS: dict[str, Spec] = {
         FROM documents
         """,
         "document fingerprinting (normalized md5 + 60-bit)"),
+    "q_fuzzy_join": Spec(
+        lambda spark, sf: fuzzy_name_pairs(load_table(spark, sf, "part")),
+        """
+        WITH tok AS (
+          SELECT p_partkey AS pk, p_name AS name,
+                 unnest(string_split(p_name, ' ')) AS w
+          FROM part),
+        cand AS (
+          SELECT DISTINCT a.pk AS part_a, a.name AS name_a,
+                          b.pk AS part_b, b.name AS name_b
+          FROM tok a JOIN tok b ON a.w = b.w AND a.pk < b.pk)
+        SELECT part_a, part_b,
+               CAST(levenshtein(name_a, name_b) AS INT) AS edit_dist
+        FROM cand WHERE levenshtein(name_a, name_b) <= 4
+        """,
+        "fuzzy string join: word-blocking candidates + exact edit-distance "
+        "verify (the string analog of LSH-then-verify)"),
     "q_tfidf": Spec(
         lambda spark, sf: tfidf_top_terms(load_table(spark, sf, "documents")),
         """
