@@ -86,6 +86,7 @@ HEADLINE = [
     "q_multimodal_embed",
     "q_resample_ffill",
     "q_fuzzy_join",
+    "q_triangles",
 ]
 
 

@@ -1006,6 +1006,46 @@ def stateful_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stateful_counts(spark, events, work)
 
 
+def triangle_counts(documents: DataFrame) -> DataFrame:
+    """Triangle counting over the MinHash-LSH near-duplicate graph —
+    the local clustering-density signal (a doc in many triangles sits
+    inside a tight template family; a bridge between families sits in
+    few).  Completes the graph kit: CC = membership, PageRank =
+    centrality, triangles = cohesion.
+
+    The compact-forward algorithm on canonical edges (a<b): wedge
+    generation joins edges on the low endpoint (e1=(a,b), e2=(a,c),
+    b<c) and a third equi-join closes the wedge against (b,c).  On
+    canonical edges every triangle is generated EXACTLY once — no /3
+    correction, no double counting — and all three steps are plain
+    equi-joins on node ids.  At scale the classic refinement orders
+    endpoints by degree instead of id so hub wedges don't explode
+    (same join shape, different canonical order); named, not needed at
+    this graph's density.  Per-node output: triangles touched,
+    neighbors, and the integer wedge count — exact, oracle-identical."""
+    pairs = (minhash_lsh_pairs(documents)
+             .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+             .localCheckpoint(eager=True))  # feeds 3 join sides + degrees
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tris = (e1.join(e2, (F.col("e1.a") == F.col("e2.a"))
+                    & (F.col("e1.b") < F.col("e2.b")))
+            .join(e3, (F.col("e3.a") == F.col("e1.b"))
+                  & (F.col("e3.b") == F.col("e2.b")))
+            .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+                    F.col("e2.b").alias("z")))
+    touched = (tris.select(F.col("x").alias("doc_id"))
+               .unionAll(tris.select(F.col("y").alias("doc_id")))
+               .unionAll(tris.select(F.col("z").alias("doc_id")))
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_triangles")))
+    deg = (pairs.select(F.col("a").alias("doc_id"))
+           .unionAll(pairs.select(F.col("b").alias("doc_id")))
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree")))
+    return (deg.join(touched, "doc_id", "left")
+            .select("doc_id", "degree",
+                    F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")))
+
+
 def transform_state_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract wrapper for streaming.transform_state (the Spark 4
     state-API-v2 MapState processor); accumulate-only ⇒ final state
@@ -1322,6 +1362,33 @@ SPECS: dict[str, Spec] = {
     # wherever protobuf exists; applyInPandasWithState
     # (q_stateful_counts) covers custom stateful streaming in the
     # contract meanwhile.
+    "q_triangles": Spec(
+        lambda spark, sf: triangle_counts(load_table(spark, sf, "documents")),
+        f"""
+        WITH {_LSH_PAIRS_SQL},
+        tris AS (
+          SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+          FROM pairs e1
+          JOIN pairs e2 ON e1.doc_a = e2.doc_a AND e1.doc_b < e2.doc_b
+          JOIN pairs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b),
+        touched AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+            SELECT x AS doc_id FROM tris
+            UNION ALL SELECT y FROM tris
+            UNION ALL SELECT z FROM tris)
+          GROUP BY doc_id),
+        deg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION ALL SELECT doc_b FROM pairs)
+          GROUP BY doc_id)
+        SELECT d.doc_id, d.degree,
+               COALESCE(t.n_triangles, 0) AS n_triangles
+        FROM deg d LEFT JOIN touched t USING (doc_id)
+        """,
+        "triangle counting over the LSH near-dup graph (compact-forward "
+        "wedge join on canonical edges — each triangle exactly once; "
+        "completes CC + PageRank with local cohesion)"),
     "q_expectations": Spec(
         lambda spark, sf: expectations_report(load_table(spark, sf, "orders"),
                                               load_table(spark, sf, "lineitem")),
