@@ -107,3 +107,33 @@ def test_streaming_exactly_once_sink(spark, tbl, tmp_path):
     # a NEW batch id still appends
     assert tbl.append_batch(_batch(spark, 40, 45), batch_id=99) == v_before + 1
     assert tbl.read(spark).count() == 45
+
+
+def test_end_to_end_archive_to_manifest(spark, hk_zip, tmp_path):
+    """The full landing pipeline: stream the archive through the
+    Python data source, cast per the inference cascade, append each
+    micro-batch transactionally, read the typed table back."""
+    from healthkit_to_sqlite_spark.operators.schema_infer import (
+        apply_inferred_types)
+    from healthkit_to_sqlite_spark.sources.datasource import register
+
+    register(spark)
+    tbl = ManifestTable(str(tmp_path / "records"))
+    q = (spark.readStream.format("healthkit")
+         .option("chunkBytes", "1024")
+         .load(hk_zip)
+         .writeStream.foreachBatch(tbl.foreach_batch_writer())
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    raw = tbl.read(spark)
+    assert raw.count() == 5
+    # typed per-type projection downstream of the transactional store
+    typed = apply_inferred_types(
+        raw.filter(F.col("type") == "HKQuantityTypeIdentifierStepCount")
+        .select("type", "value", "startDate"))
+    types = dict(typed.dtypes)
+    assert types["value"] == "bigint"
+    assert typed.agg(F.sum("value")).collect()[0][0] == 350
