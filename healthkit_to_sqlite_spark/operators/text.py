@@ -201,28 +201,39 @@ def posexplode_tokens(documents: DataFrame, max_doc: int = 50) -> DataFrame:
 
 
 def fuzzy_name_pairs(part: DataFrame, max_dist: int = 4) -> DataFrame:
-    """Fuzzy string join: candidate pairs via WORD BLOCKING (token
-    equi-join — the string analog of LSH banding), verified with exact
-    edit distance.  Unblocked fuzzy joins are O(n²) comparisons of an
-    expensive kernel; sharing ≥1 word bounds candidates the same way a
-    shingle join bounds Jaccard, and `levenshtein` (identical builtin
-    in Spark and DuckDB — integer, no float drift) runs only on the
-    survivors.  Recall caveat: a pair sharing NO exact word is missed
-    (e.g. every word typo'd) — q-gram blocking is the standard tighter
-    net, same join shape."""
-    tok = part.select(F.col("p_partkey").alias("pk"),
-                      F.col("p_name").alias("name"),
-                      F.explode(F.split("p_name", " ")).alias("w"))
+    """Fuzzy string join, collapse-first: deduplicate to DISTINCT
+    values (with support counts) BEFORE any pairwise work, then
+    word-block candidate pairs over the distinct values and verify
+    with exact edit distance (`levenshtein` — identical integer
+    builtin in Spark and DuckDB, no float drift).
+
+    The collapse is the load-bearing scale decision: a row-level fuzzy
+    self-join is quadratic in ROWS and its output is quadratic too
+    (every A-part × every B-part of a matching name pair), which
+    measured 117s at sf0.1 on this corpus before the rewrite — the
+    corpus has only ~128 distinct names across 20k rows, so the
+    distinct-level join is ~10⁴ comparisons instead of ~10⁷ and the
+    output is bounded by distinct-value pairs.  This is the standard
+    shape for entity resolution on low-cardinality attributes; the
+    row-level pairing, when actually needed, is a follow-up equi-join
+    of each side against the name→keys map.  Word blocking still
+    bounds the comparison set (the string analog of LSH banding, with
+    q-gram blocking the tighter net when values share no exact
+    word)."""
+    names = (part.groupBy(F.col("p_name").alias("name"))
+             .agg(F.count(F.lit(1)).alias("n_parts")))
+    tok = names.select("name", "n_parts",
+                       F.explode(F.split("name", " ")).alias("w"))
     a, b = tok.alias("a"), tok.alias("b")
     cand = (a.join(b, (F.col("a.w") == F.col("b.w"))
-                   & (F.col("a.pk") < F.col("b.pk")))
-            .select(F.col("a.pk").alias("part_a"),
-                    F.col("a.name").alias("name_a"),
-                    F.col("b.pk").alias("part_b"),
-                    F.col("b.name").alias("name_b"))
+                   & (F.col("a.name") < F.col("b.name")))
+            .select(F.col("a.name").alias("name_a"),
+                    F.col("a.n_parts").alias("n_a"),
+                    F.col("b.name").alias("name_b"),
+                    F.col("b.n_parts").alias("n_b"))
             .distinct())
     dist = F.levenshtein("name_a", "name_b")
-    return (cand.select("part_a", "part_b",
+    return (cand.select("name_a", "name_b", "n_a", "n_b",
                         dist.cast("int").alias("edit_dist"))
             .filter(F.col("edit_dist") <= max_dist))
 
@@ -331,20 +342,23 @@ SPECS: dict[str, Spec] = {
     "q_fuzzy_join": Spec(
         lambda spark, sf: fuzzy_name_pairs(load_table(spark, sf, "part")),
         """
-        WITH tok AS (
-          SELECT p_partkey AS pk, p_name AS name,
-                 unnest(string_split(p_name, ' ')) AS w
-          FROM part),
+        WITH names AS (
+          SELECT p_name AS name, COUNT(*) AS n_parts
+          FROM part GROUP BY p_name),
+        tok AS (
+          SELECT name, n_parts, unnest(string_split(name, ' ')) AS w
+          FROM names),
         cand AS (
-          SELECT DISTINCT a.pk AS part_a, a.name AS name_a,
-                          b.pk AS part_b, b.name AS name_b
-          FROM tok a JOIN tok b ON a.w = b.w AND a.pk < b.pk)
-        SELECT part_a, part_b,
+          SELECT DISTINCT a.name AS name_a, a.n_parts AS n_a,
+                          b.name AS name_b, b.n_parts AS n_b
+          FROM tok a JOIN tok b ON a.w = b.w AND a.name < b.name)
+        SELECT name_a, name_b, n_a, n_b,
                CAST(levenshtein(name_a, name_b) AS INT) AS edit_dist
         FROM cand WHERE levenshtein(name_a, name_b) <= 4
         """,
-        "fuzzy string join: word-blocking candidates + exact edit-distance "
-        "verify (the string analog of LSH-then-verify)"),
+        "fuzzy string join, collapse-first: distinct values + support "
+        "counts, word-blocked candidates, exact edit-distance verify "
+        "(entity-resolution shape; output bounded by distinct pairs)"),
     "q_tfidf": Spec(
         lambda spark, sf: tfidf_top_terms(load_table(spark, sf, "documents")),
         """

@@ -94,7 +94,14 @@ class ManifestTable:
     def append(self, df: DataFrame, max_retries: int = 10) -> int:
         """Atomically append: stage files once, then CAS the manifest
         (retrying against new heads — staged data never rewrites).
-        Returns the published version."""
+        Returns the published version.
+
+        Schema evolution is ADDITIVE name-based: the published
+        manifest carries the appended df's schema, and older files
+        null-fill any new columns at read time (parquet name
+        resolution).  Dropping, renaming, or retyping a column
+        requires a rewrite (compact with a projected df) — the same
+        contract production formats enforce without column mapping."""
         files, schema = self._stage(df)
         for _ in range(max_retries):
             head = self.current_version()

@@ -137,3 +137,20 @@ def test_end_to_end_archive_to_manifest(spark, hk_zip, tmp_path):
     types = dict(typed.dtypes)
     assert types["value"] == "bigint"
     assert typed.agg(F.sum("value")).collect()[0][0] == 350
+
+
+def test_schema_evolution_add_column(spark, tbl):
+    """Appending a batch with a NEW column publishes the widened
+    schema; old files read back with nulls for the added column
+    (parquet name-based resolution) — additive evolution for free."""
+    tbl.append(_batch(spark, 0, 10))
+    widened = _batch(spark, 10, 20).withColumn("tag", F.lit("new"))
+    tbl.append(widened)
+    df = tbl.read(spark)
+    assert set(df.columns) == {"id", "v", "tag"}
+    assert df.count() == 20
+    by_tag = {r["tag"]: r["n"] for r in
+              df.groupBy("tag").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_tag == {None: 10, "new": 10}
+    # old version still reads with its own (narrow) schema
+    assert set(tbl.read(spark, 1).columns) == {"id", "v"}
