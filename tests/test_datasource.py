@@ -151,3 +151,28 @@ def test_streaming_checkpoint_restart(registered, hk_zip, tmp_path):
     assert len(rows) == 5  # every record exactly once
     vals = sorted(r["value"] for r in rows)
     assert vals == sorted(["2.95276", "3.10000", "2.50000", "100", "250"])
+
+
+def test_missing_path_raises(registered):
+    from healthkit_to_sqlite_spark.sources.datasource import (
+        HealthKitBatchReader)
+    with pytest.raises(ValueError, match="path"):
+        HealthKitBatchReader({})
+
+
+def test_recordless_xml_yields_zero_rows(registered, tmp_path):
+    p = tmp_path / "empty.xml"
+    p.write_text("<?xml version='1.0'?><HealthData>"
+                 "<ActivitySummary dateComponents='2020-01-01'/>"
+                 "</HealthData>")
+    df = registered.read.format("healthkit").load(str(p))
+    assert df.count() == 0
+    assert "type" in df.columns  # schema still the published contract
+
+
+def test_attribute_entity_unescaping(registered, tmp_path):
+    p = tmp_path / "ent.xml"
+    p.write_text('<HealthData><Record type="T" value="a &amp; b '
+                 '&lt;c&gt; &quot;d&quot;"/></HealthData>')
+    row = registered.read.format("healthkit").load(str(p)).collect()[0]
+    assert row["value"] == 'a & b <c> "d"'
