@@ -130,18 +130,7 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     exactly the shuffle the join needs anyway, and the two identical
     exchange subtrees dedupe into one materialized shuffle stage under
     AQE (signatures computed once; measured 3.8s → 2.3s at sf0.1)."""
-    rows_per_band = N_HASHES // N_BANDS
-    wide = minhash_signatures(documents)
-    band_entries = []
-    for b in range(N_BANDS):
-        cols = [F.col(f"mh{i}").cast("string")
-                for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_entries.append(F.struct(F.lit(b).alias("band"),
-                                     F.concat_ws(",", *cols).alias("band_sig")))
-    sig = (wide.select("doc_id",
-                       F.explode(F.array(*band_entries)).alias("bs"))
-           .select("doc_id", "bs.band", "bs.band_sig")
-           .repartition("band", "band_sig"))
+    sig = _band_signatures(documents).repartition("band", "band_sig")
     a, b = sig.alias("a"), sig.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_sig") == F.col("b.band_sig"))

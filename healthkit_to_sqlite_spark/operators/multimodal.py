@@ -190,7 +190,10 @@ def embed_search(documents: DataFrame, query_doc_id: int = 0,
     4-float vectors, never on blobs.  Swapping the fake byte-moment
     features for a real encoder changes one kernel, no plan shape."""
     feats = decode_features(documents).select("doc_id", "features")
-    q = (feats.filter(F.col("doc_id") == query_doc_id)
+    # the query side filters BEFORE decode: a filter above mapInPandas
+    # cannot push below the Python node, so building q from `feats`
+    # would re-decode the whole corpus for one row (review finding)
+    q = (decode_features(documents.filter(F.col("doc_id") == query_doc_id))
          .select(F.col("features").alias("q_f")))
     dot = F.aggregate(
         F.zip_with(F.col("features"), F.col("q_f"), lambda a, b: a * b),

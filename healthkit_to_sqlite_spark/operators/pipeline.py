@@ -1046,19 +1046,6 @@ def triangle_counts(documents: DataFrame) -> DataFrame:
                     F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")))
 
 
-def transform_state_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contract wrapper for streaming.transform_state (the Spark 4
-    state-API-v2 MapState processor); accumulate-only ⇒ final state
-    equals the batch GROUP BY, sharing a plain-SQL oracle."""
-    import tempfile
-
-    from ..streaming.transform_state import run_transform_state_counts
-
-    events = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="transform_state_")
-    return run_transform_state_counts(spark, events, work)
-
-
 SPECS: dict[str, Spec] = {
     "q_dedup_clusters": Spec(
         lambda spark, sf: dedup_clusters(load_table(spark, sf, "documents")),

@@ -105,10 +105,16 @@ class ManifestTable:
         files, schema = self._stage(df)
         for _ in range(max_retries):
             head = self.current_version()
-            prev = self._load(head)["files"] if head else []
+            prev = self._load(head) if head else {}
             try:
-                self._publish({"schema": schema, "files": prev + files,
-                               "parent": head}, head + 1)
+                self._publish({"schema": schema,
+                               "files": prev.get("files", []) + files,
+                               "parent": head,
+                               # carry the streaming high-water mark —
+                               # dropping it would un-protect the sink's
+                               # replay detection (review finding)
+                               "last_batch_id": prev.get("last_batch_id")},
+                              head + 1)
                 return head + 1
             except CommitConflict:
                 continue
@@ -121,8 +127,10 @@ class ManifestTable:
         head = self.current_version()
         df = self.read(spark, head).coalesce(target_files)
         files, schema = self._stage(df)
+        prev = self._load(head) if head else {}
         self._publish({"schema": schema, "files": files, "parent": head,
-                       "compaction_of": head}, head + 1)
+                       "compaction_of": head,
+                       "last_batch_id": prev.get("last_batch_id")}, head + 1)
         return head + 1
 
     # -- read paths --------------------------------------------------------
@@ -145,31 +153,35 @@ class ManifestTable:
 
     def append_batch(self, df: DataFrame, batch_id: int,
                      max_retries: int = 10) -> int | None:
-        """Idempotent append for ``foreachBatch``: the manifest records
-        each writer batch id, so a RETRIED micro-batch (failure after
-        publish, before the streaming checkpoint committed) detects
-        its id on the head manifest chain and becomes a no-op instead
-        of double-appending.  This + staged-invisible files = an
-        exactly-once streaming sink on plain parquet.  Returns the
+        """Idempotent append for ``foreachBatch``: the manifest keeps
+        the writer's HIGH-WATER batch id, so a RETRIED micro-batch
+        (failure after publish, before the streaming checkpoint
+        committed) sees ``batch_id <= last_batch_id`` and no-ops
+        instead of double-appending.  This + staged-invisible files =
+        an exactly-once streaming sink on plain parquet.  A scalar
+        high-water mark (not a set of every id) keeps manifests O(1)
+        in stream length; it is sufficient because foreachBatch only
+        ever retries the LATEST uncommitted batch.  Contract: ONE
+        streaming query per table (restarting from a fresh checkpoint
+        resets batch ids to 0 — start a fresh table or version).
+        ``append``/``compact`` carry the mark forward.  Returns the
         published version, or None when the batch was already
         committed."""
         staged: tuple[list[str], str] | None = None  # stage once per call
         for _ in range(max_retries):
             head = self.current_version()
-            committed: set[int] = set()
-            if head:
-                m = self._load(head)
-                committed = set(m.get("batch_ids", []))
-            if batch_id in committed:
+            prev = self._load(head) if head else {}
+            last = prev.get("last_batch_id")
+            if last is not None and batch_id <= last:
                 return None  # retried batch — already durable, no-op
             if staged is None:
                 staged = self._stage(df)
             files, schema = staged
-            prev = self._load(head)["files"] if head else []
             try:
-                self._publish({"schema": schema, "files": prev + files,
+                self._publish({"schema": schema,
+                               "files": prev.get("files", []) + files,
                                "parent": head,
-                               "batch_ids": sorted(committed | {batch_id})},
+                               "last_batch_id": batch_id},
                               head + 1)
                 return head + 1
             except CommitConflict:
@@ -184,23 +196,34 @@ class ManifestTable:
 
     # -- maintenance -------------------------------------------------------
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
         """Delete staged data unreferenced by ANY manifest — the
         garbage failed or superseded writers left.  Returns removed
-        paths.  (Production formats add a retention window so
-        in-flight reads of old versions don't lose files; here every
-        manifest pins its files forever until its deletion.)"""
+        paths.
+
+        ``min_age_seconds`` is the stage-to-publish grace window: a
+        CONCURRENT writer that has staged but not yet published has
+        unreferenced files too, and deleting them would corrupt the
+        version it is about to publish (review finding) — so only
+        files older than the window are eligible.  One hour dwarfs
+        any real stage-to-publish gap; pass 0 only when no writer can
+        be in flight.  (Production formats pair this with a retention
+        window for readers of old versions; every manifest here pins
+        its files forever until its deletion.)"""
+        import time as _time
         referenced: set[str] = set()
         for v in range(1, self.current_version() + 1):
             if os.path.exists(self._manifest_path(v)):
                 referenced.update(self._load(v)["files"])
         removed = []
+        now = _time.time()
         data_root = os.path.join(self.root, _DATA_DIR)
         for stage in os.listdir(data_root):
             sdir = os.path.join(data_root, stage)
             for n in os.listdir(sdir):
                 p = os.path.join(sdir, n)
-                if n.endswith(".parquet") and p not in referenced:
+                if (n.endswith(".parquet") and p not in referenced
+                        and now - os.path.getmtime(p) >= min_age_seconds):
                     os.unlink(p)
                     removed.append(p)
             if not os.listdir(sdir):

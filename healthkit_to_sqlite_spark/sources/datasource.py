@@ -66,11 +66,22 @@ SCHEMA_DDL = (
     + ", `metadata` map<string,string>"
 )
 
-_RECORD_RE = re.compile(rb"<Record\b[^>]*?(?:/>|>.*?</Record>)", re.DOTALL)
-_OPEN_END_RE = re.compile(rb"/?>")
+#: Attribute-aware tag body: XML requires '<' and '&' escaped in
+#: attribute values but '>' is LEGAL there (HealthKit device strings
+#: are exactly '<<HKDevice: 0x…>, …>' shaped) — a naive [^>]* open-tag
+#: match truncates at that '>' and drops/merges records.  The
+#: alternation skips quoted spans wholesale.
+_TAG_BODY = rb'(?:[^>"]|"[^"]*")*?'
+_RECORD_RE = re.compile(rb"<Record\b" + _TAG_BODY + rb"(?:/>|>.*?</Record>)",
+                        re.DOTALL)
+_OPEN_TAG_RE = re.compile(rb"\A<Record\b" + _TAG_BODY + rb"/?>", re.DOTALL)
 _ATTR_RE = re.compile(rb'([A-Za-z_][\w.:-]*)="([^"]*)"')
-_MD_RE = re.compile(rb"<MetadataEntry\b[^>]*/>")
+_MD_RE = re.compile(rb"<MetadataEntry\b" + _TAG_BODY + rb"/>")
 _ENTITIES = {"&quot;": '"', "&apos;": "'"}
+#: numeric character references (&#10; / &#x2019;) — standard XML
+#: writers emit these for control/non-ASCII chars; resolved BEFORE the
+#: named entities so a literal '&amp;#10;' round-trips as '&#10;'.
+_NUMREF_RE = re.compile(r"&#(x[0-9a-fA-F]+|[0-9]+);")
 
 
 def _stage(path: str, staging_dir: str | None) -> str:
@@ -81,11 +92,17 @@ def _stage(path: str, staging_dir: str | None) -> str:
         return path
     staging_dir = staging_dir or path + ".staged"
     xml_path = os.path.join(staging_dir, "apple_health_export", "export.xml")
-    if not os.path.exists(xml_path):
+    marker = os.path.join(staging_dir, ".extract-complete")
+    # completion marker, not bare existence: a crash mid-extract leaves
+    # a TRUNCATED export.xml that a bare exists() check would silently
+    # reuse forever (review finding); without the marker we re-extract
+    if not (os.path.exists(xml_path) and os.path.exists(marker)):
         with zipfile.ZipFile(path) as zf:
             safe = [n for n in zf.namelist()
                     if not (n.startswith("/") or ".." in n.split("/"))]
             zf.extractall(staging_dir, members=safe)
+        with open(marker, "w"):
+            pass
     return xml_path
 
 
@@ -116,7 +133,11 @@ def _record_boundaries(xml_path: str, n_partitions: int,
 
 
 def _decode(raw: bytes) -> str:
-    return _xml_unescape(raw.decode("utf-8", errors="replace"), _ENTITIES)
+    text = raw.decode("utf-8", errors="replace")
+    text = _NUMREF_RE.sub(
+        lambda m: chr(int(m.group(1)[1:], 16)) if m.group(1)[0] in "xX"
+        else chr(int(m.group(1))), text)
+    return _xml_unescape(text, _ENTITIES)
 
 
 def _parse_slice(data: bytes):
@@ -124,8 +145,8 @@ def _parse_slice(data: bytes):
     in the slice."""
     for m in _RECORD_RE.finditer(data):
         blob = m.group(0)
-        open_end = _OPEN_END_RE.search(blob, 7)
-        head = blob[:open_end.end()] if open_end else blob
+        open_tag = _OPEN_TAG_RE.match(blob)
+        head = open_tag.group(0) if open_tag else blob
         attrs = {k.decode(): _decode(v) for k, v in _ATTR_RE.findall(head)}
         md = {}
         for me in _MD_RE.finditer(blob, len(head)):

@@ -76,6 +76,11 @@ def run_transform_state_counts(spark: SparkSession, source: DataFrame,
     returns the LAST emitted row per (user, event_type), which — the
     processor only accumulates — must equal the batch
     ``GROUP BY user_id, event_type`` answer."""
+    try:
+        prev_provider = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass")
+    except Exception:
+        prev_provider = None
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB)
     src = source.select("user_id", "event_type")
     chunks_dir = os.path.join(work_dir, "chunks")
@@ -91,12 +96,21 @@ def run_transform_state_counts(spark: SparkSession, source: DataFrame,
         (batch_df.withColumn("batch_id", F.lit(int(batch_id)))
          .write.mode("append").parquet(out_dir))
 
-    (transform_state_counts(stream)
-     .writeStream.foreachBatch(sink)
-     .outputMode("update")
-     .option("checkpointLocation", ckpt)
-     .trigger(availableNow=True)
-     .start().awaitTermination())
+    try:
+        (transform_state_counts(stream)
+         .writeStream.foreachBatch(sink)
+         .outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start().awaitTermination())
+    finally:
+        # restore the session provider — leaking RocksDB onto a shared
+        # session breaks later queries with HDFS-backed checkpoints
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                           prev_provider)
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F

@@ -176,3 +176,38 @@ def test_attribute_entity_unescaping(registered, tmp_path):
                  '&lt;c&gt; &quot;d&quot;"/></HealthData>')
     row = registered.read.format("healthkit").load(str(p)).collect()[0]
     assert row["value"] == 'a & b <c> "d"'
+
+
+def test_gt_in_attribute_value_and_numeric_refs(registered, tmp_path):
+    """'>' is legal inside attribute values (HealthKit device strings)
+    and numeric character references must resolve — both naive-regex
+    killers."""
+    p = tmp_path / "dev.xml"
+    p.write_text(
+        '<HealthData>'
+        '<Record type="A" device="&lt;&lt;HKDevice: 0x283&gt;, name:W>x" '
+        'value="1"/>'
+        '<Record type="B" value="line&#10;break &#x2019;q&#8217;"/>'
+        '<Record type="C" value="3"><MetadataEntry key="k" value="v>w"/>'
+        '</Record>'
+        '</HealthData>')
+    rows = {r["type"]: r for r in
+            registered.read.format("healthkit").load(str(p)).collect()}
+    assert len(rows) == 3                       # nothing dropped/merged
+    assert rows["A"]["device"] == "<<HKDevice: 0x283>, name:W>x"
+    assert rows["B"]["value"] == "line\nbreak ’q’"
+    assert rows["C"]["metadata"] == {"k": "v>w"}
+
+
+def test_truncated_staging_reextracts(registered, hk_zip, tmp_path):
+    """A crash mid-extract leaves a truncated export.xml; the missing
+    completion marker forces re-extraction instead of silent reuse."""
+    import os
+    staging = str(tmp_path / "staged")
+    xmlp = os.path.join(staging, "apple_health_export", "export.xml")
+    os.makedirs(os.path.dirname(xmlp))
+    with open(xmlp, "w") as fh:
+        fh.write("<HealthData><Record type=")  # truncated garbage
+    df = (registered.read.format("healthkit")
+          .option("staging", staging).load(hk_zip))
+    assert df.count() == 5  # re-extracted, not the truncated file

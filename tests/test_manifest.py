@@ -44,8 +44,9 @@ def test_staged_but_uncommitted_is_invisible(spark, tbl):
     # a crashed writer: staged files, no manifest
     tbl._stage(_batch(spark, 100, 200))
     assert tbl.read(spark).count() == 10
-    # vacuum removes exactly the orphans; committed data survives
-    removed = tbl.vacuum()
+    # vacuum removes exactly the orphans (grace window 0: the
+    # "crashed writer" is not in flight); committed data survives
+    removed = tbl.vacuum(min_age_seconds=0)
     assert len(removed) > 0
     assert tbl.read(spark).count() == 10
 
@@ -81,7 +82,7 @@ def test_compaction_preserves_content(spark, tbl):
     # pre-compaction version still time-travels
     assert tbl.read(spark, v - 1).count() == 40
     # vacuum keeps every manifest-referenced file (both versions readable)
-    tbl.vacuum()
+    tbl.vacuum(min_age_seconds=0)
     assert sorted(r["id"] for r in tbl.read(spark, v - 1).collect()) == before
 
 
@@ -154,3 +155,26 @@ def test_schema_evolution_add_column(spark, tbl):
     assert by_tag == {None: 10, "new": 10}
     # old version still reads with its own (narrow) schema
     assert set(tbl.read(spark, 1).columns) == {"id", "v"}
+
+
+def test_vacuum_grace_window_protects_inflight_stage(spark, tbl):
+    # a concurrent writer mid-append: staged, not yet published —
+    # default-window vacuum must NOT touch its files
+    tbl.append(_batch(spark, 0, 5))
+    files, schema = tbl._stage(_batch(spark, 5, 10))
+    assert tbl.vacuum() == []   # files are seconds old — protected
+    # the writer can still publish and its version reads cleanly
+    tbl._publish({"schema": schema,
+                  "files": tbl._load(1)["files"] + files,
+                  "parent": 1}, 2)
+    assert tbl.read(spark).count() == 10
+
+
+def test_batch_ids_survive_append_and_compact(spark, tbl):
+    # the replay high-water mark must survive non-streaming commits —
+    # losing it would double-append a replayed batch (review finding)
+    assert tbl.append_batch(_batch(spark, 0, 10), batch_id=3) == 1
+    tbl.append(_batch(spark, 10, 20))
+    tbl.compact(spark, target_files=1)
+    assert tbl.append_batch(_batch(spark, 0, 10), batch_id=3) is None
+    assert tbl.read(spark).count() == 20
