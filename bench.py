@@ -87,6 +87,8 @@ HEADLINE = [
     "q_resample_ffill",
     "q_fuzzy_join",
     "q_triangles",
+    "q_gapfill",
+    "q_anomaly_zscore",
 ]
 
 

@@ -140,6 +140,33 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_bands")))
 
 
+def _shingle_candidates(documents: DataFrame, max_df: int):
+    """Shared candidate stage for the pairwise n-gram verifiers:
+    df-capped shingles, per-doc sizes, and the a<b shared-shingle
+    intersection counts.  ONE home for the hot-shingle cap and the
+    no-localCheckpoint decision (the df-cap window ends `sh` at a
+    shingle-partitioned exchange, so AQE shares that one shuffle
+    across both self-join sides and the size aggregate — an eager
+    checkpoint of `sizes` measured 1.7× slower, 3.68s vs 2.19s at
+    sf0.1); jaccard/containment diverge only in their final ratio."""
+    from pyspark.sql import Window
+
+    sh_all = word_shingles(documents)
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    sh = (sh_all.withColumn("df", df_w)
+          .filter(F.col("df") <= max_df).drop("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return inter, sa, sb
+
+
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.2,
                         max_df: int = MAX_SHINGLE_DF) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing ≥1 shingle (the candidate
@@ -157,27 +184,7 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.2,
     nearly all their (discriminative) shared shingles.  The df count
     runs as a window over the shingle-partitioned shuffle the pair
     join needs anyway, so the cap adds no extra exchange."""
-    from pyspark.sql import Window
-
-    sh_all = word_shingles(documents)
-    df_w = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    sh = (sh_all.withColumn("df", df_w)
-          .filter(F.col("df") <= max_df).drop("df"))
-    # no localCheckpoint here: the df-cap window ends `sh` at a
-    # shingle-partitioned exchange, so AQE shares that one shuffle
-    # stage across all three consumers (both self-join sides + the
-    # size aggregate) — the explode+window computes ONCE.  The earlier
-    # eager checkpoint of `sizes` forced a separate up-front job and
-    # measured 1.7× slower (3.68s vs 2.19s at sf0.1, median of 3).
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count(F.lit(1)).alias("n_inter")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    inter, sa, sb = _shingle_candidates(documents, max_df)
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
             .select("doc_a", "doc_b", "n_inter",
@@ -198,21 +205,7 @@ def containment_pairs(documents: DataFrame, threshold: float = 0.5,
     AQE); only the final ratio differs, so the scale analysis there
     carries over unchanged.  Integer counts until the final division →
     bit-exact across engines."""
-    from pyspark.sql import Window
-
-    sh_all = word_shingles(documents)
-    df_w = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    sh = (sh_all.withColumn("df", df_w)
-          .filter(F.col("df") <= max_df).drop("df"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count(F.lit(1)).alias("n_inter")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    inter, sa, sb = _shingle_candidates(documents, max_df)
     cont = F.col("n_inter") / F.least("n_a", "n_b")
     return (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
             .select("doc_a", "doc_b", "n_inter",

@@ -29,7 +29,9 @@ in connected components (O(iterations) longs).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -803,7 +805,10 @@ def _zorder_oracle_sql(bits: int = ZORDER_BITS,
         for i in range(bits))
     return f"""
     WITH staged AS (
-      SELECT CAST(user_id % {1 << bits} AS INT) AS xb,
+      -- ((x % m) + m) % m == Spark pmod: DuckDB % is sign-preserving,
+      -- so a negative user_id would otherwise diverge (review finding)
+      SELECT CAST(((user_id % {1 << bits}) + {1 << bits}) % {1 << bits}
+                  AS INT) AS xb,
              CAST(floor((hour(ts) * 60 + minute(ts))
                         / {1440 // (1 << bits)}) AS INT) AS yb
       FROM events),
@@ -997,12 +1002,10 @@ def stateful_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState counter; the final per-user state must equal
     the batch GROUP BY (counters only accumulate), so this custom
     stateful operator shares a plain-SQL oracle."""
-    import tempfile
-
     from ..streaming.stateful import run_stateful_counts
 
     events = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="stateful_counts_")
+    work = _work_dir("stateful_counts", sf_dir)
     return run_stateful_counts(spark, events, work)
 
 
@@ -1044,6 +1047,30 @@ def triangle_counts(documents: DataFrame) -> DataFrame:
     return (deg.join(touched, "doc_id", "left")
             .select("doc_id", "degree",
                     F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")))
+
+
+_WORK_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _work_dir(op: str, sf_dir: str) -> str:
+    """One cached scratch dir per (operator, sf_dir) per process:
+    repeated builds (parity loops, driver rounds, bench warm-ups)
+    reuse it instead of leaking a fresh mkdtemp of re-chunked input +
+    checkpoint every call (review finding).  Contents are recreated
+    from scratch each run (mode=overwrite + fresh checkpoint subdir
+    per call is unnecessary — availableNow reruns are idempotent over
+    the same chunks)."""
+    import shutil
+    import tempfile
+
+    key = (op, sf_dir)
+    if key not in _WORK_DIRS:
+        _WORK_DIRS[key] = tempfile.mkdtemp(prefix=f"{op}_")
+    else:
+        for sub in ("updates", "ckpt"):
+            shutil.rmtree(os.path.join(_WORK_DIRS[key], sub),
+                          ignore_errors=True)
+    return _WORK_DIRS[key]
 
 
 SPECS: dict[str, Spec] = {

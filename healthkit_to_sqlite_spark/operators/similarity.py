@@ -482,15 +482,14 @@ def incremental_topk_query(spark: SparkSession, sf_dir: str,
     per-batch local top-k into O(k) state, return the final top-k.
     Top-k merge is monotone, so the answer is EXACTLY the batch
     topk_cosine result — the two queries share one oracle."""
-    import tempfile
-
     from ..streaming.similarity import run_incremental_topk
+    from .pipeline import _work_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in
             emb.filter(F.col("vec_id") == 0).select("embedding")
             .collect()[0][0]]
-    work = tempfile.mkdtemp(prefix="inc_topk_")
+    work = _work_dir("inc_topk", sf_dir)
     return run_incremental_topk(spark, f"{sf_dir}/embeddings.parquet",
                                 work, qvec, k=k)
 

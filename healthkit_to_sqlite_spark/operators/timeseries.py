@@ -375,6 +375,54 @@ SPECS: dict[str, Spec] = {
         """,
         "funnel/attribution join — batch twin of the watermarked "
         "stream-stream join (streaming/windowed.stream_stream_join)"),
+    "q_gapfill": Spec(
+        lambda spark, sf: gapfill_hourly(load_table(spark, sf, "events")),
+        """
+        WITH ev AS (SELECT * FROM events WHERE user_id < 50),
+        hourly AS (
+          SELECT user_id, date_trunc('hour', ts) AS hour,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_value
+          FROM ev GROUP BY 1, 2),
+        spans AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+                  FROM hourly GROUP BY user_id),
+        grid AS (
+          SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                   AS hour
+          FROM spans)
+        SELECT g.user_id, g.hour,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+               h.sum_value,
+               last_value(h.sum_value IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.hour
+                 ROWS UNBOUNDED PRECEDING) AS locf_value,
+               h.n IS NULL AS is_gap
+        FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+        """,
+        "hourly gap-fill with zero counts + locf sums (hypertable "
+        "time_bucket_gapfill/locf shape; complements q_resample_ffill's "
+        "observation-level carry)"),
+    "q_anomaly_zscore": Spec(
+        lambda spark, sf: anomaly_zscore(load_table(spark, sf, "events")),
+        """
+        WITH stats AS (
+          SELECT event_type, COUNT(*) AS n_type,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))
+                          * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+          FROM events GROUP BY event_type)
+        SELECT e.event_id, e.event_type, e.ts, e.value,
+               ROUND((e.value - (s1 / n_type)) /
+                     sqrt((s2 / n_type) - (s1 / n_type) * (s1 / n_type)), 6)
+                 AS z
+        FROM events e JOIN stats USING (event_type)
+        WHERE abs(ROUND((e.value - (s1 / n_type)) /
+                        sqrt((s2 / n_type) - (s1 / n_type) * (s1 / n_type)),
+                        6)) >= 2.5
+        """,
+        "per-type z-score outliers (decimal-exact moments, broadcast "
+        "stats join — no window over the stream)"),
     "q_resample_ffill": Spec(
         lambda spark, sf: resample_ffill(load_table(spark, sf, "events")),
         """

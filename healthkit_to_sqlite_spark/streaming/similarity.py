@@ -44,6 +44,11 @@ def _latest_state(state_dir: str) -> str | None:
     and rewrites only its own."""
     ptr = os.path.join(state_dir, "LATEST")
     if not os.path.exists(ptr):
+        # round-2 FLAT layout (parquet + _SUCCESS directly in
+        # state_dir): recognize rather than silently discard — the
+        # exact data-loss mode the versioned layout was built to fix
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            return state_dir
         return None
     with open(ptr) as fh:
         name = fh.read().strip()
@@ -82,14 +87,21 @@ def incremental_topk(stream: DataFrame, query_vec: list[float],
             if vec_id not in best or sim > best[vec_id][2]:
                 best[vec_id] = (vec_id, label, sim)
         top = sorted(best.values(), key=lambda t: (-t[2], t[0]))[:k]
-        # Commit protocol: write a FRESH version dir (a retried batch
-        # overwrites only its own failed attempt, never the committed
-        # previous), then atomically repoint LATEST, then best-effort
-        # GC of superseded versions.  A crash at any step leaves the
-        # last committed version readable.  (Local-fs rename is the
-        # atomic primitive here; on an object store the same pattern
-        # rides the FileSystem API / a manifest write.)
-        vname = f"v={batch_id}"
+        # Commit protocol: write a FRESH uniquely-named attempt dir,
+        # then atomically repoint LATEST, then best-effort GC of
+        # every version except the one LATEST names.  The attempt
+        # suffix is load-bearing: a batch RETRIED after its own
+        # publish (crash before the streaming checkpoint committed)
+        # re-enters with the same batch_id, and a name keyed only by
+        # batch_id would make mode("overwrite") delete the committed
+        # dir LATEST points at — a crash mid-rewrite then loses ALL
+        # state since older versions were already GC'd (review
+        # finding).  With unique attempts, no committed dir is ever
+        # rewritten; the retry simply publishes a content-identical
+        # new version.  (Local-fs rename is the atomic primitive; on
+        # an object store the same pattern rides conditional PUT.)
+        import uuid
+        vname = f"v={batch_id}-{uuid.uuid4().hex[:8]}"
         vdir = os.path.join(state_dir, vname)
         (spark.createDataFrame(top, _STATE_SCHEMA)
          .coalesce(1).write.mode("overwrite").parquet(vdir))

@@ -236,6 +236,13 @@ def test_bloom_probe_prunes_before_semi_join(spark, specs):
     df = specs["q_bloom_prune"].build(spark, SF)
     plan = formatted_plan(df)
     assert "shiftright" in plan and "LeftSemi" in plan, plan[:2000]
+    # ORDERING, not mere presence (review finding): in formatted
+    # explain the tree prints top-down, so the semi join node must
+    # appear BEFORE the probe filter in the text for the probe to sit
+    # BELOW it in the plan (filter inside the join's fact input — the
+    # prune-then-join guarantee; a probe hoisted above the join would
+    # print before it)
+    assert plan.index("LeftSemi") < plan.index("shiftright")
     # the only nested-loop allowed is the 1-row bitmask attach (a
     # broadcast cross carrying the probe as its condition; formatted
     # mode prints each node twice — tree line + detail header)
