@@ -609,7 +609,13 @@ def salted_join(events: DataFrame, n_salt: int = 8) -> DataFrame:
     pinned separately in test_plans."""
     dim = (events.groupBy("user_id")
            .agg(F.count(F.lit(1)).alias("n_events_user")))
-    fact = events.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(n_salt)))
+    # coalesce(0): pmod(NULL) is NULL and a NULL salt never matches the
+    # (key, salt) equi-join, silently dropping NULL-event_id rows the
+    # unsalted oracle keeps (review finding) — any constant salt is
+    # valid for such rows since the salt only spreads, never selects
+    fact = events.withColumn(
+        "_salt", F.pmod(F.coalesce(F.col("event_id"), F.lit(0)),
+                        F.lit(n_salt)))
     dim_x = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
     return (fact.join(dim_x, ["user_id", "_salt"])

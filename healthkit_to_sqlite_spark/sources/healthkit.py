@@ -447,10 +447,15 @@ def read_workouts(spark: SparkSession, xml_path: str,
 
 
 #: a complete quoted JSON *value* that is a valid JSON number literal;
-#: anchored on the preceding ':' so keys never match.  Leading-zero
-#: strings ("0081") deliberately excluded: the reference's f32 parse
-#: accepts them (emitting 81.0) but unquoting them verbatim would
-#: produce invalid JSON — they stay strings here (documented edge).
+#: anchored on the preceding ':' so keys never match.  Deliberately
+#: excluded (documented edges, all forms the reference's f32 parse
+#: accepts but whose verbatim unquoting would emit invalid or
+#: misleading JSON): leading-zero strings ("0081" → reference 81.0),
+#: bare-fraction forms (".5" / "5." → reference 0.5 / 5.0 — not valid
+#: JSON number literals verbatim), and beyond-f32-range literals
+#: ("1e39" → reference saturates to inf, unrepresentable in JSON).
+#: All stay quoted strings here; HealthKit exports emit none of these
+#: forms in practice.
 _NUM_JSON_VALUE = r'":"(-?(?:0|[1-9][0-9]*)(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)"'
 
 

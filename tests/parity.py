@@ -82,11 +82,20 @@ def compare_query(spark, con, name, build, sql, sf_dir) -> ParityResult:
     sdf = build(spark, sf_dir)
     scols = sdf.columns
     # dtype check reads through pandas (the driver's path); the value
-    # compare stays on Python-native rows so NULL is None on both sides
-    spdf = sdf.toPandas()
-    srows = [tuple(r) for r in sdf.collect()]
-    opdf = con.execute(sql).df()
-    ores = con.execute(sql)
+    # compare stays on Python-native rows so NULL is None on both
+    # sides.  persist() makes the second action read the cache — the
+    # old form re-executed every (often iterative) plan twice; same
+    # trick on the DuckDB side via a temp-table materialization
+    # (review finding: the sweep paid ~2× wall for nothing).
+    sdf = sdf.persist()
+    try:
+        spdf = sdf.toPandas()
+        srows = [tuple(r) for r in sdf.collect()]
+    finally:
+        sdf.unpersist()
+    con.execute("CREATE OR REPLACE TEMP TABLE __parity_res AS " + sql)
+    opdf = con.execute("SELECT * FROM __parity_res").df()
+    ores = con.execute("SELECT * FROM __parity_res")
     ocols = [d[0] for d in ores.description]
     orows = ores.fetchall()
 
@@ -171,6 +180,8 @@ if __name__ == "__main__":
     out_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: parity.py [names...] [--json OUT_PATH]")
         out_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     only = argv or None

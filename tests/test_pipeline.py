@@ -192,3 +192,20 @@ def test_containment_catches_embedded_subset(spark):
     # containment exists to fix
     jac = ngram_jaccard_pairs(docs, threshold=0.0).collect()
     assert jac and jac[0].jaccard < 0.2
+
+
+def test_salted_join_keeps_null_keys(spark):
+    # pmod(NULL) is NULL and a NULL salt never equi-joins — the
+    # coalesce(0) salt must keep NULL-event_id rows identical to the
+    # unsalted join (review finding)
+    from healthkit_to_sqlite_spark.operators.pipeline import salted_join
+
+    ev = spark.createDataFrame(
+        [(1, 10, None), (2, 10, 5.0), (3, 20, 1.0)],
+        "user_id long, value long, x double").selectExpr(
+        "user_id", "CASE WHEN x IS NULL THEN NULL ELSE CAST(x AS LONG) END"
+        " AS event_id", "CAST(value AS DOUBLE) AS value",
+        "CAST('2024-01-01' AS TIMESTAMP) AS ts",
+        "'click' AS event_type", "'{}' AS props")
+    out = salted_join(ev)
+    assert out.filter("event_id IS NULL").count() == 1
