@@ -178,3 +178,28 @@ def test_batch_ids_survive_append_and_compact(spark, tbl):
     tbl.compact(spark, target_files=1)
     assert tbl.append_batch(_batch(spark, 0, 10), batch_id=3) is None
     assert tbl.read(spark).count() == 20
+
+
+def test_concurrent_appends_serialize(spark, tbl):
+    """Eight genuinely concurrent appends (threads share the table
+    object) must all land: CAS losers retry against the new head, no
+    version is lost, no rows duplicated."""
+    import threading
+
+    errs = []
+
+    def worker(i):
+        try:
+            tbl.append(_batch(spark, i * 10, i * 10 + 10))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert tbl.current_version() == 8
+    rows = sorted(r["id"] for r in tbl.read(spark).collect())
+    assert rows == list(range(80))
