@@ -89,6 +89,7 @@ HEADLINE = [
     "q_triangles",
     "q_gapfill",
     "q_anomaly_zscore",
+    "q_dedup_audit",
 ]
 
 

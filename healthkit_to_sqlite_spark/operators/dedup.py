@@ -291,6 +291,45 @@ def incremental_dedup(documents: DataFrame,
                  F.count(F.lit(1)).alias("n_collisions")))
 
 
+def dedup_audit(documents: DataFrame) -> DataFrame:
+    """Per-source dedup-yield audit — the dashboard a curation team
+    watches across snapshots: how many documents each dedup stage
+    (byte-exact, normalized-exact, LSH near-dup candidacy) would
+    remove, per source.
+
+    Composes the three registered stages WITHOUT new machinery: exact
+    and normalized yields are distinct-counts of the respective hash
+    (removed = n_docs − n_distinct), near-dup exposure counts docs
+    appearing in ≥1 LSH candidate pair.  Everything aggregates
+    per-source in one pass over each stage's output; the LSH pair
+    list is the same banding join the dedup pipeline already runs, so
+    at scale this audit rides the artifacts the pipeline materializes
+    anyway rather than recomputing them."""
+    canon = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+        r"\s+", " "))
+    base = (documents
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct(F.md5("text")).alias("n_exact_distinct"),
+                 F.countDistinct(F.md5(canon)).alias("n_norm_distinct")))
+    pairs = minhash_lsh_pairs(documents)
+    exposed = (pairs.select(F.col("doc_a").alias("doc_id"))
+               .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+               .distinct()
+               .join(documents.select("doc_id", "source"), "doc_id")
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_neardup_exposed")))
+    return (base.join(exposed, "source", "left")
+            .select("source", "n_docs",
+                    (F.col("n_docs") - F.col("n_exact_distinct"))
+                    .alias("n_exact_dups"),
+                    (F.col("n_docs") - F.col("n_norm_distinct"))
+                    .alias("n_norm_dups"),
+                    F.coalesce("n_neardup_exposed", F.lit(0))
+                    .alias("n_neardup_exposed")))
+
+
 def ml_minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6) -> DataFrame:
     """C2 via pyspark.ml: HashingTF over shingles → MinHashLSH →
     approxSimilarityJoin.  The library path scales via the same banding
@@ -442,6 +481,42 @@ SPECS: dict[str, Spec] = {
         FROM bits GROUP BY doc_id
         """,
         "SimHash 60-bit signatures (majority-vote bits)"),
+    "q_dedup_audit": Spec(
+        lambda spark, sf: dedup_audit(load_table(spark, sf, "documents")),
+        rf"""
+        WITH mh AS ({_MINHASH_SQL}),
+        bands AS (
+          SELECT doc_id, CAST(i // {N_HASHES // N_BANDS} AS INT) AS band,
+                 STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_sig
+          FROM mh GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        exposed AS (
+          SELECT d.source, COUNT(*) AS n_neardup_exposed FROM (
+            SELECT DISTINCT doc_id FROM (
+              SELECT doc_a AS doc_id FROM pairs
+              UNION ALL SELECT doc_b FROM pairs)) x
+          JOIN documents d USING (doc_id)
+          GROUP BY d.source),
+        base AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+                   AS n_exact_dups,
+                 CAST(COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(
+                        regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                        '\s+', ' ', 'g')))) AS BIGINT) AS n_norm_dups
+          FROM documents GROUP BY source)
+        SELECT b.source, b.n_docs, b.n_exact_dups, b.n_norm_dups,
+               CAST(COALESCE(e.n_neardup_exposed, 0) AS BIGINT)
+                 AS n_neardup_exposed
+        FROM base b LEFT JOIN exposed e USING (source)
+        """,
+        "per-source dedup-yield audit (exact / normalized / LSH-candidate "
+        "exposure in one dashboard row per source)"),
     "q_dedup_incremental": Spec(
         lambda spark, sf: incremental_dedup(load_table(spark, sf, "documents")),
         f"""
