@@ -73,6 +73,7 @@ def dedup_clusters(documents: DataFrame) -> DataFrame:
               .withColumn("cluster_id", F.col("doc_id"))
               .localCheckpoint(eager=True))
     prev_sum = None
+    converged = False
     for _ in range(30):  # diameter bound; tiny for near-dup chains
         msgs = (edges.join(labels, edges.src == labels.doc_id)
                 .select(F.col("dst").alias("doc_id"), "cluster_id"))
@@ -83,8 +84,17 @@ def dedup_clusters(documents: DataFrame) -> DataFrame:
                   .localCheckpoint(eager=False))
         cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # silent non-convergence would emit non-minimal (wrong)
+        # cluster ids; refuse like the star variant does (a component
+        # with diameter > 30 needs dedup_clusters_star's O(log n)
+        # rounds, not more propagation)
+        raise RuntimeError(
+            "min-label propagation did not converge within 30 rounds; "
+            "use connected_components_star for long-chain graphs")
     return (documents.select("doc_id")
             .join(labels, "doc_id", "left")
             .select("doc_id",

@@ -192,7 +192,11 @@ SPECS: dict[str, Spec] = {
                CAST(least({CHUNK}, len(string_split(text, ' ')) - k.k * {CHUNK})
                     AS INT) AS n_tok
         FROM documents,
-             (SELECT unnest(range(200)) AS k) k
+             -- correlated bound: the generator covers every chunk of
+             -- the LONGEST document (a hardcoded cap silently narrowed
+             -- verification for docs over cap*CHUNK tokens)
+             (SELECT unnest(range((SELECT max(len(string_split(text, ' ')))
+                                   FROM documents) // {CHUNK} + 1)) AS k) k
         WHERE k.k * {CHUNK} < len(string_split(text, ' '))
         """,
         "Python UDTF lateral chunking (UDF surface; builtin explode is the scale path)"),
