@@ -90,6 +90,7 @@ HEADLINE = [
     "q_gapfill",
     "q_anomaly_zscore",
     "q_dedup_audit",
+    "q_manifest_roundtrip",
 ]
 
 

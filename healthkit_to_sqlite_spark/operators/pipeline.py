@@ -1089,6 +1089,30 @@ def _work_dir(op: str, sf_dir: str) -> str:
     return _WORK_DIRS[key]
 
 
+def manifest_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layer contract query: write `documents` through the
+    manifest-committed table in two atomic appends (two versions, so
+    the log is exercised, not just one CTAS), read the HEAD back
+    through the manifest, and aggregate — the oracle is the same
+    aggregate over the source table, so the round trip must be
+    LOSSLESS and EXACTLY-ONCE for the query to hash-match.  This puts
+    `sinks/manifest.py` under the driver's correctness gate rather
+    than pytest alone.  The scratch table is cached per (op, sf) and
+    only built once per process; re-runs read the committed head."""
+    from ..sinks.manifest import ManifestTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    tbl = ManifestTable(os.path.join(_work_dir("manifest_rt", sf_dir), "tbl"))
+    if tbl.current_version() < 2:
+        tbl.append(docs.filter(F.col("doc_id") % 2 == 0))
+        tbl.append(docs.filter(F.col("doc_id") % 2 == 1))
+    return (tbl.read(spark)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.countDistinct("doc_id").alias("n_distinct_ids")))
+
+
 SPECS: dict[str, Spec] = {
     "q_dedup_clusters": Spec(
         lambda spark, sf: dedup_clusters(load_table(spark, sf, "documents")),
@@ -1444,6 +1468,17 @@ SPECS: dict[str, Spec] = {
         """,
         "data-quality expectations gate (null/PK-dup/referential/range "
         "violation counts; single scan per table + one anti join)"),
+    "q_manifest_roundtrip": Spec(
+        manifest_roundtrip_query,
+        """
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids
+        FROM documents GROUP BY source
+        """,
+        "storage-layer gate: two atomic manifest appends + head read "
+        "must round-trip documents losslessly (sinks/manifest.py under "
+        "the driver oracle, not just pytest)"),
     "q_skew_report": Spec(
         lambda spark, sf: skew_report(load_table(spark, sf, "orders")),
         """

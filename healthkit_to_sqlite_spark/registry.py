@@ -35,7 +35,7 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_semantic", "q_skew_report", "q_dedup_normalized",
     "q_ivf_postings", "q_expectations", "q_funnel_left", "q_multimodal_embed",
     "q_resample_ffill", "q_fuzzy_join", "q_triangles", "q_gapfill",
-    "q_anomaly_zscore", "q_dedup_audit",
+    "q_anomaly_zscore", "q_dedup_audit", "q_manifest_roundtrip",
     "q_multimodal_resize", "q_multimodal_frames", "q_dedup_embedding",
     "q_topk_cosine_incremental", "q_dedup_clusters_star", "q_dedup_clusters",
     "q_global_shuffle", "q_train_split", "q_quality_funnel",
