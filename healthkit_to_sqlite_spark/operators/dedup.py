@@ -273,11 +273,18 @@ def incremental_dedup(documents: DataFrame,
     table, so the daily job shuffles just the new batch's signatures
     against it and appends survivors' signatures back — cost scales
     with |batch|, not |lake|.  Output: one row per flagged new doc
-    with its earliest colliding corpus doc and collision stats."""
-    src_num = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+    with its earliest colliding corpus doc and collision stats.
+
+    A source NOT shaped ``src<N>`` is treated as BATCH (try_cast →
+    NULL → coalesce false): the previous bare cast made membership
+    NULL, which both ``filter(col)`` and ``filter(~col)`` drop —
+    silently excluding the doc from the dedup entirely (review
+    finding)."""
+    src_num = F.regexp_extract("source", r"src(\d+)", 1).try_cast("int")
     sig = _band_signatures(documents)
     membership = documents.select(
-        "doc_id", (src_num < corpus_max_src).alias("in_corpus"))
+        "doc_id",
+        F.coalesce(src_num < corpus_max_src, F.lit(False)).alias("in_corpus"))
     sig = sig.join(membership, "doc_id")
     corpus = sig.filter(F.col("in_corpus"))
     batch = sig.filter(~F.col("in_corpus"))
@@ -528,7 +535,8 @@ SPECS: dict[str, Spec] = {
         ),
         tagged AS (
           SELECT b.doc_id, b.band, b.band_sig,
-                 CAST(regexp_extract(d.source, 'src(\\d+)', 1) AS INT) < 10
+                 COALESCE(TRY_CAST(regexp_extract(d.source, 'src(\\d+)', 1)
+                                   AS INT) < 10, FALSE)
                    AS in_corpus
           FROM bands b JOIN documents d USING (doc_id)
         )

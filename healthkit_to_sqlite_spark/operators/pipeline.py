@@ -1098,11 +1098,20 @@ def manifest_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     LOSSLESS and EXACTLY-ONCE for the query to hash-match.  This puts
     `sinks/manifest.py` under the driver's correctness gate rather
     than pytest alone.  The scratch table is cached per (op, sf) and
-    only built once per process; re-runs read the committed head."""
+    only built once per process; re-runs read the committed head.
+    A PARTIAL build (first append committed, second failed) is torn
+    down and rebuilt — resuming with both appends would duplicate the
+    first half and misattribute the parity failure to the manifest
+    layer (review finding)."""
+    import shutil
+
     from ..sinks.manifest import ManifestTable
 
     docs = load_table(spark, sf_dir, "documents")
-    tbl = ManifestTable(os.path.join(_work_dir("manifest_rt", sf_dir), "tbl"))
+    root = os.path.join(_work_dir("manifest_rt", sf_dir), "tbl")
+    if 0 < ManifestTable(root).current_version() < 2:
+        shutil.rmtree(root, ignore_errors=True)
+    tbl = ManifestTable(root)
     if tbl.current_version() < 2:
         tbl.append(docs.filter(F.col("doc_id") % 2 == 0))
         tbl.append(docs.filter(F.col("doc_id") % 2 == 1))

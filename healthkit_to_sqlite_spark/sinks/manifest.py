@@ -44,6 +44,14 @@ class CommitConflict(RuntimeError):
     """Another writer published this version first (retryable)."""
 
 
+class BatchIdRegression(RuntimeError):
+    """A foreachBatch id went BACKWARDS past the replay window: the
+    stream restarted from a fresh/reset checkpoint (ids restart at 0)
+    while the table remembers a higher high-water mark.  Silently
+    no-opping here would drop every new micro-batch — fail fast
+    instead (review finding)."""
+
+
 class ManifestTable:
     def __init__(self, root: str):
         self.root = root
@@ -161,19 +169,27 @@ class ManifestTable:
         an exactly-once streaming sink on plain parquet.  A scalar
         high-water mark (not a set of every id) keeps manifests O(1)
         in stream length; it is sufficient because foreachBatch only
-        ever retries the LATEST uncommitted batch.  Contract: ONE
-        streaming query per table (restarting from a fresh checkpoint
-        resets batch ids to 0 — start a fresh table or version).
-        ``append``/``compact`` carry the mark forward.  Returns the
-        published version, or None when the batch was already
-        committed."""
+        ever retries the LATEST uncommitted batch — so only
+        ``batch_id == last`` is a legitimate replay.  ``batch_id <
+        last`` can only mean the checkpoint was reset (ids restart at
+        0): no-opping would silently discard every new micro-batch,
+        so it raises :class:`BatchIdRegression` instead.  Contract:
+        ONE streaming query per table; to restart from a fresh
+        checkpoint, start a fresh table.  ``append``/``compact``
+        carry the mark forward.  Returns the published version, or
+        None when the batch was already committed."""
         staged: tuple[list[str], str] | None = None  # stage once per call
         for _ in range(max_retries):
             head = self.current_version()
             prev = self._load(head) if head else {}
             last = prev.get("last_batch_id")
-            if last is not None and batch_id <= last:
+            if last is not None and batch_id == last:
                 return None  # retried batch — already durable, no-op
+            if last is not None and batch_id < last:
+                raise BatchIdRegression(
+                    f"batch_id {batch_id} < table high-water mark {last}: "
+                    "the streaming checkpoint was reset; writing would "
+                    "silently drop data — use a fresh table")
             if staged is None:
                 staged = self._stage(df)
             files, schema = staged
@@ -210,6 +226,7 @@ class ManifestTable:
         be in flight.  (Production formats pair this with a retention
         window for readers of old versions; every manifest here pins
         its files forever until its deletion.)"""
+        import shutil
         import time as _time
         referenced: set[str] = set()
         for v in range(1, self.current_version() + 1):
@@ -220,12 +237,25 @@ class ManifestTable:
         data_root = os.path.join(self.root, _DATA_DIR)
         for stage in os.listdir(data_root):
             sdir = os.path.join(data_root, stage)
-            for n in os.listdir(sdir):
-                p = os.path.join(sdir, n)
-                if (n.endswith(".parquet") and p not in referenced
-                        and now - os.path.getmtime(p) >= min_age_seconds):
-                    os.unlink(p)
-                    removed.append(p)
-            if not os.listdir(sdir):
-                os.rmdir(sdir)
+            if not os.path.isdir(sdir):
+                continue  # stray plain file under data/ — not ours
+            entries = [os.path.join(sdir, n) for n in os.listdir(sdir)]
+            parquet = [p for p in entries if p.endswith(".parquet")]
+            live = [p for p in parquet if p in referenced]
+            if live:
+                # dir still backs a version: drop only unreferenced
+                # parquet, keep Spark's _SUCCESS/.crc sidecars with it
+                for p in parquet:
+                    if (p not in referenced
+                            and now - os.path.getmtime(p) >= min_age_seconds):
+                        os.unlink(p)
+                        removed.append(p)
+            elif all(now - os.path.getmtime(p) >= min_age_seconds
+                     for p in entries):
+                # no manifest references anything here and everything
+                # is past the grace window: remove the whole stage dir
+                # (sidecars included — per-file unlink left them
+                # pinning empty dirs forever, review finding)
+                removed.extend(parquet)
+                shutil.rmtree(sdir)
         return removed

@@ -84,25 +84,65 @@ _ENTITIES = {"&quot;": '"', "&apos;": "'"}
 _NUMREF_RE = re.compile(r"&#(x[0-9a-fA-F]+|[0-9]+);")
 
 
+def _default_staging(path: str) -> str:
+    """Default staging dir: next to the archive, falling back to a
+    DETERMINISTIC per-archive tmp dir when the archive lives on
+    read-only storage (the sibling default would fail at mkdir).
+    Deterministic (abspath hash), not random, so concurrent/repeat
+    jobs converge on one extraction (review finding)."""
+    sibling = path + ".staged"
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    if os.access(parent, os.W_OK):
+        return sibling
+    import hashlib
+    import tempfile
+    digest = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"hk-staged-{digest}")
+
+
 def _stage(path: str, staging_dir: str | None) -> str:
     """Resolve the source path to a readable export.xml: zips are
     extracted once driver-side (not splittable), plain XML passes
-    through."""
+    through.
+
+    Concurrency-safe: extraction lands in a UNIQUE temp dir (marker
+    written last) and is atomically renamed into place — a dir-onto-
+    existing-dir rename fails on POSIX, which is exactly the
+    put-if-absent we need.  The loser of a race discards its copy and
+    reads the winner's; executors therefore never observe a
+    half-extracted export.xml (previous in-place extractall could be
+    overwritten under a concurrent reader — review finding)."""
     if not path.endswith(".zip"):
         return path
-    staging_dir = staging_dir or path + ".staged"
+    staging_dir = staging_dir or _default_staging(path)
     xml_path = os.path.join(staging_dir, "apple_health_export", "export.xml")
     marker = os.path.join(staging_dir, ".extract-complete")
     # completion marker, not bare existence: a crash mid-extract leaves
     # a TRUNCATED export.xml that a bare exists() check would silently
     # reuse forever (review finding); without the marker we re-extract
-    if not (os.path.exists(xml_path) and os.path.exists(marker)):
+    if os.path.exists(xml_path) and os.path.exists(marker):
+        return xml_path
+    import shutil
+    import uuid
+
+    tmp = f"{staging_dir}.tmp-{uuid.uuid4().hex}"
+    try:
         with zipfile.ZipFile(path) as zf:
             safe = [n for n in zf.namelist()
                     if not (n.startswith("/") or ".." in n.split("/"))]
-            zf.extractall(staging_dir, members=safe)
-        with open(marker, "w"):
-            pass
+            zf.extractall(tmp, members=safe)
+        with open(os.path.join(tmp, ".extract-complete"), "w"):
+            pass  # marker LAST: a renamed dir is complete by definition
+        try:
+            os.rename(tmp, staging_dir)
+        except OSError:
+            if os.path.exists(marker):
+                return xml_path  # lost the race to a completed winner
+            # stale partial from a pre-marker crash: replace it
+            shutil.rmtree(staging_dir, ignore_errors=True)
+            os.rename(tmp, staging_dir)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return xml_path
 
 

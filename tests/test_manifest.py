@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from healthkit_to_sqlite_spark.sinks.manifest import (
-    CommitConflict, ManifestTable)
+    BatchIdRegression, CommitConflict, ManifestTable)
 
 
 @pytest.fixture()
@@ -100,10 +100,17 @@ def test_streaming_exactly_once_sink(spark, tbl, tmp_path):
     q.awaitTermination(120)
     assert tbl.read(spark).count() == 40
 
-    # simulate a sink-level retry of an already-committed batch
+    # simulate a sink-level retry of the LAST committed batch (the
+    # only replay foreachBatch can produce) — must no-op
     v_before = tbl.current_version()
-    assert tbl.append_batch(_batch(spark, 0, 10), batch_id=0) is None
+    last = tbl._load(v_before)["last_batch_id"]
+    assert tbl.append_batch(_batch(spark, 0, 10), batch_id=last) is None
     assert tbl.current_version() == v_before
+    assert tbl.read(spark).count() == 40
+    # a batch id BELOW the high-water mark means the checkpoint was
+    # reset — silently dropping it would lose data, so it raises
+    with pytest.raises(BatchIdRegression):
+        tbl.append_batch(_batch(spark, 0, 10), batch_id=0)
     assert tbl.read(spark).count() == 40
     # a NEW batch id still appends
     assert tbl.append_batch(_batch(spark, 40, 45), batch_id=99) == v_before + 1
@@ -178,6 +185,25 @@ def test_batch_ids_survive_append_and_compact(spark, tbl):
     tbl.compact(spark, target_files=1)
     assert tbl.append_batch(_batch(spark, 0, 10), batch_id=3) is None
     assert tbl.read(spark).count() == 20
+
+
+def test_vacuum_removes_stage_dirs_and_skips_stray_files(spark, tbl):
+    """An orphaned stage dir must disappear ENTIRELY — Spark's
+    _SUCCESS/.crc sidecars used to pin empty dirs forever — and a
+    stray plain file under data/ must not crash the walk."""
+    tbl.append(_batch(spark, 0, 10))
+    stage_before = set(os.listdir(os.path.join(tbl.root, "data")))
+    tbl._stage(_batch(spark, 100, 200))   # crashed writer
+    orphan = (set(os.listdir(os.path.join(tbl.root, "data")))
+              - stage_before).pop()
+    stray = os.path.join(tbl.root, "data", "README.txt")
+    with open(stray, "w") as fh:
+        fh.write("not a stage dir")
+    removed = tbl.vacuum(min_age_seconds=0)
+    assert len(removed) > 0
+    assert not os.path.exists(os.path.join(tbl.root, "data", orphan))
+    assert os.path.exists(stray)          # left alone, no crash
+    assert tbl.read(spark).count() == 10  # committed data intact
 
 
 def test_concurrent_appends_serialize(spark, tbl):
