@@ -91,6 +91,9 @@ HEADLINE = [
     "q_anomaly_zscore",
     "q_dedup_audit",
     "q_manifest_roundtrip",
+    # round 4: multi-table atomic ingest pass (one manifest commit for
+    # the whole table set)
+    "q_manifest_multi",
 ]
 
 

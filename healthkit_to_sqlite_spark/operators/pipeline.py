@@ -1122,7 +1122,46 @@ def manifest_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("doc_id").alias("n_distinct_ids")))
 
 
+def manifest_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table atomic-commit contract query: publish `documents`
+    AND `embeddings` through ONE ManifestCatalog pass (the reference's
+    one-transaction-per-ingest semantics, core.rs:59-61, 70-72 — a
+    crashed pass publishes neither table), read BOTH tables back
+    through the catalog manifest, join and aggregate.  The oracle is
+    the same join over the source tables, so the commit must be
+    lossless across the whole table SET for the hash to match.  One
+    atomic pass ⇒ version is 0 or 1, never partial — re-runs are
+    idempotent by construction."""
+    from ..sinks.manifest import ManifestCatalog
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cat = ManifestCatalog(
+        os.path.join(_work_dir("manifest_multi", sf_dir), "cat"))
+    if cat.current_version() < 1:
+        cat.publish_pass({"docs": docs, "emb": emb})
+    d = cat.read(spark, "docs")
+    e = cat.read(spark, "emb")
+    return (d.join(e, d.doc_id == e.vec_id)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum("label").alias("label_sum")))
+
+
 SPECS: dict[str, Spec] = {
+    "q_manifest_multi": Spec(
+        manifest_multi_query,
+        """
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(e.label) AS BIGINT) AS label_sum
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        GROUP BY d.source
+        """,
+        "multi-table atomic ingest pass (ManifestCatalog: one commit "
+        "publishes the whole table set, reference core.rs:59-72)"),
     "q_dedup_clusters": Spec(
         lambda spark, sf: dedup_clusters(load_table(spark, sf, "documents")),
         f"""

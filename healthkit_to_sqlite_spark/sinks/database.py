@@ -70,28 +70,40 @@ def write_sqlite(tables: dict[str, DataFrame], db_path: str,
     """A12/A13: write the logical catalog to a SQLite file.
 
     Streams via toLocalIterator (one partition in driver memory at a
-    time), batched executemany, one transaction per table — the batch
-    upgrade over the reference's row-at-a-time INSERT (core.rs:688-718).
+    time), batched executemany — the batch upgrade over the
+    reference's row-at-a-time INSERT (core.rs:688-718).  ONE
+    transaction for the whole pass, exactly the reference's
+    one-transaction-per-pass (core.rs:59-61, 70-72): a run that dies
+    mid-pass rolls back to zero visible tables, never a partial set.
     ``drop`` reproduces the CLI --drop flow (main.rs:39-62)."""
     if drop and os.path.exists(db_path):
         os.remove(db_path)
-    con = sqlite3.connect(db_path)
+    # isolation_level=None + explicit BEGIN: Python's legacy implicit
+    # transactions run DDL in autocommit, which would leave earlier
+    # tables' CREATEs committed on a mid-pass crash
+    con = sqlite3.connect(db_path, isolation_level=None)
     try:
-        for name, df in tables.items():
-            cols = df.columns
-            con.execute(create_table_sql(name, df.schema))
-            placeholders = ", ".join("?" for _ in cols)
-            collist = ", ".join(_quote(c) for c in cols)
-            sql = f"INSERT INTO {_quote(name)} ({collist}) VALUES ({placeholders})"
-            batch = []
-            for row in df.toLocalIterator():
-                batch.append(tuple(_to_sqlite_value(v) for v in row))
-                if len(batch) >= batch_size:
+        con.execute("BEGIN")
+        try:
+            for name, df in tables.items():
+                cols = df.columns
+                con.execute(create_table_sql(name, df.schema))
+                placeholders = ", ".join("?" for _ in cols)
+                collist = ", ".join(_quote(c) for c in cols)
+                sql = (f"INSERT INTO {_quote(name)} ({collist}) "
+                       f"VALUES ({placeholders})")
+                batch = []
+                for row in df.toLocalIterator():
+                    batch.append(tuple(_to_sqlite_value(v) for v in row))
+                    if len(batch) >= batch_size:
+                        con.executemany(sql, batch)
+                        batch = []
+                if batch:
                     con.executemany(sql, batch)
-                    batch = []
-            if batch:
-                con.executemany(sql, batch)
-            con.commit()
+            con.execute("COMMIT")
+        except BaseException:
+            con.execute("ROLLBACK")
+            raise
     finally:
         con.close()
 
@@ -111,6 +123,20 @@ def write_partitioned_parquet(records: DataFrame, path: str,
     readers hit exactly the partitions (= reference tables) they ask
     for via partition pruning."""
     records.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def write_tables_atomic(tables: dict[str, DataFrame], root: str) -> int:
+    """A4 fan-out with the reference's one-transaction-per-pass
+    semantics at parquet scale: stage EVERY per-type table's files,
+    then publish ONE manifest commit for the whole pass
+    (sinks/manifest.ManifestCatalog).  A run that dies mid-pass
+    leaves zero visible tables — matching the reference's single
+    SQLite transaction (core.rs:59-61, 70-72) — where the plain
+    ``write_partitioned_parquet`` fan-out could leave a partial
+    table set.  Returns the published catalog version."""
+    from .manifest import ManifestCatalog
+
+    return ManifestCatalog(root).publish_pass(tables)
 
 
 def write_bucketed(df: DataFrame, table: str, key: str,

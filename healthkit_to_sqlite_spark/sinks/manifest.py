@@ -52,11 +52,19 @@ class BatchIdRegression(RuntimeError):
     instead (review finding)."""
 
 
-class ManifestTable:
+class _ManifestLog:
+    """Shared manifest-log machinery: version numbering, atomic
+    put-if-absent publish, invisible staging, vacuum.  Subclasses
+    define the manifest payload shape via ``_manifest_files``."""
+
     def __init__(self, root: str):
         self.root = root
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
+
+    @staticmethod
+    def _manifest_files(manifest: dict) -> list[str]:
+        raise NotImplementedError
 
     # -- manifest log ------------------------------------------------------
 
@@ -98,6 +106,65 @@ class ManifestTable:
             os.path.join(stage, n) for n in os.listdir(stage)
             if n.endswith(".parquet"))
         return files, df.schema.json()
+
+    # -- maintenance -------------------------------------------------------
+
+    def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
+        """Delete staged data unreferenced by ANY manifest — the
+        garbage failed or superseded writers left.  Returns removed
+        paths.
+
+        ``min_age_seconds`` is the stage-to-publish grace window: a
+        CONCURRENT writer that has staged but not yet published has
+        unreferenced files too, and deleting them would corrupt the
+        version it is about to publish (review finding) — so only
+        files older than the window are eligible.  One hour dwarfs
+        any real stage-to-publish gap; pass 0 only when no writer can
+        be in flight.  (Production formats pair this with a retention
+        window for readers of old versions; every manifest here pins
+        its files forever until its deletion.)"""
+        import shutil
+        import time as _time
+        referenced: set[str] = set()
+        for v in range(1, self.current_version() + 1):
+            if os.path.exists(self._manifest_path(v)):
+                referenced.update(self._manifest_files(self._load(v)))
+        removed = []
+        now = _time.time()
+        data_root = os.path.join(self.root, _DATA_DIR)
+        for stage in os.listdir(data_root):
+            sdir = os.path.join(data_root, stage)
+            if not os.path.isdir(sdir):
+                continue  # stray plain file under data/ — not ours
+            entries = [os.path.join(sdir, n) for n in os.listdir(sdir)]
+            parquet = [p for p in entries if p.endswith(".parquet")]
+            live = [p for p in parquet if p in referenced]
+            if live:
+                # dir still backs a version: drop only unreferenced
+                # parquet, keep Spark's _SUCCESS/.crc sidecars with it
+                for p in parquet:
+                    if (p not in referenced
+                            and now - os.path.getmtime(p) >= min_age_seconds):
+                        os.unlink(p)
+                        removed.append(p)
+            elif all(now - os.path.getmtime(p) >= min_age_seconds
+                     for p in entries):
+                # no manifest references anything here and everything
+                # is past the grace window: remove the whole stage dir
+                # (sidecars included — per-file unlink left them
+                # pinning empty dirs forever, review finding)
+                removed.extend(parquet)
+                shutil.rmtree(sdir)
+        return removed
+
+
+class ManifestTable(_ManifestLog):
+    """Single-table manifest log: append / time travel / compaction /
+    exactly-once streaming sink."""
+
+    @staticmethod
+    def _manifest_files(manifest: dict) -> list[str]:
+        return manifest.get("files", [])
 
     def append(self, df: DataFrame, max_retries: int = 10) -> int:
         """Atomically append: stage files once, then CAS the manifest
@@ -210,52 +277,63 @@ class ManifestTable:
             self.append_batch(batch_df, int(batch_id))
         return write
 
-    # -- maintenance -------------------------------------------------------
 
-    def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
-        """Delete staged data unreferenced by ANY manifest — the
-        garbage failed or superseded writers left.  Returns removed
-        paths.
+class ManifestCatalog(_ManifestLog):
+    """MULTI-table atomic publish: one manifest version names the file
+    set of EVERY table, so an N-table pass commits with ONE
+    put-if-absent — the reference's one-transaction-per-ingest-pass
+    (core.rs:59-61, 70-72: a crashed run publishes NOTHING, never a
+    partial table set) re-expressed for files + object storage.  The
+    table-per-type fan-out sink (A4) composes with this: stage all
+    per-type files, then a single commit makes the whole pass visible.
 
-        ``min_age_seconds`` is the stage-to-publish grace window: a
-        CONCURRENT writer that has staged but not yet published has
-        unreferenced files too, and deleting them would corrupt the
-        version it is about to publish (review finding) — so only
-        files older than the window are eligible.  One hour dwarfs
-        any real stage-to-publish gap; pass 0 only when no writer can
-        be in flight.  (Production formats pair this with a retention
-        window for readers of old versions; every manifest here pins
-        its files forever until its deletion.)"""
-        import shutil
-        import time as _time
-        referenced: set[str] = set()
-        for v in range(1, self.current_version() + 1):
-            if os.path.exists(self._manifest_path(v)):
-                referenced.update(self._load(v)["files"])
-        removed = []
-        now = _time.time()
-        data_root = os.path.join(self.root, _DATA_DIR)
-        for stage in os.listdir(data_root):
-            sdir = os.path.join(data_root, stage)
-            if not os.path.isdir(sdir):
-                continue  # stray plain file under data/ — not ours
-            entries = [os.path.join(sdir, n) for n in os.listdir(sdir)]
-            parquet = [p for p in entries if p.endswith(".parquet")]
-            live = [p for p in parquet if p in referenced]
-            if live:
-                # dir still backs a version: drop only unreferenced
-                # parquet, keep Spark's _SUCCESS/.crc sidecars with it
-                for p in parquet:
-                    if (p not in referenced
-                            and now - os.path.getmtime(p) >= min_age_seconds):
-                        os.unlink(p)
-                        removed.append(p)
-            elif all(now - os.path.getmtime(p) >= min_age_seconds
-                     for p in entries):
-                # no manifest references anything here and everything
-                # is past the grace window: remove the whole stage dir
-                # (sidecars included — per-file unlink left them
-                # pinning empty dirs forever, review finding)
-                removed.extend(parquet)
-                shutil.rmtree(sdir)
-        return removed
+    Manifest shape: ``{"tables": {name: {"schema": ..., "files":
+    [...]}}, "parent": v}``.  A pass APPENDS to the tables it names
+    and carries every other table forward unchanged, so independent
+    passes over disjoint table sets serialize without interference."""
+
+    @staticmethod
+    def _manifest_files(manifest: dict) -> list[str]:
+        return [f for t in manifest.get("tables", {}).values()
+                for f in t["files"]]
+
+    def publish_pass(self, tables: dict[str, DataFrame],
+                     max_retries: int = 10) -> int:
+        """Stage EVERY table's files first (all invisible), then CAS
+        one manifest naming them all.  Any failure before the publish
+        leaves only unreferenced staging garbage — readers never see
+        a subset of the pass.  Returns the published version."""
+        staged = {name: self._stage(df) for name, df in tables.items()}
+        for _ in range(max_retries):
+            head = self.current_version()
+            prev = self._load(head).get("tables", {}) if head else {}
+            merged = dict(prev)
+            for name, (files, schema) in staged.items():
+                old = prev.get(name, {}).get("files", [])
+                merged[name] = {"schema": schema, "files": old + files}
+            try:
+                self._publish({"tables": merged, "parent": head}, head + 1)
+                return head + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"lost {max_retries} publish races")
+
+    def table_names(self, version: int | None = None) -> list[str]:
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return []
+        return sorted(self._load(v)["tables"])
+
+    def read(self, spark: SparkSession, table: str,
+             version: int | None = None) -> DataFrame:
+        """Read one table at a catalog version (default: head)."""
+        v = self.current_version() if version is None else version
+        if v == 0:
+            raise KeyError(f"table {table!r}: catalog is empty")
+        t = self._load(v)["tables"].get(table)
+        if t is None:
+            raise KeyError(f"table {table!r} not in catalog version {v}")
+        schema = T.StructType.fromJson(json.loads(t["schema"]))
+        if not t["files"]:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*t["files"])

@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from healthkit_to_sqlite_spark.sinks.manifest import (
-    BatchIdRegression, CommitConflict, ManifestTable)
+    BatchIdRegression, CommitConflict, ManifestCatalog, ManifestTable)
 
 
 @pytest.fixture()
@@ -229,3 +229,99 @@ def test_concurrent_appends_serialize(spark, tbl):
     assert tbl.current_version() == 8
     rows = sorted(r["id"] for r in tbl.read(spark).collect())
     assert rows == list(range(80))
+
+
+# -- multi-table atomic pass (reference one-transaction-per-pass) ---------
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return ManifestCatalog(str(tmp_path / "cat"))
+
+
+def test_catalog_pass_publishes_all_tables_atomically(spark, cat):
+    v = cat.publish_pass({"a": _batch(spark, 0, 10),
+                          "b": _batch(spark, 10, 30)})
+    assert v == 1
+    assert cat.table_names() == ["a", "b"]
+    assert cat.read(spark, "a").count() == 10
+    assert cat.read(spark, "b").count() == 20
+
+
+def test_catalog_crash_mid_pass_publishes_nothing(spark, cat, monkeypatch):
+    """Kill the writer after it staged table 1 but before table 2:
+    NO table from the pass may be visible (the reference's crashed
+    run leaves zero tables, core.rs:59-72)."""
+    real_stage = cat._stage
+    calls = {"n": 0}
+
+    def dying_stage(df):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("executor lost mid-pass")
+        return real_stage(df)
+
+    monkeypatch.setattr(cat, "_stage", dying_stage)
+    with pytest.raises(RuntimeError):
+        cat.publish_pass({"a": _batch(spark, 0, 10),
+                          "b": _batch(spark, 10, 30)})
+    assert cat.current_version() == 0
+    assert cat.table_names() == []
+    # the dead writer's staged files are invisible garbage; vacuum
+    # clears them and the catalog is still empty
+    assert len(cat.vacuum(min_age_seconds=0)) > 0
+    assert cat.current_version() == 0
+
+
+def test_catalog_second_pass_appends_and_carries_forward(spark, cat):
+    cat.publish_pass({"a": _batch(spark, 0, 10), "b": _batch(spark, 0, 5)})
+    v = cat.publish_pass({"a": _batch(spark, 10, 20)})
+    assert v == 2
+    # named table appended, unnamed table carried forward
+    assert cat.read(spark, "a").count() == 20
+    assert cat.read(spark, "b").count() == 5
+    # time travel still sees the first pass
+    assert cat.read(spark, "a", version=1).count() == 10
+    with pytest.raises(KeyError):
+        cat.read(spark, "missing")
+
+
+def test_ingest_fanout_atomic_publish(spark, hk_zip, tmp_path):
+    """The real A4 composition: archive → record_tables fan-out →
+    write_tables_atomic = one commit for the whole per-type table
+    set."""
+    from healthkit_to_sqlite_spark.sinks.database import write_tables_atomic
+    from healthkit_to_sqlite_spark.sources.healthkit import (
+        convert, read_records)
+
+    tables = convert(spark, hk_zip, str(tmp_path / "stage"))
+    root = str(tmp_path / "catalog")
+    assert write_tables_atomic(tables, root) == 1
+    cat = ManifestCatalog(root)
+    assert sorted(cat.table_names()) == sorted(tables)
+    for name, df in tables.items():
+        assert cat.read(spark, name).count() == df.count()
+
+
+def test_write_sqlite_crash_mid_pass_rolls_back(spark, tmp_path):
+    """write_sqlite is one transaction per pass: dying on table 2
+    must leave table 1 invisible too."""
+    import sqlite3
+
+    from healthkit_to_sqlite_spark.sinks.database import write_sqlite
+
+    class Exploding:
+        @property
+        def columns(self):
+            raise RuntimeError("boom")
+
+    db = str(tmp_path / "out.db")
+    with pytest.raises(RuntimeError):
+        write_sqlite({"good": _batch(spark, 0, 10), "bad": Exploding()}, db)
+    con = sqlite3.connect(db)
+    try:
+        names = [r[0] for r in con.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'")]
+    finally:
+        con.close()
+    assert names == []
