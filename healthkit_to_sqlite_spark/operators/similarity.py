@@ -20,6 +20,7 @@ surface.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -451,14 +452,14 @@ def topk_cosine_pandas(embeddings: DataFrame, query_vec_id: int = 0,
     Exists to pin the UDF surface (SURVEY.md §2.B gaps: UDF/UDAF): when
     a kernel genuinely needs Python, this is the shape — Arrow batches,
     closure-complete, zero per-row overhead."""
-    from pyspark.sql.functions import PandasUDFType
-
     qvec = [float(x) for x in
             embeddings.filter(F.col("vec_id") == query_vec_id)
             .select("embedding").collect()[0][0]]
 
-    @F.pandas_udf("double", PandasUDFType.SCALAR)
-    def cos(col):
+    # Spark-4 type-hinted form (Series → Series ⇒ SCALAR); the
+    # positional PandasUDFType enum is deprecated
+    @F.pandas_udf("double")
+    def cos(col: pd.Series) -> pd.Series:
         import numpy as np
         q = np.asarray(qvec, dtype=np.float64)
         qn = np.sqrt((q * q).sum())

@@ -21,6 +21,7 @@ scale caveat in its docstring:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,19 +59,20 @@ def grouped_median_udaf(lineitem: DataFrame) -> DataFrame:
     numpy, Arrow-batched.  The oracle (quantile_cont) proves the UDAF
     path agrees with the engine-native order statistic — the agreement
     contract you want before trusting custom aggregates at scale."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # explicit GROUPED_AGG function type: with `from __future__ import
-    # annotations` the hint-based signature detection sees strings
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def np_median(v):
+    # Spark-4 type-hinted form: Series → scalar ⇒ GROUPED_AGG (string
+    # annotations from `from __future__ import annotations` resolve
+    # fine — pd is a module-level import)
+    @pandas_udf("double")
+    def np_median(v: pd.Series) -> float:
         import numpy as np
         return float(np.median(v.to_numpy()))
 
     # Spark refuses to mix GROUPED_AGG pandas UDFs with JVM aggregates
     # in one agg, so the count is a second pandas aggregate
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def np_count(v):
+    @pandas_udf("long")
+    def np_count(v: pd.Series) -> int:
         return len(v)
 
     return (lineitem
