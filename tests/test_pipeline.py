@@ -209,3 +209,41 @@ def test_salted_join_keeps_null_keys(spark):
         "'click' AS event_type", "'{}' AS props")
     out = salted_join(ev)
     assert out.filter("event_id IS NULL").count() == 1
+
+
+def test_qgram_blocking_bounded_under_shared_token_skew(spark):
+    """Worst case for word blocking: EVERY name shares one ubiquitous
+    token, so word blocking degenerates to all-pairs (n*(n-1)/2).
+    Positional q-gram blocking keys on (gram, ±max_dist offset), so
+    the shared token only collides names where it sits at nearly the
+    same position — the candidate set must stay well under all-pairs,
+    and true near-matches must still be found."""
+    from pyspark.sql import functions as F
+
+    from healthkit_to_sqlite_spark.operators.text import (
+        fuzzy_name_pairs, qgram_candidates)
+
+    # 60 names, all containing 'common', preceded by distinct
+    # aperiodic prefixes whose lengths spread the shared token over 40
+    # offsets; plus two genuine near-duplicates (edit distance 1)
+    rows = []
+    for i in range(60):
+        pre = "".join(chr(97 + (i * 5 + k * k) % 26) for k in range(i % 40))
+        rows.append(((pre + " common tail" + format(i, "02d")).strip(),))
+    rows += [("alpha common beta",), ("alpha common betb",)]
+    names = (spark.createDataFrame(rows, "p_name string")
+             .groupBy(F.col("p_name").alias("name"))
+             .agg(F.count(F.lit(1)).alias("n_parts")))
+
+    n = names.count()
+    all_pairs = n * (n - 1) // 2
+    n_cand = qgram_candidates(names).count()
+    # word blocking would emit ~all_pairs (every pair shares 'common');
+    # the positional net must stay far below that
+    assert n_cand < all_pairs / 3, (n_cand, all_pairs)
+
+    # and recall holds: the planted near-duplicate pair survives
+    out = fuzzy_name_pairs(
+        spark.createDataFrame(rows, "p_name string")).collect()
+    found = {(r["name_a"], r["name_b"]) for r in out}
+    assert ("alpha common beta", "alpha common betb") in found
