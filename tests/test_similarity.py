@@ -131,3 +131,34 @@ def test_incremental_dedup_only_flags_batch_docs(spark):
         assert int(src[r["doc_id"]][3:]) >= 10
         assert int(src[r["first_corpus_dup"]][3:]) < 10
         assert r["n_corpus_dups"] >= 1
+
+
+def test_pq_rerank_recall_floor(spark):
+    """PQ ADC shortlist + exact re-rank must recover (nearly) the
+    exact top-k — the re-rank is what makes the coarse m=4/K=8
+    codebook usable.  Deterministic corpus+quantizer ⇒ a drop below
+    the floor means the codebook, shortlist size, or ADC changed, not
+    noise.  Measured: 1.0 at sf0.01 with rerank_factor=8 (0.4 with no
+    re-rank)."""
+    from healthkit_to_sqlite_spark.operators.similarity import ann_pq_topk
+
+    emb01 = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = [r.vec_id for r in topk_cosine(emb01, k=5).collect()]
+    got = [r.vec_id for r in ann_pq_topk(emb01, k=5).collect()]
+    assert len(set(got) & set(exact)) / 5 >= 0.8
+
+
+def test_ann_lsh_pairs_recall_floor(spark):
+    """Banded sign-LSH ANN pairs vs the exact audit at the cos≥0.2
+    ANN threshold: zero false positives (exact verify) and recall
+    above the floor.  Measured 0.384 at sf0.01 with 16 planes /
+    4 bands (the round-3 AND-only 8-bit bucket join measured 0.013 —
+    the floor exists to stop any such regression)."""
+    from healthkit_to_sqlite_spark.operators.similarity import ann_lsh_pairs
+
+    emb01 = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    lsh = {(r.vec_a, r.vec_b) for r in ann_lsh_pairs(emb01).collect()}
+    brute = {(r.vec_a, r.vec_b) for r in
+             brute_force_embedding_pairs(emb01, min_cosine=0.2).collect()}
+    assert lsh <= brute            # exact verify ⇒ no false positives
+    assert len(lsh & brute) / len(brute) >= 0.3
