@@ -46,14 +46,23 @@ RUNTIME_CONFS: dict[str, str] = {
 
 
 def configure(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to an externally-owned session (idempotent)."""
+    """Apply runtime confs to an externally-owned session (idempotent).
+
+    A conf that fails to apply is LOGGED (stderr + log4j), never
+    swallowed silently: several of these are load-bearing
+    (`nanosAsLong` gates every `events` read, `LAST_WIN` the metadata
+    pivot), and the downstream error surfaces far from the cause
+    (review finding)."""
+    import logging
+
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            # Conf not settable at runtime on this build — proceed; the
-            # dependent code paths raise clearly if actually required.
-            pass
+        except Exception as e:  # noqa: BLE001 — driver-owned session
+            msg = (f"configure: could not set {k}={v!r} on this session "
+                   f"({type(e).__name__}: {e}); dependent paths may fail")
+            logging.getLogger(__name__).warning(msg)
+            print(f"WARNING {msg}", file=__import__("sys").stderr)
     return spark
 
 
