@@ -103,6 +103,138 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# ---------------------------------------------------------------------------
+# sf1.0 scale point (VERDICT r3 #2): a 10× data point so the 100×-scale
+# claims in SCALE.md get at least one empirical slope, not just plan
+# shapes.  /root/testdata has no sf1.0 and is read-only, so we amplify
+# sf0.1 deterministically:
+#
+# - documents: 10 copies with offset doc_ids; each copy's text is the
+#   original CYCLICALLY ROTATED by the copy index (word-level).  This
+#   preserves within-copy near-dup structure exactly (both members of a
+#   pair rotate identically) while keeping cross-copy shingle/minhash
+#   collisions at chance level — naive duplication would put 10 copies
+#   of every doc in the same LSH buckets and make pair counts grow
+#   QUADRATICALLY, benchmarking a pathological corpus rather than a
+#   bigger one.
+# - embeddings: 10 copies with offset vec_ids and a small deterministic
+#   per-copy sinusoidal perturbation — same geometry per copy, no
+#   exact cross-copy duplicates.
+#
+# Only the two tables the heavy queries touch are generated (~150 MB).
+
+SF1_COPIES = 10
+
+#: Top-10 heaviest r03 headline queries (all documents/embeddings).
+SF1_QUERIES = [
+    "q_dedup_clusters_star", "q_ann_pq", "q_dedup_clusters", "q_pagerank",
+    "q_containment", "q_dedup_semantic", "q_ngram_counts",
+    "q_dedup_minhash_lsh", "q_ngram_jaccard", "q_triangles",
+]
+
+
+def _sf1_overrides():
+    """Scale-appropriate parameter overrides for the 10× point.
+    q_dedup_semantic's cell count must grow with the corpus (fixed k
+    makes the within-cell pair search Σ|cell|² ≈ n²/k — the documented
+    tuning knob, SemDeDup's own contract); everything else runs with
+    contract defaults."""
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.similarity import semantic_dedup
+
+    return {
+        "q_dedup_semantic": lambda spark, sf: semantic_dedup(
+            load_table(spark, sf, "embeddings"),
+            n_centroids=8 * SF1_COPIES),
+    }
+
+
+def ensure_sf1(spark, src_dir: str, out_dir: str,
+               copies: int = SF1_COPIES) -> None:
+    """Generate the amplified tables once (marker-gated)."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(out_dir, ".complete")
+    if os.path.exists(marker):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    cdf = spark.range(copies).select(F.col("id").cast("int").alias("c"))
+
+    docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    w = F.split(F.col("text"), " ")
+    shift = F.col("c") % F.greatest(F.size(w), F.lit(1))
+    rotated = F.array_join(
+        F.concat(F.slice(w, shift + 1, F.size(w)),
+                 F.slice(w, F.lit(1), shift)), " ")
+    (docs.crossJoin(cdf)
+     .select((F.col("doc_id") + F.col("c").cast("bigint") * n)
+             .alias("doc_id"),
+             rotated.alias("text"), "lang", "source", "n_chars")
+     .repartition(32)
+     .write.mode("overwrite")
+     .parquet(os.path.join(out_dir, "documents.parquet")))
+
+    emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+    m = emb.agg(F.max("vec_id")).first()[0] + 1
+    pert = F.transform(
+        "embedding",
+        lambda x, i: (x + 0.01 * F.sin(F.col("c").cast("double") * 3.7
+                                       + i.cast("double") * 0.91))
+        .cast("float"))
+    (emb.crossJoin(cdf)
+     .select((F.col("vec_id") + F.col("c").cast("bigint") * m)
+             .alias("vec_id"),
+             pert.alias("embedding"), "label")
+     .repartition(32)
+     .write.mode("overwrite")
+     .parquet(os.path.join(out_dir, "embeddings.parquet")))
+    with open(marker, "w"):
+        pass
+
+
+def bench_sf1(spark, qs, sf01_timings: dict[str, float]) -> dict:
+    """Time the heavy set at the 10× point: one untimed warm-up + min
+    of 2 (min is robust to GC hiccups and the fair basis for a scaling
+    RATIO; the absolute numbers live in the sf0.1 section).  A query
+    that fails records its error instead of aborting the bench."""
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_sf1"))
+    t0 = time.perf_counter()
+    ensure_sf1(spark, src, out_dir)
+    gen_sec = round(time.perf_counter() - t0, 4)
+
+    overrides = _sf1_overrides()
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in SF1_QUERIES:
+        build = overrides.get(name) or qs.get(name)
+        if build is None:
+            continue
+        try:
+            force(build(spark, out_dir))     # warm-up (untimed)
+            runs = []
+            for _ in range(2):
+                r0 = time.perf_counter()
+                force(build(spark, out_dir))
+                runs.append(time.perf_counter() - r0)
+            timings[name] = round(min(runs), 4)
+        except Exception as e:  # noqa: BLE001 — record, don't abort
+            errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
+    ratios = {n: round(timings[n] / sf01_timings[n], 2)
+              for n in timings if sf01_timings.get(n)}
+    out = {"sf": 1.0, "copies": SF1_COPIES, "gen_sec": gen_sec,
+           "queries": timings,
+           "ratio_vs_sf0.1": ratios,
+           "linear_budget": float(SF1_COPIES)}
+    if errors:
+        out["errors"] = errors
+    return out
+
+
 def bench_ingest(spark, n_records: int) -> dict:
     """ETL throughput: synthesize a HealthKit export.zip with
     ``n_records`` Record rows (+ the canonical workout/summary/route
@@ -220,6 +352,13 @@ def main() -> None:
     }
     if ingest_out is not None:
         out["ingest"] = ingest_out
+    # 10× scale point (skippable: SPARK_GRAFT_SF1=0) — runs LAST so it
+    # cannot contaminate the comparable sf0.1 numbers
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        try:
+            out["sf1"] = bench_sf1(spark, qs, timings)
+        except Exception as e:  # noqa: BLE001 — auxiliary evidence
+            out["sf1"] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
     print(json.dumps(out))
     spark.stop()
 

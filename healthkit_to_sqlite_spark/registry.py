@@ -30,34 +30,33 @@ from .spec import Spec
 #: order; unknown names here are ignored, so the list is safe to
 #: curate ahead of the code.
 PRIORITY: tuple[str, ...] = (
-    # (1) round 3: fixed (r02 comparator crash), semantics-changed, or new
-    "q_variant_extract", "q_cogroup_asof", "q_dedup_incremental",
-    "q_dedup_semantic", "q_skew_report", "q_dedup_normalized",
-    "q_ivf_postings", "q_expectations", "q_funnel_left", "q_multimodal_embed",
-    "q_resample_ffill", "q_fuzzy_join", "q_triangles", "q_gapfill",
-    "q_anomaly_zscore", "q_dedup_audit", "q_manifest_roundtrip",
-    "q_multimodal_resize", "q_multimodal_frames", "q_dedup_embedding",
-    "q_topk_cosine_incremental", "q_dedup_clusters_star", "q_dedup_clusters",
-    "q_global_shuffle", "q_train_split", "q_quality_funnel",
-    "q_ngram_counts", "q_stateful_counts",
-    "q_funnel_join", "q_containment", "q_vocab_topk", "q_pagerank",
-    "q_zorder", "q_bloom_prune", "q_session_window", "q_mixture_rebalance",
-    "q_hll_merge",
-    # (2) last driver row in r01 (r02 window overflow) — rotate back in
-    "q_window_rank", "q_set_ops", "q_semi_anti", "q_cube",
-    "q_approx_distinct", "q_percentiles", "q_histogram", "q_full_outer",
-    "q_moving_avg", "q_unpivot", "q_correlated_scalar", "q_rollup",
-    "q_grouping_sets", "q_exists_in", "q_conditional_agg",
-    "q_string_funcs", "q_ntile", "q_dedup_exact", "q_dedup_minhash_lsh",
-    "q_dedup_near", "q_topk_cosine", "q_embed_norms",
-    "q_ann_lsh_buckets", "q_topk_cosine_pandas", "q_ann_lsh_pairs",
-    "q_lang_id", "q_token_counts", "q_quality_score", "q_token_count_bpe",
-    # (3) reference §2.A/§2.B parity surface fill (green r01+r02; the
-    # rest of the reference surface overflows this round and is covered
-    # by the committed PARITY_r03.json)
+    # (1) round 4: new or semantics-changed this round (atomic
+    # multi-table commit; q-gram fuzzy blocking; banded ANN pairs; PQ
+    # re-rank; incremental-dedup NULL sources; roundtrip idempotency;
+    # type-hinted pandas UDFs; shared banded kernel)
+    "q_manifest_multi", "q_fuzzy_join", "q_ann_lsh_pairs", "q_ann_pq",
+    "q_dedup_incremental", "q_manifest_roundtrip", "q_topk_cosine_pandas",
+    "q_udaf_median", "q_dedup_embedding",
+    # (2) oldest driver row (green in r01 only — not in the r02/r03
+    # windows): rotate back in
+    "q_exists_in", "q_conditional_agg", "q_string_funcs", "q_ntile",
+    "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_near",
+    "q_topk_cosine", "q_embed_norms", "q_ann_lsh_buckets", "q_lang_id",
+    "q_token_counts", "q_quality_score", "q_token_count_bpe",
+    # (3) last green in r02: next-oldest fill (first ~27 make the
+    # 50-slot window; the rest overflow to PARITY_r04.json)
     "q_flagship", "q_json_extract", "q_dedup_simhash", "q_schema_infer",
     "q_schema_unify", "q_kv_pivot", "q_collect_events", "q_path_join",
-    "q_linestring", "q_partition_by_type",
+    "q_linestring", "q_partition_by_type", "q_filter_between",
+    "q_filter_or_isin", "q_project_arith", "q_agg_sum", "q_group_agg",
+    "q_date_parse", "q_topk", "q_collect_stats_map", "q_ngram_jaccard",
+    "q_ann_ivf", "q_fingerprint", "q_tfidf", "q_posexplode", "q_lag_lead",
+    "q_sliding_window", "q_tumbling_window", "q_sessionize", "q_asof_join",
+    "q_multimodal_meta", "q_multimodal_decode", "q_dedup_apply",
+    "q_repetition_signals", "q_pii_scrub", "q_decontaminate",
+    "q_stratified_sample", "q_pack_sequences", "q_interval_join",
+    "q_salted_join", "q_merge_upsert", "q_salted_agg", "q_udtf_chunks",
+    "q_ann_brp",
 )
 
 
