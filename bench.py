@@ -94,6 +94,15 @@ HEADLINE = [
     # round 4: multi-table atomic ingest pass (one manifest commit for
     # the whole table set)
     "q_manifest_multi",
+    # round 4 session 2: int8 quantized ANN, BM25 retrieval, RAG
+    # chunking, exact-substring span dedup, Misra–Gries heavy hitters,
+    # cohort retention
+    "q_quantize_int8",
+    "q_bm25",
+    "q_chunk_overlap",
+    "q_exact_substring",
+    "q_heavy_hitters",
+    "q_retention_cohort",
 ]
 
 

@@ -362,6 +362,39 @@ def ml_minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.6) -> DataFr
                     F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard_approx")))
 
 
+SPAN_K = 8  # tokens per exact-substring span
+
+
+def duplicated_spans(documents: DataFrame, k: int = SPAN_K,
+                     top: int = 50) -> DataFrame:
+    """Exact duplicated-substring detection: k-token spans occurring in
+    ≥2 distinct documents (the exact-substring dedup of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — their
+    suffix-array pass re-expressed as a rolling-window groupBy).
+
+    Every token starts one span (map-only in-row transform + explode ⇒
+    ~|tokens| rows), then ONE groupBy(span) with partial aggregation —
+    the shuffle carries only distinct spans.  At 100 TB you'd group on
+    a 64-bit rolling hash of the span rather than the string (same
+    plan, ~10× fewer shuffle bytes) and df-cap boilerplate spans
+    exactly like `_shingle_candidates` caps hot shingles; the string
+    form is kept here so the contract output is human-auditable."""
+    tt = F.col("text_toks")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size(tt) - k),
+        lambda i: F.array_join(F.slice(tt, i + 1, k), " "))
+    return (documents
+            .filter(F.size(ws_tokens("text")) >= k)
+            .select("doc_id", ws_tokens("text").alias("text_toks"))
+            .select("doc_id", F.explode(spans).alias("span"))
+            .groupBy("span")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occ"))
+            .filter(F.col("n_docs") >= 2)
+            .orderBy(F.col("n_occ").desc(), F.col("n_docs").desc(), "span")
+            .limit(top))
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 def _shingles_sql(k: int = SHINGLE, source: str = "documents") -> str:
@@ -555,4 +588,25 @@ SPECS: dict[str, Spec] = {
         lambda spark, sf: ml_minhash_lsh_pairs(load_table(spark, sf, "documents")),
         None,  # ml hashing not reproducible in SQL — rows-only check
         "C2 pyspark.ml MinHashLSH approxSimilarityJoin (scale path)"),
+    "q_exact_substring": Spec(
+        lambda spark, sf: duplicated_spans(load_table(spark, sf, "documents")),
+        f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents WHERE len(string_split(text, ' ')) >= {SPAN_K}),
+        spans AS (
+          SELECT doc_id,
+                 array_to_string(toks[CAST(i AS BIGINT) + 1
+                                      : CAST(i AS BIGINT) + {SPAN_K}], ' ')
+                   AS span
+          FROM t, UNNEST(generate_series(0, n - {SPAN_K})) AS s(i))
+        SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM spans GROUP BY span
+        HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY n_occ DESC, n_docs DESC, span LIMIT 50
+        """,
+        "exact duplicated k-token spans across documents (Lee et al. "
+        "2022 exact-substring dedup as a rolling-window groupBy)"),
 }

@@ -1149,6 +1149,58 @@ def manifest_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("label").alias("label_sum")))
 
 
+MG_CAPACITY = 32  # Misra–Gries counters per partition summary
+
+
+def heavy_hitters(documents: DataFrame,
+                  capacity: int = MG_CAPACITY) -> DataFrame:
+    """Frequent tokens via per-partition Misra–Gries summaries + exact
+    verification — the bounded-memory heavy-hitters sketch (Misra &
+    Gries 1982; mergeable-summaries form of Agarwal et al. 2013).
+
+    Phase 1 (candidates): ``mapInPandas`` folds each partition's Arrow
+    batches into ONE ≤``capacity``-entry counter dict (merge = add,
+    then subtract the (capacity+1)-th largest and drop ≤0) and emits
+    only the surviving keys — ≤ capacity rows per partition no matter
+    how many tokens or distinct tokens the partition holds.  Guarantee:
+    a token with global count > N/(capacity+1) must, by pigeonhole over
+    Σ n_p = N, beat n_p/(capacity+1) in some partition and therefore
+    survive that partition's summary.
+
+    Phase 2 (verify): exact counts for CANDIDATE tokens only — the
+    broadcast semi-join means the groupBy shuffles ≤ capacity ×
+    n_partitions tokens instead of the full vocabulary, and the strict
+    ``> N/(capacity+1)`` filter on exact counts makes the final answer
+    EXACT and partitioning-independent (spurious candidates are
+    removed by their true counts; guaranteed ones are always present).
+    This is how you find hot keys at 100 TB without paying a
+    full-vocabulary shuffle; the oracle is the plain exact HAVING."""
+    import pandas as pd
+
+    toks = documents.select(F.explode(ws_tokens("text")).alias("token"))
+
+    def _mg_summaries(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for t, c in pdf["token"].value_counts().items():
+                counts[t] = counts.get(t, 0) + int(c)
+            if len(counts) > capacity:
+                sub = sorted(counts.values(), reverse=True)[capacity]
+                counts = {t: c - sub for t, c in counts.items() if c > sub}
+        yield pd.DataFrame({"token": list(counts)})
+
+    candidates = toks.mapInPandas(_mg_summaries, "token string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (toks.join(F.broadcast(candidates), "token")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("n") > F.col("n_total") / F.lit(float(capacity + 1)))
+            .select("token", "n",
+                    F.round(F.col("n") / F.col("n_total"), 6).alias("share"))
+            .orderBy(F.col("n").desc(), "token"))
+
+
 SPECS: dict[str, Spec] = {
     "q_manifest_multi": Spec(
         manifest_multi_query,
@@ -1549,4 +1601,20 @@ SPECS: dict[str, Spec] = {
         """,
         "key-skew diagnostics (per-key count distribution + heaviest-key "
         "share) — the pre-salting probe; remedies are q_salted_agg/join"),
+    "q_heavy_hitters": Spec(
+        lambda spark, sf: heavy_hitters(load_table(spark, sf, "documents")),
+        f"""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks)
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n_total FROM tot), 6)
+                 AS share
+        FROM toks GROUP BY token
+        HAVING COUNT(*) > (SELECT n_total FROM tot) / {MG_CAPACITY + 1}.0
+        ORDER BY n DESC, token
+        """,
+        "heavy hitters: per-partition Misra–Gries summaries + exact "
+        "candidate verify — bounded-memory, partitioning-independent "
+        "EXACT result above the N/(k+1) threshold"),
 }

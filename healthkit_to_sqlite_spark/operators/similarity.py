@@ -546,6 +546,60 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
         F.round(F.sqrt(sq), 6).alias("l2_norm"))
 
 
+def _int8_codes(emb: Column) -> Column:
+    """Symmetric per-vector int8 quantization codes (as exact-integer
+    doubles).
+
+    step = absmax/127; code_i = clamp(floor(x_i/step + 0.5), ±127).
+    ``floor(x + 0.5)`` is written out (not ``round``) because the two
+    engines disagree on round-half semantics while ``floor`` is IEEE —
+    the codes are bit-identical across Spark and DuckDB."""
+    absmax = F.aggregate(F.transform(emb, lambda x: F.abs(x.cast("double"))),
+                         F.lit(0.0), lambda a, x: F.greatest(a, x))
+    step = F.greatest(absmax, F.lit(1e-30)) / F.lit(127.0)
+    return F.transform(
+        emb, lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0),
+                    F.floor(x.cast("double") / step + F.lit(0.5))
+                    .cast("double"))))
+
+
+def quantized_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                   k: int = 10) -> DataFrame:
+    """int8-quantized cosine top-k — the 4×-compression serving path
+    that complements PQ (SURVEY §2.C C3+).
+
+    Per-vector symmetric quantization keeps one fp scale + d int8 codes;
+    since cosine is scale-invariant, quantized cosine reduces to the
+    cosine of the INTEGER code vectors — every product and partial sum
+    is an exactly-representable integer-valued double, so the scores
+    are engine-exact (no fold-order drift to round away, though the
+    contract still rounds to 6 dp).  At 100 TB the scan reads a quarter
+    of the bytes of the fp32 column and the inner loop is int8 SIMD;
+    the fp32 vectors are only touched by an (optional) exact re-rank,
+    same shape as q_ann_pq's ADC → re-rank split."""
+    coded = embeddings.select(
+        "vec_id", "label", _int8_codes(F.col("embedding")).alias("codes"))
+    q = (coded.filter(F.col("vec_id") == query_vec_id)
+         .select(F.col("codes").alias("q_codes")))
+    dot = F.aggregate(F.zip_with(F.col("codes"), F.col("q_codes"),
+                                 lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.sqrt(F.aggregate(F.transform(F.col("codes"), lambda x: x * x),
+                            F.lit(0.0), lambda a, x: a + x))
+    nq = F.sqrt(F.aggregate(F.transform(F.col("q_codes"), lambda x: x * x),
+                            F.lit(0.0), lambda a, x: a + x))
+    n_sat = F.size(F.filter(F.col("codes"), lambda x: F.abs(x) == 127.0))
+    return (coded.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", "label",
+                    F.round(dot / (nv * nq), 6).alias("cos_q"),
+                    n_sat.cast("int").alias("n_saturated"))
+            .orderBy(F.col("cos_q").desc(), "vec_id")
+            .limit(k))
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 _DOT_Q_SQL = """
@@ -804,4 +858,37 @@ SPECS: dict[str, Spec] = {
         "ANN via banded sign-LSH (16 planes / 4 bands, OR-amplified) + "
         "exact verify — recall ~35% at cos≥0.2 vs ~1.3% for the round-3 "
         "AND-only bucket join (floor pinned in tests)"),
+    "q_quantize_int8": Spec(
+        lambda spark, sf: quantized_topk(load_table(spark, sf, "embeddings")),
+        """
+        WITH stepped AS (
+          SELECT vec_id, label, embedding,
+                 greatest(list_max(list_transform(embedding,
+                                                  v -> abs(CAST(v AS DOUBLE)))),
+                          1e-30) / 127.0 AS step
+          FROM embeddings),
+        coded AS (
+          SELECT vec_id, label,
+                 list_transform(embedding,
+                                x -> greatest(-127.0, least(127.0,
+                                     floor(CAST(x AS DOUBLE) / step + 0.5))))
+                   AS codes
+          FROM stepped),
+        q AS (SELECT codes AS q_codes FROM coded WHERE vec_id = 0)
+        SELECT vec_id, label,
+               ROUND(list_aggregate(list_transform(list_zip(codes, q.q_codes),
+                                                   x -> x[1] * x[2]), 'sum')
+                     / (sqrt(list_aggregate(list_transform(codes, v -> v * v),
+                                            'sum'))
+                        * sqrt(list_aggregate(list_transform(q.q_codes,
+                                                             v -> v * v),
+                                              'sum'))), 6) AS cos_q,
+               CAST(len(list_filter(codes, v -> abs(v) = 127.0)) AS INT)
+                 AS n_saturated
+        FROM coded, q
+        WHERE vec_id <> 0
+        ORDER BY cos_q DESC, vec_id LIMIT 10
+        """,
+        "int8 symmetric quantization + quantized-cosine top-k (4× scan "
+        "compression; integer-exact scores — scale cancels in cosine)"),
 }

@@ -263,6 +263,87 @@ def fuzzy_name_pairs(part: DataFrame, max_dist: int = 4) -> DataFrame:
             .filter(F.col("edit_dist") <= max_dist))
 
 
+#: Fixed BM25 demo query terms (present in the synthetic corpus).
+BM25_TERMS: tuple[str, ...] = ("spark", "vector", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(documents: DataFrame, terms: tuple[str, ...] = BM25_TERMS,
+              k: int = 15) -> DataFrame:
+    """BM25 retrieval scoring over the corpus for a fixed term set.
+
+    Shape: per-term tf is an in-row ``size(filter(tokens, = t))`` (map
+    only); df/avgdl/N collapse to ONE aggregate row that Catalyst
+    broadcasts back via crossJoin; the score is then a map-only
+    expression and top-k is TakeOrdered — the whole query is one scan,
+    one 1-row shuffle, no join on data keys.  At 100 TB the corpus
+    statistics row is a precomputed artifact and scoring is pure map.
+
+    Determinism: idf uses the RATIONAL Robertson form
+    ``(N - df + 0.5)/(df + 0.5)`` instead of its ``ln`` damping —
+    integers and halves are exactly representable, so scores are
+    engine-exact (same policy as q_tfidf's exact rational score; a
+    production deployment swaps ``ln()`` into the same expression)."""
+    toks = ws_tokens("text")
+    dl = F.size(toks)
+
+    def _tf(w: str) -> Column:
+        # NB: closure, not a default arg — a 2-param lambda would make
+        # F.filter pass (element, index) and bind the index to w.
+        return F.size(F.filter(toks, lambda t: t == F.lit(w)))
+
+    tf_cols = [_tf(w).alias(f"tf_{w}") for w in terms]
+    base = documents.select("doc_id", dl.alias("dl"), *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum((F.col(f"tf_{w}") > 0).cast("long")).alias(f"df_{w}")
+          for w in terms])
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    score = F.lit(0.0)
+    for w in terms:
+        tf = F.col(f"tf_{w}").cast("double")
+        idf = (F.col("n_docs") - F.col(f"df_{w}") + F.lit(0.5)) / \
+              (F.col(f"df_{w}") + F.lit(0.5))
+        norm = tf + F.lit(BM25_K1) * (F.lit(1 - BM25_B) +
+                                      F.lit(BM25_B) * F.col("dl") / avgdl)
+        score = score + idf * tf * F.lit(BM25_K1 + 1) / norm
+    return (base.crossJoin(F.broadcast(stats))
+            .select("doc_id", F.col("dl").alias("n_tokens"),
+                    F.round(score, 6).alias("bm25"))
+            .filter(F.col("bm25") > 0)
+            .orderBy(F.col("bm25").desc(), "doc_id")
+            .limit(k))
+
+
+def chunk_overlap(documents: DataFrame, size: int = 32,
+                  stride: int = 24) -> DataFrame:
+    """RAG-style chunking: overlapping token windows per document.
+
+    starts = 0, stride, 2·stride … while start < n_tokens; each chunk
+    carries up to ``size`` tokens.  Entirely in-row builtins
+    (sequence → posexplode → slice → array_join): map-only with a ~4/3
+    row fan-out, no shuffle at all — the chunker you'd run as the first
+    stage of an embedding pipeline at 100 TB."""
+    toks = ws_tokens("text")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
+                        F.lit(stride))
+    return (documents
+            .filter(n > 0)
+            .select("doc_id", toks.alias("toks"), n.alias("n"),
+                    F.posexplode(starts).alias("chunk_id", "start"))
+            .select("doc_id",
+                    F.col("chunk_id").cast("int").alias("chunk_id"),
+                    F.col("start").cast("int").alias("start"),
+                    F.least(F.lit(size), F.col("n") - F.col("start"))
+                    .cast("int").alias("n_chunk_tokens"),
+                    F.array_join(F.slice("toks", F.col("start") + 1,
+                                         F.lit(size)), " ")
+                    .alias("chunk_text")))
+
+
 def _markers_sql(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
 
@@ -420,4 +501,49 @@ SPECS: dict[str, Spec] = {
         FROM documents WHERE doc_id < 50
         """,
         "LATERAL explode with ordinality → (doc, pos, token) long form"),
+    "q_bm25": Spec(
+        lambda spark, sf: bm25_topk(load_table(spark, sf, "documents")),
+        f"""
+        WITH base AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                 {', '.join(
+                     f"len(list_filter(string_split(text, ' '), "
+                     f"t -> t = '{w}')) AS tf_{w}" for w in BM25_TERMS)}
+          FROM documents),
+        stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl,
+                 {', '.join(
+                     f"CAST(SUM(CASE WHEN tf_{w} > 0 THEN 1 ELSE 0 END) "
+                     f"AS BIGINT) AS df_{w}" for w in BM25_TERMS)}
+          FROM base)
+        SELECT doc_id, CAST(dl AS INT) AS n_tokens,
+               ROUND({' + '.join(
+                   f"((n_docs - df_{w} + 0.5) / (df_{w} + 0.5))"
+                   f" * CAST(tf_{w} AS DOUBLE) * {BM25_K1 + 1}"
+                   f" / (CAST(tf_{w} AS DOUBLE) + {BM25_K1} * ({1 - BM25_B}"
+                   f" + {BM25_B} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+                   for w in BM25_TERMS)}, 6) AS bm25
+        FROM base, stats
+        WHERE {' + '.join(f'tf_{w}' for w in BM25_TERMS)} > 0
+        ORDER BY bm25 DESC, doc_id LIMIT 15
+        """,
+        "BM25 retrieval top-k for a fixed term set (one scan + 1-row "
+        "stats broadcast; exact rational idf)"),
+    "q_chunk_overlap": Spec(
+        lambda spark, sf: chunk_overlap(load_table(spark, sf, "documents")),
+        """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents WHERE len(string_split(text, ' ')) > 0)
+        SELECT doc_id, CAST(i AS INT) AS chunk_id,
+               CAST(i * 24 AS INT) AS start,
+               CAST(least(32, n - i * 24) AS INT) AS n_chunk_tokens,
+               array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ')
+                 AS chunk_text
+        FROM t, UNNEST(generate_series(0, (n - 1) // 24)) AS s(i)
+        """,
+        "RAG chunking: overlapping token windows (size 32 / stride 24), "
+        "map-only in-row builtins"),
 }

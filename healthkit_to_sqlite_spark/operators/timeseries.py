@@ -260,6 +260,30 @@ def anomaly_zscore(events: DataFrame, threshold: float = 2.5) -> DataFrame:
             .select("event_id", "event_type", "ts", "value", "z"))
 
 
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by the ISO week of
+    their FIRST event; for each (cohort_week, weeks_since) cell, the
+    count of distinct users active that week.
+
+    Shape: one groupBy(user) for first-event week, one equi-join back
+    on user_id (no broadcast assumption — the user dimension grows with
+    the data), one groupBy(cell).  All key-partitioned shuffles; at
+    100 TB the first-touch table is a maintained artifact and the join
+    co-partitions on user_id with the activity scan.  `weeks_since` is
+    an exact integer (datediff of two Monday-truncated dates / 7)."""
+    wk = lambda c: F.date_trunc("week", c)  # noqa: E731 — Monday trunc
+    firsts = (events.groupBy("user_id")
+              .agg(wk(F.min("ts")).alias("cohort_ts")))
+    active = events.select(
+        "user_id", wk(F.col("ts")).alias("week_ts"))
+    return (active.join(firsts, "user_id")
+            .groupBy(F.col("cohort_ts").cast("date").alias("cohort_week"),
+                     (F.datediff(F.col("week_ts"), F.col("cohort_ts")) / 7)
+                     .cast("int").alias("weeks_since"))
+            .agg(F.countDistinct("user_id").alias("n_users"))
+            .orderBy("cohort_week", "weeks_since"))
+
+
 def lag_lead_deltas(events: DataFrame) -> DataFrame:
     """LAG/LEAD offset windows: per-user inter-event gaps (seconds to
     previous and next event).  One user_id shuffle feeds both offsets
@@ -476,4 +500,21 @@ SPECS: dict[str, Spec] = {
           ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "as-of join addition (union+window composition; SURVEY.md §2.B gaps)"),
+    "q_retention_cohort": Spec(
+        lambda spark, sf: retention_cohorts(load_table(spark, sf, "events")),
+        """
+        WITH firsts AS (
+          SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_ts
+          FROM events GROUP BY user_id),
+        active AS (
+          SELECT user_id, date_trunc('week', ts) AS week_ts FROM events)
+        SELECT CAST(cohort_ts AS DATE) AS cohort_week,
+               CAST(date_diff('day', cohort_ts, week_ts) / 7 AS INT)
+                 AS weeks_since,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM active JOIN firsts USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "weekly cohort retention matrix (first-touch week × weeks-since "
+        "distinct actives) — product-analytics staple over events"),
 }

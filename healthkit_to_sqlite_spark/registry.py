@@ -33,7 +33,11 @@ PRIORITY: tuple[str, ...] = (
     # (1) round 4: new or semantics-changed this round (atomic
     # multi-table commit; q-gram fuzzy blocking; banded ANN pairs; PQ
     # re-rank; incremental-dedup NULL sources; roundtrip idempotency;
-    # type-hinted pandas UDFs; shared banded kernel)
+    # type-hinted pandas UDFs; shared banded kernel; the six round-4
+    # additions: int8 quantized ANN, BM25, RAG chunking, exact-substring
+    # spans, Misra–Gries heavy hitters, retention cohorts)
+    "q_quantize_int8", "q_bm25", "q_chunk_overlap", "q_exact_substring",
+    "q_heavy_hitters", "q_retention_cohort",
     "q_manifest_multi", "q_fuzzy_join", "q_ann_lsh_pairs", "q_ann_pq",
     "q_dedup_incremental", "q_manifest_roundtrip", "q_topk_cosine_pandas",
     "q_udaf_median", "q_dedup_embedding",

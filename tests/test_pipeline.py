@@ -247,3 +247,62 @@ def test_qgram_blocking_bounded_under_shared_token_skew(spark):
         spark.createDataFrame(rows, "p_name string")).collect()
     found = {(r["name_a"], r["name_b"]) for r in out}
     assert ("alpha common beta", "alpha common betb") in found
+
+
+def test_heavy_hitters_exact_and_partitioning_independent(spark):
+    """MG candidates + exact verify must return EXACTLY the tokens
+    above N/(capacity+1) with their true counts, for any partitioning —
+    the summary is per-partition, so this is the guarantee that matters.
+    Fixture: 400 distinct rare tokens (≫ 32 counters) + 3 hot ones."""
+    from healthkit_to_sqlite_spark.operators.pipeline import heavy_hitters
+
+    hot = {"alpha": 500, "beta": 300, "gamma": 120}
+    stream = sorted(
+        [t for t, c in hot.items() for _ in range(c)]
+        + [f"tok{i:03d}" for i in range(400)])
+    docs = [" ".join(stream[i:i + 40]) for i in range(0, len(stream), 40)]
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    n_total = len(stream)
+    expected = {(t, c) for t, c in hot.items() if c > n_total / 33.0}
+    assert expected == {(t, c) for t, c in hot.items()}  # fixture sanity
+    for parts in (1, 7):
+        got = {(r.token, r.n)
+               for r in heavy_hitters(df.repartition(parts)).collect()}
+        assert got == expected, (parts, got)
+
+
+def test_exact_substring_finds_planted_span(spark):
+    """A k-token span planted in two docs (different surroundings) must
+    surface with n_docs=2, n_occ=2; sub-windows crossing the span
+    boundary differ between the docs so only the aligned span repeats."""
+    from healthkit_to_sqlite_spark.operators.dedup import duplicated_spans
+
+    span = "p q r s t u v w"
+    rows = [(0, "a b c " + span + " x y"),
+            (1, span + " zz ww"),
+            (2, "unrelated tokens only here indeed truly present today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = duplicated_spans(df).collect()
+    hits = [r for r in got if r.span == span]
+    assert len(hits) == 1 and hits[0].n_docs == 2 and hits[0].n_occ == 2
+    assert all(r.n_docs >= 2 for r in got)
+
+
+def test_retention_cohort_week0_equals_cohort_size(spark):
+    """Every user is active in their first week by definition, so the
+    weeks_since=0 cell must equal the cohort's user count exactly."""
+    from healthkit_to_sqlite_spark.operators.timeseries import (
+        retention_cohorts,
+    )
+
+    ev = load_table(spark, SF, "events")
+    got = retention_cohorts(ev).collect()
+    assert got and all(r.weeks_since >= 0 for r in got)
+    week0 = {r.cohort_week: r.n_users for r in got if r.weeks_since == 0}
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("w"))
+    sizes = {r.w.date(): r.n for r in
+             firsts.groupBy("w")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert week0 == sizes

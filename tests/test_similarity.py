@@ -162,3 +162,18 @@ def test_ann_lsh_pairs_recall_floor(spark):
              brute_force_embedding_pairs(emb01, min_cosine=0.2).collect()}
     assert lsh <= brute            # exact verify ⇒ no false positives
     assert len(lsh & brute) / len(brute) >= 0.3
+
+
+def test_quantized_topk_tracks_exact_and_saturates_absmax(spark):
+    """int8 quantization at 64-d loses almost nothing: the quantized
+    top-10 must overlap the exact top-10 in ≥8 slots (deterministic —
+    fixed codes, fixed data), and every vector's absmax element must
+    quantize to exactly ±127 (n_saturated ≥ 1) or the scale is wrong."""
+    from healthkit_to_sqlite_spark.operators.similarity import quantized_topk
+
+    emb01 = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = [r.vec_id for r in topk_cosine(emb01, k=10).collect()]
+    rows = quantized_topk(emb01, k=10).collect()
+    quant = [r.vec_id for r in rows]
+    assert len(set(exact) & set(quant)) >= 8, (exact, quant)
+    assert all(r.n_saturated >= 1 for r in rows)

@@ -1,0 +1,46 @@
+"""Text/retrieval operator properties: BM25 ordering, chunk coverage.
+
+These pin the semantics the oracle can't see directly — that BM25
+prefers term-dense docs and never surfaces term-free ones, and that
+the chunker's stride/size invariants cover every token exactly.
+"""
+
+from __future__ import annotations
+
+from healthkit_to_sqlite_spark.catalog import load_table
+from healthkit_to_sqlite_spark.operators.text import bm25_topk, chunk_overlap
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bm25_ranks_term_rich_docs_first(spark):
+    rows = [(0, "spark vector merge spark vector"),
+            (1, "spark table row column store value data batch"),
+            (2, "key value store nothing relevant at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_topk(df, k=5).collect()
+    ids = [r.doc_id for r in got]
+    assert ids[0] == 0          # densest in query terms wins
+    assert 1 in ids             # single-term doc still retrieved
+    assert 2 not in ids         # zero query terms ⇒ filtered out
+    assert all(r.bm25 > 0 for r in got)
+
+
+def test_chunk_overlap_covers_every_token(spark):
+    """Starts advance by exactly the stride from 0; the final chunk
+    always reaches the last token (stride < size ⇒ no tail gap); each
+    chunk_text is precisely the corresponding token slice."""
+    docs = load_table(spark, SF, "documents").limit(20)
+    toks_by_doc = {r.doc_id: r.text.split(" ") for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for c in chunk_overlap(docs).collect():
+        by_doc.setdefault(c.doc_id, []).append(c)
+    assert set(by_doc) == set(toks_by_doc)
+    for doc_id, toks in toks_by_doc.items():
+        cs = sorted(by_doc[doc_id], key=lambda c: c.chunk_id)
+        assert [c.start for c in cs] == [i * 24 for i in range(len(cs))]
+        last = cs[-1]
+        assert last.start + last.n_chunk_tokens == len(toks)
+        for c in cs:
+            assert c.chunk_text.split(" ") == \
+                toks[c.start:c.start + c.n_chunk_tokens]
