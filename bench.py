@@ -103,6 +103,11 @@ HEADLINE = [
     "q_exact_substring",
     "q_heavy_hitters",
     "q_retention_cohort",
+    # round 4 session 3: Arrow-transport UDTF (vs the pickled-row pin),
+    # per-source diversity cap, rare-trigram LM quality proxy
+    "q_udtf_chunks_arrow",
+    "q_source_cap",
+    "q_rare_trigram_rate",
 ]
 
 

@@ -912,6 +912,38 @@ def train_val_test_split(documents: DataFrame,
                  F.countDistinct("source").alias("n_sources")))
 
 
+# --- per-source contribution cap ------------------------------------------
+
+SOURCE_CAP = 15
+SOURCE_CAP_SEED = "cap3"
+
+
+def source_cap(documents: DataFrame, cap: int = SOURCE_CAP,
+               seed: str = SOURCE_CAP_SEED) -> DataFrame:
+    """Cap each source's contribution at ``cap`` documents, chosen by a
+    deterministic salted-md5 order — the diversity control that stops
+    one crawl/domain from dominating a training mixture (the per-group
+    form of `q_mixture_rebalance`'s corpus-level acceptance rates).
+
+    Hash order (not doc_id order) means the kept subset is an unbiased
+    deterministic sample per source, stable under corpus growth for the
+    docs already present.  Shape: row_number over (source, hash) then
+    `rn <= cap` — Spark 3.5+ rewrites a rank-limit filter to
+    WindowGroupLimit, a per-partition top-``cap`` heap with map-side
+    partial limiting BEFORE the shuffle, so a hot source never drags a
+    full per-key sort (pinned in test_plans); the long tail of
+    under-cap sources passes through the same heap at O(group) cost."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws(":", F.lit(seed),
+                            F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    return (documents
+            .select("doc_id", "source", F.row_number().over(w)
+                    .cast("int").alias("sample_rank"))
+            .filter(F.col("sample_rank") <= cap))
+
+
 # --- staged quality-filter funnel ------------------------------------------
 
 FUNNEL_LEN_LO, FUNNEL_LEN_HI = 120, 480
@@ -1202,6 +1234,21 @@ def heavy_hitters(documents: DataFrame,
 
 
 SPECS: dict[str, Spec] = {
+    "q_source_cap": Spec(
+        lambda spark, sf: source_cap(load_table(spark, sf, "documents")),
+        f"""
+        SELECT doc_id, source, CAST(rn AS INT) AS sample_rank
+        FROM (SELECT doc_id, source,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY source
+                         ORDER BY md5('{SOURCE_CAP_SEED}:' ||
+                                      CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+        WHERE rn <= {SOURCE_CAP}
+        """,
+        "per-source contribution cap: deterministic salted-hash sample "
+        "of <=cap docs per source (WindowGroupLimit heap, no per-key "
+        "full sort)"),
     "q_manifest_multi": Spec(
         manifest_multi_query,
         """

@@ -317,6 +317,46 @@ def bm25_topk(documents: DataFrame, terms: tuple[str, ...] = BM25_TERMS,
             .limit(k))
 
 
+RARE_TRI_MIN_DF = 5  # trigram seen in fewer docs than this is "rare"
+
+
+def rare_trigram_rate(documents: DataFrame,
+                      min_df: int = RARE_TRI_MIN_DF) -> DataFrame:
+    """Character-LM quality proxy: fraction of a document's distinct
+    char-trigrams that are rare in the corpus (document frequency <
+    ``min_df``) — the integer-exact stand-in for CCNet-style KenLM
+    perplexity filtering (gibberish / OCR noise / wrong-charset docs
+    surface as high rare-trigram rates).
+
+    Determinism is the design constraint: a true avg-log-prob score
+    sums floats in engine-defined order, so instead the score is a
+    COUNT ratio — one IEEE division of two exact integers, identical in
+    any engine.  Shape: in-row distinct-trigram build (map-only,
+    codegen), explode → df counts (partial-agg'd; vocabulary is
+    bounded by charset³, broadcastable), broadcast-join back, per-doc
+    conditional count.  At 100 TB the df table is a reusable corpus
+    artifact, like q_bm25's stats row."""
+    norm = F.lower(F.col("text"))
+    n = F.length(norm)
+    tris = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n - 2),
+                    lambda i: norm.substr(i, F.lit(3))))
+    per_doc = (documents
+               .filter(n >= 3)
+               .select("doc_id", F.explode(tris).alias("tri")))
+    df_counts = (per_doc.groupBy("tri")
+                 .agg(F.count(F.lit(1)).alias("df")))
+    return (per_doc
+            .join(F.broadcast(df_counts), "tri")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tri"),
+                 F.sum((F.col("df") < min_df).cast("bigint"))
+                 .alias("n_rare"))
+            .select("doc_id", "n_tri", "n_rare",
+                    F.round(F.col("n_rare") / F.col("n_tri"), 6)
+                    .alias("rare_rate")))
+
+
 def chunk_overlap(documents: DataFrame, size: int = 32,
                   stride: int = 24) -> DataFrame:
     """RAG-style chunking: overlapping token windows per document.
@@ -530,6 +570,25 @@ SPECS: dict[str, Spec] = {
         """,
         "BM25 retrieval top-k for a fixed term set (one scan + 1-row "
         "stats broadcast; exact rational idf)"),
+    "q_rare_trigram_rate": Spec(
+        lambda spark, sf: rare_trigram_rate(load_table(spark, sf, "documents")),
+        f"""
+        WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+                   WHERE length(text) >= 3),
+        tris AS (
+          SELECT DISTINCT doc_id, substring(t, CAST(i AS INT), 3) AS tri
+          FROM d, UNNEST(generate_series(1, length(t) - 2)) AS s(i)),
+        dfc AS (SELECT tri, COUNT(*) AS df FROM tris GROUP BY tri)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+               CAST(SUM(CASE WHEN df < {RARE_TRI_MIN_DF} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rare,
+               ROUND(CAST(SUM(CASE WHEN df < {RARE_TRI_MIN_DF} THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS rare_rate
+        FROM tris JOIN dfc USING (tri)
+        GROUP BY doc_id
+        """,
+        "rare-char-trigram rate: integer-exact CCNet-style LM quality "
+        "proxy (corpus df artifact + broadcast join back)"),
     "q_chunk_overlap": Spec(
         lambda spark, sf: chunk_overlap(load_table(spark, sf, "documents")),
         """

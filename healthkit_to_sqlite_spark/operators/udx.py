@@ -54,6 +54,35 @@ def chunk_sentences(spark: SparkSession, documents: DataFrame,
         "SELECT c.* FROM docs_for_udtf, LATERAL chunk_doc(doc_id, text) AS c")
 
 
+def chunk_sentences_arrow(spark: SparkSession, documents: DataFrame,
+                          chunk: int = CHUNK) -> DataFrame:
+    """Arrow-optimized twin of :func:`chunk_sentences`
+    (``@udtf(useArrow=True)``, Spark 4): identical per-row generator
+    semantics, but inputs/outputs cross the Python boundary as Arrow
+    RecordBatches instead of pickled rows — the batched transfer that
+    makes a Python table function survivable in a hot path.  Same
+    oracle as ``q_udtf_chunks``; together the pair pins BOTH UDTF
+    transports, and the builtin sequence/slice explode
+    (text.chunk_overlap) remains the true 100 TB shape."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_id int, chunk string, n_tok int",
+          useArrow=True)
+    class ChunkDocArrow:
+        def eval(self, doc_id: int, text: str):  # noqa: D401
+            toks = text.split(" ")
+            for i in range(0, len(toks), chunk):
+                part = toks[i:i + chunk]
+                yield doc_id, i // chunk, " ".join(part), len(part)
+
+    spark.udtf.register("chunk_doc_arrow", ChunkDocArrow)
+    documents.select("doc_id", "text").createOrReplaceTempView(
+        "docs_for_udtf_arrow")
+    return spark.sql(
+        "SELECT c.* FROM docs_for_udtf_arrow, "
+        "LATERAL chunk_doc_arrow(doc_id, text) AS c")
+
+
 def grouped_median_udaf(lineitem: DataFrame) -> DataFrame:
     """pandas GROUPED_AGG UDAF: per-group interpolated median via
     numpy, Arrow-batched.  The oracle (quantile_cont) proves the UDAF
@@ -181,11 +210,7 @@ def cogroup_attribution(events: DataFrame) -> DataFrame:
             .applyInPandas(merge, schema))
 
 
-SPECS: dict[str, Spec] = {
-    "q_udtf_chunks": Spec(
-        lambda spark, sf: chunk_sentences(
-            spark, load_table(spark, sf, "documents")),
-        f"""
+_CHUNKS_ORACLE = f"""
         SELECT doc_id,
                CAST(k.k AS INT) AS chunk_id,
                array_to_string((string_split(text, ' '))[k.k * {CHUNK} + 1
@@ -200,8 +225,21 @@ SPECS: dict[str, Spec] = {
              (SELECT unnest(range((SELECT max(len(string_split(text, ' ')))
                                    FROM documents) // {CHUNK} + 1)) AS k) k
         WHERE k.k * {CHUNK} < len(string_split(text, ' '))
-        """,
+        """
+
+SPECS: dict[str, Spec] = {
+    "q_udtf_chunks": Spec(
+        lambda spark, sf: chunk_sentences(
+            spark, load_table(spark, sf, "documents")),
+        _CHUNKS_ORACLE,
         "Python UDTF lateral chunking (UDF surface; builtin explode is the scale path)"),
+    "q_udtf_chunks_arrow": Spec(
+        lambda spark, sf: chunk_sentences_arrow(
+            spark, load_table(spark, sf, "documents")),
+        _CHUNKS_ORACLE,
+        "Arrow-optimized Python UDTF (useArrow=True): same lateral "
+        "chunking, Arrow-batched Python boundary — the survivable UDTF "
+        "transport"),
     "q_udaf_median": Spec(
         lambda spark, sf: grouped_median_udaf(load_table(spark, sf, "lineitem")),
         """

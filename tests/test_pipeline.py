@@ -306,3 +306,23 @@ def test_retention_cohort_week0_equals_cohort_size(spark):
              firsts.groupBy("w")
              .agg(F.countDistinct("user_id").alias("n")).collect()}
     assert week0 == sizes
+
+
+def test_source_cap_binds_and_is_repartition_stable(spark):
+    from healthkit_to_sqlite_spark.operators.pipeline import source_cap
+    docs = load_table(spark, SF, "documents")
+    kept = source_cap(docs, cap=7).collect()
+    per_src: dict[str, int] = {}
+    for r in kept:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+    assert per_src and all(v <= 7 for v in per_src.values())
+    # every source with >=7 docs contributes exactly 7
+    totals = {r.source: r.n for r in
+              docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for s, n in totals.items():
+        assert per_src.get(s, 0) == min(n, 7)
+    # hash-order selection is a pure function of doc_id ⇒ identical
+    # under a different physical partitioning
+    again = source_cap(docs.repartition(13), cap=7).collect()
+    assert {(r.doc_id, r.source, r.sample_rank) for r in again} == \
+        {(r.doc_id, r.source, r.sample_rank) for r in kept}

@@ -308,3 +308,13 @@ def test_variant_extract_single_shuffle(spark, specs):
     # exchange total
     df = specs["q_variant_extract"].build(spark, SF)
     assert shuffle_count(df) == 1
+
+
+def test_source_cap_uses_window_group_limit(spark, specs):
+    # rank-limit filter must rewrite to WindowGroupLimit: per-partition
+    # top-cap heaps with map-side partial limiting BEFORE the shuffle —
+    # a hot source must never force a full per-key sort of its rows
+    df = specs["q_source_cap"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert shuffle_count(df) == 1  # one hash exchange on source

@@ -8,7 +8,8 @@ the chunker's stride/size invariants cover every token exactly.
 from __future__ import annotations
 
 from healthkit_to_sqlite_spark.catalog import load_table
-from healthkit_to_sqlite_spark.operators.text import bm25_topk, chunk_overlap
+from healthkit_to_sqlite_spark.operators.text import (bm25_topk, chunk_overlap,
+                                                      rare_trigram_rate)
 
 SF = "/root/testdata/sf0.001"
 
@@ -44,3 +45,38 @@ def test_chunk_overlap_covers_every_token(spark):
         for c in cs:
             assert c.chunk_text.split(" ") == \
                 toks[c.start:c.start + c.n_chunk_tokens]
+
+
+def test_rare_trigram_rate_flags_gibberish(spark):
+    """A corpus of repeated normal text plus one gibberish doc: the
+    gibberish doc's trigrams appear (almost) only in it (df=1 <
+    min_df) so its rare_rate is ~1 (an incidental cross-space trigram
+    like 'x j' may overlap the normal text), while the repeated docs
+    share every trigram (df >= min_df) so their rate is 0."""
+    normal = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, normal) for i in range(6)] + [(99, "qzx jvq wxz pfft zzyx")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in rare_trigram_rate(df).collect()}
+    assert set(got) == set(range(6)) | {99}
+    for i in range(6):
+        assert got[i].rare_rate == 0.0
+    assert got[99].rare_rate >= 0.9
+    assert got[99].n_rare >= got[99].n_tri - 1
+
+
+def test_rare_trigram_skips_short_docs(spark):
+    df = spark.createDataFrame([(0, "ab"), (1, "abcd")],
+                               "doc_id long, text string")
+    got = {r.doc_id for r in rare_trigram_rate(df).collect()}
+    assert got == {1}  # <3 chars has no trigram and must not error
+
+
+def test_udtf_arrow_matches_row_transport(spark):
+    """The Arrow-optimized UDTF must emit exactly the rows of the
+    pickled-row UDTF — same lateral chunking, different transport."""
+    from healthkit_to_sqlite_spark.operators.udx import (
+        chunk_sentences, chunk_sentences_arrow)
+    docs = load_table(spark, SF, "documents").limit(40)
+    a = {tuple(r) for r in chunk_sentences(spark, docs).collect()}
+    b = {tuple(r) for r in chunk_sentences_arrow(spark, docs).collect()}
+    assert a == b and len(a) > 40
