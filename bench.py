@@ -108,6 +108,10 @@ HEADLINE = [
     "q_udtf_chunks_arrow",
     "q_source_cap",
     "q_rare_trigram_rate",
+    # round 4 session 3: composed IVFADC, kNN graph, RRF hybrid fusion
+    "q_ann_ivfpq",
+    "q_knn_graph",
+    "q_rrf_fusion",
 ]
 
 

@@ -417,6 +417,142 @@ def ann_pq_topk(embeddings: DataFrame, query_vec_id: int = 0,
             .limit(k))
 
 
+def ann_ivfpq_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                   k: int = 5, nprobe: int = 2,
+                   rerank_factor: int = PQ_RERANK) -> DataFrame:
+    """IVF+PQ composed — the FAISS IVFADC serving architecture: the
+    coarse quantizer (Lloyd cells, `ivf_cells`) prunes the scan to the
+    ``nprobe`` cells nearest the query, PQ asymmetric distance ranks
+    ONLY those rows from their m code columns (broadcast k-row LUTs,
+    vectors never read), and the shortlist re-ranks exactly.
+
+    vs plain PQ (`ann_pq_topk`): the ADC scan drops from n rows to
+    nprobe·n/K — at 100 TB that is the difference between touching
+    every code and touching 2/8ths of them; vs plain IVF
+    (`ann_ivf_topk`): the probed cells are scanned via 4-byte codes
+    instead of 256-byte vectors.  Codebooks here are trained on the
+    full corpus (no per-cell residual encoding — the simpler of the
+    two published IVFPQ variants; residual PQ is a codebook-artifact
+    change, not a plan change).  Both stages reuse the exact
+    deterministic kernels their standalone queries pinned, so the
+    composed oracle is the two CTE chains joined."""
+    cent = kmeans_centroids(embeddings)
+    cells = _assign_cells(embeddings, cent)
+    qvec = (embeddings.filter(F.col("vec_id") == query_vec_id)
+            .select(F.col("embedding").alias("q_emb")))
+    probe = (cent.crossJoin(F.broadcast(qvec))
+             .select(F.col("cid").alias("q_cell"),
+                     F.round(_l2sq(F.transform("q_emb", lambda x: x.cast("double")),
+                                   F.col("cemb")), 9).alias("qdist"))
+             .orderBy("qdist", "q_cell").limit(nprobe)
+             .select("q_cell"))
+    codes, book = pq_codes(embeddings)
+    qslices = (embeddings.filter(F.col("vec_id") == query_vec_id)
+               .select(F.explode(_pq_subspaces()).alias("s"))
+               .select("s.j", F.col("s.sub").alias("qe")))
+    lut = (book.join(F.broadcast(qslices), "j")
+           .select("j", "cid",
+                   F.round(_l2sq(F.col("qe"), F.col("cemb")), 9).alias("d")))
+    approx = (codes.join(cells, "vec_id")
+              .join(F.broadcast(probe), F.col("cell") == F.col("q_cell")))
+    dist_terms = []
+    for j in range(PQ_M):
+        lut_j = (lut.filter(F.col("j") == j)
+                 .select(F.col("cid").alias(f"code{j}"),
+                         F.col("d").alias(f"d{j}")))
+        approx = approx.join(F.broadcast(lut_j), f"code{j}")
+        dist_terms.append(F.col(f"d{j}"))
+    total = dist_terms[0]
+    for t in dist_terms[1:]:
+        total = total + t
+    shortlist = (approx.filter(F.col("vec_id") != query_vec_id)
+                 .select("vec_id", "cell",
+                         F.round(total, 9).alias("approx_dist"))
+                 .orderBy("approx_dist", "vec_id")
+                 .limit(rerank_factor * k))
+    return (shortlist
+            .join(embeddings.select("vec_id", "embedding"), "vec_id")
+            .crossJoin(F.broadcast(qvec))
+            .select("vec_id", "cell", "approx_dist",
+                    F.round(_l2sq(F.col("embedding"), F.col("q_emb")), 9)
+                    .alias("exact_dist"))
+            .orderBy("exact_dist", "vec_id")
+            .limit(k))
+
+
+KNN_K = 5          # neighbors per node
+KNN_MIN_COS = 0.2  # edge admission threshold (the ANN-surface setting)
+
+
+def knn_graph(embeddings: DataFrame, k: int = KNN_K,
+              min_cosine: float = KNN_MIN_COS) -> DataFrame:
+    """k-nearest-neighbor graph over the banded-LSH candidate pairs:
+    symmetrize the verified pairs (each undirected edge feeds both
+    endpoints) and keep each node's top-``k`` by exact cosine — the
+    standard preprocessing artifact for graph-based diversity
+    sampling, label propagation, and kNN classifiers.
+
+    Approximation contract is inherited from the candidate stage
+    (banded sign-LSH recall, see `dedup_embedding_pairs`); within the
+    candidates the per-node ranking is exact.  Shape: the pair kernel's
+    equi-joins + a rank-limit window that rewrites to WindowGroupLimit
+    (map-side partial top-k heaps — a high-degree hub never forces a
+    full per-node sort, same property pinned for q_source_cap)."""
+    from pyspark.sql import Window
+
+    pairs = dedup_embedding_pairs(embeddings, min_cosine=min_cosine)
+    sym = (pairs.select(F.col("vec_a").alias("src"),
+                        F.col("vec_b").alias("dst"), "cosine_sim")
+           .unionByName(
+               pairs.select(F.col("vec_b").alias("src"),
+                            F.col("vec_a").alias("dst"), "cosine_sim")))
+    w = Window.partitionBy("src").orderBy(F.col("cosine_sim").desc(), "dst")
+    return (sym.select("src", "dst", "cosine_sim",
+                       F.row_number().over(w).cast("int").alias("rank"))
+            .filter(F.col("rank") <= k))
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def rrf_fusion(documents: DataFrame, embeddings: DataFrame,
+               k: int = 10, rrf_k: int = RRF_K) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 lexical top-15 (text.bm25_topk
+    over documents) with the cosine top-10 (topk_cosine over the
+    id-aligned embeddings) by Reciprocal Rank Fusion —
+    Σ_lists 1/(rrf_k + rank), the score-free fusion that needs no
+    cross-encoder calibration between lexical and vector scores.
+
+    Ranks are positions in each contract list (dense, deterministic
+    tie-breaks inherited from the underlying queries); a doc present
+    in only one list contributes that term alone (full outer join).
+    The rank windows order ≤15 rows each — bounded by the candidate
+    list sizes, not the corpus, so the unpartitioned window is safe at
+    any scale.  Determinism: ranks are exact ints; the fused score is
+    two IEEE divisions added in fixed written order, identical in both
+    engines."""
+    from pyspark.sql import Window
+
+    from .text import bm25_topk
+
+    bm = bm25_topk(documents)
+    wb = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    bm_r = bm.select(F.col("doc_id").alias("id"),
+                     F.row_number().over(wb).cast("int").alias("bm25_rank"))
+    cos = topk_cosine(embeddings)
+    wc = Window.orderBy(F.col("cosine_sim").desc(), "vec_id")
+    cos_r = cos.select(F.col("vec_id").alias("id"),
+                       F.row_number().over(wc).cast("int").alias("cos_rank"))
+    fused = bm_r.join(cos_r, "id", "full_outer")
+    rrf = (F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("bm25_rank")),
+                      F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("cos_rank")),
+                        F.lit(0.0)))
+    return (fused.select("id", "bm25_rank", "cos_rank",
+                         F.round(rrf, 6).alias("rrf"))
+            .orderBy(F.col("rrf").desc(), "id").limit(k))
+
+
 SEMANTIC_COS = 0.4  # intra-cluster near-duplicate threshold
 
 
@@ -712,6 +848,58 @@ def _pq_oracle_sql(k: int = 5, rerank_factor: int = PQ_RERANK) -> str:
     """
 
 
+def _ivfpq_oracle_sql(k: int = 5, nprobe: int = 2,
+                      rerank_factor: int = PQ_RERANK) -> str:
+    """Coarse Lloyd chain (c_ prefix) + the m subspace PQ chains +
+    query LUTs + probe-restricted ADC + exact re-rank — the composed
+    IVFADC pipeline in DuckDB, reusing the exact CTE generators the
+    standalone IVF and PQ oracles pinned."""
+    chains, luts, join_luts = [], [], ""
+    for j in range(PQ_M):
+        lo, hi = j * PQ_SUB_DIM + 1, (j + 1) * PQ_SUB_DIM
+        emb = f"e.embedding[{lo}:{hi}]"
+        chains.append(_kmeans_cells_sql(IVF_ITERS, PQ_K, PQ_SUB_DIM,
+                                        emb=emb, prefix=f"s{j}_"))
+        luts.append(f"""lut{j} AS (
+          SELECT c.cid AS code{j},
+                 ROUND({_L2_SQL.format(e='(q.qe)', c='c.cemb')}, 9) AS d{j}
+          FROM s{j}_cent{IVF_ITERS} c,
+               (SELECT embedding[{lo}:{hi}] AS qe
+                FROM embeddings WHERE vec_id = 0) q)""")
+        join_luts += f" JOIN lut{j} USING (code{j})"
+    code_cols = ", ".join(f"s{j}_cells.cell AS code{j}" for j in range(PQ_M))
+    froms = "s0_cells" + "".join(
+        f" JOIN s{j}_cells USING (vec_id)" for j in range(1, PQ_M))
+    dist = " + ".join(f"d{j}" for j in range(PQ_M))
+    return f"""
+    WITH {_kmeans_cells_sql(IVF_ITERS, N_CENTROIDS, DIM, prefix="c_")},
+    probe AS (
+      SELECT cid AS q_cell FROM c_cent{IVF_ITERS} c,
+           (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+            FROM embeddings WHERE vec_id = 0) q
+      ORDER BY {_L2_SQL.format(e='(q.qe)', c='c.cemb')}, cid
+      LIMIT {nprobe}),
+    {", ".join(chains)},
+    codes AS (
+      SELECT s0_cells.vec_id, {code_cols}
+      FROM {froms}),
+    {", ".join(luts)},
+    shortlist AS (
+      SELECT codes.vec_id, c_cells.cell, ROUND({dist}, 9) AS approx_dist
+      FROM codes
+      JOIN c_cells USING (vec_id)
+      JOIN probe ON c_cells.cell = probe.q_cell{join_luts}
+      WHERE codes.vec_id <> 0
+      ORDER BY approx_dist, codes.vec_id LIMIT {rerank_factor * k})
+    SELECT s.vec_id, s.cell, s.approx_dist,
+           ROUND({_L2_SQL.format(e='e.embedding', c='q.q_emb')}, 9)
+             AS exact_dist
+    FROM shortlist s JOIN embeddings e ON s.vec_id = e.vec_id,
+         (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+    ORDER BY exact_dist, s.vec_id LIMIT {k}
+    """
+
+
 def _banded_pairs_sql(min_cos: float) -> str:
     """Banded sign-LSH candidate pairs + exact verify, parameterized
     on the verify threshold — shared by the near-dup (0.4) and ANN
@@ -738,10 +926,11 @@ def _banded_pairs_sql(min_cos: float) -> str:
         """
 
 
-SPECS: dict[str, Spec] = {
-    "q_topk_cosine": Spec(
-        lambda spark, sf: topk_cosine(load_table(spark, sf, "embeddings")),
-        f"""
+# bm25 oracle reused by q_rrf_fusion's composed oracle (no cycle:
+# text.py imports nothing from this module)
+from .text import SPECS as _TEXT_SPECS  # noqa: E402
+
+_TOPK_COS_ORACLE = f"""
         SELECT vec_id, label,
                ROUND({_DOT_Q_SQL} /
                      ({_NORM_SQL.format(c='embedding')} * {_NORM_SQL.format(c='q.q_emb')}), 6)
@@ -749,8 +938,59 @@ SPECS: dict[str, Spec] = {
         FROM embeddings, (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
         WHERE vec_id <> 0
         ORDER BY cosine_sim DESC, vec_id LIMIT 10
-        """,
+        """
+
+SPECS: dict[str, Spec] = {
+    "q_topk_cosine": Spec(
+        lambda spark, sf: topk_cosine(load_table(spark, sf, "embeddings")),
+        _TOPK_COS_ORACLE,
         "C3 brute-force cosine top-k (exact baseline)"),
+    "q_ann_ivfpq": Spec(
+        lambda spark, sf: ann_ivfpq_topk(load_table(spark, sf, "embeddings")),
+        _ivfpq_oracle_sql(),
+        "IVF+PQ composed (FAISS IVFADC shape): coarse cells prune the "
+        "scan to nprobe cells, ADC ranks their code columns, exact "
+        "re-rank of the shortlist — both kernels reused verbatim from "
+        "their standalone pinned queries"),
+    "q_knn_graph": Spec(
+        lambda spark, sf: knn_graph(load_table(spark, sf, "embeddings")),
+        f"""
+        WITH pairs AS ({_banded_pairs_sql(KNN_MIN_COS)}),
+        sym AS (
+          SELECT vec_a AS src, vec_b AS dst, cosine_sim FROM pairs
+          UNION ALL
+          SELECT vec_b AS src, vec_a AS dst, cosine_sim FROM pairs)
+        SELECT src, dst, cosine_sim, CAST(rn AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                  ORDER BY cosine_sim DESC, dst) AS rn FROM sym)
+        WHERE rn <= {KNN_K}
+        """,
+        "kNN graph over banded-LSH candidates: symmetrized verified "
+        "pairs, per-node exact top-k via WindowGroupLimit (graph-based "
+        "sampling/label-prop artifact)"),
+    "q_rrf_fusion": Spec(
+        lambda spark, sf: rrf_fusion(load_table(spark, sf, "documents"),
+                                     load_table(spark, sf, "embeddings")),
+        f"""
+        WITH bm AS ({{bm25}}),
+        cs AS ({_TOPK_COS_ORACLE}),
+        bmr AS (SELECT doc_id AS id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                            AS INT) AS bm25_rank
+                FROM bm),
+        csr AS (SELECT vec_id AS id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY cosine_sim DESC,
+                                               vec_id) AS INT) AS cos_rank
+                FROM cs)
+        SELECT COALESCE(bmr.id, csr.id) AS id, bm25_rank, cos_rank,
+               ROUND(COALESCE(1.0 / ({RRF_K} + bm25_rank), 0.0)
+                     + COALESCE(1.0 / ({RRF_K} + cos_rank), 0.0), 6) AS rrf
+        FROM bmr FULL OUTER JOIN csr ON bmr.id = csr.id
+        ORDER BY rrf DESC, id LIMIT 10
+        """.replace("{bm25}", _TEXT_SPECS["q_bm25"].oracle),
+        "hybrid retrieval: reciprocal-rank fusion of the BM25 lexical "
+        "list and the cosine vector list (score-free fusion; ranks from "
+        "the two pinned contract lists)"),
     "q_embed_norms": Spec(
         lambda spark, sf: embedding_norms(load_table(spark, sf, "embeddings")),
         f"""

@@ -39,6 +39,7 @@ PRIORITY: tuple[str, ...] = (
     "q_quantize_int8", "q_bm25", "q_chunk_overlap", "q_exact_substring",
     "q_heavy_hitters", "q_retention_cohort",
     "q_udtf_chunks_arrow", "q_source_cap", "q_rare_trigram_rate",
+    "q_ann_ivfpq", "q_knn_graph", "q_rrf_fusion",
     "q_manifest_multi", "q_fuzzy_join", "q_ann_lsh_pairs", "q_ann_pq",
     "q_dedup_incremental", "q_manifest_roundtrip", "q_topk_cosine_pandas",
     "q_udaf_median", "q_dedup_embedding",

@@ -318,3 +318,13 @@ def test_source_cap_uses_window_group_limit(spark, specs):
     plan = formatted_plan(df)
     assert "WindowGroupLimit" in plan
     assert shuffle_count(df) == 1  # one hash exchange on source
+
+
+def test_knn_graph_top_k_uses_window_group_limit(spark, specs):
+    # per-node top-k must be the WindowGroupLimit heap, and the
+    # candidate stage stays an equi-join (no nested loop anywhere)
+    df = specs["q_knn_graph"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
