@@ -335,15 +335,32 @@ def rare_trigram_rate(documents: DataFrame,
     codegen), explode → df counts (partial-agg'd; vocabulary is
     bounded by charset³, broadcastable), broadcast-join back, per-doc
     conditional count.  At 100 TB the df table is a reusable corpus
-    artifact, like q_bm25's stats row."""
-    norm = F.lower(F.col("text"))
-    n = F.length(norm)
-    tris = F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n - 2),
-                    lambda i: norm.substr(i, F.lit(3))))
-    per_doc = (documents
-               .filter(n >= 3)
-               .select("doc_id", F.explode(tris).alias("tri")))
+    artifact, like q_bm25's stats row.
+
+    Two measured formulation traps (sf0.1, 32 threads): building the
+    trigram array in-row via ``transform(sequence, i -> lower(text)
+    .substr(i, 3))`` re-evaluates ``lower(text)`` PER ELEMENT inside
+    the lambda — O(len²) char work, 3.9s/pass; a chars-array +
+    element_at variant re-splits per element — 68s.  Exploding
+    positions THROUGH a Generate keeps ``lower(text)`` computed once
+    per document below the explode (2.8s), and the per-doc distinct
+    becomes a partial-aggregated groupBy.  The distinct (doc, trigram)
+    relation is then localCheckpointed so the df-count pass and the
+    per-doc scoring pass share ONE materialization — at cluster scale
+    this intermediate is the persisted corpus artifact itself."""
+    base = (documents
+            .select("doc_id", F.lower(F.col("text")).alias("t"))
+            .filter(F.length("t") >= 3))
+    per_doc = (base
+               .select("doc_id", "t",
+                       F.explode(F.sequence(F.lit(1), F.length("t") - 2))
+                       .alias("i"))
+               .select("doc_id",
+                       F.col("t").substr(F.col("i"), F.lit(3)).alias("tri"))
+               .groupBy("doc_id", "tri")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .select("doc_id", "tri")
+               .localCheckpoint())
     df_counts = (per_doc.groupBy("tri")
                  .agg(F.count(F.lit(1)).alias("df")))
     return (per_doc
