@@ -112,6 +112,10 @@ HEADLINE = [
     "q_ann_ivfpq",
     "q_knn_graph",
     "q_rrf_fusion",
+    # round 4 session 3: retrieval serving artifact + multilingual
+    # temperature sampling
+    "q_inverted_index",
+    "q_temperature_sample",
 ]
 
 

@@ -944,6 +944,47 @@ def source_cap(documents: DataFrame, cap: int = SOURCE_CAP,
             .filter(F.col("sample_rank") <= cap))
 
 
+# --- temperature (alpha) source sampling -----------------------------------
+
+TEMP_SEED = "temp1"
+TEMP_SCALE = 1_000_000  # hash-acceptance resolution
+
+
+def temperature_sample(documents: DataFrame,
+                       seed: str = TEMP_SEED) -> DataFrame:
+    """Multilingual/multi-source temperature sampling at α=0.5: keep
+    docs so the sampled per-language counts are ∝ n_s^α instead of n_s —
+    the standard multilingual-LM rebalance that upweights low-resource
+    languages without exhausting them.  The smallest language keeps
+    everything; language s keeps with probability (n_min/n_s)^(1-α) =
+    sqrt(n_min/n_s) at α=0.5 (the fixture's lang column is the skewed
+    grouping — en dominates ~3:1; `source` is uniform by
+    construction).
+
+    α=0.5 is chosen so the float power is exactly ``sqrt`` — IEEE
+    correctly-rounded in both engines, unlike a general pow; the
+    acceptance itself is an integer compare of a salted md5 bucket
+    against floor(rate·10⁶), so membership is deterministic and
+    repartition/growth-stable (same hash-acceptance machinery as
+    `q_mixture_rebalance`, which targets UNIFORM counts — temperature
+    keeps a tempered gradient instead).  Shape: one per-source count
+    aggregate (rows = #sources) broadcast back, then a map-only
+    filter; no data-key shuffle touches the corpus."""
+    counts = documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_s"))
+    n_min = counts.agg(F.min("n_s").alias("n_min"))
+    rates = (counts.crossJoin(F.broadcast(n_min))
+             .select("lang",
+                     F.floor(F.sqrt(F.col("n_min").cast("double")
+                                    / F.col("n_s"))
+                             * TEMP_SCALE).cast("bigint").alias("thr")))
+    bucket = _md5_bucket(F.col("doc_id"), seed, n_hex=8) % TEMP_SCALE
+    return (documents
+            .join(F.broadcast(rates), "lang")
+            .filter(bucket < F.col("thr"))
+            .select("doc_id", "lang"))
+
+
 # --- staged quality-filter funnel ------------------------------------------
 
 FUNNEL_LEN_LO, FUNNEL_LEN_HI = 120, 480
@@ -1314,6 +1355,28 @@ SPECS: dict[str, Spec] = {
         None,  # sketch encoding is engine-specific — rows-only check
         "mergeable HLL distinct-count sketches: per-type sketches union "
         "to the global count without rescanning (accuracy pinned in tests)"),
+    "q_temperature_sample": Spec(
+        lambda spark, sf: temperature_sample(load_table(spark, sf,
+                                                        "documents")),
+        f"""
+        WITH counts AS (SELECT lang, COUNT(*) AS n_s
+                        FROM documents GROUP BY lang),
+        nm AS (SELECT MIN(n_s) AS n_min FROM counts),
+        rates AS (
+          SELECT lang,
+                 CAST(FLOOR(sqrt(CAST(n_min AS DOUBLE) / n_s)
+                            * {TEMP_SCALE}) AS BIGINT) AS thr
+          FROM counts, nm)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN rates r USING (lang)
+        WHERE CAST('0x' || substr(md5('{TEMP_SEED}:'
+                   || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % {TEMP_SCALE} < r.thr
+        """,
+        "temperature (alpha=0.5) source sampling: per-source keep rate "
+        "sqrt(n_min/n_s) applied via deterministic hash-acceptance "
+        "(sqrt is IEEE-exact cross-engine; map-only after a "
+        "sources-row aggregate)"),
     "q_mixture_rebalance": Spec(
         lambda spark, sf: mixture_rebalance(load_table(spark, sf, "documents")),
         f"""

@@ -401,6 +401,48 @@ def chunk_overlap(documents: DataFrame, size: int = 32,
                     .alias("chunk_text")))
 
 
+INV_POSTINGS_CAP = 20  # impact-ordered truncation per term
+
+
+def inverted_index(documents: DataFrame,
+                   cap: int = INV_POSTINGS_CAP) -> DataFrame:
+    """BM25's serving artifact: per-term document frequency, total term
+    frequency, and an impact-ordered (tf desc, doc_id) posting list
+    truncated to the top ``cap`` docs — the text-side analog of
+    `ivf_postings` (the ANN serving artifact).
+
+    Impact-ordered truncation is the published trick for bounding
+    posting storage while keeping the docs any top-k scorer would
+    surface first.  Shape: explode → (token, doc) partial-agg'd tf →
+    one full-width stats aggregate + a rank-limit that rewrites to
+    WindowGroupLimit (hot terms — stopwords with millions of postings
+    — keep only per-partition top-cap heaps in flight; the exact df
+    and total_tf still come from the untruncated aggregate)."""
+    from pyspark.sql import Window
+
+    tf = (documents
+          .select("doc_id", F.explode(ws_tokens("text")).alias("token"))
+          .groupBy("token", "doc_id")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    stats = (tf.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("df"),
+                  F.sum("tf").alias("total_tf")))
+    w = Window.partitionBy("token").orderBy(F.col("tf").desc(), "doc_id")
+    top = (tf.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= cap))
+    postings = (top.groupBy("token")
+                .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("rn", "doc_id", "tf"))),
+                        lambda s: F.concat_ws(
+                            ":", s.doc_id.cast("string"),
+                            s.tf.cast("string"))),
+                    ",").alias("postings")))
+    return stats.join(postings, "token").select(
+        "token", "df", "total_tf", "postings")
+
+
 def _markers_sql(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
 
@@ -587,6 +629,36 @@ SPECS: dict[str, Spec] = {
         """,
         "BM25 retrieval top-k for a fixed term set (one scan + 1-row "
         "stats broadcast; exact rational idf)"),
+    "q_inverted_index": Spec(
+        lambda spark, sf: inverted_index(load_table(spark, sf, "documents")),
+        f"""
+        WITH tf AS (
+          SELECT token, doc_id, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents)
+          GROUP BY token, doc_id),
+        stats AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+                 CAST(SUM(tf) AS BIGINT) AS total_tf
+          FROM tf GROUP BY token),
+        top AS (
+          SELECT token, doc_id, tf,
+                 ROW_NUMBER() OVER (PARTITION BY token
+                                    ORDER BY tf DESC, doc_id) AS rn
+          FROM tf),
+        postings AS (
+          SELECT token,
+                 STRING_AGG(CAST(doc_id AS VARCHAR) || ':' ||
+                            CAST(tf AS VARCHAR), ',' ORDER BY rn)
+                   AS postings
+          FROM top WHERE rn <= {INV_POSTINGS_CAP}
+          GROUP BY token)
+        SELECT token, df, total_tf, postings
+        FROM stats JOIN postings USING (token)
+        """,
+        "impact-ordered inverted index: per-term df/total_tf + top-cap "
+        "(tf desc) truncated postings — the BM25 serving artifact "
+        "(WindowGroupLimit bounds hot-term postings in flight)"),
     "q_rare_trigram_rate": Spec(
         lambda spark, sf: rare_trigram_rate(load_table(spark, sf, "documents")),
         f"""

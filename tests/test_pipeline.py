@@ -326,3 +326,30 @@ def test_source_cap_binds_and_is_repartition_stable(spark):
     again = source_cap(docs.repartition(13), cap=7).collect()
     assert {(r.doc_id, r.source, r.sample_rank) for r in again} == \
         {(r.doc_id, r.source, r.sample_rank) for r in kept}
+
+
+def test_temperature_sample_tempers_language_skew(spark):
+    import math
+
+    from healthkit_to_sqlite_spark.operators.pipeline import temperature_sample
+    docs = load_table(spark, SF, "documents")
+    totals = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = temperature_sample(docs).collect()
+    per: dict[str, int] = {}
+    for r in kept:
+        per[r.lang] = per.get(r.lang, 0) + 1
+    n_min = min(totals.values())
+    min_lang = [l for l, n in totals.items() if n == n_min]
+    # the smallest language keeps everything (rate floor(1.0*scale))
+    for l in min_lang:
+        assert per[l] == totals[l]
+    # realized keep ratio tracks sqrt(n_min/n_s) (hash uniformity ⇒
+    # small deviation; deterministic, so the bound is tight per fixture)
+    for l, n in totals.items():
+        want = math.sqrt(n_min / n)
+        assert abs(per.get(l, 0) / n - want) < 0.12
+    # deterministic: same membership on a different partitioning
+    again = {(r.doc_id, r.lang)
+             for r in temperature_sample(docs.repartition(7)).collect()}
+    assert again == {(r.doc_id, r.lang) for r in kept}

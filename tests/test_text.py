@@ -80,3 +80,27 @@ def test_udtf_arrow_matches_row_transport(spark):
     a = {tuple(r) for r in chunk_sentences(spark, docs).collect()}
     b = {tuple(r) for r in chunk_sentences_arrow(spark, docs).collect()}
     assert a == b and len(a) > 40
+
+
+def test_inverted_index_impact_order_and_consistency(spark):
+    from healthkit_to_sqlite_spark.operators.text import inverted_index
+    docs = load_table(spark, SF, "documents")
+    idx = {r.token: r for r in inverted_index(docs, cap=5).collect()}
+    assert idx
+    # exact df/total_tf vs a direct count for a couple of tokens
+    import collections
+    df_c: dict[str, set] = collections.defaultdict(set)
+    tf_c: dict[str, int] = collections.defaultdict(int)
+    for row in docs.select("doc_id", "text").collect():
+        for t in row.text.split(" "):
+            df_c[t].add(row.doc_id)
+            tf_c[t] += 1
+    for tok, r in idx.items():
+        assert r.df == len(df_c[tok])
+        assert r.total_tf == tf_c[tok]
+        posts = [p.split(":") for p in r.postings.split(",")]
+        assert len(posts) == min(5, r.df)
+        tfs = [int(p[1]) for p in posts]
+        assert tfs == sorted(tfs, reverse=True)  # impact-ordered
+        ids = [int(p[0]) for p in posts]
+        assert len(set(ids)) == len(ids)
