@@ -116,6 +116,7 @@ HEADLINE = [
     # temperature sampling
     "q_inverted_index",
     "q_temperature_sample",
+    "q_negative_pairs",
 ]
 
 

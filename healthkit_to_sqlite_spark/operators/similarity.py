@@ -512,6 +512,64 @@ def knn_graph(embeddings: DataFrame, k: int = KNN_K,
             .filter(F.col("rank") <= k))
 
 
+NEG_K = 4          # negatives per anchor
+NEG_OVERSAMPLE = 3  # candidate draws per kept negative
+NEG_SEED = "neg1"
+
+
+def negative_pairs(embeddings: DataFrame, k: int = NEG_K,
+                   oversample: int = NEG_OVERSAMPLE,
+                   seed: str = NEG_SEED) -> DataFrame:
+    """Deterministic negative mining for contrastive training: per
+    anchor, ``k`` pseudo-random non-neighbor vectors — candidates
+    drawn by salted md5 (reproducible across engines, reruns, and
+    repartitioning, like every sampler here), EXCLUDING the anchor
+    itself and anything the banded-LSH near-dup surface flags as a
+    neighbor (the false-negative filter — without it ~cos≥0.2 pairs
+    leak into the negatives and poison the loss).
+
+    Shape: map-only candidate generation (explode of k·oversample
+    draws; the id-space modulus comes from ONE broadcast 1-row
+    aggregate), an equi-join against ids to keep only existing
+    vectors, one anti-join against the symmetrized near-pair set, and
+    a WindowGroupLimit rank to the first ``k`` surviving draws.
+    Cost scales as n·k·oversample rows of 3 ints — the vectors are
+    never read except inside the reused near-pair kernel."""
+    from pyspark.sql import Window
+
+    bounds = embeddings.agg(F.max("vec_id").alias("max_id"))
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(seed),
+                          F.col("vec_id").cast("string"),
+                          F.col("i").cast("string"))), 1, 8), 16, 10)
+    cands = (embeddings.select("vec_id")
+             .crossJoin(F.broadcast(bounds))
+             .select("vec_id", "max_id",
+                     F.explode(F.sequence(
+                         F.lit(1), F.lit(k * oversample))).alias("i"))
+             .select("vec_id", "i",
+                     (h.cast("bigint") % (F.col("max_id") + 1))
+                     .alias("neg_id"))
+             .filter(F.col("neg_id") != F.col("vec_id")))
+    existing = embeddings.select(F.col("vec_id").alias("neg_id")).distinct()
+    cands = cands.join(existing, "neg_id")
+    pairs = dedup_embedding_pairs(embeddings, min_cosine=KNN_MIN_COS)
+    near = (pairs.select(F.col("vec_a").alias("vec_id"),
+                         F.col("vec_b").alias("neg_id"))
+            .unionByName(pairs.select(F.col("vec_b").alias("vec_id"),
+                                      F.col("vec_a").alias("neg_id"))))
+    survivors = (cands.join(near, ["vec_id", "neg_id"], "left_anti")
+                 .groupBy("vec_id", "neg_id")
+                 .agg(F.min("i").alias("i")))
+    w = Window.partitionBy("vec_id").orderBy("i", "neg_id")
+    return (survivors
+            .select("vec_id", "neg_id", "i",
+                    F.row_number().over(w).cast("int").alias("rank"))
+            .filter(F.col("rank") <= k)
+            .select("vec_id", "neg_id", F.col("i").cast("int").alias("draw"),
+                    "rank"))
+
+
 RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
 
 
@@ -968,6 +1026,44 @@ SPECS: dict[str, Spec] = {
         "kNN graph over banded-LSH candidates: symmetrized verified "
         "pairs, per-node exact top-k via WindowGroupLimit (graph-based "
         "sampling/label-prop artifact)"),
+    "q_negative_pairs": Spec(
+        lambda spark, sf: negative_pairs(load_table(spark, sf, "embeddings")),
+        f"""
+        WITH pairs AS ({_banded_pairs_sql(KNN_MIN_COS)}),
+        near AS (
+          SELECT vec_a AS vec_id, vec_b AS neg_id FROM pairs
+          UNION ALL
+          SELECT vec_b AS vec_id, vec_a AS neg_id FROM pairs),
+        bounds AS (SELECT MAX(vec_id) AS max_id FROM embeddings),
+        cands AS (
+          SELECT e.vec_id, CAST(i.i AS BIGINT) AS i,
+                 CAST('0x' || substr(md5('{NEG_SEED}:'
+                      || CAST(e.vec_id AS VARCHAR) || ':'
+                      || CAST(i.i AS VARCHAR)), 1, 8) AS BIGINT)
+                   % (b.max_id + 1) AS neg_id
+          FROM embeddings e,
+               (SELECT unnest(generate_series(1, {NEG_K * NEG_OVERSAMPLE}))
+                  AS i) i,
+               bounds b),
+        kept AS (
+          SELECT c.vec_id, c.neg_id, MIN(c.i) AS i
+          FROM cands c
+          JOIN (SELECT DISTINCT vec_id AS neg_id FROM embeddings) x
+            USING (neg_id)
+          WHERE c.neg_id <> c.vec_id
+            AND NOT EXISTS (SELECT 1 FROM near n
+                            WHERE n.vec_id = c.vec_id
+                              AND n.neg_id = c.neg_id)
+          GROUP BY c.vec_id, c.neg_id)
+        SELECT vec_id, neg_id, CAST(i AS INT) AS draw,
+               CAST(rn AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY i, neg_id) AS rn FROM kept)
+        WHERE rn <= {NEG_K}
+        """,
+        "contrastive negative mining: salted-hash candidate draws, "
+        "near-dup anti-join (banded-LSH surface as the false-negative "
+        "filter), first-k surviving draws per anchor"),
     "q_rrf_fusion": Spec(
         lambda spark, sf: rrf_fusion(load_table(spark, sf, "documents"),
                                      load_table(spark, sf, "embeddings")),

@@ -40,7 +40,7 @@ PRIORITY: tuple[str, ...] = (
     "q_heavy_hitters", "q_retention_cohort",
     "q_udtf_chunks_arrow", "q_source_cap", "q_rare_trigram_rate",
     "q_ann_ivfpq", "q_knn_graph", "q_rrf_fusion",
-    "q_inverted_index", "q_temperature_sample",
+    "q_inverted_index", "q_temperature_sample", "q_negative_pairs",
     "q_manifest_multi", "q_fuzzy_join", "q_ann_lsh_pairs", "q_ann_pq",
     "q_dedup_incremental", "q_manifest_roundtrip", "q_topk_cosine_pandas",
     "q_udaf_median", "q_dedup_embedding",

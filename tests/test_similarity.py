@@ -236,3 +236,28 @@ def test_rrf_prefers_docs_in_both_lists(spark):
         for s in single:
             if (s.bm25_rank or s.cos_rank) >= max(b.bm25_rank, b.cos_rank):
                 assert b.rrf > s.rrf
+
+
+def test_negative_pairs_exclude_neighbors_and_self(spark):
+    """No mined negative may be the anchor itself or any pair the
+    near-dup surface verified at the ANN threshold; every anchor gets
+    at most k negatives with dense ranks in draw order."""
+    from healthkit_to_sqlite_spark.operators.similarity import negative_pairs
+
+    emb = load_table(spark, SF, "embeddings")
+    negs = negative_pairs(emb, k=4).collect()
+    near = {(r.vec_a, r.vec_b) for r in
+            dedup_embedding_pairs(emb, min_cosine=0.2).collect()}
+    near |= {(b, a) for a, b in near}
+    by_anchor: dict[int, list] = {}
+    for r in negs:
+        assert r.vec_id != r.neg_id
+        assert (r.vec_id, r.neg_id) not in near
+        by_anchor.setdefault(r.vec_id, []).append(r)
+    assert by_anchor
+    for anchor, rows in by_anchor.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 4
+        draws = [r.draw for r in rows]
+        assert draws == sorted(draws)  # first surviving draws win
