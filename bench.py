@@ -117,6 +117,11 @@ HEADLINE = [
     "q_inverted_index",
     "q_temperature_sample",
     "q_negative_pairs",
+    # round 4 session 4: SCD2 history, exact half-life EWMA,
+    # first-touch keyed dedup
+    "q_scd2",
+    "q_ewma",
+    "q_first_touch",
 ]
 
 

@@ -306,6 +306,90 @@ def lag_lead_deltas(events: DataFrame) -> DataFrame:
         .alias("secs_to_next"))
 
 
+def scd2_history(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension type-2 history of each user's event
+    state (CDC complement to pipeline.merge_upsert): collapse each
+    user's event stream into change rows — one row per run of equal
+    ``event_type`` — with ``valid_from``/``valid_to`` interval columns
+    and an ``is_current`` flag on the open interval.
+
+    Both windows partition by user_id, so the change-detection pass and
+    the interval pass share ONE shuffle (Catalyst reuses the exchange;
+    the second WindowExec only re-sorts the filtered change rows).  At
+    100 TB this is the standard dimension-history build: linear in
+    events, no self-join, skew bounded by the busiest user.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    changes = (events
+               .withColumn("__prev", prev)
+               .filter(F.col("__prev").isNull()
+                       | (F.col("event_type") != F.col("__prev"))))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        F.row_number().over(w2).cast("int").alias("version"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"))
+
+
+#: EWMA taps: half-life weights 2^-j are exact in binary AND in
+#: decimal(9,7), so the windowed convolution is bit-reproducible
+#: cross-engine (the reason alpha is pinned to 1/2).
+EWMA_TAPS = 8
+
+
+def ewma_halflife(events: DataFrame, taps: int = EWMA_TAPS) -> DataFrame:
+    """Half-life EWMA smoothing per user: a ``taps``-point truncated
+    exponential moving average with alpha = 1/2, computed as an exact
+    decimal convolution over LAG offsets.
+
+    A true recursive EWMA is order-dependent float accumulation —
+    irreproducible across engines and unparallelizable.  Truncating at
+    8 taps leaves a weight tail < 0.4% and turns the operator into a
+    bounded window convolution: one shuffle by user, 8 LAG reads from
+    a single WindowExec pass, weights 2^-j exact in decimal(9,7) so
+    numerator/denominator are exact decimals and the one double
+    division at the end is IEEE-identical on any engine.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0).cast("decimal(28,9)")
+    den = F.lit(0).cast("decimal(9,7)")
+    for j in range(taps):
+        lag_j = F.col("value") if j == 0 else F.lag("value", j).over(w)
+        w_j = F.lit(0.5 ** j).cast("decimal(9,7)")
+        num = num + F.when(lag_j.isNotNull(),
+                           lag_j.cast("decimal(18,2)") * w_j
+                           ).otherwise(F.lit(0).cast("decimal(28,9)"))
+        den = den + F.when(lag_j.isNotNull(), w_j
+                           ).otherwise(F.lit(0).cast("decimal(9,7)"))
+    return events.select(
+        "user_id", "event_id", "ts", "value",
+        F.round(num.cast("double") / den.cast("double"), 6).alias("ewma"))
+
+
+def first_touch(events: DataFrame) -> DataFrame:
+    """Earliest event per (user_id, event_type) — the deterministic
+    batch twin of streaming first-arrival dedup
+    (streaming/windowed.py::dedup_stream uses
+    ``dropDuplicatesWithinWatermark``, which keeps the first ARRIVAL;
+    this keeps the first event-time row, the replay-stable contract).
+    Tie-break (ts, event_id) via row_number; rank-limit rewrites to
+    WindowGroupLimit, so each partition keeps one candidate row per
+    key in flight — no per-key full sort."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (events
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "event_type",
+                    F.col("ts").alias("first_ts"),
+                    F.col("event_id").alias("first_event_id"),
+                    F.col("value").alias("first_value")))
+
+
 SPECS: dict[str, Spec] = {
     "q_lag_lead": Spec(
         lambda spark, sf: lag_lead_deltas(load_table(spark, sf, "events")),
@@ -517,4 +601,61 @@ SPECS: dict[str, Spec] = {
         """,
         "weekly cohort retention matrix (first-touch week × weeks-since "
         "distinct actives) — product-analytics staple over events"),
+    "q_scd2": Spec(
+        lambda spark, sf: scd2_history(load_table(spark, sf, "events")),
+        """
+        WITH ordered AS (
+          SELECT user_id, ts, event_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events),
+        changes AS (
+          SELECT user_id, ts, event_id, event_type
+          FROM ordered
+          WHERE prev_type IS NULL OR event_type <> prev_type)
+        SELECT user_id,
+               CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
+               event_type AS state,
+               ts AS valid_from,
+               lead(ts) OVER w2 AS valid_to,
+               lead(ts) OVER w2 IS NULL AS is_current
+        FROM changes
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "SCD type-2 dimension history from the event stream (CDC "
+        "complement to q_merge_upsert: run-collapse + interval windows, "
+        "one user shuffle shared by both passes)"),
+    "q_ewma": Spec(
+        lambda spark, sf: ewma_halflife(load_table(spark, sf, "events")),
+        "\n        SELECT user_id, event_id, ts, value,\n"
+        "               ROUND(CAST((" + " + ".join(
+            f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL THEN "
+            f"CAST(lag(value, {j}) OVER w AS DECIMAL(18,2)) * "
+            f"CAST({0.5 ** j!r} AS DECIMAL(9,7)) "
+            f"ELSE CAST(0 AS DECIMAL(28,9)) END"
+            for j in range(EWMA_TAPS)) + ") AS DOUBLE)\n"
+        "               / CAST((" + " + ".join(
+            f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL THEN "
+            f"CAST({0.5 ** j!r} AS DECIMAL(9,7)) "
+            f"ELSE CAST(0 AS DECIMAL(9,7)) END"
+            for j in range(EWMA_TAPS)) + ") AS DOUBLE), 6) AS ewma\n"
+        "        FROM events\n"
+        "        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)\n",
+        "half-life EWMA smoothing: 8-tap exact-decimal window "
+        "convolution (alpha=1/2 so weights are exact in both binary "
+        "and decimal — bit-reproducible, parallel, one user shuffle)"),
+    "q_first_touch": Spec(
+        lambda spark, sf: first_touch(load_table(spark, sf, "events")),
+        """
+        SELECT user_id, event_type, ts AS first_ts,
+               event_id AS first_event_id, value AS first_value
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS rn
+              FROM events)
+        WHERE rn = 1
+        """,
+        "earliest event per (user, type) — replay-stable batch twin of "
+        "streaming first-arrival dedup (windowed.py::dedup_stream; "
+        "WindowGroupLimit keeps one row per key in flight)"),
 }

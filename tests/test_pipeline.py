@@ -353,3 +353,55 @@ def test_temperature_sample_tempers_language_skew(spark):
     again = {(r.doc_id, r.lang)
              for r in temperature_sample(docs.repartition(7)).collect()}
     assert again == {(r.doc_id, r.lang) for r in kept}
+
+
+def test_scd2_intervals_tile_each_user_timeline(spark):
+    """Type-2 history must be a tiling: consecutive versions abut
+    (valid_to == next valid_from), states actually change between
+    versions, and exactly one open (is_current) interval per user."""
+    from healthkit_to_sqlite_spark.operators.timeseries import scd2_history
+
+    ev = load_table(spark, SF, "events")
+    rows = scd2_history(ev).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, hist in by_user.items():
+        hist.sort(key=lambda r: r.version)
+        assert [r.version for r in hist] == list(range(1, len(hist) + 1))
+        assert sum(r.is_current for r in hist) == 1 and hist[-1].is_current
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.state != b.state
+
+
+def test_ewma_identity_and_convexity(spark):
+    """A user's first event smooths to itself; every EWMA is a convex
+    combination, so it lies within [min, max] of its 8-row tail."""
+    from healthkit_to_sqlite_spark.operators.timeseries import ewma_halflife
+
+    ev = load_table(spark, SF, "events")
+    got = {r.event_id: r for r in ewma_halflife(ev).collect()}
+    series: dict[int, list] = {}
+    for r in sorted(got.values(), key=lambda r: (r.ts, r.event_id)):
+        series.setdefault(r.user_id, []).append(r)
+    assert series
+    for user, rows in series.items():
+        assert got[rows[0].event_id].ewma == round(rows[0].value, 6)
+        for i, r in enumerate(rows):
+            tail = [x.value for x in rows[max(0, i - 7):i + 1]]
+            assert min(tail) - 1e-6 <= r.ewma <= max(tail) + 1e-6
+
+
+def test_first_touch_is_min_event_time(spark):
+    from healthkit_to_sqlite_spark.operators.timeseries import first_touch
+
+    ev = load_table(spark, SF, "events")
+    got = first_touch(ev).collect()
+    want = {(r.user_id, r.event_type): r.m
+            for r in ev.groupBy("user_id", "event_type")
+            .agg(F.min("ts").alias("m")).collect()}
+    assert len(got) == len(want)
+    for r in got:
+        assert r.first_ts == want[(r.user_id, r.event_type)]
