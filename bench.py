@@ -122,6 +122,13 @@ HEADLINE = [
     "q_scd2",
     "q_ewma",
     "q_first_touch",
+    # round 4 session 4: applied span scrub, incremental agg merge,
+    # snapshot diff, BPE pair counting, Matryoshka re-rank
+    "q_span_scrub",
+    "q_incremental_agg",
+    "q_snapshot_diff",
+    "q_bpe_pairs",
+    "q_mrl_rerank",
 ]
 
 

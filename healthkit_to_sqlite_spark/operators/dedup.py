@@ -395,6 +395,48 @@ def duplicated_spans(documents: DataFrame, k: int = SPAN_K,
             .limit(top))
 
 
+def span_scrub(documents: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """APPLY stage of exact-substring dedup: remove aligned k-token
+    segments whose text occurs in ≥2 distinct documents (the
+    CCNet/RefinedWeb-style duplicated-passage scrub — `q_exact_substring`
+    *finds* duplicated spans; this rewrites the corpus without them)
+    and report the per-document token budget before/after.
+
+    Aligned (non-overlapping) segmentation keeps the explode at
+    |tokens|/k rows instead of |tokens| for the rolling form — at
+    100 TB that is the difference between 8× and 1× the corpus through
+    the shuffle.  Trailing partial segments (< k tokens) never match
+    and are always kept.  Plan: map-only segmenting explode → ONE
+    groupBy(segment) carrying distinct segments → join the ≥2-doc
+    segment set back — same candidate-join shape every dedup operator
+    here uses.
+    """
+    tt = F.col("__toks")
+    n_full = F.floor(F.size(tt) / k).cast("int")
+    # posexplode_OUTER keeps zero-segment docs (< k tokens) alive, so
+    # ONE text scan feeds both the segment join and the per-doc totals.
+    segs = (documents
+            .select("doc_id", ws_tokens("text").alias("__toks"))
+            .select("doc_id", F.size(tt).alias("n_tokens"),
+                    F.posexplode_outer(F.transform(
+                        F.sequence(F.lit(1), n_full),
+                        lambda g: F.array_join(
+                            F.slice(tt, (g - 1) * k + 1, k), " ")))
+                    .alias("seg_idx", "seg")))
+    dup_segs = (segs.filter(F.col("seg").isNotNull())
+                .groupBy("seg")
+                .agg(F.countDistinct("doc_id").alias("n_docs"))
+                .filter(F.col("n_docs") >= 2)
+                .select("seg", F.lit(True).alias("__dup")))
+    flagged = segs.join(dup_segs, "seg", "left")
+    n_dup = F.sum(F.when(F.col("__dup"), 1).otherwise(0))
+    return (flagged.groupBy("doc_id")
+            .agg(F.first("n_tokens").alias("n_tokens"),
+                 n_dup.cast("int").alias("n_scrubbed_segments"),
+                 (F.first("n_tokens") - k * n_dup).cast("bigint")
+                 .alias("n_tokens_kept")))
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 def _shingles_sql(k: int = SHINGLE, source: str = "documents") -> str:
@@ -609,4 +651,32 @@ SPECS: dict[str, Spec] = {
         """,
         "exact duplicated k-token spans across documents (Lee et al. "
         "2022 exact-substring dedup as a rolling-window groupBy)"),
+    "q_span_scrub": Spec(
+        lambda spark, sf: span_scrub(load_table(spark, sf, "documents")),
+        f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents),
+        segs AS (
+          SELECT doc_id,
+                 array_to_string(
+                   toks[(g - 1) * {SPAN_K} + 1 : g * {SPAN_K}], ' ') AS seg
+          FROM t, UNNEST(range(1, n // {SPAN_K} + 1)) AS s(g)),
+        dups AS (
+          SELECT seg FROM segs
+          GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2),
+        per_doc AS (
+          SELECT doc_id, COUNT(*) AS c
+          FROM segs JOIN dups USING (seg) GROUP BY doc_id)
+        SELECT t.doc_id, t.n AS n_tokens,
+               CAST(COALESCE(d.c, 0) AS INT) AS n_scrubbed_segments,
+               CAST(t.n - {SPAN_K} * COALESCE(d.c, 0) AS BIGINT)
+                 AS n_tokens_kept
+        FROM t LEFT JOIN per_doc d USING (doc_id)
+        """,
+        "duplicated-passage scrub (APPLY stage of exact-substring "
+        "dedup): aligned k-token segments occurring in >=2 docs are "
+        "removed; one text scan via posexplode_outer feeds both the "
+        "segment join and the per-doc token budget"),
 }

@@ -1274,7 +1274,120 @@ def heavy_hitters(documents: DataFrame,
             .orderBy(F.col("n").desc(), "token"))
 
 
+def incremental_agg_merge(events: DataFrame) -> DataFrame:
+    """Incremental materialized-view maintenance: merge a precomputed
+    per-type aggregate artifact with a delta batch WITHOUT rescanning
+    history — the algebraic partial-aggregate merge that makes daily
+    refresh O(|delta| + |groups|) at 100 TB instead of O(|history|).
+
+    Here both the ``base`` artifact (event_id pmod 10 != 0, standing in
+    for yesterday's stored aggregate) and the ``delta`` batch (the rest)
+    are built in-query so the contract is self-contained; in production
+    the base comes from a manifest-committed table.  (count, sum) are
+    algebraic — partials add — and the sum stays exact decimal until
+    the final cast, so merged-vs-rescan equality is bit-exact: the
+    oracle IS the full rescan, making the merge property the thing the
+    driver checks.
+    """
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).alias("__sum_dec"))
+
+    base = partial(events.filter(F.pmod("event_id", F.lit(10)) != 0))
+    delta = partial(events.filter(F.pmod("event_id", F.lit(10)) == 0))
+    return (base.unionByName(delta)
+            .groupBy("event_type")
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.sum("__sum_dec").cast("double").alias("sum_value")))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Row-level diff between two table snapshots (the data-lake
+    change-audit op: what did this commit add / remove / change?).
+
+    Each side reduces map-side to (key, row_hash) — the full-outer join
+    carries 2 columns per row regardless of table width, and the hash
+    compare classifies without re-reading payloads.  Output is only the
+    changed surface (added/removed/changed), never the unchanged bulk.
+    Composes with sinks/manifest.py time travel: read version N and
+    N-1, diff.  One hash-partitioned shuffle on the key; AQE handles
+    key skew like any equi-join.
+    """
+    def keyed(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.md5(F.concat_ws("\x1f", "text", "lang", "source", "n_chars"))
+            .alias(f"{side}_hash"),
+            F.col("n_chars").alias(f"{side}_n_chars"))
+
+    j = keyed(old, "old").join(keyed(new, "new"), "doc_id", "full_outer")
+    change = (F.when(F.col("old_hash").isNull(), F.lit("added"))
+              .when(F.col("new_hash").isNull(), F.lit("removed"))
+              .when(F.col("old_hash") != F.col("new_hash"),
+                    F.lit("changed")))
+    return (j.select("doc_id", change.alias("change_type"),
+                     "old_n_chars", "new_n_chars")
+            .filter(F.col("change_type").isNotNull()))
+
+
+def _snapshots(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Derive two deterministic snapshot views of ``documents`` so
+    q_snapshot_diff is self-contained: pmod(doc_id,20)==0 rows exist
+    only in the old snapshot (removed), ==1 only in the new (added),
+    2..4 get n_chars+1 in the new (changed), the rest are identical."""
+    m = F.pmod("doc_id", F.lit(20))
+    old = documents.filter(m != 1)
+    new = (documents.filter(m != 0)
+           .withColumn("n_chars",
+                       F.when(m.between(2, 4), F.col("n_chars") + 1)
+                       .otherwise(F.col("n_chars"))))
+    return old, new
+
+
+def snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    old, new = _snapshots(docs)
+    return snapshot_diff(old, new)
+
+
 SPECS: dict[str, Spec] = {
+    "q_incremental_agg": Spec(
+        lambda spark, sf: incremental_agg_merge(load_table(spark, sf,
+                                                           "events")),
+        """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_value
+        FROM events GROUP BY event_type
+        """,
+        "incremental materialized-view maintenance: algebraic "
+        "partial-aggregate merge of a stored artifact + delta batch — "
+        "oracle is the full rescan, so the driver checks the merge "
+        "property itself (bit-exact via decimal partials)"),
+    "q_snapshot_diff": Spec(
+        snapshot_diff_query,
+        """
+        WITH m AS (SELECT doc_id, ((doc_id % 20) + 20) % 20 AS md,
+                          n_chars
+                   FROM documents)
+        SELECT doc_id,
+               CASE WHEN md = 1 THEN 'added'
+                    WHEN md = 0 THEN 'removed'
+                    WHEN md BETWEEN 2 AND 4 THEN 'changed' END
+                 AS change_type,
+               CASE WHEN md = 1 THEN NULL ELSE n_chars END
+                 AS old_n_chars,
+               CASE WHEN md = 0 THEN NULL
+                    WHEN md BETWEEN 2 AND 4 THEN n_chars + 1
+                    ELSE n_chars END AS new_n_chars
+        FROM m WHERE md <= 4
+        """,
+        "row-level snapshot diff (data-lake change audit): map-side "
+        "(key, row-hash) reduction then one full-outer equi-join; "
+        "output is only the added/removed/changed surface — composes "
+        "with manifest time travel (oracle derives the planted edits "
+        "analytically)"),
     "q_source_cap": Spec(
         lambda spark, sf: source_cap(load_table(spark, sf, "documents")),
         f"""

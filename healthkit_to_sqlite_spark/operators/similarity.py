@@ -48,6 +48,44 @@ def topk_cosine(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
             .limit(k))
 
 
+MRL_PREFIX = 32      # stage-1 ranking dimensions (2x compute/IO cut)
+MRL_SHORTLIST = 100  # stage-1 survivors re-ranked exactly (1% of sf0.01)
+
+
+def mrl_rerank_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                    k: int = 10, prefix: int = MRL_PREFIX,
+                    shortlist: int = MRL_SHORTLIST) -> DataFrame:
+    """Matryoshka progressive re-ranking (Kusupati et al. 2022): rank
+    with the first ``prefix`` dims (cheap — a 2× cut of the fold and,
+    with prefix columns stored separately, of scan IO), keep a
+    ``shortlist``, then exact full-dim re-rank of the survivors.
+
+    Same two-stage economics as PQ/ADC but with no trained codebook:
+    the prefix of an MRL-trained embedding IS the coarse quantizer.
+    Stage 1 is the only corpus-wide pass; stage 2 touches ``shortlist``
+    rows.  Both stages are TakeOrdered (no global sort)."""
+    q = (embeddings.filter(F.col("vec_id") == query_vec_id)
+         .select(F.slice("embedding", 1, prefix).alias("q_pfx"),
+                 F.col("embedding").alias("q_emb")))
+    pfx = F.col("__pfx")
+    pfx_sim = cosine_similarity(pfx, F.col("q_pfx"))
+    short = (embeddings
+             .withColumn("__pfx", F.slice("embedding", 1, prefix))
+             .crossJoin(F.broadcast(q))
+             .filter(F.col("vec_id") != query_vec_id)
+             .select("vec_id", "label", "embedding", "q_emb",
+                     pfx_sim.alias("__pfx_sim"))
+             .orderBy(F.col("__pfx_sim").desc(), "vec_id")
+             .limit(shortlist))
+    full = cosine_similarity(F.col("embedding"), F.col("q_emb"))
+    return (short
+            .select("vec_id", "label",
+                    F.round(full, 6).alias("cosine_sim"),
+                    F.round("__pfx_sim", 6).alias("prefix_sim"))
+            .orderBy(F.col("cosine_sim").desc(), "vec_id")
+            .limit(k))
+
+
 def _plane_weights(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
     """Deterministic ±1 hyperplane weights: parity of a md5-derived
     integer per (plane, dim).  Computed ONCE driver-side and embedded
@@ -1003,6 +1041,35 @@ SPECS: dict[str, Spec] = {
         lambda spark, sf: topk_cosine(load_table(spark, sf, "embeddings")),
         _TOPK_COS_ORACLE,
         "C3 brute-force cosine top-k (exact baseline)"),
+    "q_mrl_rerank": Spec(
+        lambda spark, sf: mrl_rerank_topk(load_table(spark, sf,
+                                                     "embeddings")),
+        f"""
+        WITH q AS (SELECT embedding[1:{MRL_PREFIX}] AS q_pfx,
+                          embedding AS q_emb
+                   FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id, label, embedding, q.q_emb,
+                 list_aggregate(list_transform(
+                     list_zip(embedding[1:{MRL_PREFIX}], q.q_pfx),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+                   'sum')
+                 / ({_NORM_SQL.format(c=f'embedding[1:{MRL_PREFIX}]')}
+                    * {_NORM_SQL.format(c='q.q_pfx')}) AS pfx_sim
+          FROM embeddings, q WHERE vec_id <> 0),
+        short AS (SELECT * FROM scored
+                  ORDER BY pfx_sim DESC, vec_id LIMIT {MRL_SHORTLIST})
+        SELECT vec_id, label,
+               ROUND({_DOT_Q_SQL.replace('q.q_emb', 'q_emb')} /
+                     ({_NORM_SQL.format(c='embedding')}
+                      * {_NORM_SQL.format(c='q_emb')}), 6) AS cosine_sim,
+               ROUND(pfx_sim, 6) AS prefix_sim
+        FROM short ORDER BY cosine_sim DESC, vec_id LIMIT 10
+        """,
+        "Matryoshka progressive re-rank: 32-dim prefix ranks the "
+        "corpus (2x fold/IO cut), 100-row shortlist re-ranked with the "
+        "exact full-dim cosine (Kusupati et al. 2022; the prefix IS "
+        "the coarse quantizer — no codebook to train)"),
     "q_ann_ivfpq": Spec(
         lambda spark, sf: ann_ivfpq_topk(load_table(spark, sf, "embeddings")),
         _ivfpq_oracle_sql(),

@@ -443,6 +443,44 @@ def inverted_index(documents: DataFrame,
         "token", "df", "total_tf", "postings")
 
 
+BPE_TOP = 50  # merge candidates to surface per round
+
+
+def bpe_merge_pairs(documents: DataFrame, top: int = BPE_TOP) -> DataFrame:
+    """One round of BPE tokenizer training: count adjacent symbol
+    pairs across the corpus, weighted by word frequency — the argmax
+    pair is the next merge (Sennrich et al. 2016).
+
+    The working set is the DISTINCT-word table, not corpus positions:
+    the first groupBy collapses the corpus to |vocab| rows (the reason
+    BPE training is feasible at 100 TB), then each distinct word
+    explodes to len-1 adjacent char pairs carrying its frequency —
+    Σ|vocab words| rows through the second shuffle, independent of
+    corpus size.  Top-k via TakeOrdered; integer counts ⇒ engine-exact.
+    """
+    from pyspark.sql import Window
+
+    words = (documents
+             .select(F.explode(ws_tokens("text")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    # length guard: Spark sequence(1, 0) counts DOWN ([1, 0]) rather
+    # than returning empty, so 1-char words must be filtered out.
+    pairs = (words
+             .filter(F.length("word") >= 2)
+             .select("freq",
+                     F.explode(F.transform(
+                         F.sequence(F.lit(1), F.length("word") - 1),
+                         lambda i: F.col("word").substr(i, F.lit(2))))
+                     .alias("pair")))
+    w = Window.orderBy(F.col("n").desc(), "pair")
+    return (pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "pair").limit(top)
+            .select("pair", "n",
+                    F.row_number().over(w).cast("int").alias("merge_rank")))
+
+
 def _markers_sql(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
 
@@ -454,6 +492,32 @@ _HITS_SQL = {
 }
 
 SPECS: dict[str, Spec] = {
+    "q_bpe_pairs": Spec(
+        lambda spark, sf: bpe_merge_pairs(load_table(spark, sf,
+                                                     "documents")),
+        f"""
+        WITH words AS (
+          SELECT tok AS word, COUNT(*) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+          WHERE tok <> '' GROUP BY tok),
+        pairs AS (
+          SELECT substr(word, CAST(i AS INT), 2) AS pair, freq
+          FROM words, UNNEST(range(1, len(word))) AS s(i)
+          WHERE len(word) >= 2),
+        agg AS (
+          SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+          FROM pairs GROUP BY pair
+          ORDER BY n DESC, pair LIMIT {BPE_TOP})
+        SELECT pair, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS INT)
+                 AS merge_rank
+        FROM agg
+        """,
+        "one BPE tokenizer-training round: corpus-frequency-weighted "
+        "adjacent char-pair counts over the DISTINCT-word table "
+        "(shuffle is O(|vocab|), not corpus positions; argmax pair = "
+        "next merge, Sennrich et al. 2016)"),
     "q_lang_id": Spec(
         lambda spark, sf: lang_id(load_table(spark, sf, "documents")),
         f"""

@@ -405,3 +405,64 @@ def test_first_touch_is_min_event_time(spark):
     assert len(got) == len(want)
     for r in got:
         assert r.first_ts == want[(r.user_id, r.event_type)]
+
+
+def test_span_scrub_removes_planted_duplicate_segment(spark):
+    """An aligned 8-token segment shared by two docs is scrubbed from
+    both; a unique doc loses nothing; budgets reconcile exactly."""
+    from healthkit_to_sqlite_spark.operators.dedup import span_scrub
+
+    dup = "p q r s t u v w"
+    rows = [(0, dup + " a b c d e f g h"),        # dup seg at slot 1
+            (1, dup + " z1 z2 z3"),               # dup seg at slot 1
+            (2, "only unique tokens appear in this tiny document x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in span_scrub(df).collect()}
+    assert got[0].n_scrubbed_segments == 1 and got[0].n_tokens_kept == 8
+    assert got[1].n_scrubbed_segments == 1 and got[1].n_tokens_kept == 3
+    assert got[2].n_scrubbed_segments == 0
+    for r in got.values():
+        assert r.n_tokens_kept == r.n_tokens - 8 * r.n_scrubbed_segments
+
+
+def test_incremental_agg_merge_equals_rescan(spark):
+    """The merged artifact+delta must equal a full rescan bit-exactly —
+    the algebraic-mergeability property the operator exists for."""
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        incremental_agg_merge,
+    )
+
+    ev = load_table(spark, SF, "events")
+    merged = {r.event_type: (r.n_events, r.sum_value)
+              for r in incremental_agg_merge(ev).collect()}
+    from healthkit_to_sqlite_spark.functions import dec_sum
+    direct = {r.event_type: (r.n, r.s)
+              for r in ev.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   dec_sum("value").alias("s")).collect()}
+    assert merged == direct
+
+
+def test_snapshot_diff_finds_planted_edits_and_is_empty_on_identity(spark):
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        _snapshots,
+        snapshot_diff,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    assert snapshot_diff(docs, docs).count() == 0
+    old, new = _snapshots(docs)
+    got = {r.doc_id: r for r in snapshot_diff(old, new).collect()}
+    for r in docs.select("doc_id", "n_chars").collect():
+        m = r.doc_id % 20
+        if m == 0:
+            assert got[r.doc_id].change_type == "removed"
+            assert got[r.doc_id].new_n_chars is None
+        elif m == 1:
+            assert got[r.doc_id].change_type == "added"
+            assert got[r.doc_id].old_n_chars is None
+        elif 2 <= m <= 4:
+            assert got[r.doc_id].change_type == "changed"
+            assert got[r.doc_id].new_n_chars == r.n_chars + 1
+        else:
+            assert r.doc_id not in got

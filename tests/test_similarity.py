@@ -261,3 +261,26 @@ def test_negative_pairs_exclude_neighbors_and_self(spark):
         assert len(rows) <= 4
         draws = [r.draw for r in rows]
         assert draws == sorted(draws)  # first surviving draws win
+
+
+def test_mrl_rerank_recall_floor_vs_exact(spark):
+    """Prefix-rank + exact re-rank must recover most of the true
+    top-10 (recall floor pinned so a prefix/shortlist change can't
+    silently trash quality), and every returned cosine must be exact
+    (equal to the brute-force score for that vec_id)."""
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        mrl_rerank_topk,
+        topk_cosine,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {r.vec_id: r.cosine_sim for r in topk_cosine(emb, k=10).collect()}
+    got = mrl_rerank_topk(emb).collect()
+    assert len(got) == 10
+    overlap = len(exact.keys() & {r.vec_id for r in got})
+    assert overlap >= 8  # recall@10 floor (32-dim prefix, 100 shortlist)
+    full = {r.vec_id: r.cosine_sim
+            for r in topk_cosine(emb, k=10**9).collect()}
+    for r in got:
+        assert r.cosine_sim == full[r.vec_id]
+        assert -1.0 <= r.prefix_sim <= 1.0

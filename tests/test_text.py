@@ -104,3 +104,39 @@ def test_inverted_index_impact_order_and_consistency(spark):
         assert tfs == sorted(tfs, reverse=True)  # impact-ordered
         ids = [int(p[0]) for p in posts]
         assert len(set(ids)) == len(ids)
+
+
+def test_bpe_pairs_argmax_on_fixture(spark):
+    """Hand-checkable corpus: 'ab' appears in 'abab'(x3 → 3 pairs each
+    of ab/ba... ) — verify exact weighted pair counts and rank order."""
+    from healthkit_to_sqlite_spark.operators.text import bpe_merge_pairs
+
+    rows = [(0, "abab abab cd"), (1, "abab x cd cd"), (2, "e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.pair: (r.n, r.merge_rank) for r in bpe_merge_pairs(df).collect()}
+    # word freqs: abab=3, cd=3, x=1, e=1
+    # abab pairs: ab, ba, ab → ab: 2*3=6, ba: 1*3=3; cd: 1*3=3
+    assert got["ab"] == (6, 1)
+    assert got["ba"][0] == 3 and got["cd"][0] == 3
+    # tie broken lexicographically: ba < cd is False ('ba' < 'cd' True)
+    assert got["ba"][1] == 2 and got["cd"][1] == 3
+    assert "e" not in got and "x" not in got  # 1-char words: no pairs
+
+
+def test_bpe_pairs_counts_match_direct_scan(spark):
+    from healthkit_to_sqlite_spark.operators.text import bpe_merge_pairs
+
+    docs = load_table(spark, SF, "documents")
+    got = bpe_merge_pairs(docs).collect()
+    assert len(got) == 50
+    import collections
+    direct: dict[str, int] = collections.defaultdict(int)
+    for row in docs.select("text").collect():
+        for w in row.text.split(" "):
+            for i in range(len(w) - 1):
+                direct[w[i:i + 2]] += 1
+    for r in got:
+        assert direct[r.pair] == r.n
+    # ranks are 1..50 in (n desc, pair) order
+    ordered = sorted(got, key=lambda r: (-r.n, r.pair))
+    assert [r.merge_rank for r in ordered] == list(range(1, 51))
