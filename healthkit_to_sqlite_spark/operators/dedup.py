@@ -406,15 +406,17 @@ def span_scrub(documents: DataFrame, k: int = SPAN_K) -> DataFrame:
     |tokens|/k rows instead of |tokens| for the rolling form — at
     100 TB that is the difference between 8× and 1× the corpus through
     the shuffle.  Trailing partial segments (< k tokens) never match
-    and are always kept.  Plan: map-only segmenting explode → ONE
-    groupBy(segment) carrying distinct segments → join the ≥2-doc
-    segment set back — same candidate-join shape every dedup operator
-    here uses.
+    and are always kept.  Plan: map-only segmenting explode → one
+    window over segment (the ≥2-distinct-docs test is min(doc_id) !=
+    max(doc_id), O(1) state — no countDistinct groupBy + join back)
+    → one groupBy(doc_id).  Two shuffles, one corpus scan.
     """
+    from pyspark.sql import Window
+
     tt = F.col("__toks")
     n_full = F.floor(F.size(tt) / k).cast("int")
     # posexplode_OUTER keeps zero-segment docs (< k tokens) alive, so
-    # ONE text scan feeds both the segment join and the per-doc totals.
+    # ONE text scan feeds both the dup test and the per-doc totals.
     segs = (documents
             .select("doc_id", ws_tokens("text").alias("__toks"))
             .select("doc_id", F.size(tt).alias("n_tokens"),
@@ -423,14 +425,17 @@ def span_scrub(documents: DataFrame, k: int = SPAN_K) -> DataFrame:
                         lambda g: F.array_join(
                             F.slice(tt, (g - 1) * k + 1, k), " ")))
                     .alias("seg_idx", "seg")))
-    dup_segs = (segs.filter(F.col("seg").isNotNull())
-                .groupBy("seg")
-                .agg(F.countDistinct("doc_id").alias("n_docs"))
-                .filter(F.col("n_docs") >= 2)
-                .select("seg", F.lit(True).alias("__dup")))
-    flagged = segs.join(dup_segs, "seg", "left")
+    # "occurs in >=2 distinct docs" as a min!=max window over seg —
+    # O(1) state per segment (no collect_set, no countDistinct
+    # groupBy + join back whose pruning-divergent subtrees would scan
+    # the corpus twice).  One seg exchange, one doc_id exchange, one
+    # text scan total.
+    w = Window.partitionBy("seg")
+    dup = (F.col("seg").isNotNull()
+           & (F.min("doc_id").over(w) != F.max("doc_id").over(w)))
     n_dup = F.sum(F.when(F.col("__dup"), 1).otherwise(0))
-    return (flagged.groupBy("doc_id")
+    return (segs.withColumn("__dup", dup)
+            .groupBy("doc_id")
             .agg(F.first("n_tokens").alias("n_tokens"),
                  n_dup.cast("int").alias("n_scrubbed_segments"),
                  (F.first("n_tokens") - k * n_dup).cast("bigint")

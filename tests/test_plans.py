@@ -328,3 +328,42 @@ def test_knn_graph_top_k_uses_window_group_limit(spark, specs):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_shares_one_user_shuffle(spark, specs):
+    # both window passes partition by user_id — the change-detection
+    # pass and the interval pass must reuse ONE hash exchange
+    df = specs["q_scd2"].build(spark, SF)
+    assert shuffle_count(df) == 1
+
+
+def test_ewma_is_one_window_pass_one_shuffle(spark, specs):
+    # 8 LAG taps must come out of a single WindowExec over a single
+    # user_id exchange — one shuffle, no per-tap passes
+    df = specs["q_ewma"].build(spark, SF)
+    assert shuffle_count(df) == 1
+    assert formatted_plan(df).count("Window") <= 2  # node + its detail
+
+
+def test_first_touch_uses_window_group_limit(spark, specs):
+    df = specs["q_first_touch"].build(spark, SF)
+    assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_span_scrub_scans_text_once(spark, specs):
+    # the posexplode_outer form exists so the corpus text is read ONCE
+    df = specs["q_span_scrub"].build(spark, SF)
+    plan = formatted_plan(df)
+    import re
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    text_reads = [s for s in schemas if "text" in s]
+    assert len(text_reads) == 1, schemas
+    assert shuffle_count(df) == 2  # seg window + doc_id aggregate
+
+
+def test_snapshot_diff_carries_hash_not_payload_through_join(spark, specs):
+    # the full-outer join must see only (doc_id, hash, n_chars) —
+    # no text column above the scan
+    df = specs["q_snapshot_diff"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
