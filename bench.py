@@ -129,6 +129,9 @@ HEADLINE = [
     "q_snapshot_diff",
     "q_bpe_pairs",
     "q_mrl_rerank",
+    # round 4 session 4: ER composite + link prediction
+    "q_entity_resolution",
+    "q_graph_jaccard",
 ]
 
 

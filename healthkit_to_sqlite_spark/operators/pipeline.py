@@ -39,6 +39,7 @@ from ..functions import dec, ws_tokens
 from ..spec import Spec
 from .dedup import (_MINHASH_SQL, N_BANDS, N_HASHES, _shingles_sql,
                     minhash_lsh_pairs)
+from .text import FUZZY_PAIRS_CTE_SQL
 
 # --- C2+: dedup clustering (connected components) -------------------------
 
@@ -1274,6 +1275,32 @@ def heavy_hitters(documents: DataFrame,
             .orderBy(F.col("n").desc(), "token"))
 
 
+def entity_resolution(part: DataFrame) -> DataFrame:
+    """End-to-end entity resolution over part names: q-gram-blocked
+    fuzzy candidate pairs (text.fuzzy_name_pairs — bounded blocking +
+    exact levenshtein verify) feed the large-star/small-star CC kernel,
+    and every name resolves to its cluster's lexicographic-min name as
+    ``entity_id`` (the canonical record).
+
+    This is the record-linkage composition the standalone pieces exist
+    for: blocking bounds the pair search, the verify stage is exact,
+    and clustering turns pairwise matches into transitive entities —
+    all three stages reuse their pinned standalone kernels verbatim.
+    Scale: |distinct names| drives every stage, never |rows|; the CC
+    kernel is O(log n) rounds of groupBy-min + equi-join."""
+    from .text import fuzzy_name_pairs
+
+    pairs = fuzzy_name_pairs(part).select(
+        F.col("name_a").alias("src"), F.col("name_b").alias("dst"))
+    labels, _ = connected_components_star(pairs)
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    entity = F.coalesce("label", F.col("p_name"))
+    return (names.join(labels, names.p_name == labels.node, "left")
+            .select(F.col("p_name").alias("name"),
+                    entity.alias("entity_id"), "n_parts",
+                    (entity == F.col("p_name")).alias("is_canonical")))
+
+
 def incremental_agg_merge(events: DataFrame) -> DataFrame:
     """Incremental materialized-view maintenance: merge a precomputed
     per-type aggregate artifact with a delta batch WITHOUT rescanning
@@ -1352,6 +1379,30 @@ def snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS: dict[str, Spec] = {
+    "q_entity_resolution": Spec(
+        lambda spark, sf: entity_resolution(load_table(spark, sf, "part")),
+        f"""
+        WITH RECURSIVE {FUZZY_PAIRS_CTE_SQL},
+        pairs AS (
+          SELECT name_a, name_b FROM cand
+          WHERE levenshtein(name_a, name_b) <= 4),
+        edges AS (SELECT name_a AS src, name_b AS dst FROM pairs
+                  UNION ALL SELECT name_b, name_a FROM pairs),
+        reach(node, lab) AS (
+          SELECT name, name FROM names
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+        comp AS (
+          SELECT node AS name, MIN(lab) AS entity_id
+          FROM reach GROUP BY node)
+        SELECT c.name, c.entity_id, CAST(n.n_parts AS BIGINT) AS n_parts,
+               (c.entity_id = c.name) AS is_canonical
+        FROM comp c JOIN names n USING (name)
+        """,
+        "entity resolution composite: q-gram-blocked fuzzy pairs -> "
+        "exact levenshtein verify -> star-CC clustering -> canonical "
+        "entity per cluster (all three stages reuse their pinned "
+        "standalone kernels; cost driven by |distinct names|)"),
     "q_incremental_agg": Spec(
         lambda spark, sf: incremental_agg_merge(load_table(spark, sf,
                                                            "events")),

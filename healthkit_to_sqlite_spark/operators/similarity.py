@@ -550,6 +550,46 @@ def knn_graph(embeddings: DataFrame, k: int = KNN_K,
             .filter(F.col("rank") <= k))
 
 
+JACC_TOP = 50  # strongest link-prediction pairs to surface
+
+
+def graph_jaccard(embeddings: DataFrame, min_cosine: float = KNN_MIN_COS,
+                  top: int = JACC_TOP) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the banded-LSH
+    near-dup graph: for node pairs sharing ≥1 neighbor, score
+    |N(a)∩N(b)| / |N(a)∪N(b)| — the classic structural-similarity
+    signal (two docs whose near-dup neighborhoods overlap belong to
+    the same template family even if they never collided directly).
+
+    Shape: the same compact wedge equi-join as `q_triangles`
+    (sym(a→x) ⋈ sym(b→x) on x, a<b) + two broadcastable degree
+    aggregates; integer counts make the ratio engine-exact.  Cost is
+    Σ_x deg(x)² — bounded because the candidate stage caps degrees,
+    the same property that bounds the triangle count."""
+    pairs = dedup_embedding_pairs(embeddings, min_cosine=min_cosine)
+    sym = (pairs.select(F.col("vec_a").alias("src"),
+                        F.col("vec_b").alias("dst"))
+           .unionByName(pairs.select(F.col("vec_b").alias("src"),
+                                     F.col("vec_a").alias("dst"))))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e1, e2 = sym.alias("e1"), sym.alias("e2")
+    common = (e1.join(e2, (F.col("e1.dst") == F.col("e2.dst"))
+                      & (F.col("e1.src") < F.col("e2.src")))
+              .groupBy(F.col("e1.src").alias("vec_a"),
+                       F.col("e2.src").alias("vec_b"))
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    da = deg.select(F.col("src").alias("vec_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("vec_b"), F.col("deg").alias("deg_b"))
+    union_sz = F.col("deg_a") + F.col("deg_b") - F.col("n_common")
+    return (common.join(F.broadcast(da), "vec_a")
+            .join(F.broadcast(db), "vec_b")
+            .select("vec_a", "vec_b", "n_common", "deg_a", "deg_b",
+                    F.round(F.col("n_common").cast("double") / union_sz, 6)
+                    .alias("jaccard"))
+            .orderBy(F.col("jaccard").desc(), "vec_a", "vec_b")
+            .limit(top))
+
+
 NEG_K = 4          # negatives per anchor
 NEG_OVERSAMPLE = 3  # candidate draws per kept negative
 NEG_SEED = "neg1"
@@ -1077,6 +1117,35 @@ SPECS: dict[str, Spec] = {
         "scan to nprobe cells, ADC ranks their code columns, exact "
         "re-rank of the shortlist — both kernels reused verbatim from "
         "their standalone pinned queries"),
+    "q_graph_jaccard": Spec(
+        lambda spark, sf: graph_jaccard(load_table(spark, sf,
+                                                   "embeddings")),
+        f"""
+        WITH pairs AS ({_banded_pairs_sql(KNN_MIN_COS)}),
+        sym AS (
+          SELECT vec_a AS src, vec_b AS dst FROM pairs
+          UNION ALL SELECT vec_b, vec_a FROM pairs),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM sym GROUP BY src),
+        common AS (
+          SELECT e1.src AS vec_a, e2.src AS vec_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM sym e1 JOIN sym e2
+            ON e1.dst = e2.dst AND e1.src < e2.src
+          GROUP BY e1.src, e2.src)
+        SELECT c.vec_a, c.vec_b, c.n_common,
+               da.deg AS deg_a, db.deg AS deg_b,
+               ROUND(CAST(c.n_common AS DOUBLE)
+                     / (da.deg + db.deg - c.n_common), 6) AS jaccard
+        FROM common c
+        JOIN deg da ON da.src = c.vec_a
+        JOIN deg db ON db.src = c.vec_b
+        ORDER BY jaccard DESC, vec_a, vec_b LIMIT {JACC_TOP}
+        """,
+        "neighborhood-Jaccard link prediction over the near-dup graph "
+        "(compact wedge equi-join + broadcast degree joins; integer "
+        "counts make the ratio engine-exact; template-family signal "
+        "even for non-colliding pairs)"),
     "q_knn_graph": Spec(
         lambda spark, sf: knn_graph(load_table(spark, sf, "embeddings")),
         f"""

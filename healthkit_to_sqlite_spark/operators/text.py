@@ -491,6 +491,26 @@ _HITS_SQL = {
     for lang in LANG_ORDER
 }
 
+#: q-gram-blocked fuzzy candidate CTEs (names/grams/cand) — shared by
+#: the q_fuzzy_join oracle and the entity-resolution composite in
+#: operators/pipeline.py, so both oracles stay in lockstep with
+#: `fuzzy_name_pairs`.
+FUZZY_PAIRS_CTE_SQL = """names AS (
+          SELECT p_name AS name, COUNT(*) AS n_parts
+          FROM part GROUP BY p_name),
+        grams AS (
+          SELECT name, n_parts, CAST(i AS INT) AS pos,
+                 substring(name, CAST(i AS INT) + 1, 3) AS g
+          FROM names,
+               UNNEST(generate_series(0, greatest(length(name) - 3, 0)))
+                 AS t(i)),
+        cand AS (
+          SELECT DISTINCT a.name AS name_a, a.n_parts AS n_a,
+                          b.name AS name_b, b.n_parts AS n_b
+          FROM grams a JOIN grams b
+            ON a.g = b.g AND a.name < b.name
+           AND abs(a.pos - b.pos) <= 4)"""
+
 SPECS: dict[str, Spec] = {
     "q_bpe_pairs": Spec(
         lambda spark, sf: bpe_merge_pairs(load_table(spark, sf,
@@ -610,22 +630,8 @@ SPECS: dict[str, Spec] = {
         "document fingerprinting (normalized md5 + 60-bit)"),
     "q_fuzzy_join": Spec(
         lambda spark, sf: fuzzy_name_pairs(load_table(spark, sf, "part")),
-        """
-        WITH names AS (
-          SELECT p_name AS name, COUNT(*) AS n_parts
-          FROM part GROUP BY p_name),
-        grams AS (
-          SELECT name, n_parts, CAST(i AS INT) AS pos,
-                 substring(name, CAST(i AS INT) + 1, 3) AS g
-          FROM names,
-               UNNEST(generate_series(0, greatest(length(name) - 3, 0)))
-                 AS t(i)),
-        cand AS (
-          SELECT DISTINCT a.name AS name_a, a.n_parts AS n_a,
-                          b.name AS name_b, b.n_parts AS n_b
-          FROM grams a JOIN grams b
-            ON a.g = b.g AND a.name < b.name
-           AND abs(a.pos - b.pos) <= 4)
+        f"""
+        WITH {FUZZY_PAIRS_CTE_SQL}
         SELECT name_a, name_b, n_a, n_b,
                CAST(levenshtein(name_a, name_b) AS INT) AS edit_dist
         FROM cand WHERE levenshtein(name_a, name_b) <= 4

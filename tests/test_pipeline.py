@@ -466,3 +466,58 @@ def test_snapshot_diff_finds_planted_edits_and_is_empty_on_identity(spark):
             assert got[r.doc_id].new_n_chars == r.n_chars + 1
         else:
             assert r.doc_id not in got
+
+
+def test_entity_resolution_is_transitive_and_canonical(spark):
+    """A~B and B~C (each within edit distance 4) must land in ONE
+    entity even when A~C alone would not match — the transitivity CC
+    adds over pairwise fuzzy matching; unmatched names resolve to
+    themselves as singletons."""
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        entity_resolution,
+    )
+
+    rows = ([("aaaa bbbb cccc",)] * 3          # A
+            + [("aaaa bbbb cccx dd",)] * 2     # B: dist(A,B)=3
+            + [("aaaa bbbb cccx dd ee",)]      # C: dist(B,C)=3
+            + [("zzzz completely different",)])
+    df = spark.createDataFrame(rows, "p_name string")
+    got = {r.name: r for r in entity_resolution(df).collect()}
+    a, b, c = ("aaaa bbbb cccc", "aaaa bbbb cccx dd",
+               "aaaa bbbb cccx dd ee")
+    # direct distances: d(a,b)=4, d(b,c)=5>4 would break the chain —
+    # recompute to keep the fixture honest
+    import duckdb
+    d_ab = duckdb.sql(f"select levenshtein('{a}','{b}')").fetchone()[0]
+    d_bc = duckdb.sql(f"select levenshtein('{b}','{c}')").fetchone()[0]
+    d_ac = duckdb.sql(f"select levenshtein('{a}','{c}')").fetchone()[0]
+    assert d_ab <= 4 and d_bc <= 4 and d_ac > 4
+    assert got[a].entity_id == got[b].entity_id == got[c].entity_id == a
+    assert got[a].is_canonical and not got[b].is_canonical
+    z = "zzzz completely different"
+    assert got[z].entity_id == z and got[z].is_canonical
+    assert got[a].n_parts == 3 and got[b].n_parts == 2
+
+
+def test_graph_jaccard_bounds_and_direct_equality(spark):
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        dedup_embedding_pairs,
+        graph_jaccard,
+        KNN_MIN_COS,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    got = graph_jaccard(emb).collect()
+    assert got
+    import collections
+    nbrs: dict[int, set] = collections.defaultdict(set)
+    for r in dedup_embedding_pairs(emb, min_cosine=KNN_MIN_COS).collect():
+        nbrs[r.vec_a].add(r.vec_b)
+        nbrs[r.vec_b].add(r.vec_a)
+    for r in got:
+        inter = nbrs[r.vec_a] & nbrs[r.vec_b]
+        union = nbrs[r.vec_a] | nbrs[r.vec_b]
+        assert r.n_common == len(inter) > 0
+        assert r.deg_a == len(nbrs[r.vec_a])
+        assert r.jaccard == round(len(inter) / len(union), 6)
+        assert 0 < r.jaccard <= 1
