@@ -132,6 +132,11 @@ HEADLINE = [
     # round 4 session 4: ER composite + link prediction
     "q_entity_resolution",
     "q_graph_jaccard",
+    # round 4 session 4: relational breadth (explicit-values pivot,
+    # RANGE frame, analytic functions)
+    "q_pivot",
+    "q_range_frame",
+    "q_window_analytics",
 ]
 
 

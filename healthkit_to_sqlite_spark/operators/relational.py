@@ -526,6 +526,77 @@ def ntile_quartiles(customer: DataFrame) -> DataFrame:
                  F.round(F.max("c_acctbal"), 2).alias("max_bal")))
 
 
+#: Explicit pivot column set — passing the values list skips the
+#: extra distinct-scan job Spark otherwise runs to discover them (a
+#: full corpus pass at 100 TB, and nondeterministic column order).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_event_counts(events: DataFrame,
+                       types: tuple[str, ...] = EVENT_TYPES) -> DataFrame:
+    """Dynamic pivot with an EXPLICIT values list: per-user wide
+    event-type count columns via ``groupBy().pivot(values=...)``.
+
+    The values list is load-bearing at scale: without it Spark first
+    runs a distinct job over the pivot column (a full corpus pass) and
+    the output schema depends on the data.  Plan shape: Spark compiles
+    pivot to two aggregates — (user, type) counts, then pivotfirst by
+    user — so the second exchange carries only |users × types| rows,
+    never the corpus.  (The 1-shuffle hand-rolled alternative is the
+    CASE-WHEN conditional aggregate, pinned as q_conditional_agg; the
+    oracle here spells that form, which is also the equivalence
+    proof.)"""
+    wide = (events.groupBy("user_id")
+            .pivot("event_type", list(types))
+            .agg(F.count(F.lit(1))))
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+          for t in types])
+
+
+def range_frame_trailing(events: DataFrame,
+                         seconds: int = 3600) -> DataFrame:
+    """True RANGE window frame over event time: per user, the count
+    and exact-decimal sum of events in the trailing hour (value-based
+    frame — peers at equal timestamps aggregate together, unlike the
+    ROWS frame q_moving_avg pins).
+
+    Ordering key is integer microseconds (unix_micros ↔ epoch_us), so
+    frame boundaries are exact on both engines — ordering by a
+    float-seconds epoch would make boundary membership engine-
+    dependent.  One shuffle on user_id."""
+    from pyspark.sql import Window
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (Window.partitionBy("user_id").orderBy(us)
+         .rangeBetween(-seconds * 1_000_000, 0))
+    return events.select(
+        "user_id", "event_id", "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(dec("value")).over(w).cast("double").alias("sum_trailing"))
+
+
+def window_analytics(events: DataFrame) -> DataFrame:
+    """Analytic-function breadth in one pass: percent_rank, cume_dist,
+    first_value, last_value, nth_value over a (event_type, value,
+    event_id) total order — one shuffle on event_type, every function
+    from the same WindowExec sort.  first/last/nth use the explicit
+    unbounded frame (the default frame stops at CURRENT ROW, which
+    silently turns last_value into a running value)."""
+    from pyspark.sql import Window
+    order = Window.partitionBy("event_type").orderBy(
+        F.col("value"), F.col("event_id"))
+    full = order.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    return events.select(
+        "event_id", "event_type", "value",
+        F.round(F.percent_rank().over(order), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(order), 6).alias("cume_dist"),
+        F.first_value(F.col("value")).over(full).alias("min_value"),
+        F.last_value(F.col("value")).over(full).alias("max_value"),
+        F.nth_value(F.col("value"), 3).over(full).alias("third_value"))
+
+
 # ---------------------------------------------------------------------------
 # Specs
 # ---------------------------------------------------------------------------
@@ -841,4 +912,54 @@ SPECS: dict[str, Spec] = {
         GROUP BY c_mktsegment, quartile
         """,
         "NTILE ranking window + rollup (§2.B gaps: ranking breadth)"),
+    "q_pivot": Spec(
+        _q(("events",), pivot_event_counts),
+        """
+        SELECT user_id,
+               CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                    AS BIGINT) AS n_click,
+               CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+                    AS BIGINT) AS n_error,
+               CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    AS BIGINT) AS n_purchase,
+               CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END)
+                    AS BIGINT) AS n_signup,
+               CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                    AS BIGINT) AS n_view
+        FROM events GROUP BY user_id
+        """,
+        "dynamic pivot with an explicit values list (one conditional-"
+        "agg pass, no distinct-discovery job over the pivot column)"),
+    "q_range_frame": Spec(
+        _q(("events",), range_frame_trailing),
+        """
+        SELECT user_id, event_id, ts,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 AS sum_trailing
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "true RANGE window frame (trailing hour by value, not rows) "
+        "keyed on integer microseconds so boundary membership is "
+        "engine-exact"),
+    "q_window_analytics": Spec(
+        _q(("events",), window_analytics),
+        """
+        SELECT event_id, event_type, value,
+               ROUND(percent_rank() OVER o, 6) AS pct_rank,
+               ROUND(cume_dist() OVER o, 6) AS cume_dist,
+               first_value(value) OVER f AS min_value,
+               last_value(value) OVER f AS max_value,
+               nth_value(value, 3) OVER f AS third_value
+        FROM events
+        WINDOW o AS (PARTITION BY event_type ORDER BY value, event_id),
+               f AS (PARTITION BY event_type ORDER BY value, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+        """,
+        "analytic-function breadth: percent_rank/cume_dist/first/"
+        "last/nth_value from ONE WindowExec sort (explicit unbounded "
+        "frame — the default frame corrupts last_value)"),
 }

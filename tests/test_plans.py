@@ -367,3 +367,20 @@ def test_snapshot_diff_carries_hash_not_payload_through_join(spark, specs):
     df = specs["q_snapshot_diff"].build(spark, SF)
     plan = formatted_plan(df)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_pivot_has_no_distinct_discovery_scan(spark, specs):
+    # explicit values list => ONE corpus scan (no distinct job over
+    # the pivot column); two exchanges, the second over group-reduced
+    # (user, type) rows only
+    df = specs["q_pivot"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("ReadSchema:") == 1  # one scan block
+    assert shuffle_count(df) == 2
+    assert "pivotfirst" in plan
+
+
+def test_range_frame_and_analytics_single_window_shuffle(spark, specs):
+    for name in ("q_range_frame", "q_window_analytics"):
+        df = specs[name].build(spark, SF)
+        assert shuffle_count(df) == 1, name
