@@ -137,6 +137,9 @@ HEADLINE = [
     "q_pivot",
     "q_range_frame",
     "q_window_analytics",
+    # round 4 session 4: DataSketches mergeable quantiles + set algebra
+    "q_kll_merge",
+    "q_theta_sets",
 ]
 
 

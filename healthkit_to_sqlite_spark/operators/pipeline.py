@@ -662,6 +662,64 @@ def hll_merge(events: DataFrame) -> DataFrame:
     return per_type.unionByName(overall)
 
 
+def kll_quantile_merge(events: DataFrame) -> DataFrame:
+    """Quantiles via mergeable KLL sketches (Apache DataSketches, Spark
+    ≥4.0 SQL functions): one scan builds a per-type sketch of
+    ``value``; corpus-wide p50/p90/p99 come from ``kll_merge_agg``
+    over those FIVE sketches — never a second scan, never a global
+    sort of values.
+
+    The quantile analog of `hll_merge`: exact percentiles need a full
+    sort (or per-grain re-aggregation) at every rollup grain, while
+    KLL sketches (KBs each) built per-partition/day/type merge to any
+    coarser grain for free with a proven rank-error bound (~1.7% at
+    k=200).  Sketch encodings are engine-specific → rows-only
+    contract (declared class of q_hll_merge/q_approx_distinct);
+    accuracy vs exact percentiles is pinned in test_pipeline."""
+    sk = (events.groupBy("event_type")
+          .agg(F.expr("kll_sketch_agg_double(value)").alias("sk")))
+
+    def qs(col: str):
+        return [F.expr(f"round(kll_sketch_get_quantile_double({col}, "
+                       f"{q}d), 6)").alias(f"p{int(q * 100)}")
+                for q in (0.5, 0.9, 0.99)]
+
+    per_type = sk.select(
+        "event_type",
+        F.expr("kll_sketch_get_n_double(sk)").alias("n"), *qs("sk"))
+    overall = (sk.agg(F.expr("kll_merge_agg_double(sk)").alias("m"))
+               .select(F.lit("__all__").alias("event_type"),
+                       F.expr("kll_sketch_get_n_double(m)").alias("n"),
+                       *qs("m")))
+    return per_type.unionByName(overall)
+
+
+def theta_set_algebra(events: DataFrame) -> DataFrame:
+    """Distinct-user set ALGEBRA via Theta sketches: union,
+    intersection, and difference of the click/purchase user sets from
+    per-type sketches — the operation family HLL cannot provide
+    (HLL unions only; Theta supports ∩ and \\ with bounded error).
+
+    One scan builds both sketches; every set expression evaluates on
+    the KB-sized sketches driver-free.  At 100 TB this is audience
+    overlap / funnel-reach estimation without ever shuffling user_id
+    sets.  Engine-specific encodings → rows-only contract; accuracy
+    vs exact set sizes pinned in test_pipeline."""
+    pair = (events
+            .filter(F.col("event_type").isin("click", "purchase"))
+            .agg(F.expr("theta_sketch_agg(CASE WHEN event_type = 'click' "
+                        "THEN user_id END)").alias("c"),
+                 F.expr("theta_sketch_agg(CASE WHEN event_type = "
+                        "'purchase' THEN user_id END)").alias("p")))
+    est = "CAST(theta_sketch_estimate({0}) AS BIGINT)"
+    return pair.select(
+        F.expr(est.format("c")).alias("clickers"),
+        F.expr(est.format("p")).alias("purchasers"),
+        F.expr(est.format("theta_union(c, p)")).alias("either"),
+        F.expr(est.format("theta_intersection(c, p)")).alias("both"),
+        F.expr(est.format("theta_difference(c, p)")).alias("click_only"))
+
+
 # --- source-mixture rebalance ----------------------------------------------
 
 MIX_SEED = "mix1"
@@ -1519,6 +1577,20 @@ SPECS: dict[str, Spec] = {
         None,  # sketch encoding is engine-specific — rows-only check
         "mergeable HLL distinct-count sketches: per-type sketches union "
         "to the global count without rescanning (accuracy pinned in tests)"),
+    "q_kll_merge": Spec(
+        lambda spark, sf: kll_quantile_merge(load_table(spark, sf,
+                                                        "events")),
+        None,  # sketch encoding is engine-specific — rows-only check
+        "mergeable KLL quantile sketches: per-type p50/p90/p99 and the "
+        "corpus-wide quantiles from a sketch merge — no global value "
+        "sort at any rollup grain (accuracy pinned in tests)"),
+    "q_theta_sets": Spec(
+        lambda spark, sf: theta_set_algebra(load_table(spark, sf,
+                                                       "events")),
+        None,  # sketch encoding is engine-specific — rows-only check
+        "Theta-sketch distinct-set algebra: union/intersection/"
+        "difference of audience sets from one scan — the overlap "
+        "estimates HLL cannot provide (accuracy pinned in tests)"),
     "q_temperature_sample": Spec(
         lambda spark, sf: temperature_sample(load_table(spark, sf,
                                                         "documents")),

@@ -521,3 +521,55 @@ def test_graph_jaccard_bounds_and_direct_equality(spark):
         assert r.deg_a == len(nbrs[r.vec_a])
         assert r.jaccard == round(len(inter) / len(union), 6)
         assert 0 < r.jaccard <= 1
+
+
+def test_kll_merge_accuracy_vs_exact(spark):
+    """Per-type and merged KLL quantiles must sit within the sketch's
+    rank-error bound of the exact percentiles (normalized rank error
+    ~1.7% at default k; we allow 3% of the value RANGE as slack since
+    rank error maps to value error through the local density)."""
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        kll_quantile_merge,
+    )
+
+    ev = load_table(spark, SF, "events")
+    got = {r.event_type: r for r in kll_quantile_merge(ev).collect()}
+    vals = sorted(v.value for v in ev.select("value").collect())
+    assert got["__all__"].n == len(vals)
+
+    def exact(q):
+        return vals[min(len(vals) - 1, int(q * len(vals)))]
+
+    spread = vals[-1] - vals[0]
+    for q, attr in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        est = getattr(got["__all__"], attr)
+        assert abs(est - exact(q)) <= 0.03 * spread + 1e-9, (q, est)
+    # per-type sketch ns sum to the corpus n (mergeability invariant)
+    assert sum(r.n for k, r in got.items() if k != "__all__") == len(vals)
+
+
+def test_theta_set_algebra_accuracy_and_consistency(spark):
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        theta_set_algebra,
+    )
+
+    ev = load_table(spark, SF, "events")
+    row = theta_set_algebra(ev).collect()[0]
+    clickers = {r.user_id for r in
+                ev.filter(F.col("event_type") == "click")
+                .select("user_id").distinct().collect()}
+    purchasers = {r.user_id for r in
+                  ev.filter(F.col("event_type") == "purchase")
+                  .select("user_id").distinct().collect()}
+
+    def close(est, exact):
+        return abs(est - exact) <= max(2, 0.05 * max(exact, 1))
+
+    assert close(row.clickers, len(clickers))
+    assert close(row.purchasers, len(purchasers))
+    assert close(row.either, len(clickers | purchasers))
+    assert close(row.both, len(clickers & purchasers))
+    assert close(row.click_only, len(clickers - purchasers))
+    # inclusion-exclusion should hold approximately on the estimates
+    assert abs((row.clickers + row.purchasers - row.both) - row.either) \
+        <= max(2, 0.05 * row.either)

@@ -279,8 +279,10 @@ def test_mrl_rerank_recall_floor_vs_exact(spark):
     assert len(got) == 10
     overlap = len(exact.keys() & {r.vec_id for r in got})
     assert overlap >= 8  # recall@10 floor (32-dim prefix, 100 shortlist)
+    # k must stay bounded: TakeOrdered allocates an O(k) heap per
+    # partition, so a huge limit OOMs the JVM — size it to the table
     full = {r.vec_id: r.cosine_sim
-            for r in topk_cosine(emb, k=10**9).collect()}
+            for r in topk_cosine(emb, k=emb.count()).collect()}
     for r in got:
         assert r.cosine_sim == full[r.vec_id]
         assert -1.0 <= r.prefix_sim <= 1.0
