@@ -140,6 +140,10 @@ HEADLINE = [
     # round 4 session 4: DataSketches mergeable quantiles + set algebra
     "q_kll_merge",
     "q_theta_sets",
+    # round 4 session 4: temporal SCD2 lookup + skyline + grouped OLS
+    "q_temporal_join",
+    "q_skyline",
+    "q_group_ols",
 ]
 
 

@@ -582,7 +582,14 @@ def window_analytics(events: DataFrame) -> DataFrame:
     event_id) total order — one shuffle on event_type, every function
     from the same WindowExec sort.  first/last/nth use the explicit
     unbounded frame (the default frame stops at CURRENT ROW, which
-    silently turns last_value into a running value)."""
+    silently turns last_value into a running value).
+
+    Honest limit: percent_rank/cume_dist need the partition's total
+    order, so a low-cardinality partition key caps parallelism at
+    |types| reducers.  At 100 TB, rank against a per-type quantile
+    artifact instead (q_kll_merge's sketches give rank estimates with
+    bounded error) or two-pass: per-subpartition ranks + a
+    |types|-row offset merge."""
     from pyspark.sql import Window
     order = Window.partitionBy("event_type").orderBy(
         F.col("value"), F.col("event_id"))
@@ -595,6 +602,37 @@ def window_analytics(events: DataFrame) -> DataFrame:
         F.first_value(F.col("value")).over(full).alias("min_value"),
         F.last_value(F.col("value")).over(full).alias("max_value"),
         F.nth_value(F.col("value"), 3).over(full).alias("third_value"))
+
+
+def skyline_parts(part: DataFrame) -> DataFrame:
+    """2-D skyline (Pareto frontier): the (price, size) points no
+    other point dominates — dominate = cheaper-or-equal AND
+    bigger-or-equal with at least one strict.  The multi-objective
+    shortlist query (cheapest-per-capability), O(n²) if written as the
+    textbook NOT EXISTS anti-join.
+
+    Single-window rewrite: dedupe to distinct points, sort by
+    (price asc, size desc); a point is dominated iff the running max
+    of size over STRICTLY earlier rows ≥ its size (earlier rows are
+    exactly the cheaper-or-equal candidates, and the sort makes
+    equal-price-bigger-size land earlier).  The oracle is the NOT
+    EXISTS form, proving the rewrite.  The dedupe groupBy does the
+    heavy lifting distributed; the frontier window runs over distinct
+    points only.  Honest limit: that window is unpartitioned — fine
+    while |distinct points| ≪ |rows| (here and in most catalogs); at
+    larger point counts, range-partition by price and merge per-range
+    frontiers with carried max offsets."""
+    from pyspark.sql import Window
+    pts = (part.groupBy("p_retailprice", "p_size")
+           .agg(F.count(F.lit(1)).alias("n_parts")))
+    w = (Window.orderBy(F.col("p_retailprice").asc(),
+                        F.col("p_size").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cm = F.max("p_size").over(w)
+    return (pts.withColumn("__cm", cm)
+            .filter(F.col("__cm").isNull()
+                    | (F.col("p_size") > F.col("__cm")))
+            .select("p_retailprice", "p_size", "n_parts"))
 
 
 # ---------------------------------------------------------------------------
@@ -912,6 +950,26 @@ SPECS: dict[str, Spec] = {
         GROUP BY c_mktsegment, quartile
         """,
         "NTILE ranking window + rollup (§2.B gaps: ranking breadth)"),
+    "q_skyline": Spec(
+        _q(("part",), skyline_parts),
+        """
+        WITH pts AS (
+          SELECT p_retailprice, p_size, CAST(COUNT(*) AS BIGINT)
+                   AS n_parts
+          FROM part GROUP BY p_retailprice, p_size)
+        SELECT p_retailprice, p_size, n_parts
+        FROM pts a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pts b
+          WHERE b.p_retailprice <= a.p_retailprice
+            AND b.p_size >= a.p_size
+            AND (b.p_retailprice < a.p_retailprice
+                 OR b.p_size > a.p_size))
+        """,
+        "2-D skyline / Pareto frontier: the O(n^2) NOT-EXISTS "
+        "dominance anti-join rewritten as one running-max window over "
+        "distinct points (oracle is the NOT EXISTS form, proving the "
+        "rewrite)"),
     "q_pivot": Spec(
         _q(("events",), pivot_event_counts),
         """

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions import dec_sum
+from ..functions import dec, dec_sum
 from ..spec import Spec
 
 
@@ -371,6 +371,43 @@ def ewma_halflife(events: DataFrame, taps: int = EWMA_TAPS) -> DataFrame:
         F.round(num.cast("double") / den.cast("double"), 6).alias("ewma"))
 
 
+def temporal_scd2_join(events: DataFrame) -> DataFrame:
+    """Temporal (validity-interval) dimension lookup: for every
+    purchase, the SCD2 state the user was in at purchase time — the
+    fact ⋈ dimension-history join every warehouse needs once a
+    dimension is SCD2-tracked.
+
+    NOT implemented as a BETWEEN range join (which degenerates to a
+    per-user nested loop at scale): dimension change points and fact
+    rows union into one stream, and ``last(state) IGNORE NULLS`` over
+    a (ts, dim-before-fact, version) order resolves the interval
+    containment in a single user-partitioned window pass — linear,
+    one shuffle, the same union+window trick as `asof_last_click`.
+    The oracle IS the BETWEEN join, proving the rewrite.
+
+    The dimension here is the SCD2 history of the user's NON-purchase
+    activity (self-contained; in production it's any SCD2 table):
+    a change at exactly the fact's timestamp applies (valid_from
+    inclusive, valid_to exclusive — dim sorts before fact at equal
+    ts); zero-width intervals are correctly skipped by last-wins."""
+    dim = (scd2_history(events.filter(F.col("event_type") != "purchase"))
+           .select("user_id", F.col("valid_from").alias("ts"), "state",
+                   F.lit(0).alias("__is_fact"), "version",
+                   F.lit(None).cast("long").alias("event_id")))
+    facts = (events.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts",
+                     F.lit(None).cast("string").alias("state"),
+                     F.lit(1).alias("__is_fact"),
+                     F.lit(None).cast("int").alias("version"), "event_id"))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "__is_fact", "version", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (dim.unionByName(facts)
+            .withColumn("state_at", F.last("state", ignorenulls=True).over(w))
+            .filter(F.col("__is_fact") == 1)
+            .select("event_id", "user_id", "ts", "state_at"))
+
+
 def first_touch(events: DataFrame) -> DataFrame:
     """Earliest event per (user_id, event_type) — the deterministic
     batch twin of streaming first-arrival dedup
@@ -388,6 +425,45 @@ def first_touch(events: DataFrame) -> DataFrame:
                     F.col("ts").alias("first_ts"),
                     F.col("event_id").alias("first_event_id"),
                     F.col("value").alias("first_value")))
+
+
+def group_ols_trend(events: DataFrame) -> DataFrame:
+    """Per-group closed-form OLS trend ("many small models"): for each
+    event_type, the least-squares slope/intercept of value against
+    hour index — in-engine ML with no ML library and no Python.
+
+    The normal equations need only five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²), all integer/decimal-exact here (x = integer
+    hour index, y = 2-dp decimal), so the grouped fit is ONE partial
+    aggregation pass — the shuffle carries 5 numbers per group, not
+    points — and the final slope/intercept divisions run on exact
+    sums, making the result bit-reproducible at any partitioning.
+    This beats collecting points into a Python UDF by the usual
+    10-100× Arrow margin and never materializes a group in memory."""
+    # exact integer division: epoch-us ~ 1.7e18 exceeds double's 53-bit
+    # mantissa, so floor(us / 3.6e9) in float drops hours at the edges
+    x = F.expr("unix_micros(cast(ts as timestamp)) div 3600000000"
+               ).cast("bigint")
+    y = dec("value")
+    stats = (events
+             .select("event_type", x.alias("x"), y.alias("y"))
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("x").alias("sx"),
+                  F.sum("y").alias("sy"),
+                  F.sum(F.col("x").cast("decimal(18,0)")
+                        * F.col("y")).alias("sxy"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return stats.select(
+        "event_type", "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"))
 
 
 SPECS: dict[str, Spec] = {
@@ -644,6 +720,67 @@ SPECS: dict[str, Spec] = {
         "half-life EWMA smoothing: 8-tap exact-decimal window "
         "convolution (alpha=1/2 so weights are exact in both binary "
         "and decimal — bit-reproducible, parallel, one user shuffle)"),
+    "q_group_ols": Spec(
+        lambda spark, sf: group_ols_trend(load_table(spark, sf,
+                                                     "events")),
+        (lambda s: f"""
+        WITH pts AS (
+          SELECT event_type,
+                 epoch_us(ts) // 3600000000 AS x,
+                 CAST(value AS DECIMAL(18,2)) AS y
+          FROM events),
+        stats AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 SUM(y) AS sy,
+                 SUM(CAST(x AS DECIMAL(18,0)) * y) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM pts GROUP BY event_type)
+        SELECT event_type, n,
+               ROUND({s}, 6) AS slope,
+               ROUND((CAST(sy AS DOUBLE) - ({s}) * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE), 6) AS intercept
+        FROM stats
+        """)("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+             " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+             " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+             " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"),
+        "per-group closed-form OLS trend: the five sufficient "
+        "statistics (n, Sx, Sy, Sxy, Sxx) aggregate exactly in one "
+        "partial-agg pass — in-engine grouped regression, 5 numbers "
+        "per group through the shuffle, no ML library, no Python"),
+    "q_temporal_join": Spec(
+        lambda spark, sf: temporal_scd2_join(load_table(spark, sf,
+                                                        "events")),
+        """
+        WITH nonp AS (SELECT * FROM events
+                      WHERE event_type <> 'purchase'),
+        ordered AS (
+          SELECT user_id, ts, event_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM nonp),
+        changes AS (
+          SELECT user_id, ts, event_id, event_type
+          FROM ordered
+          WHERE prev_type IS NULL OR event_type <> prev_type),
+        hist AS (
+          SELECT user_id, event_type AS state, ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS valid_to
+          FROM changes),
+        facts AS (SELECT user_id, event_id, ts FROM events
+                  WHERE event_type = 'purchase')
+        SELECT f.event_id, f.user_id, f.ts, h.state AS state_at
+        FROM facts f LEFT JOIN hist h
+          ON f.user_id = h.user_id
+         AND h.valid_from <= f.ts
+         AND (h.valid_to > f.ts OR h.valid_to IS NULL)
+        """,
+        "temporal SCD2 dimension lookup: interval-containment join "
+        "rewritten as union + last-ignore-nulls window (linear, one "
+        "user shuffle — never a BETWEEN range join); oracle is the "
+        "BETWEEN join, proving the rewrite"),
     "q_first_touch": Spec(
         lambda spark, sf: first_touch(load_table(spark, sf, "events")),
         """

@@ -573,3 +573,79 @@ def test_theta_set_algebra_accuracy_and_consistency(spark):
     # inclusion-exclusion should hold approximately on the estimates
     assert abs((row.clickers + row.purchasers - row.both) - row.either) \
         <= max(2, 0.05 * row.either)
+
+
+def test_temporal_join_matches_interval_containment(spark):
+    """The union+window rewrite must agree with a direct per-fact
+    search over the SCD2 history (the BETWEEN semantics)."""
+    from healthkit_to_sqlite_spark.operators.timeseries import (
+        scd2_history,
+        temporal_scd2_join,
+    )
+
+    ev = load_table(spark, SF, "events")
+    got = {r.event_id: r.state_at for r in temporal_scd2_join(ev).collect()}
+    hist: dict[int, list] = {}
+    for r in scd2_history(
+            ev.filter(F.col("event_type") != "purchase")).collect():
+        hist.setdefault(r.user_id, []).append(r)
+    facts = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts").collect()
+    assert got and len(got) == len(facts)
+    for f in facts:
+        want = None
+        for h in hist.get(f.user_id, []):
+            if h.valid_from <= f.ts and (h.valid_to is None
+                                         or h.valid_to > f.ts):
+                want = h.state
+        assert got[f.event_id] == want, f
+
+
+def test_skyline_is_exact_pareto_frontier(spark):
+    from healthkit_to_sqlite_spark.operators.relational import (
+        skyline_parts,
+    )
+
+    part = load_table(spark, SF, "part")
+    got = {(r.p_retailprice, r.p_size) for r in skyline_parts(part).collect()}
+    pts = {(r.p_retailprice, r.p_size)
+           for r in part.select("p_retailprice", "p_size").distinct().collect()}
+
+    def dominated(a):
+        return any(b[0] <= a[0] and b[1] >= a[1] and b != a for b in pts)
+
+    want = {p for p in pts if not dominated(p)}
+    assert got == want and got
+    # no skyline point dominates another (mutual incomparability)
+    for a in got:
+        assert not any(b[0] <= a[0] and b[1] >= a[1] and b != a
+                       for b in got)
+
+
+def test_group_ols_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from healthkit_to_sqlite_spark.operators.timeseries import (
+        group_ols_trend,
+    )
+
+    ev = load_table(spark, SF, "events")
+    got = {r.event_type: r for r in group_ols_trend(ev).collect()}
+    rows = ev.selectExpr(
+        "event_type",
+        "unix_micros(cast(ts as timestamp)) div 3600000000 as x",
+        "value").collect()
+    import collections
+    pts = collections.defaultdict(list)
+    for r in rows:
+        pts[r.event_type].append((r.x, r.value))
+    assert set(got) == set(pts)
+    for t, p in pts.items():
+        x = np.array([a for a, _ in p], dtype=float)
+        y = np.array([b for _, b in p], dtype=float)
+        A = np.vstack([x, np.ones_like(x)]).T
+        slope, intercept = np.linalg.lstsq(A, y, rcond=None)[0]
+        assert got[t].n == len(p)
+        assert abs(got[t].slope - slope) < 1e-4, (t, got[t].slope, slope)
+        assert abs(got[t].intercept - intercept) < 1e-2 * max(
+            1.0, abs(intercept))
