@@ -373,8 +373,13 @@ def main() -> None:
         # the identical 400k run) — without it the single timed run
         # mostly measures JVM warm-up, not the pipeline
         bench_ingest(spark, 5000)
-        ingest_out = bench_ingest(
-            spark, int(os.environ.get("SPARK_GRAFT_INGEST_RECORDS", "400000")))
+        # median of 3 timed runs, same protocol as the query loop — a
+        # single timed convert() swings ±30% with GC/page-cache state
+        # (measured 64.7k vs 131k rows/s for identical runs)
+        n_rec = int(os.environ.get("SPARK_GRAFT_INGEST_RECORDS", "400000"))
+        runs3 = sorted((bench_ingest(spark, n_rec) for _ in range(3)),
+                       key=lambda r: r["sec"])
+        ingest_out = runs3[1]
     except Exception:  # noqa: BLE001 — ingest bench is auxiliary evidence
         pass
 

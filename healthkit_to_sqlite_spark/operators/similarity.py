@@ -566,7 +566,13 @@ def graph_jaccard(embeddings: DataFrame, min_cosine: float = KNN_MIN_COS,
     aggregates; integer counts make the ratio engine-exact.  Cost is
     Σ_x deg(x)² — bounded because the candidate stage caps degrees,
     the same property that bounds the triangle count."""
-    pairs = dedup_embedding_pairs(embeddings, min_cosine=min_cosine)
+    # Three consumers (degree agg + both wedge sides) with different
+    # column pruning — their subtrees diverge, so exchange reuse can't
+    # dedupe them and the pair kernel would run 3×.  The verified pair
+    # set is tiny next to the corpus; materialize it once
+    # (localCheckpoint measured 4.1s → 3.4s at sf0.1).
+    pairs = (dedup_embedding_pairs(embeddings, min_cosine=min_cosine)
+             .localCheckpoint(eager=True))
     sym = (pairs.select(F.col("vec_a").alias("src"),
                         F.col("vec_b").alias("dst"))
            .unionByName(pairs.select(F.col("vec_b").alias("src"),
