@@ -144,6 +144,8 @@ HEADLINE = [
     "q_temporal_join",
     "q_skyline",
     "q_group_ols",
+    # round 4 session 4: lakehouse MERGE INTO
+    "q_manifest_merge",
 ]
 
 

@@ -1254,6 +1254,40 @@ def manifest_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("doc_id").alias("n_distinct_ids")))
 
 
+def manifest_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO contract query: seed a manifest table with
+    `documents` (version 1), then one atomic copy-on-write MERGE
+    (version 2) that updates every doc_id ≡ 0 (mod 4) row
+    (n_chars + 1000) and inserts shifted new rows for doc_id ≡ 0
+    (mod 31), and aggregate the head.  The oracle derives the merged
+    state analytically, so the upsert must be lossless, exactly-once,
+    and whole-row-replacing for the hash to match.
+
+    Idempotent by version guard: each stage owns one version number,
+    so a crashed run resumes at the stage that didn't publish —
+    never re-applying a committed one (re-merging would double the
+    +1000 bump and misattribute the failure to the storage layer)."""
+    from ..sinks.manifest import ManifestTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    tbl = ManifestTable(
+        os.path.join(_work_dir("manifest_merge", sf_dir), "tbl"))
+    if tbl.current_version() < 1:
+        tbl.append(docs)
+    if tbl.current_version() < 2:
+        updates = (docs.filter(F.pmod("doc_id", F.lit(4)) == 0)
+                   .withColumn("n_chars", F.col("n_chars") + 1000))
+        inserts = (docs.filter(F.pmod("doc_id", F.lit(31)) == 0)
+                   .withColumn("doc_id", F.col("doc_id") + 100000)
+                   .withColumn("source", F.lit("merged")))
+        tbl.merge(spark, updates.unionByName(inserts), key="doc_id")
+    return (tbl.read(spark)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.countDistinct("doc_id").alias("n_distinct_ids")))
+
+
 def manifest_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table atomic-commit contract query: publish `documents`
     AND `embeddings` through ONE ManifestCatalog pass (the reference's
@@ -1512,6 +1546,26 @@ SPECS: dict[str, Spec] = {
         "per-source contribution cap: deterministic salted-hash sample "
         "of <=cap docs per source (WindowGroupLimit heap, no per-key "
         "full sort)"),
+    "q_manifest_merge": Spec(
+        manifest_merge_query,
+        """
+        WITH merged AS (
+          SELECT doc_id, text, lang, source,
+                 CASE WHEN ((doc_id % 4) + 4) % 4 = 0
+                      THEN n_chars + 1000 ELSE n_chars END AS n_chars
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text, lang, 'merged', n_chars
+          FROM documents WHERE ((doc_id % 31) + 31) % 31 = 0)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids
+        FROM merged GROUP BY source
+        """,
+        "MERGE INTO on manifest tables (copy-on-write upsert, one "
+        "atomic version; completes the lakehouse verb set) — oracle "
+        "derives the merged state analytically, so the upsert must be "
+        "lossless and exactly-once"),
     "q_manifest_multi": Spec(
         manifest_multi_query,
         """

@@ -195,6 +195,43 @@ class ManifestTable(_ManifestLog):
                 continue
         raise CommitConflict(f"lost {max_retries} publish races")
 
+    def merge(self, spark: SparkSession, updates: DataFrame, key: str,
+              max_retries: int = 10) -> int:
+        """MERGE INTO (upsert) — the remaining lakehouse verb after
+        append/compact/vacuum/time-travel: rows in ``updates`` replace
+        current rows with the same ``key`` (WHEN MATCHED UPDATE SET *),
+        unmatched update rows insert (WHEN NOT MATCHED INSERT *).
+
+        Copy-on-write snapshot semantics: the merged content is staged
+        as NEW files and published as one atomic version — a reader
+        sees the old snapshot or the new one, never a mix, and time
+        travel to the pre-merge version keeps working.  On a commit
+        race the merge recomputes against the new head (staged files
+        from the lost round become vacuum-eligible orphans).  The
+        merge itself is the left-anti + union plan of
+        operators/pipeline.merge_upsert — one shuffle on the key."""
+        for _ in range(max_retries):
+            head = self.current_version()
+            prev = self._load(head) if head else {}
+            current = self.read(spark, head)
+            if head == 0 or not current.columns:
+                merged = updates
+            else:
+                merged = (current
+                          .join(updates.select(key).distinct(), on=key,
+                                how="left_anti")
+                          .unionByName(updates))
+            files, schema = self._stage(merged)
+            try:
+                self._publish({"schema": schema, "files": files,
+                               "parent": head, "merge_of": head,
+                               "last_batch_id": prev.get("last_batch_id")},
+                              head + 1)
+                return head + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"lost {max_retries} publish races")
+
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """Rewrite the current content into ``target_files`` files and
         publish a version with identical logical content (the

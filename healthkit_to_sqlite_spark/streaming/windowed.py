@@ -66,6 +66,27 @@ def sliding_window_stream(events: DataFrame,
                     "n", "sum_value"))
 
 
+def session_window_stream(events: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Watermarked NATIVE session windows (gap-merged dynamic windows)
+    — the streaming twin of timeseries.session_window_agg, same
+    grouping expression plus the watermark.  State per (user, open
+    session) only; a session closes (and its state evicts) once the
+    watermark passes session_end — the property that makes per-entity
+    sessionization viable on an unbounded stream.  The lag+cumsum
+    formulation (`sessionize`) cannot run incrementally at all; this
+    is why the native operator earns its place."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                 .alias("sum_value"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "sum_value"))
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup by event_id with bounded state:
     ``dropDuplicatesWithinWatermark`` keeps each key only until the

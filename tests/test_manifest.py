@@ -325,3 +325,39 @@ def test_write_sqlite_crash_mid_pass_rolls_back(spark, tmp_path):
     finally:
         con.close()
     assert names == []
+
+
+def test_merge_upserts_and_inserts(spark, tbl):
+    tbl.append(_batch(spark, 0, 10))                       # v=2*id
+    updates = (spark.range(5, 15)
+               .select(F.col("id"), (F.col("id") * 100).alias("v")))
+    v = tbl.merge(spark, updates, key="id")
+    assert v == 2
+    got = {r.id: r.v for r in tbl.read(spark).collect()}
+    # 0-4 untouched, 5-9 replaced, 10-14 inserted
+    assert got == {i: (2 * i if i < 5 else 100 * i) for i in range(15)}
+    # time travel to the pre-merge snapshot still works
+    old = {r.id: r.v for r in tbl.read(spark, version=1).collect()}
+    assert old == {i: 2 * i for i in range(10)}
+
+
+def test_merge_into_empty_table_inserts_all(spark, tbl):
+    assert tbl.merge(spark, _batch(spark, 0, 5), key="id") == 1
+    assert tbl.read(spark).count() == 5
+
+
+def test_merge_crash_mid_stage_publishes_nothing(spark, tbl, monkeypatch):
+    tbl.append(_batch(spark, 0, 10))
+    orig = type(tbl)._stage
+
+    def boom(self, df):
+        files, schema = orig(self, df)
+        raise RuntimeError("staging torn down mid-merge")
+
+    monkeypatch.setattr(type(tbl), "_stage", boom)
+    with pytest.raises(RuntimeError):
+        tbl.merge(spark, _batch(spark, 0, 3), key="id")
+    monkeypatch.undo()
+    # nothing published: head still the append, content unchanged
+    assert tbl.current_version() == 1
+    assert tbl.read(spark).count() == 10

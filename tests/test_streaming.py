@@ -281,3 +281,33 @@ def test_stream_stream_left_join_matches_batch(spark, events_stream_dir,
     assert got == want
     # the outer semantics must actually fire: some lefts are unmatched
     assert any(b is None for _, b in want)
+
+
+def test_session_window_stream_matches_batch(spark, events_stream_dir):
+    """Native session_window under Structured Streaming must produce
+    exactly the batch twin's gap-merged sessions (complete mode over
+    the bounded input)."""
+    from healthkit_to_sqlite_spark.operators.timeseries import (
+        session_window_agg,
+    )
+    from healthkit_to_sqlite_spark.streaming.windowed import (
+        session_window_stream,
+    )
+
+    src = spark.readStream.schema(
+        spark.read.parquet(events_stream_dir).schema).parquet(
+            events_stream_dir)
+    q = (session_window_stream(src).writeStream.format("memory")
+         .queryName("sessions_native").outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.session_start.replace(tzinfo=None),
+            r.session_end.replace(tzinfo=None)): (r.n_events, r.sum_value)
+           for r in spark.table("sessions_native").collect()}
+
+    batch = session_window_agg(
+        spark.read.parquet(events_stream_dir).withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")))
+    want = {(r.user_id, r.session_start, r.session_end):
+            (r.n_events, r.sum_value) for r in batch.collect()}
+    assert got == want and got
