@@ -314,6 +314,55 @@ class ManifestTable(_ManifestLog):
             self.append_batch(batch_df, int(batch_id))
         return write
 
+    def merge_batch(self, spark: SparkSession, df: DataFrame, key: str,
+                    batch_id: int, max_retries: int = 10) -> int | None:
+        """Idempotent MERGE for ``foreachBatch`` — the streaming CDC
+        upsert sink (each micro-batch carries the latest row per key;
+        matched keys replace, new keys insert).  Replay protection is
+        the same high-water contract as :meth:`append_batch`:
+        ``batch_id == last`` no-ops (the merge already published —
+        re-merging a batch whose rows bump values would double-apply),
+        ``batch_id < last`` raises :class:`BatchIdRegression`.
+        Copy-on-write staging happens AFTER the replay check, so a
+        retried batch stages nothing."""
+        for _ in range(max_retries):
+            head = self.current_version()
+            prev = self._load(head) if head else {}
+            last = prev.get("last_batch_id")
+            if last is not None and batch_id == last:
+                return None
+            if last is not None and batch_id < last:
+                raise BatchIdRegression(
+                    f"batch_id {batch_id} < table high-water mark {last}: "
+                    "the streaming checkpoint was reset; writing would "
+                    "silently drop data — use a fresh table")
+            current = self.read(spark, head)
+            if head == 0 or not current.columns:
+                merged = df
+            else:
+                merged = (current
+                          .join(df.select(key).distinct(), on=key,
+                                how="left_anti")
+                          .unionByName(df))
+            # merged content depends on the head — restage per attempt
+            files, schema = self._stage(merged)
+            try:
+                self._publish({"schema": schema, "files": files,
+                               "parent": head, "merge_of": head,
+                               "last_batch_id": batch_id},
+                              head + 1)
+                return head + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"lost {max_retries} publish races")
+
+    def foreach_batch_merger(self, spark: SparkSession, key: str):
+        """``writeStream.foreachBatch(tbl.foreach_batch_merger(spark,
+        "id"))`` — exactly-once streaming upsert."""
+        def write(batch_df: DataFrame, batch_id: int) -> None:
+            self.merge_batch(spark, batch_df, key, int(batch_id))
+        return write
+
 
 class ManifestCatalog(_ManifestLog):
     """MULTI-table atomic publish: one manifest version names the file

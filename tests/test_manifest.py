@@ -361,3 +361,23 @@ def test_merge_crash_mid_stage_publishes_nothing(spark, tbl, monkeypatch):
     # nothing published: head still the append, content unchanged
     assert tbl.current_version() == 1
     assert tbl.read(spark).count() == 10
+
+
+def test_merge_batch_replay_is_noop_and_upserts(spark, tbl):
+    """The streaming CDC-upsert sink: a retried micro-batch must
+    publish nothing (re-merging would double-apply), a fresh batch
+    upserts, and a checkpoint reset fails fast."""
+    tbl.append(_batch(spark, 0, 10))
+    upd = (spark.range(5, 12)
+           .select(F.col("id"), (F.col("id") * 100).alias("v")))
+    assert tbl.merge_batch(spark, upd, "id", batch_id=0) == 2
+    assert tbl.merge_batch(spark, upd, "id", batch_id=0) is None  # replay
+    assert tbl.current_version() == 2
+    got = {r.id: r.v for r in tbl.read(spark).collect()}
+    assert got == {i: (2 * i if i < 5 else 100 * i) for i in range(12)}
+    # next batch applies on top
+    upd2 = spark.range(0, 2).select(F.col("id"), F.lit(-1).alias("v"))
+    assert tbl.merge_batch(spark, upd2, "id", batch_id=1) == 3
+    assert {r.v for r in tbl.read(spark).filter("id < 2").collect()} == {-1}
+    with pytest.raises(BatchIdRegression):
+        tbl.merge_batch(spark, upd2, "id", batch_id=0)
