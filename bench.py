@@ -144,8 +144,9 @@ HEADLINE = [
     "q_temporal_join",
     "q_skyline",
     "q_group_ols",
-    # round 4 session 4: lakehouse MERGE INTO
+    # round 4 session 4: lakehouse MERGE INTO + polymorphic UDTF
     "q_manifest_merge",
+    "q_udtf_poly",
 ]
 
 

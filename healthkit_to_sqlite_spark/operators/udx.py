@@ -83,6 +83,50 @@ def chunk_sentences_arrow(spark: SparkSession, documents: DataFrame,
         "LATERAL chunk_doc_arrow(doc_id, text) AS c")
 
 
+POLY_N = 3  # leading tokens the polymorphic UDTF widens into columns
+
+
+def leading_tokens_poly(spark: SparkSession, documents: DataFrame,
+                        n: int = POLY_N) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze`` API — the third and
+    last UDTF extension point after pickled-row and Arrow transport):
+    the output schema is computed at PLAN TIME from the constant
+    argument ``n``, widening each document's first ``n`` tokens into
+    ``tok0..tok{n-1}`` columns.  Schema-from-arguments is what static
+    ``returnType`` UDTFs cannot express — the dynamic-width analog of
+    pivot's explicit values list.  Missing tokens yield NULL (matching
+    SQL list indexing, not '').  Row-at-a-time Python: an API pin;
+    the builtin split()+getItem projection is the 100 TB shape."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class LeadingTokens:
+        @staticmethod
+        def analyze(doc_id: AnalyzeArgument, text: AnalyzeArgument,
+                    n_arg: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(n_arg.value, int) or n_arg.value < 1:
+                raise ValueError("n must be a constant positive int")
+            schema = StructType().add("doc_id", LongType())
+            for i in range(n_arg.value):
+                schema = schema.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id: int, text: str, n_arg: int):
+            toks = text.split(" ")
+            yield (doc_id,
+                   *[toks[i] if i < len(toks) else None
+                     for i in range(n_arg)])
+
+    spark.udtf.register("leading_tokens", LeadingTokens)
+    documents.select("doc_id", "text").createOrReplaceTempView(
+        "docs_for_poly_udtf")
+    return spark.sql(
+        f"SELECT t.* FROM docs_for_poly_udtf, "
+        f"LATERAL leading_tokens(doc_id, text, {n}) AS t")
+
+
 def grouped_median_udaf(lineitem: DataFrame) -> DataFrame:
     """pandas GROUPED_AGG UDAF: per-group interpolated median via
     numpy, Arrow-batched.  The oracle (quantile_cont) proves the UDAF
@@ -240,6 +284,19 @@ SPECS: dict[str, Spec] = {
         "Arrow-optimized Python UDTF (useArrow=True): same lateral "
         "chunking, Arrow-batched Python boundary — the survivable UDTF "
         "transport"),
+    "q_udtf_poly": Spec(
+        lambda spark, sf: leading_tokens_poly(
+            spark, load_table(spark, sf, "documents")),
+        f"""
+        SELECT doc_id,
+               {", ".join(f"(string_split(text, ' '))[{i + 1}] AS tok{i}"
+                          for i in range(POLY_N))}
+        FROM documents
+        """,
+        "polymorphic Python UDTF (analyze API): output schema computed "
+        "at plan time from the constant argument — the third UDTF "
+        "transport/extension pin (builtin split projection is the "
+        "scale path)"),
     "q_udaf_median": Spec(
         lambda spark, sf: grouped_median_udaf(load_table(spark, sf, "lineitem")),
         """

@@ -140,3 +140,23 @@ def test_bpe_pairs_counts_match_direct_scan(spark):
     # ranks are 1..50 in (n desc, pair) order
     ordered = sorted(got, key=lambda r: (-r.n, r.pair))
     assert [r.merge_rank for r in ordered] == list(range(1, 51))
+
+
+def test_udtf_poly_schema_follows_constant_arg(spark):
+    """The analyze() API must derive the output schema from the
+    constant argument: different n => different column sets; missing
+    tokens are NULL (list-index semantics, not '')."""
+    from healthkit_to_sqlite_spark.operators.udx import (
+        leading_tokens_poly,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "only two"), (2, "one")],
+        "doc_id long, text string")
+    two = leading_tokens_poly(spark, docs, n=2)
+    five = leading_tokens_poly(spark, docs, n=5)
+    assert two.columns == ["doc_id", "tok0", "tok1"]
+    assert five.columns == ["doc_id"] + [f"tok{i}" for i in range(5)]
+    r = {x.doc_id: x for x in five.collect()}
+    assert (r[2].tok0, r[2].tok1) == ("one", None)
+    assert (r[1].tok0, r[1].tok1, r[1].tok2) == ("only", "two", None)
