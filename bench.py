@@ -147,6 +147,7 @@ HEADLINE = [
     # round 4 session 4: lakehouse MERGE INTO + polymorphic UDTF
     "q_manifest_merge",
     "q_udtf_poly",
+    "q_autocorr",
 ]
 
 

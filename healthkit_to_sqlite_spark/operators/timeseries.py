@@ -466,6 +466,40 @@ def group_ols_trend(events: DataFrame) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("intercept"))
 
 
+def autocorr_lag1(events: DataFrame) -> DataFrame:
+    """Per-type lag-1 autocorrelation of ``value`` over each user's
+    event sequence (pairs pooled across users) — the does-this-metric-
+    have-memory diagnostic that decides between carrying state
+    (EWMA/forecasting) and treating points as independent.
+
+    Same sufficient-statistics discipline as `group_ols_trend`:
+    Pearson r needs six exact sums over (prev, cur) pairs — one LAG
+    window keyed (user, type) so a click only pairs with the user's
+    previous click, then one partial-agg pass (type shuffle),
+    five decimal/integer numbers per group through the exchange;
+    sqrt/division run last on exact sums, so the result is
+    bit-reproducible at any partitioning."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts",
+                                                            "event_id")
+    pairs = (events
+             .select("event_type", dec("value").alias("y"),
+                     F.lag(dec("value")).over(w).alias("x"))
+             .filter(F.col("x").isNotNull()))
+    stats = (pairs.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                  F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                  F.sum(F.col("y") * F.col("y")).alias("syy")))
+    n, sx, sy, sxy, sxx, syy = [F.col(c).cast("double")
+                                for c in ("n", "sx", "sy", "sxy",
+                                          "sxx", "syy")]
+    r = ((n * sxy - sx * sy)
+         / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    return stats.select("event_type", "n",
+                        F.round(r, 6).alias("autocorr_lag1"))
+
+
 SPECS: dict[str, Spec] = {
     "q_lag_lead": Spec(
         lambda spark, sf: lag_lead_deltas(load_table(spark, sf, "events")),
@@ -720,6 +754,34 @@ SPECS: dict[str, Spec] = {
         "half-life EWMA smoothing: 8-tap exact-decimal window "
         "convolution (alpha=1/2 so weights are exact in both binary "
         "and decimal — bit-reproducible, parallel, one user shuffle)"),
+    "q_autocorr": Spec(
+        lambda spark, sf: autocorr_lag1(load_table(spark, sf, "events")),
+        """
+        WITH pairs AS (
+          SELECT event_type,
+                 CAST(value AS DECIMAL(18,2)) AS y,
+                 lag(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS x
+          FROM events),
+        stats AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM pairs WHERE x IS NOT NULL GROUP BY event_type)
+        SELECT event_type, n,
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6) AS autocorr_lag1
+        FROM stats
+        """,
+        "per-type lag-1 autocorrelation from six exact sufficient "
+        "statistics (moment-method family with q_group_ols: one LAG "
+        "window + one partial-agg pass, bit-reproducible)"),
     "q_group_ols": Spec(
         lambda spark, sf: group_ols_trend(load_table(spark, sf,
                                                      "events")),

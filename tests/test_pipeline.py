@@ -649,3 +649,31 @@ def test_group_ols_matches_numpy_lstsq(spark):
         assert abs(got[t].slope - slope) < 1e-4, (t, got[t].slope, slope)
         assert abs(got[t].intercept - intercept) < 1e-2 * max(
             1.0, abs(intercept))
+
+
+def test_autocorr_matches_numpy_and_is_bounded(spark):
+    import numpy as np
+
+    from healthkit_to_sqlite_spark.operators.timeseries import (
+        autocorr_lag1,
+    )
+
+    ev = load_table(spark, SF, "events")
+    got = {r.event_type: r for r in autocorr_lag1(ev).collect()}
+    rows = sorted(ev.select("event_type", "user_id", "ts", "event_id",
+                            "value").collect(),
+                  key=lambda r: (r.user_id, r.ts, r.event_id))
+    import collections
+    seqs = collections.defaultdict(list)
+    for r in rows:
+        seqs[(r.event_type, r.user_id)].append(round(r.value, 2))
+    pairs = collections.defaultdict(list)
+    for (t, _), vs in seqs.items():
+        pairs[t].extend(zip(vs, vs[1:]))
+    for t, p in pairs.items():
+        x = np.array([a for a, _ in p])
+        y = np.array([b for _, b in p])
+        want = np.corrcoef(x, y)[0, 1]
+        assert got[t].n == len(p)
+        assert abs(got[t].autocorr_lag1 - want) < 1e-6
+        assert -1.0 <= got[t].autocorr_lag1 <= 1.0
