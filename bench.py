@@ -148,6 +148,11 @@ HEADLINE = [
     "q_manifest_merge",
     "q_udtf_poly",
     "q_autocorr",
+    "q_snowflake_join",
+    "q_corpus_profile",
+    "q_nation_trade",
+    "q_returned_customers",
+    "q_big_orders",
 ]
 
 

@@ -1393,6 +1393,34 @@ def entity_resolution(part: DataFrame) -> DataFrame:
                     (entity == F.col("p_name")).alias("is_canonical")))
 
 
+def corpus_profile(documents: DataFrame) -> DataFrame:
+    """One-row corpus datasheet: the first artifact any dataset release
+    publishes — volume, source/language breadth, length distribution
+    bounds, and the exact-duplicate rate, in ONE aggregation over one
+    scan.
+
+    The three COUNT(DISTINCT)s make Catalyst plan an Expand (each row
+    feeds 4 aggregation lanes) — a deliberate trade: one corpus scan at
+    3× agg-lane width beats three scans at 100 TB, and each lane still
+    partial-aggregates map-side.  The dup rate reuses the md5 identity
+    every dedup operator here shares, so the datasheet agrees with
+    `q_dedup_exact` by construction."""
+    uniq = F.countDistinct(F.md5("text"))
+    cnt = F.count(F.lit(1))
+    return documents.agg(
+        cnt.alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        uniq.alias("n_unique_texts"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.sum("n_chars") / cnt.cast("double"), 6)
+        .alias("mean_chars"),
+        F.round(F.lit(1.0) - uniq.cast("double") / cnt.cast("double"), 6)
+        .alias("exact_dup_rate"))
+
+
 def incremental_agg_merge(events: DataFrame) -> DataFrame:
     """Incremental materialized-view maintenance: merge a precomputed
     per-type aggregate artifact with a delta batch WITHOUT rescanning
@@ -1495,6 +1523,28 @@ SPECS: dict[str, Spec] = {
         "exact levenshtein verify -> star-CC clustering -> canonical "
         "entity per cluster (all three stages reuse their pinned "
         "standalone kernels; cost driven by |distinct names|)"),
+    "q_corpus_profile": Spec(
+        lambda spark, sf: corpus_profile(load_table(spark, sf,
+                                                    "documents")),
+        """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
+                 AS n_unique_texts,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars,
+               ROUND(CAST(SUM(n_chars) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_chars,
+               ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS exact_dup_rate
+        FROM documents
+        """,
+        "one-row corpus datasheet (volume, source/lang breadth, "
+        "length bounds, exact-dup rate) in ONE scan — the Expand-lane "
+        "multi-distinct aggregate; dup identity shared with "
+        "q_dedup_exact"),
     "q_incremental_agg": Spec(
         lambda spark, sf: incremental_agg_merge(load_table(spark, sf,
                                                            "events")),

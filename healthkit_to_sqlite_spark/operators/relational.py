@@ -604,6 +604,131 @@ def window_analytics(events: DataFrame) -> DataFrame:
         F.nth_value(F.col("value"), 3).over(full).alias("third_value"))
 
 
+def snowflake_revenue(region: DataFrame, nation: DataFrame,
+                      customer: DataFrame, supplier: DataFrame,
+                      orders: DataFrame, lineitem: DataFrame,
+                      region_name: str = "ASIA") -> DataFrame:
+    """TPC-H Q5-shaped 6-table snowflake join: revenue per nation for
+    one region, where the supplying and ordering nation coincide (the
+    local-supplier condition) — the deepest multi-way join in the
+    suite, exercising join ORDER as much as join strategy.
+
+    Plan economics: region (5 rows) filters nation (25) which filters
+    customer and supplier — all three broadcast; the only large-table
+    shuffle is lineitem ⋈ orders on orderkey.  The
+    nation-must-match-supplier condition lands as an equi-key
+    (c_nationkey = s_nationkey) INSIDE the join tree, not a
+    post-filter, so mismatched rows die before the aggregate.
+    Revenue accumulates in exact decimal."""
+    r = region.filter(F.col("r_name") == region_name)
+    n = nation.join(F.broadcast(r),
+                    nation.n_regionkey == r.r_regionkey).select(
+                        "n_nationkey", "n_name")
+    c = customer.join(F.broadcast(n),
+                      customer.c_nationkey == n.n_nationkey).select(
+                          "c_custkey", "c_nationkey", "n_name")
+    o = orders.join(F.broadcast(c), orders.o_custkey == c.c_custkey)
+    s = supplier.select("s_suppkey", "s_nationkey")
+    j = (lineitem
+         .join(o, lineitem.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(s),
+               (F.col("l_suppkey") == s.s_suppkey)
+               & (F.col("c_nationkey") == s.s_nationkey)))
+    return (j.groupBy("n_name")
+            .agg(F.sum(revenue()).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy(F.col("revenue").desc(), "n_name"))
+
+
+def nation_trade_volume(nation: DataFrame, customer: DataFrame,
+                        supplier: DataFrame, orders: DataFrame,
+                        lineitem: DataFrame,
+                        nation_a: str = "NATION_3",
+                        nation_b: str = "NATION_7") -> DataFrame:
+    """TPC-H Q7-shaped bi-directional trade volume: revenue flowing
+    between two nations in BOTH directions (supplier in A shipping to
+    customers in B, and vice versa), by year.
+
+    The two-nation filter broadcasts down both dimension arms; the
+    direction predicate is an OR of two equi-pairs, planned as a
+    broadcast join against the 2-row nation dim on each side with the
+    cross-condition applied at the join — never a cartesian.  Year
+    comes from the shipdate (our orders carry no commitdate)."""
+    n2 = nation.filter(F.col("n_name").isin(nation_a, nation_b)) \
+        .select("n_nationkey", "n_name")
+    cust = (customer.join(F.broadcast(n2),
+                          customer.c_nationkey == n2.n_nationkey)
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    supp = (supplier.join(F.broadcast(n2.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"))),
+        supplier.s_nationkey == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation"))
+    j = (lineitem
+         .join(orders.select("o_orderkey", "o_custkey"),
+               lineitem.l_orderkey == F.col("o_orderkey"))
+         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+         .join(F.broadcast(supp), lineitem.l_suppkey == supp.s_suppkey)
+         .filter(F.col("supp_nation") != F.col("cust_nation")))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+            .agg(F.sum(revenue()).cast("double").alias("volume"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+def returned_revenue_customers(customer: DataFrame, orders: DataFrame,
+                               lineitem: DataFrame,
+                               k: int = 20) -> DataFrame:
+    """TPC-H Q10-shaped returned-item ranking: the customers losing
+    the most revenue to returns (l_returnflag = 'R'), top-k.
+
+    The returnflag filter pushes to the lineitem scan (PushedFilters),
+    the orders join shuffles on orderkey, the customer dim broadcasts,
+    and the top-k is TakeOrdered — the revenue-triage query every
+    warehouse runs, shaped so only flagged lineitems ever shuffle."""
+    flagged = lineitem.filter(F.col("l_returnflag") == "R")
+    j = (flagged
+         .join(orders.select("o_orderkey", "o_custkey"),
+               flagged.l_orderkey == F.col("o_orderkey"))
+         .join(F.broadcast(customer.select("c_custkey", "c_name",
+                                           "c_acctbal")),
+               F.col("o_custkey") == F.col("c_custkey")))
+    return (j.groupBy("c_custkey", "c_name")
+            .agg(F.sum(revenue()).cast("double").alias("lost_revenue"),
+                 F.count(F.lit(1)).alias("n_returned"),
+                 F.round(F.max("c_acctbal"), 2).alias("acctbal"))
+            .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+            .limit(k))
+
+
+def big_orders(customer: DataFrame, orders: DataFrame,
+               lineitem: DataFrame, min_qty: float = 150.0) -> DataFrame:
+    """TPC-H Q18-shaped large-volume orders: orders whose total
+    quantity exceeds a threshold, with their customer and line stats —
+    the HAVING-then-join-back shape.
+
+    The quantity rollup is ONE partial aggregate over lineitem; only
+    qualifying orderkeys (a tiny set) proceed to the orders/customer
+    joins, and the qualifying set joins lineitem-free (the aggregate
+    already carries the measures) — no second lineitem pass, no
+    semi-join rescan."""
+    qual = (lineitem.groupBy("l_orderkey")
+            .agg(F.sum(dec("l_quantity")).alias("__q"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .filter(F.col("__q") > F.lit(min_qty).cast(DEC)))
+    j = (qual
+         .join(orders.select("o_orderkey", "o_custkey", "o_orderdate",
+                             "o_totalprice"),
+               qual.l_orderkey == F.col("o_orderkey"))
+         .join(F.broadcast(customer.select("c_custkey", "c_name")),
+               F.col("o_custkey") == F.col("c_custkey")))
+    return j.select("o_orderkey", "c_name", "o_orderdate",
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    F.col("__q").cast("double").alias("total_qty"),
+                    "n_lines")
+
+
 def skyline_parts(part: DataFrame) -> DataFrame:
     """2-D skyline (Pareto frontier): the (price, size) points no
     other point dominates — dominate = cheaper-or-equal AND
@@ -950,6 +1075,99 @@ SPECS: dict[str, Spec] = {
         GROUP BY c_mktsegment, quartile
         """,
         "NTILE ranking window + rollup (§2.B gaps: ranking breadth)"),
+    "q_nation_trade": Spec(
+        _q(("nation", "customer", "supplier", "orders", "lineitem"),
+           nation_trade_volume),
+        """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS volume,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_name IN ('NATION_3', 'NATION_7')
+          AND sn.n_name IN ('NATION_3', 'NATION_7')
+          AND sn.n_name <> cn.n_name
+        GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+        ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "TPC-H Q7-shaped bi-directional trade volume between two "
+        "nations by ship year (2-row nation dim broadcast down both "
+        "arms; direction predicate dies at the join, never a "
+        "post-aggregate filter)"),
+    "q_returned_customers": Spec(
+        _q(("customer", "orders", "lineitem"),
+           returned_revenue_customers),
+        """
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS lost_revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_returned,
+               ROUND(MAX(c_acctbal), 2) AS acctbal
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name
+        ORDER BY lost_revenue DESC, c_custkey LIMIT 20
+        """,
+        "TPC-H Q10-shaped returned-revenue customer ranking "
+        "(returnflag filter pushed to the lineitem scan, customer dim "
+        "broadcast, TakeOrdered top-k)"),
+    "q_big_orders": Spec(
+        _q(("customer", "orders", "lineitem"), big_orders),
+        """
+        WITH qual AS (
+          SELECT l_orderkey,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q,
+                 CAST(COUNT(*) AS BIGINT) AS n_lines
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                 > CAST(150.0 AS DECIMAL(18,2)))
+        SELECT o_orderkey, c_name, o_orderdate,
+               ROUND(o_totalprice, 2) AS o_totalprice,
+               CAST(q AS DOUBLE) AS total_qty, n_lines
+        FROM qual
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        """,
+        "TPC-H Q18-shaped large-volume orders: HAVING on the one-pass "
+        "quantity rollup, qualifying set joins back lineitem-free (the "
+        "aggregate already carries the measures — no second scan)"),
+    "q_snowflake_join": Spec(
+        _q(("region", "nation", "customer", "supplier", "orders",
+            "lineitem"), snowflake_revenue),
+        """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM region
+        JOIN nation   ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+                     AND s_nationkey = c_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """,
+        "TPC-H Q5-shaped 6-table snowflake join: region->nation->"
+        "customer dims broadcast, local-supplier condition as an "
+        "equi-key inside the join tree, one large shuffle "
+        "(lineitem x orders), exact-decimal revenue"),
     "q_skyline": Spec(
         _q(("part",), skyline_parts),
         """

@@ -384,3 +384,38 @@ def test_range_frame_and_analytics_single_window_shuffle(spark, specs):
     for name in ("q_range_frame", "q_window_analytics"):
         df = specs[name].build(spark, SF)
         assert shuffle_count(df) == 1, name
+
+
+def test_snowflake_join_broadcasts_dimension_chain(spark, specs):
+    # region->nation->customer and supplier must all broadcast; the
+    # only shuffle-worthy join is lineitem x orders
+    df = specs["q_snowflake_join"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_returned_customers_pushes_flag_filter(spark, specs):
+    df = specs["q_returned_customers"].build(spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_returnflag" in pushed
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_big_orders_scans_lineitem_once(spark, specs):
+    # the HAVING rollup must be the ONLY lineitem pass — the
+    # qualifying set joins back carrying its measures
+    df = specs["q_big_orders"].build(spark, SF)
+    plan = formatted_plan(df)
+    import re
+    li = [m for m in re.findall(r"Location: [^\n]*", plan)
+          if "lineitem" in m]
+    assert len(li) == 1, li
+
+
+def test_corpus_profile_single_scan_expand(spark, specs):
+    df = specs["q_corpus_profile"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("ReadSchema:") == 1
+    assert "Expand" in plan  # multi-distinct lanes over ONE scan
