@@ -153,6 +153,7 @@ HEADLINE = [
     "q_nation_trade",
     "q_returned_customers",
     "q_big_orders",
+    "q_hll_sliding",
 ]
 
 

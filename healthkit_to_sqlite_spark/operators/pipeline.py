@@ -720,6 +720,40 @@ def theta_set_algebra(events: DataFrame) -> DataFrame:
         F.expr(est.format("theta_difference(c, p)")).alias("click_only"))
 
 
+def hll_sliding_distinct(events: DataFrame, hours: int = 4) -> DataFrame:
+    """Sliding-window distinct users WITHOUT re-scanning: build ONE
+    HLL sketch per (hour, type) — the only corpus pass — then every
+    4-hour sliding window is a ``hll_union_agg`` MERGE of its 4
+    contributing hourly sketches (sequence-explode assigns each hourly
+    sketch to the windows it feeds).
+
+    The sketch-window composition pattern: count-distinct does not
+    decompose over overlapping windows (an exact version re-shuffles
+    the full key set per slide), but sketches merge — so any window
+    grain, rollup, or backfill derives from the same KB-sized hourly
+    artifacts.  Estimates are deterministic but engine-specific →
+    rows-only contract (declared class of q_hll_merge); accuracy vs
+    exact sliding distinct pinned in test_pipeline."""
+    hour = F.date_trunc("hour", "ts").cast("timestamp_ntz")
+    hourly = (events
+              .groupBy(hour.alias("hour"), "event_type")
+              .agg(F.expr("hll_sketch_agg(user_id)").alias("sk")))
+    # each hourly sketch feeds `hours` windows: those starting at
+    # hour-(hours-1)..hour
+    windows = (hourly
+               .select("event_type", "sk", "hour",
+                       F.explode(F.sequence(
+                           F.lit(0), F.lit(hours - 1))).alias("k"))
+               .select("event_type", "sk",
+                       (F.col("hour") - F.col("k")
+                        * F.expr("INTERVAL 1 HOUR")).alias("window_start")))
+    return (windows
+            .groupBy("window_start", "event_type")
+            .agg(F.expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) "
+                        "AS BIGINT)").alias("approx_users"),
+                 F.count(F.lit(1)).alias("n_hours_present")))
+
+
 # --- source-mixture rebalance ----------------------------------------------
 
 MIX_SEED = "mix1"
@@ -1695,6 +1729,15 @@ SPECS: dict[str, Spec] = {
         "Theta-sketch distinct-set algebra: union/intersection/"
         "difference of audience sets from one scan — the overlap "
         "estimates HLL cannot provide (accuracy pinned in tests)"),
+    "q_hll_sliding": Spec(
+        lambda spark, sf: hll_sliding_distinct(load_table(spark, sf,
+                                                          "events")),
+        None,  # sketch encoding is engine-specific — rows-only check
+        "sliding-window distinct users from MERGED hourly HLL "
+        "sketches: one corpus pass builds per-hour sketches, every "
+        "overlapping window is a sketch union — count-distinct does "
+        "not decompose over overlaps, sketches do (accuracy pinned "
+        "in tests)"),
     "q_temperature_sample": Spec(
         lambda spark, sf: temperature_sample(load_table(spark, sf,
                                                         "documents")),

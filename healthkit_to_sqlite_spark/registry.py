@@ -43,7 +43,7 @@ PRIORITY: tuple[str, ...] = (
     "q_kll_merge", "q_theta_sets", "q_temporal_join", "q_skyline",
     "q_group_ols", "q_manifest_merge", "q_udtf_poly", "q_autocorr",
     "q_snowflake_join", "q_corpus_profile", "q_nation_trade",
-    "q_returned_customers", "q_big_orders",
+    "q_returned_customers", "q_big_orders", "q_hll_sliding",
     "q_quantize_int8", "q_bm25", "q_chunk_overlap", "q_exact_substring",
     "q_heavy_hitters", "q_retention_cohort",
     "q_udtf_chunks_arrow", "q_source_cap", "q_rare_trigram_rate",

@@ -677,3 +677,34 @@ def test_autocorr_matches_numpy_and_is_bounded(spark):
         assert got[t].n == len(p)
         assert abs(got[t].autocorr_lag1 - want) < 1e-6
         assert -1.0 <= got[t].autocorr_lag1 <= 1.0
+
+
+def test_hll_sliding_matches_exact_distinct(spark):
+    """Every merged 4-hour window estimate must sit within HLL error
+    of the exact sliding distinct count computed the expensive way."""
+    from healthkit_to_sqlite_spark.operators.timeseries import (  # noqa: F401
+        tumbling_window,
+    )
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        hll_sliding_distinct,
+    )
+
+    ev = load_table(spark, SF, "events")
+    got = {(r.window_start, r.event_type): r.approx_users
+           for r in hll_sliding_distinct(ev).collect()}
+    assert got
+    rows = ev.selectExpr(
+        "cast(date_trunc('hour', ts) as timestamp_ntz) as hour",
+        "event_type", "user_id").collect()
+    import collections
+    import datetime
+    exact = collections.defaultdict(set)
+    for r in rows:
+        for k in range(4):
+            exact[(r.hour - datetime.timedelta(hours=k),
+                   r.event_type)].add(r.user_id)
+    for key, est in got.items():
+        want = len(exact[key])
+        assert abs(est - want) <= max(2, 0.05 * want), (key, est, want)
+    # sliding windows that contain at least one active hour all appear
+    assert set(got) == set(exact)
