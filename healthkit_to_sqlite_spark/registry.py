@@ -11,8 +11,8 @@ leaving timeseries/multimodal/pipeline/udx unverified).  ``PRIORITY``
 pins the verification window each round: queries whose semantics
 changed this round plus queries with no driver row yet come first,
 then the reference §2.A/§2.B parity surface, then the long-green
-remainder.  Everything (all 72+) still runs in tests/parity.py, whose
-committed PARITY_r{N}.json covers the overflow.
+remainder.  Everything (153 queries as of round 4) still runs in
+tests/parity.py, whose committed PARITY_r{N}.json covers the overflow.
 """
 
 from __future__ import annotations
