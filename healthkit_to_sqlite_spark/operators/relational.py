@@ -613,9 +613,12 @@ def snowflake_revenue(region: DataFrame, nation: DataFrame,
     local-supplier condition) — the deepest multi-way join in the
     suite, exercising join ORDER as much as join strategy.
 
-    Plan economics: region (5 rows) filters nation (25) which filters
-    customer and supplier — all three broadcast; the only large-table
-    shuffle is lineitem ⋈ orders on orderkey.  The
+    Plan economics: region (5 rows) and nation (25) are the only
+    dims we FORCE to broadcast — they are provably tiny at any scale.
+    customer/supplier are huge at 100 TB (TPC-H sf100k: billions of
+    rows), so forcing a broadcast there would be a scale bug; AQE
+    picks broadcast at small scale and shuffle join at large, which
+    is exactly the right behavior to leave declarative.  The
     nation-must-match-supplier condition lands as an equi-key
     (c_nationkey = s_nationkey) INSIDE the join tree, not a
     post-filter, so mismatched rows die before the aggregate.
@@ -627,12 +630,11 @@ def snowflake_revenue(region: DataFrame, nation: DataFrame,
     c = customer.join(F.broadcast(n),
                       customer.c_nationkey == n.n_nationkey).select(
                           "c_custkey", "c_nationkey", "n_name")
-    o = orders.join(F.broadcast(c), orders.o_custkey == c.c_custkey)
+    o = orders.join(c, orders.o_custkey == c.c_custkey)
     s = supplier.select("s_suppkey", "s_nationkey")
     j = (lineitem
          .join(o, lineitem.l_orderkey == o.o_orderkey)
-         .join(F.broadcast(s),
-               (F.col("l_suppkey") == s.s_suppkey)
+         .join(s, (F.col("l_suppkey") == s.s_suppkey)
                & (F.col("c_nationkey") == s.s_nationkey)))
     return (j.groupBy("n_name")
             .agg(F.sum(revenue()).cast("double").alias("revenue"),
@@ -649,11 +651,13 @@ def nation_trade_volume(nation: DataFrame, customer: DataFrame,
     between two nations in BOTH directions (supplier in A shipping to
     customers in B, and vice versa), by year.
 
-    The two-nation filter broadcasts down both dimension arms; the
-    direction predicate is an OR of two equi-pairs, planned as a
-    broadcast join against the 2-row nation dim on each side with the
-    cross-condition applied at the join — never a cartesian.  Year
-    comes from the shipdate (our orders carry no commitdate)."""
+    The 2-row nation dim broadcasts down both arms (forced — provably
+    tiny); the nation-filtered customer/supplier sides stay
+    declarative so AQE chooses broadcast-vs-shuffle by actual size
+    (at 100 TB a two-nation customer slice is still billions of rows).
+    The direction predicate dies at the join, never a post-aggregate
+    filter.  Year comes from the shipdate (our orders carry no
+    commitdate)."""
     n2 = nation.filter(F.col("n_name").isin(nation_a, nation_b)) \
         .select("n_nationkey", "n_name")
     cust = (customer.join(F.broadcast(n2),
@@ -667,8 +671,8 @@ def nation_trade_volume(nation: DataFrame, customer: DataFrame,
     j = (lineitem
          .join(orders.select("o_orderkey", "o_custkey"),
                lineitem.l_orderkey == F.col("o_orderkey"))
-         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-         .join(F.broadcast(supp), lineitem.l_suppkey == supp.s_suppkey)
+         .join(cust, F.col("o_custkey") == cust.c_custkey)
+         .join(supp, lineitem.l_suppkey == supp.s_suppkey)
          .filter(F.col("supp_nation") != F.col("cust_nation")))
     return (j.groupBy("supp_nation", "cust_nation",
                       F.year("l_shipdate").alias("l_year"))
@@ -684,15 +688,15 @@ def returned_revenue_customers(customer: DataFrame, orders: DataFrame,
     the most revenue to returns (l_returnflag = 'R'), top-k.
 
     The returnflag filter pushes to the lineitem scan (PushedFilters),
-    the orders join shuffles on orderkey, the customer dim broadcasts,
-    and the top-k is TakeOrdered — the revenue-triage query every
-    warehouse runs, shaped so only flagged lineitems ever shuffle."""
+    the orders join shuffles on orderkey, and the top-k is TakeOrdered
+    — the revenue-triage query every warehouse runs, shaped so only
+    flagged lineitems ever shuffle.  customer is NOT force-broadcast
+    (huge at scale); AQE decides by size."""
     flagged = lineitem.filter(F.col("l_returnflag") == "R")
     j = (flagged
          .join(orders.select("o_orderkey", "o_custkey"),
                flagged.l_orderkey == F.col("o_orderkey"))
-         .join(F.broadcast(customer.select("c_custkey", "c_name",
-                                           "c_acctbal")),
+         .join(customer.select("c_custkey", "c_name", "c_acctbal"),
                F.col("o_custkey") == F.col("c_custkey")))
     return (j.groupBy("c_custkey", "c_name")
             .agg(F.sum(revenue()).cast("double").alias("lost_revenue"),
@@ -721,7 +725,7 @@ def big_orders(customer: DataFrame, orders: DataFrame,
          .join(orders.select("o_orderkey", "o_custkey", "o_orderdate",
                              "o_totalprice"),
                qual.l_orderkey == F.col("o_orderkey"))
-         .join(F.broadcast(customer.select("c_custkey", "c_name")),
+         .join(customer.select("c_custkey", "c_name"),
                F.col("o_custkey") == F.col("c_custkey")))
     return j.select("o_orderkey", "c_name", "o_orderdate",
                     F.round("o_totalprice", 2).alias("o_totalprice"),

@@ -209,7 +209,13 @@ class ManifestTable(_ManifestLog):
         race the merge recomputes against the new head (staged files
         from the lost round become vacuum-eligible orphans).  The
         merge itself is the left-anti + union plan of
-        operators/pipeline.merge_upsert — one shuffle on the key."""
+        operators/pipeline.merge_upsert — one shuffle on the key.
+
+        Precondition (same as Delta's MERGE ambiguity rule): ``updates``
+        must carry at most one row per ``key`` — duplicate update keys
+        all insert, leaving the table multi-rowed for that key.
+        Deduplicate upstream (e.g. first_touch/last-write row_number)
+        when the source is a raw CDC feed."""
         for _ in range(max_retries):
             head = self.current_version()
             prev = self._load(head) if head else {}
