@@ -154,6 +154,7 @@ HEADLINE = [
     "q_returned_customers",
     "q_big_orders",
     "q_hll_sliding",
+    "q_funnel_ordered",
 ]
 
 

@@ -466,6 +466,38 @@ def group_ols_trend(events: DataFrame) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("intercept"))
 
 
+def funnel_ordered(events: DataFrame) -> DataFrame:
+    """Ordered three-step funnel (signup → click → purchase): per
+    user, the earliest signup, the earliest click strictly after it,
+    and the earliest purchase strictly after that click — then one
+    summary row of stage reach (the product-analytics conversion
+    funnel; `q_funnel_join` is the pairwise-window special case).
+
+    Each stage is a tiny per-user aggregate joined to the next stage's
+    filtered events — three user-keyed shuffles over progressively
+    smaller sets (stage N's input is only users who reached stage
+    N-1), never a window over the whole stream and never a 3-way
+    event self-join (which multiplies).  Chaining by MIN timestamps
+    makes the reach counts deterministic and order-insensitive."""
+    def first_after(df: DataFrame, etype: str, after: DataFrame,
+                    ts_col: str) -> DataFrame:
+        e = events.filter(F.col("event_type") == etype) \
+            .select("user_id", "ts")
+        j = e.join(after, "user_id").filter(F.col("ts") > F.col(ts_col))
+        return j.groupBy("user_id").agg(F.min("ts").alias(etype + "_ts"))
+
+    signup = (events.filter(F.col("event_type") == "signup")
+              .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    click = first_after(events, "click", signup, "signup_ts")
+    purchase = first_after(events, "purchase", click, "click_ts")
+    return (signup
+            .join(click, "user_id", "left")
+            .join(purchase, "user_id", "left")
+            .agg(F.count(F.lit(1)).alias("n_signup"),
+                 F.count("click_ts").alias("n_click_after"),
+                 F.count("purchase_ts").alias("n_purchase_after")))
+
+
 def autocorr_lag1(events: DataFrame) -> DataFrame:
     """Per-type lag-1 autocorrelation of ``value`` over each user's
     event sequence (pairs pooled across users) — the does-this-metric-
@@ -754,6 +786,32 @@ SPECS: dict[str, Spec] = {
         "half-life EWMA smoothing: 8-tap exact-decimal window "
         "convolution (alpha=1/2 so weights are exact in both binary "
         "and decimal — bit-reproducible, parallel, one user shuffle)"),
+    "q_funnel_ordered": Spec(
+        lambda spark, sf: funnel_ordered(load_table(spark, sf,
+                                                    "events")),
+        """
+        WITH s AS (
+          SELECT user_id, MIN(ts) AS signup_ts FROM events
+          WHERE event_type = 'signup' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS click_ts
+          FROM events e JOIN s USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS purchase_ts
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+          GROUP BY e.user_id)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_signup,
+               CAST(COUNT(c.click_ts) AS BIGINT) AS n_click_after,
+               CAST(COUNT(p.purchase_ts) AS BIGINT) AS n_purchase_after
+        FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        """,
+        "ordered 3-step conversion funnel (signup -> click -> "
+        "purchase): MIN-timestamp chaining through progressively "
+        "smaller per-user aggregates — no stream-wide window, no "
+        "multiplying 3-way self-join"),
     "q_autocorr": Spec(
         lambda spark, sf: autocorr_lag1(load_table(spark, sf, "events")),
         """

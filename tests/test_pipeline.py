@@ -708,3 +708,34 @@ def test_hll_sliding_matches_exact_distinct(spark):
         assert abs(est - want) <= max(2, 0.05 * want), (key, est, want)
     # sliding windows that contain at least one active hour all appear
     assert set(got) == set(exact)
+
+
+def test_funnel_ordered_monotone_and_matches_direct(spark):
+    """Stage reach must be monotone non-increasing, and must equal a
+    direct per-user chained-min computation."""
+    from healthkit_to_sqlite_spark.operators.timeseries import (
+        funnel_ordered,
+    )
+
+    ev = load_table(spark, SF, "events")
+    row = funnel_ordered(ev).collect()[0]
+    assert row.n_signup >= row.n_click_after >= row.n_purchase_after
+    import collections
+    by_user = collections.defaultdict(list)
+    for r in ev.select("user_id", "event_type", "ts").collect():
+        by_user[r.user_id].append((r.ts, r.event_type))
+    n_s = n_c = n_p = 0
+    for _, evs in by_user.items():
+        s = min((t for t, e in evs if e == "signup"), default=None)
+        if s is None:
+            continue
+        n_s += 1
+        c = min((t for t, e in evs if e == "click" and t > s),
+                default=None)
+        if c is None:
+            continue
+        n_c += 1
+        if any(e == "purchase" and t > c for t, e in evs):
+            n_p += 1
+    assert (row.n_signup, row.n_click_after, row.n_purchase_after) == \
+        (n_s, n_c, n_p)
