@@ -155,6 +155,8 @@ HEADLINE = [
     "q_big_orders",
     "q_hll_sliding",
     "q_funnel_ordered",
+    "q_quarantine",
+    "q_kcore",
 ]
 
 

@@ -1455,6 +1455,91 @@ def corpus_profile(documents: DataFrame) -> DataFrame:
         .alias("exact_dup_rate"))
 
 
+def kcore(documents: DataFrame, k: int = 2,
+          max_rounds: int = 30) -> DataFrame:
+    """k-core decomposition of the LSH near-dup graph: iteratively
+    peel nodes with degree < k until fixpoint — the dense-subgraph
+    extractor that separates tight template families (boilerplate
+    farms worth one canonical doc) from incidental pairwise
+    collisions, completing the graph kit (CC membership, PageRank
+    centrality, triangles, kNN, k-core density).
+
+    The k-core is the unique maximal subgraph with min-degree ≥ k, so
+    the peeling order cannot change the answer — deterministic at any
+    partitioning.  Each round: one degree aggregate + two semi-joins
+    (edges with both endpoints surviving); rounds are O(peeling
+    depth) and the edge set only shrinks.  localCheckpoint truncates
+    lineage per round; convergence is one scalar (edge count).
+    Iterative fixpoint ⇒ no SQL oracle (rows-only contract, declared
+    class of the CC kernels' recursive oracles' limits); EXACT
+    equality vs a pure-Python peeling reference is pinned in
+    test_pipeline."""
+    pairs = minhash_lsh_pairs(documents).select(
+        F.least("doc_a", "doc_b").alias("u"),
+        F.greatest("doc_a", "doc_b").alias("v"))
+    edges = (pairs.filter(F.col("u") != F.col("v")).distinct()
+             .localCheckpoint(eager=True))
+    prev_n = -1
+    for _ in range(max_rounds):
+        n_edges = edges.count()
+        if n_edges == prev_n:
+            break
+        prev_n = n_edges
+        sym = edges.union(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        keep = (sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= k).select("u"))
+        edges = (edges
+                 .join(keep, "u", "left_semi")
+                 .join(keep.select(F.col("u").alias("v")), "v",
+                       "left_semi")
+                 .select("u", "v")
+                 .localCheckpoint(eager=True))
+    else:
+        raise RuntimeError(
+            f"kcore: did not reach fixpoint in {max_rounds} rounds")
+    sym = edges.union(edges.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+    return (sym.groupBy(F.col("u").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("core_degree")))
+
+
+#: Quarantine rules in priority order: (name, violation predicate).
+#: First matching rule names the row's quarantine reason.
+def _quarantine_rules():
+    return (
+        ("null_user", F.col("user_id").isNull()),
+        ("negative_value", F.col("value") < 0),
+        ("unknown_type", ~F.col("event_type").isin(
+            "click", "view", "purchase", "signup", "error")),
+        ("out_of_range_ts",
+         (F.col("ts") < F.lit("2020-01-01").cast("timestamp_ntz"))
+         | (F.col("ts") >= F.lit("2030-01-01").cast("timestamp_ntz"))),
+    )
+
+
+def quarantine_router(events: DataFrame) -> DataFrame:
+    """Dead-letter routing (the badRecordsPath pattern as an operator):
+    every row is tagged with its first violated rule — or 'ok' — in
+    ONE map-only pass, then summarized per (reason, event_type).
+
+    In production the tag splits the write (good rows promote, tagged
+    rows land in a quarantine table WITH their reason, for replay
+    after a fix) — the pattern that keeps one malformed producer from
+    poisoning or halting a 100 TB ingest.  Priority-ordered CASE
+    gives each row exactly ONE reason, so quarantine counts add up to
+    the corpus and replays are idempotent per rule fix.  Contrast
+    with `q_expectations`, which COUNTS violations per rule corpus-
+    wide but keeps no row-level routing."""
+    reason = F.lit("ok")
+    for name, pred in reversed(_quarantine_rules()):
+        reason = F.when(pred, F.lit(name)).otherwise(reason)
+    return (events
+            .select(reason.alias("reason"), "event_type")
+            .groupBy("reason", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows")))
+
+
 def incremental_agg_merge(events: DataFrame) -> DataFrame:
     """Incremental materialized-view maintenance: merge a precomputed
     per-type aggregate artifact with a delta batch WITHOUT rescanning
@@ -1557,6 +1642,35 @@ SPECS: dict[str, Spec] = {
         "exact levenshtein verify -> star-CC clustering -> canonical "
         "entity per cluster (all three stages reuse their pinned "
         "standalone kernels; cost driven by |distinct names|)"),
+    "q_kcore": Spec(
+        lambda spark, sf: kcore(load_table(spark, sf, "documents")),
+        None,  # iterative fixpoint — no SQL oracle; exact Python
+               # peeling equality pinned in test_pipeline
+        "k-core decomposition of the near-dup graph: iterative "
+        "degree-peel to the unique maximal min-degree->=k subgraph "
+        "(dense template families vs incidental collisions); "
+        "deterministic fixpoint, O(peeling depth) rounds"),
+    "q_quarantine": Spec(
+        lambda spark, sf: quarantine_router(load_table(spark, sf,
+                                                       "events")),
+        """
+        SELECT CASE
+                 WHEN user_id IS NULL THEN 'null_user'
+                 WHEN value < 0 THEN 'negative_value'
+                 WHEN event_type NOT IN ('click', 'view', 'purchase',
+                                         'signup', 'error')
+                   THEN 'unknown_type'
+                 WHEN ts < TIMESTAMP '2020-01-01'
+                   OR ts >= TIMESTAMP '2030-01-01'
+                   THEN 'out_of_range_ts'
+                 ELSE 'ok' END AS reason,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1, 2
+        """,
+        "dead-letter quarantine routing: priority-ordered rule CASE "
+        "tags each row with exactly one reason in a map-only pass "
+        "(badRecordsPath pattern as an operator — good rows promote, "
+        "tagged rows land replayable with their reason)"),
     "q_corpus_profile": Spec(
         lambda spark, sf: corpus_profile(load_table(spark, sf,
                                                     "documents")),

@@ -739,3 +739,70 @@ def test_funnel_ordered_monotone_and_matches_direct(spark):
             n_p += 1
     assert (row.n_signup, row.n_click_after, row.n_purchase_after) == \
         (n_s, n_c, n_p)
+
+
+def test_kcore_equals_python_peeling_and_invariants(spark):
+    """The Spark peel must equal an exact pure-Python k-core on the
+    same edge set, and every core member must keep >= k in-core
+    neighbors (the defining invariant)."""
+    from healthkit_to_sqlite_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from healthkit_to_sqlite_spark.operators.pipeline import kcore
+
+    docs = load_table(spark, SF, "documents")
+    got = {r.doc_id: r.core_degree for r in kcore(docs, k=2).collect()}
+
+    edges = {(min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+             for r in minhash_lsh_pairs(docs).collect()
+             if r.doc_a != r.doc_b}
+    import collections
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < 2:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    want = {n: len(vs) for n, vs in adj.items() if vs}
+    assert got == want
+    for n, d in got.items():
+        assert d >= 2
+
+
+def test_quarantine_routes_dirty_rows_by_first_rule(spark):
+    """Planted violations must land under their FIRST violated rule
+    (priority order), clean rows under 'ok', and counts must add up."""
+    import datetime
+
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        quarantine_router,
+    )
+
+    t = datetime.datetime(2024, 6, 1)
+    bad_ts = datetime.datetime(2035, 1, 1)
+    rows = [
+        (1, t, 10, "click", 5.0, "{}"),          # ok
+        (2, t, None, "click", 5.0, "{}"),        # null_user
+        (3, t, 11, "click", -1.0, "{}"),         # negative_value
+        (4, t, 12, "weird", 5.0, "{}"),          # unknown_type
+        (5, bad_ts, 13, "view", 5.0, "{}"),      # out_of_range_ts
+        (6, t, None, "weird", -2.0, "{}"),       # null_user wins (priority)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    got = {(r.reason, r.event_type): r.n_rows
+           for r in quarantine_router(df).collect()}
+    assert got[("ok", "click")] == 1
+    assert got[("null_user", "click")] == 1
+    assert got[("negative_value", "click")] == 1
+    assert got[("unknown_type", "weird")] == 1
+    assert got[("out_of_range_ts", "view")] == 1
+    assert got[("null_user", "weird")] == 1
+    assert sum(got.values()) == len(rows)
