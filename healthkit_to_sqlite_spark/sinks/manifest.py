@@ -34,6 +34,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _MANIFEST_DIR = "_manifests"
@@ -249,6 +250,58 @@ class ManifestTable(_ManifestLog):
         self._publish({"schema": schema, "files": files, "parent": head,
                        "compaction_of": head,
                        "last_batch_id": prev.get("last_batch_id")}, head + 1)
+        return head + 1
+
+    def optimize(self, spark: SparkSession, zorder_cols: list[str],
+                 target_files: int = 16, bits: int = 8) -> int:
+        """OPTIMIZE ZORDER: rewrite the current content laid out along
+        a Morton curve over two numeric columns and publish as one
+        atomic version — Delta's OPTIMIZE ZORDER expressed on the
+        manifest log.  Logical content is identical (pytest-pinned);
+        what changes is file-level min/max tightness on BOTH columns,
+        so multi-dimensional range scans prune files (a single-column
+        sort leaves the second column's per-file span at 100%).
+
+        Binning is range-based (min/max from one bounded aggregate —
+        two driver scalars, never rows): modulo binning would scramble
+        value order and destroy prunability.  Write path is ONE range
+        shuffle (`repartitionByRange` on the z-value) + in-partition
+        sort.  Old versions stay time-travelable; superseded files
+        fall to vacuum."""
+        cx, cy = zorder_cols
+        head = self.current_version()
+        df = self.read(spark, head)
+        lo_x, hi_x, lo_y, hi_y = df.agg(
+            F.min(cx), F.max(cx), F.min(cy), F.max(cy)).first()
+        n_bins = 1 << bits
+
+        def bucket(col: str, lo, hi) -> "F.Column":
+            span = float(hi) - float(lo)
+            if span <= 0:
+                return F.lit(0)
+            return F.least(
+                F.floor((F.col(col) - F.lit(float(lo)))
+                        / F.lit(span / n_bins)).cast("int"),
+                F.lit(n_bins - 1))
+
+        xb, yb = bucket(cx, lo_x, hi_x), bucket(cy, lo_y, hi_y)
+        z = F.lit(0)
+        for i in range(bits):
+            z = (z
+                 + F.shiftleft(
+                     F.shiftright(xb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+                 + F.shiftleft(
+                     F.shiftright(yb, i).bitwiseAND(F.lit(1)), 2 * i))
+        laid = (df.withColumn("__z", z)
+                .repartitionByRange(target_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z"))
+        files, schema = self._stage(laid)
+        prev = self._load(head) if head else {}
+        self._publish({"schema": schema, "files": files, "parent": head,
+                       "optimize_of": head,
+                       "last_batch_id": prev.get("last_batch_id")},
+                      head + 1)
         return head + 1
 
     # -- read paths --------------------------------------------------------

@@ -381,3 +381,43 @@ def test_merge_batch_replay_is_noop_and_upserts(spark, tbl):
     assert {r.v for r in tbl.read(spark).filter("id < 2").collect()} == {-1}
     with pytest.raises(BatchIdRegression):
         tbl.merge_batch(spark, upd2, "id", batch_id=0)
+
+
+def test_optimize_zorder_tightens_both_dims(spark, tbl):
+    """OPTIMIZE must preserve content exactly AND make per-file spans
+    on the SECOND z-ordered column materially tighter than a plain
+    compaction (whose files inherit input order: first column tight,
+    second column's span ~100% per file)."""
+    import pyarrow.parquet as pq
+
+    df = (spark.range(0, 4096)
+          .select(F.col("id"),
+                  # decorrelated second dim: bit-reversed-ish ordering
+                  ((F.col("id") * 2654435761) % 4096).alias("v")))
+    tbl.append(df)
+    before = {(r.id, r.v) for r in tbl.read(spark).collect()}
+
+    v1 = tbl.compact(spark, target_files=16)
+    plain_files = tbl._load(v1)["files"]
+    v2 = tbl.optimize(spark, ["id", "v"], target_files=16)
+    z_files = tbl._load(v2)["files"]
+    after = {(r.id, r.v) for r in tbl.read(spark).collect()}
+    assert after == before  # content invariant
+
+    def mean_vspan(files):
+        spans = []
+        for f in files:
+            t = pq.read_table(f, columns=["v"])
+            vs = t.column("v").to_pylist()
+            if vs:
+                spans.append((max(vs) - min(vs)) / 4096)
+        return sum(spans) / len(spans)
+
+    # compaction came from one coalesced file set of an id-ordered
+    # table: v is scrambled, per-file v-span ~ full range
+    assert mean_vspan(plain_files) > 0.8
+    # z-order bounds BOTH dims per file
+    assert mean_vspan(z_files) < 0.5 * mean_vspan(plain_files)
+    # time travel to the pre-optimize version still works
+    assert {(r.id, r.v) for r in tbl.read(spark, version=v1).collect()} \
+        == before
