@@ -157,6 +157,9 @@ HEADLINE = [
     "q_funnel_ordered",
     "q_quarantine",
     "q_kcore",
+    "q_media_dedup",
+    "q_seasonal_profile",
+    "q_cusum",
 ]
 
 

@@ -284,7 +284,47 @@ SELECT doc_id, CAST(fno AS INT) AS frame_no,
 FROM fr
 """
 
+def media_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup over BINARY payloads: group by (mime,
+    payload-md5), keep the lowest doc_id, report copies and bytes
+    reclaimable — the media analog of `q_dedup_exact` (image/audio
+    stores dedupe encoded bytes before any decode).
+
+    Scale shape: the hash groupBy shuffles (mime, 32-byte hash,
+    doc_id, n_bytes) — payload BYTES never shuffle (Spark's md5 runs
+    map-side over the binary column); at 100 TB the checksum is
+    usually precomputed at landing (`media_meta.checksum_md5` here —
+    the same value, pinned equal in tests), making this metadata-only.
+    """
+    d = with_blob(documents)
+    return (d.select("doc_id",
+                     F.col("media_meta.mime").alias("mime"),
+                     F.col("media_meta.n_bytes").alias("n_bytes"),
+                     F.md5("payload").alias("payload_md5"))
+            .groupBy("mime", "payload_md5")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies"),
+                 (F.sum("n_bytes") - F.max("n_bytes"))
+                 .cast("bigint").alias("bytes_reclaimable")))
+
+
 SPECS: dict[str, Spec] = {
+    "q_media_dedup": Spec(
+        lambda spark, sf: media_dedup(load_table(spark, sf,
+                                                 "documents")),
+        """
+        SELECT 'text/plain' AS mime, md5(text) AS payload_md5,
+               MIN(doc_id) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(SUM(octet_length(encode(text)))
+                    - MAX(octet_length(encode(text))) AS BIGINT)
+                 AS bytes_reclaimable
+        FROM documents
+        GROUP BY md5(text)
+        """,
+        "exact binary-payload dedup per mime (media analog of "
+        "q_dedup_exact): payload bytes hash map-side and never "
+        "shuffle; reports copies + reclaimable bytes"),
     "q_multimodal_meta": Spec(
         lambda spark, sf: media_metadata(load_table(spark, sf, "documents")),
         """

@@ -466,6 +466,65 @@ def group_ols_trend(events: DataFrame) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("intercept"))
 
 
+def seasonal_profile(events: DataFrame) -> DataFrame:
+    """Seasonality heatmap: (day-of-week × hour-of-day) event counts
+    and exact-decimal mean value per cell — the load/usage profile
+    behind capacity planning and anomaly baselines (a z-score against
+    the WRONG baseline flags every Monday morning as an anomaly).
+
+    One partial-aggregated scan; the grouping key caps at 168 cells,
+    so the shuffle is constant-size at any corpus scale.  dow is
+    normalized to 0=Sunday (Spark's dayofweek is 1-based)."""
+    return (events
+            .groupBy((F.dayofweek("ts") - 1).alias("dow"),
+                     F.hour("ts").alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(dec("value")).cast("double")
+                  / F.count(F.lit(1))).alias("mean_value"))
+            .withColumn("mean_value", F.round("mean_value", 6)))
+
+
+def cusum_changepoint(events: DataFrame) -> DataFrame:
+    """CUSUM changepoint detection per event type: the time index
+    maximizing |n·S_t − t·S_n| (the cumulative-sum statistic scaled by
+    n so every term stays EXACT decimal — the unscaled Σ(x_i − mean)
+    needs the non-exact mean; scaling by n preserves the argmax).
+
+    A level shift in the series puts the max exactly at the shift
+    point (pinned in test_pipeline on a planted step).  Arithmetic
+    runs in integer CENTS (value rounded to 2dp × 100 → bigint): a
+    decimal formulation overflows the 38-digit cap at n·S_t, while
+    cents keep |stat| ≤ n·Σ|x|·100 ≈ 1e17 — exact in int64.  One
+    ordered window pass per type (running sum + row_number share the
+    WindowExec sort) + the per-type total from the same partition
+    frame; argmax via one rank window — all on the single
+    (event_type)-keyed shuffle.  Deterministic: integer arithmetic +
+    (|stat| desc, ts, event_id) tie order."""
+    cents = (dec("value") * 100).cast("bigint")
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("ts", "event_id")
+    staged = events.select("event_type", "ts", "event_id",
+                           cents.alias("__c"))
+    run = F.sum("__c").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    total = F.sum("__c").over(wt)
+    n = F.count(F.lit(1)).over(wt)
+    t = F.row_number().over(wo)
+    stat = n * run - t * total
+    scored = staged.select(
+        "event_type", "ts", "event_id",
+        n.alias("n"), stat.alias("__stat"))
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("__stat")).desc(), "ts", "event_id")
+    return (scored
+            .withColumn("__rk", F.row_number().over(pick))
+            .filter(F.col("__rk") == 1)
+            .select("event_type", F.col("ts").alias("changepoint_ts"),
+                    F.col("event_id").alias("changepoint_event_id"),
+                    F.round(F.col("__stat").cast("double")
+                            / (F.col("n") * 100), 6)
+                    .alias("cusum_stat"), "n"))
+
+
 def funnel_ordered(events: DataFrame) -> DataFrame:
     """Ordered three-step funnel (signup → click → purchase): per
     user, the earliest signup, the earliest click strictly after it,
@@ -786,6 +845,54 @@ SPECS: dict[str, Spec] = {
         "half-life EWMA smoothing: 8-tap exact-decimal window "
         "convolution (alpha=1/2 so weights are exact in both binary "
         "and decimal — bit-reproducible, parallel, one user shuffle)"),
+    "q_seasonal_profile": Spec(
+        lambda spark, sf: seasonal_profile(load_table(spark, sf,
+                                                      "events")),
+        """
+        SELECT CAST(date_part('dow', ts) AS INT) AS dow,
+               CAST(date_part('hour', ts) AS INT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_value
+        FROM events GROUP BY 1, 2
+        """,
+        "seasonality heatmap: (dow x hour) counts + exact-decimal "
+        "mean per cell — constant 168-key shuffle at any corpus "
+        "scale; the baseline grid anomaly scoring should z-score "
+        "against"),
+    "q_cusum": Spec(
+        lambda spark, sf: cusum_changepoint(load_table(spark, sf,
+                                                       "events")),
+        """
+        WITH c AS (
+          SELECT event_type, ts, event_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM events),
+        scored AS (
+          SELECT event_type, ts, event_id,
+                 CAST(COUNT(*) OVER wt AS BIGINT) AS n,
+                 CAST(COUNT(*) OVER wt AS BIGINT)
+                   * SUM(cents) OVER wo
+                 - ROW_NUMBER() OVER wo * SUM(cents) OVER wt AS stat
+          FROM c
+          WINDOW wt AS (PARTITION BY event_type),
+                 wo AS (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING))
+        SELECT event_type, ts AS changepoint_ts,
+               event_id AS changepoint_event_id,
+               ROUND(CAST(stat AS DOUBLE) / (n * 100), 6) AS cusum_stat,
+               n
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY event_type
+                 ORDER BY abs(stat) DESC, ts, event_id) AS rk
+              FROM scored)
+        WHERE rk = 1
+        """,
+        "CUSUM changepoint per type: argmax |n*S_t - t*S_n| in exact "
+        "integer cents (decimal would overflow 38 digits at n*S_t); "
+        "one ordered window pass + one rank window on a single "
+        "type-keyed shuffle"),
     "q_funnel_ordered": Spec(
         lambda spark, sf: funnel_ordered(load_table(spark, sf,
                                                     "events")),

@@ -806,3 +806,76 @@ def test_quarantine_routes_dirty_rows_by_first_rule(spark):
     assert got[("out_of_range_ts", "view")] == 1
     assert got[("null_user", "weird")] == 1
     assert sum(got.values()) == len(rows)
+
+
+def test_media_dedup_counts_planted_duplicate_payloads(spark):
+    """A planted byte-identical payload pair must collapse to one
+    keeper with correct copy count and reclaimable bytes; the grouped
+    hash must equal the landing-time checksum in media_meta."""
+    from healthkit_to_sqlite_spark.operators.multimodal import (
+        media_dedup,
+        media_metadata,
+    )
+
+    rows = [(0, "same bytes here", "en", "s0", 15),
+            (1, "same bytes here", "en", "s1", 15),
+            (2, "unique payload bytes", "en", "s0", 20)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = {r.payload_md5: r for r in media_dedup(df).collect()}
+    assert len(got) == 2
+    dup = [r for r in got.values() if r.n_copies == 2][0]
+    assert dup.keep_id == 0
+    assert dup.bytes_reclaimable == 15  # one redundant copy's bytes
+    uniq = [r for r in got.values() if r.n_copies == 1][0]
+    assert uniq.bytes_reclaimable == 0
+    checksums = {r.checksum_md5 for r in media_metadata(df).collect()}
+    assert set(got) <= checksums
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    """A clean step in the series must put the CUSUM argmax exactly at
+    the last pre-shift point."""
+    import datetime
+
+    from healthkit_to_sqlite_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, t0 + datetime.timedelta(hours=i), 1, "click",
+             10.0 if i < 40 else 50.0, "{}") for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    got = cusum_changepoint(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    # argmax of |n*S_t - t*S_n| for a step at index 40 is t=39 (0-based
+    # event_id 39): the last point of the low regime
+    assert r.changepoint_event_id == 39
+    assert r.n == 100
+    # scaled-back stat equals the classic cusum value at the argmax:
+    # mean = (40*10 + 60*50)/100 = 34; S_40 - 40*mean = 400 - 1360
+    assert r.cusum_stat == -960.0
+
+
+def test_seasonal_profile_covers_grid_and_recomputes(spark):
+    from healthkit_to_sqlite_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    ev = load_table(spark, SF, "events")
+    got = {(r.dow, r.hour): (r.n, r.mean_value)
+           for r in seasonal_profile(ev).collect()}
+    assert all(0 <= d <= 6 and 0 <= h <= 23 for d, h in got)
+    assert sum(n for n, _ in got.values()) == ev.count()
+    import collections
+    direct = collections.defaultdict(list)
+    for r in ev.select("ts", "value").collect():
+        direct[((r.ts.weekday() + 1) % 7, r.ts.hour)].append(
+            round(r.value, 2))
+    for k, (n, mv) in got.items():
+        assert n == len(direct[k])
+        assert abs(mv - sum(direct[k]) / n) < 1e-6
