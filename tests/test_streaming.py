@@ -311,3 +311,52 @@ def test_session_window_stream_matches_batch(spark, events_stream_dir):
     want = {(r.user_id, r.session_start, r.session_end):
             (r.n_events, r.sum_value) for r in batch.collect()}
     assert got == want and got
+
+
+def test_streaming_view_maintenance_matches_batch_and_survives_replay(
+        spark, events_stream_dir, tmp_path):
+    """The incrementally-maintained per-type aggregate must equal the
+    batch GROUP BY after multiple micro-batches, and a replayed batch
+    must fold ZERO additional rows (exactly-once composes from the
+    manifest sink's high-water contract)."""
+    from healthkit_to_sqlite_spark.sinks.manifest import ManifestTable
+    from healthkit_to_sqlite_spark.streaming.maintenance import (
+        read_view,
+        view_maintenance_writer,
+    )
+
+    tbl = ManifestTable(str(tmp_path / "agg_view"))
+    # re-write the slice as 3 files so maxFilesPerTrigger=1 yields
+    # three real micro-batches (the module fixture may be 1 file)
+    src_dir = str(tmp_path / "ev3")
+    spark.read.parquet(events_stream_dir).repartition(3) \
+        .write.mode("overwrite").parquet(src_dir)
+    src = (spark.readStream
+           .schema(spark.read.parquet(src_dir).schema)
+           .option("maxFilesPerTrigger", 1)  # force >1 micro-batch
+           .parquet(src_dir))
+    q = (src.writeStream
+         .foreachBatch(view_maintenance_writer(spark, tbl))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert tbl.current_version() >= 2  # one merge per micro-batch
+
+    got = {r.event_type: (r.n_events, r.sum_value)
+           for r in read_view(spark, tbl).collect()}
+    ev = spark.read.parquet(src_dir)
+    want = {r.event_type: (r.n, r.s) for r in
+            ev.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double").alias("s")).collect()}
+    assert got == want
+
+    # replay the LAST batch id by hand: must no-op at the sink
+    v = tbl.current_version()
+    last_id = tbl._load(v)["last_batch_id"]
+    writer = view_maintenance_writer(spark, tbl)
+    writer(ev.limit(50), last_id)
+    assert tbl.current_version() == v
+    assert {r.event_type: (r.n_events, r.sum_value)
+            for r in read_view(spark, tbl).collect()} == want
