@@ -160,6 +160,7 @@ HEADLINE = [
     "q_media_dedup",
     "q_seasonal_profile",
     "q_cusum",
+    "q_khop_reach",
 ]
 
 

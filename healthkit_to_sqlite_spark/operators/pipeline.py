@@ -1455,6 +1455,47 @@ def corpus_profile(documents: DataFrame) -> DataFrame:
         .alias("exact_dup_rate"))
 
 
+KHOP_MAX = 4      # hop bound (terminates UNION ALL recursion on cycles)
+KHOP_SEED_MOD = 100  # seeds = doc_id % KHOP_SEED_MOD == 0
+
+
+def khop_reachability(spark: SparkSession, documents: DataFrame,
+                      max_hops: int = KHOP_MAX) -> DataFrame:
+    """K-hop ego networks via Spark 4's NATIVE recursive CTE (WITH
+    RECURSIVE, new in 4.0): every node within ``max_hops`` of each
+    seed document over the near-dup graph, with its minimum hop
+    distance — executed as recursive SQL ON SPARK, the same text the
+    DuckDB oracle runs.
+
+    This pins the engine feature the iterative kernels (CC, PageRank,
+    k-core) predate: bounded recursion is now declarative.  Spark
+    currently supports only UNION ALL recursion (UNION_NOT_SUPPORTED_
+    IN_RECURSIVE_CTE), so cycle termination comes from the hop
+    counter, and the final GROUP BY MIN(hop) collapses duplicate
+    paths — the standard bounded-reachability formulation.  Unbounded
+    fixpoints (full CC) stay with the iterative kernels; path count
+    within ``max_hops`` of a seed is bounded by degree^hops, which
+    the candidate stage's degree caps keep small."""
+    pairs = minhash_lsh_pairs(documents).select("doc_a", "doc_b")
+    pairs.createOrReplaceTempView("__khop_pairs")
+    return spark.sql(f"""
+        WITH RECURSIVE edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM __khop_pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM __khop_pairs),
+        seeds AS (SELECT doc_id FROM {{documents}} d
+                  WHERE doc_id % {KHOP_SEED_MOD} = 0),
+        reach(seed, node, hop) AS (
+          SELECT doc_id, doc_id, 0 FROM seeds
+          UNION ALL
+          SELECT r.seed, e.dst, r.hop + 1
+          FROM reach r JOIN edges e ON e.src = r.node
+          WHERE r.hop < {max_hops})
+        SELECT seed, node, CAST(MIN(hop) AS INT) AS dist
+        FROM reach GROUP BY seed, node
+        """, documents=documents)
+
+
 def kcore(documents: DataFrame, k: int = 2,
           max_rounds: int = 30) -> DataFrame:
     """k-core decomposition of the LSH near-dup graph: iteratively
@@ -1642,6 +1683,28 @@ SPECS: dict[str, Spec] = {
         "exact levenshtein verify -> star-CC clustering -> canonical "
         "entity per cluster (all three stages reuse their pinned "
         "standalone kernels; cost driven by |distinct names|)"),
+    "q_khop_reach": Spec(
+        lambda spark, sf: khop_reachability(
+            spark, load_table(spark, sf, "documents")),
+        f"""
+        WITH RECURSIVE {{pairs}},
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        seeds AS (SELECT doc_id FROM documents
+                  WHERE doc_id % {KHOP_SEED_MOD} = 0),
+        reach(seed, node, hop) AS (
+          SELECT doc_id, doc_id, 0 FROM seeds
+          UNION ALL
+          SELECT r.seed, e.dst, r.hop + 1
+          FROM reach r JOIN edges e ON e.src = r.node
+          WHERE r.hop < {KHOP_MAX})
+        SELECT seed, node, CAST(MIN(hop) AS INT) AS dist
+        FROM reach GROUP BY seed, node
+        """.replace("{pairs}", _LSH_PAIRS_SQL),
+        "k-hop ego networks via Spark 4 NATIVE recursive CTE (WITH "
+        "RECURSIVE, UNION ALL + hop bound): the engine runs the same "
+        "recursive SQL text the oracle does — declarative bounded "
+        "reachability over the near-dup graph"),
     "q_kcore": Spec(
         lambda spark, sf: kcore(load_table(spark, sf, "documents")),
         None,  # iterative fixpoint — no SQL oracle; exact Python

@@ -11,7 +11,7 @@ leaving timeseries/multimodal/pipeline/udx unverified).  ``PRIORITY``
 pins the verification window each round: queries whose semantics
 changed this round plus queries with no driver row yet come first,
 then the reference §2.A/§2.B parity surface, then the long-green
-remainder.  Everything (159 queries as of round 4) still runs in
+remainder.  Everything (160 queries as of round 4) still runs in
 tests/parity.py, whose committed PARITY_r{N}.json covers the overflow.
 """
 
@@ -45,7 +45,7 @@ PRIORITY: tuple[str, ...] = (
     "q_snowflake_join", "q_corpus_profile", "q_nation_trade",
     "q_returned_customers", "q_big_orders", "q_hll_sliding",
     "q_funnel_ordered", "q_quarantine", "q_kcore",
-    "q_media_dedup", "q_seasonal_profile", "q_cusum",
+    "q_media_dedup", "q_seasonal_profile", "q_cusum", "q_khop_reach",
     "q_quantize_int8", "q_bm25", "q_chunk_overlap", "q_exact_substring",
     "q_heavy_hitters", "q_retention_cohort",
     "q_udtf_chunks_arrow", "q_source_cap", "q_rare_trigram_rate",

@@ -879,3 +879,42 @@ def test_seasonal_profile_covers_grid_and_recomputes(spark):
     for k, (n, mv) in got.items():
         assert n == len(direct[k])
         assert abs(mv - sum(direct[k]) / n) < 1e-6
+
+
+def test_khop_reach_distances_are_shortest_paths(spark):
+    """Recursive-CTE distances must equal BFS shortest paths (capped
+    at the hop bound) from each seed over the same pair graph."""
+    from healthkit_to_sqlite_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        KHOP_MAX,
+        KHOP_SEED_MOD,
+        khop_reachability,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    got = {(r.seed, r.node): r.dist
+           for r in khop_reachability(spark, docs).collect()}
+    import collections
+    adj = collections.defaultdict(set)
+    for r in minhash_lsh_pairs(docs).collect():
+        adj[r.doc_a].add(r.doc_b)
+        adj[r.doc_b].add(r.doc_a)
+    seeds = [r.doc_id for r in docs.collect()
+             if r.doc_id % KHOP_SEED_MOD == 0]
+    want = {}
+    for s in seeds:
+        dist = {s: 0}
+        frontier = [s]
+        for d in range(1, KHOP_MAX + 1):
+            nxt = []
+            for n in frontier:
+                for m in adj[n]:
+                    if m not in dist:
+                        dist[m] = d
+                        nxt.append(m)
+            frontier = nxt
+        for n, d in dist.items():
+            want[(s, n)] = d
+    assert got == want and all((s, s) in got for s in seeds)
