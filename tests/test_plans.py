@@ -419,3 +419,32 @@ def test_corpus_profile_single_scan_expand(spark, specs):
     plan = formatted_plan(df)
     assert plan.count("ReadSchema:") == 1
     assert "Expand" in plan  # multi-distinct lanes over ONE scan
+
+
+def test_cusum_and_seasonal_single_type_shuffle(spark, specs):
+    # all cusum windows key on event_type → ONE exchange; seasonal's
+    # 168-cell aggregate is one partial-agg shuffle
+    df = specs["q_cusum"].build(spark, SF)
+    assert shuffle_count(df) == 1
+    df = specs["q_seasonal_profile"].build(spark, SF)
+    assert shuffle_count(df) == 1
+
+
+def test_media_dedup_never_shuffles_payload_bytes(spark, specs):
+    # the groupBy must carry the 32-char hash, not the binary column
+    df = specs["q_media_dedup"].build(spark, SF)
+    plan = formatted_plan(df)
+    import re
+    ex = re.search(r"\(\d+\) Exchange\b.*?Input \[\d+\]: \[([^\]]*)\]",
+                   plan, re.S)
+    # the binary column would surface as `payload#N` (payload_md5 is
+    # the 32-char hash and is exactly what SHOULD shuffle)
+    assert ex and not re.search(r"\bpayload#", ex.group(1)), ex.group(1)
+
+
+def test_funnel_ordered_and_khop_no_nested_loops(spark, specs):
+    for name in ("q_funnel_ordered", "q_khop_reach"):
+        df = specs[name].build(spark, SF)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
