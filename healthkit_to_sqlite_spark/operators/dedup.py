@@ -417,14 +417,21 @@ def span_scrub(documents: DataFrame, k: int = SPAN_K) -> DataFrame:
     n_full = F.floor(F.size(tt) / k).cast("int")
     # posexplode_OUTER keeps zero-segment docs (< k tokens) alive, so
     # ONE text scan feeds both the dup test and the per-doc totals.
+    # Spark sequence(1, 0) counts DOWN ([1, 0]) instead of returning
+    # empty, which would fabricate phantom segments for docs shorter
+    # than k tokens (same footgun guarded in text.bpe_merge_pairs) —
+    # gate the segment array on n_full >= 1; posexplode_OUTER keeps
+    # the zero-segment doc alive via a null seg row.
+    seg_arr = F.when(
+        n_full >= 1,
+        F.transform(F.sequence(F.lit(1), n_full),
+                    lambda g: F.array_join(
+                        F.slice(tt, (g - 1) * k + 1, k), " "))
+    ).otherwise(F.array().cast("array<string>"))
     segs = (documents
             .select("doc_id", ws_tokens("text").alias("__toks"))
             .select("doc_id", F.size(tt).alias("n_tokens"),
-                    F.posexplode_outer(F.transform(
-                        F.sequence(F.lit(1), n_full),
-                        lambda g: F.array_join(
-                            F.slice(tt, (g - 1) * k + 1, k), " ")))
-                    .alias("seg_idx", "seg")))
+                    F.posexplode_outer(seg_arr).alias("seg_idx", "seg")))
     # "occurs in >=2 distinct docs" as a min!=max window over seg —
     # O(1) state per segment (no collect_set, no countDistinct
     # groupBy + join back whose pruning-divergent subtrees would scan

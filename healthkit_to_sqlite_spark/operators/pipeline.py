@@ -1309,10 +1309,16 @@ def manifest_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     if tbl.current_version() < 1:
         tbl.append(docs)
     if tbl.current_version() < 2:
+        # insert ids shift by max(doc_id)+1 — a FIXED offset collides
+        # with real ids once the corpus outgrows it, silently deleting
+        # rows and violating merge()'s one-row-per-key precondition
+        # (review finding); the data-derived shift is collision-free
+        # at any scale factor and both engines derive it identically
+        shift = docs.agg(F.max("doc_id") + 1).first()[0]
         updates = (docs.filter(F.pmod("doc_id", F.lit(4)) == 0)
                    .withColumn("n_chars", F.col("n_chars") + 1000))
         inserts = (docs.filter(F.pmod("doc_id", F.lit(31)) == 0)
-                   .withColumn("doc_id", F.col("doc_id") + 100000)
+                   .withColumn("doc_id", F.col("doc_id") + F.lit(shift))
                    .withColumn("source", F.lit("merged")))
         tbl.merge(spark, updates.unionByName(inserts), key="doc_id")
     return (tbl.read(spark)
@@ -1502,7 +1508,7 @@ def khop_reachability(spark: SparkSession, documents: DataFrame,
 
 
 def kcore(documents: DataFrame, k: int = 2,
-          max_rounds: int = 30) -> DataFrame:
+          max_rounds: int | None = None) -> DataFrame:
     """k-core decomposition of the LSH near-dup graph: iteratively
     peel nodes with degree < k until fixpoint — the dense-subgraph
     extractor that separates tight template families (boilerplate
@@ -1525,8 +1531,19 @@ def kcore(documents: DataFrame, k: int = 2,
         F.greatest("doc_a", "doc_b").alias("v"))
     edges = (pairs.filter(F.col("u") != F.col("v")).distinct()
              .localCheckpoint(eager=True))
+    # Termination is guaranteed WITHOUT a cap: the edge count strictly
+    # decreases every non-final round, so the loop runs <= |E|+1 times
+    # (peeling depth is O(component size) on chain graphs — a fixed
+    # cap crashed legitimate long-chain inputs; review finding).
+    # max_rounds stays as an OPTIONAL runtime budget that fails loud.
     prev_n = -1
-    for _ in range(max_rounds):
+    rounds = 0
+    while True:
+        rounds += 1
+        if max_rounds is not None and rounds > max_rounds:
+            raise RuntimeError(
+                f"kcore: round budget max_rounds={max_rounds} exhausted "
+                f"before fixpoint (edges={prev_n}); raise the budget")
         n_edges = edges.count()
         if n_edges == prev_n:
             break
@@ -1541,9 +1558,6 @@ def kcore(documents: DataFrame, k: int = 2,
                        "left_semi")
                  .select("u", "v")
                  .localCheckpoint(eager=True))
-    else:
-        raise RuntimeError(
-            f"kcore: did not reach fixpoint in {max_rounds} rounds")
     sym = edges.union(edges.select(F.col("v").alias("u"),
                                    F.col("u").alias("v")))
     return (sym.groupBy(F.col("u").alias("doc_id"))
@@ -1627,10 +1641,15 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     key skew like any equi-join.
     """
     def keyed(df: DataFrame, side: str) -> DataFrame:
+        # null-safe row encoding: concat_ws silently DROPS null fields,
+        # so (a, NULL, b) and (a, b, NULL) would hash identically and a
+        # real change would classify as unchanged (review finding) —
+        # coalesce each field to a sentinel the data cannot contain
+        cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                for c in ("text", "lang", "source", "n_chars")]
         return df.select(
             "doc_id",
-            F.md5(F.concat_ws("\x1f", "text", "lang", "source", "n_chars"))
-            .alias(f"{side}_hash"),
+            F.md5(F.concat_ws("\x1f", *cols)).alias(f"{side}_hash"),
             F.col("n_chars").alias(f"{side}_n_chars"))
 
     j = keyed(old, "old").join(keyed(new, "new"), "doc_id", "full_outer")
@@ -1821,7 +1840,8 @@ SPECS: dict[str, Spec] = {
                       THEN n_chars + 1000 ELSE n_chars END AS n_chars
           FROM documents
           UNION ALL
-          SELECT doc_id + 100000, text, lang, 'merged', n_chars
+          SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+                 text, lang, 'merged', n_chars
           FROM documents WHERE ((doc_id % 31) + 31) % 31 = 0)
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars,

@@ -325,11 +325,10 @@ def scd2_history(events: DataFrame) -> DataFrame:
                .withColumn("__prev", prev)
                .filter(F.col("__prev").isNull()
                        | (F.col("event_type") != F.col("__prev"))))
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    valid_to = F.lead("ts").over(w2)
+    valid_to = F.lead("ts").over(w)
     return changes.select(
         "user_id",
-        F.row_number().over(w2).cast("int").alias("version"),
+        F.row_number().over(w).cast("int").alias("version"),
         F.col("event_type").alias("state"),
         F.col("ts").alias("valid_from"),
         valid_to.alias("valid_to"),
@@ -538,7 +537,7 @@ def funnel_ordered(events: DataFrame) -> DataFrame:
     N-1), never a window over the whole stream and never a 3-way
     event self-join (which multiplies).  Chaining by MIN timestamps
     makes the reach counts deterministic and order-insensitive."""
-    def first_after(df: DataFrame, etype: str, after: DataFrame,
+    def first_after(etype: str, after: DataFrame,
                     ts_col: str) -> DataFrame:
         e = events.filter(F.col("event_type") == etype) \
             .select("user_id", "ts")
@@ -547,8 +546,8 @@ def funnel_ordered(events: DataFrame) -> DataFrame:
 
     signup = (events.filter(F.col("event_type") == "signup")
               .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
-    click = first_after(events, "click", signup, "signup_ts")
-    purchase = first_after(events, "purchase", click, "click_ts")
+    click = first_after("click", signup, "signup_ts")
+    purchase = first_after("purchase", click, "click_ts")
     return (signup
             .join(click, "user_id", "left")
             .join(purchase, "user_id", "left")

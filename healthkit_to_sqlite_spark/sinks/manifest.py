@@ -220,14 +220,7 @@ class ManifestTable(_ManifestLog):
         for _ in range(max_retries):
             head = self.current_version()
             prev = self._load(head) if head else {}
-            current = self.read(spark, head)
-            if head == 0 or not current.columns:
-                merged = updates
-            else:
-                merged = (current
-                          .join(updates.select(key).distinct(), on=key,
-                                how="left_anti")
-                          .unionByName(updates))
+            merged = self._merged(spark, head, updates, key)
             files, schema = self._stage(merged)
             try:
                 self._publish({"schema": schema, "files": files,
@@ -238,6 +231,19 @@ class ManifestTable(_ManifestLog):
             except CommitConflict:
                 continue
         raise CommitConflict(f"lost {max_retries} publish races")
+
+    def _merged(self, spark: SparkSession, head: int, updates: DataFrame,
+                key: str) -> DataFrame:
+        """The one MERGE plan (left-anti + unionByName against the
+        ``head`` snapshot) shared by :meth:`merge` and
+        :meth:`merge_batch` — a semantics fix lands in both paths."""
+        current = self.read(spark, head)
+        if head == 0 or not current.columns:
+            return updates
+        return (current
+                .join(updates.select(key).distinct(), on=key,
+                      how="left_anti")
+                .unionByName(updates))
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """Rewrite the current content into ``target_files`` files and
@@ -271,8 +277,13 @@ class ManifestTable(_ManifestLog):
         cx, cy = zorder_cols
         head = self.current_version()
         df = self.read(spark, head)
+        if head == 0 or not df.columns:
+            return head  # empty table: nothing to lay out (no-op,
+            #              matching compact()'s tolerance — review finding)
         lo_x, hi_x, lo_y, hi_y = df.agg(
             F.min(cx), F.max(cx), F.min(cy), F.max(cy)).first()
+        if lo_x is None or lo_y is None:
+            return head  # zero rows: same no-op
         n_bins = 1 << bits
 
         def bucket(col: str, lo, hi) -> "F.Column":
@@ -395,14 +406,7 @@ class ManifestTable(_ManifestLog):
                     f"batch_id {batch_id} < table high-water mark {last}: "
                     "the streaming checkpoint was reset; writing would "
                     "silently drop data — use a fresh table")
-            current = self.read(spark, head)
-            if head == 0 or not current.columns:
-                merged = df
-            else:
-                merged = (current
-                          .join(df.select(key).distinct(), on=key,
-                                how="left_anti")
-                          .unionByName(df))
+            merged = self._merged(spark, head, df, key)
             # merged content depends on the head — restage per attempt
             files, schema = self._stage(merged)
             try:

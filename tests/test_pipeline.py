@@ -918,3 +918,19 @@ def test_khop_reach_distances_are_shortest_paths(spark):
         for n, d in dist.items():
             want[(s, n)] = d
     assert got == want and all((s, s) in got for s in seeds)
+
+
+def test_span_scrub_short_docs_yield_zero_segments(spark):
+    """Docs shorter than k tokens must never scrub (the sequence(1,0)
+    counts-down footgun — review finding: two short docs previously
+    fabricated phantom matching segments and negative budgets)."""
+    from healthkit_to_sqlite_spark.operators.dedup import span_scrub
+
+    rows = [(0, "hello world"), (1, "hello world"),
+            (2, "a b c d e f g h i")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in span_scrub(df).collect()}
+    assert got[0].n_scrubbed_segments == 0
+    assert got[0].n_tokens_kept == 2
+    assert got[1].n_tokens_kept == 2
+    assert got[2].n_scrubbed_segments == 0  # unique 8-token segment
