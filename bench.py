@@ -161,6 +161,7 @@ HEADLINE = [
     "q_seasonal_profile",
     "q_cusum",
     "q_khop_reach",
+    "q_abtest",
 ]
 
 

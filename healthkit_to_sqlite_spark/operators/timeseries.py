@@ -465,6 +465,56 @@ def group_ols_trend(events: DataFrame) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("intercept"))
 
 
+AB_SEED = "ab1"  # experiment salt: deterministic 50/50 user assignment
+
+
+def abtest_readout(events: DataFrame, seed: str = AB_SEED) -> DataFrame:
+    """A/B experiment readout per event type: deterministic salted-hash
+    50/50 user assignment (same reproducible-assignment discipline as
+    q_train_split — no RNG state, stable under reruns/repartitioning),
+    then Welch z-statistic on the value means from exact sufficient
+    statistics.
+
+    The moment-method family again (q_group_ols, q_autocorr): each arm
+    needs only (n, Σx, Σx²), all decimal/integer-exact, so the readout
+    is ONE conditional-aggregate pass — no per-arm scans, no shuffle
+    of raw observations — and the final float ops (two divisions, one
+    sqrt) run on exact sums, bit-identical on any engine."""
+    arm_a = (F.conv(F.substring(F.md5(
+        F.concat(F.lit(seed + ":"), F.col("user_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint") % 2 == 0)
+    cents = (dec("value") * 100).cast("bigint")
+    stats = (events
+             .select("event_type", arm_a.alias("__a"),
+                     cents.alias("__c"))
+             .groupBy("event_type")
+             .agg(F.count(F.when(F.col("__a"), 1)).alias("n_a"),
+                  F.count(F.when(~F.col("__a"), 1)).alias("n_b"),
+                  F.sum(F.when(F.col("__a"), F.col("__c"))
+                        .otherwise(0)).alias("s_a"),
+                  F.sum(F.when(~F.col("__a"), F.col("__c"))
+                        .otherwise(0)).alias("s_b"),
+                  F.sum(F.when(F.col("__a"),
+                               F.col("__c") * F.col("__c"))
+                        .otherwise(0)).alias("q_a"),
+                  F.sum(F.when(~F.col("__a"),
+                               F.col("__c") * F.col("__c"))
+                        .otherwise(0)).alias("q_b")))
+    na, nb = [F.col(c).cast("double") for c in ("n_a", "n_b")]
+    sa, sb = [F.col(c).cast("double") / 100 for c in ("s_a", "s_b")]
+    qa, qb = [F.col(c).cast("double") / 10000 for c in ("q_a", "q_b")]
+    ma, mb = sa / na, sb / nb
+    va = (qa - sa * sa / na) / (na - 1)
+    vb = (qb - sb * sb / nb) / (nb - 1)
+    z = (ma - mb) / F.sqrt(va / na + vb / nb)
+    return stats.select(
+        "event_type", "n_a", "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(ma - mb, 6).alias("lift"),
+        F.round(z, 6).alias("z_stat"))
+
+
 def seasonal_profile(events: DataFrame) -> DataFrame:
     """Seasonality heatmap: (day-of-week × hour-of-day) event counts
     and exact-decimal mean value per cell — the load/usage profile
@@ -844,6 +894,52 @@ SPECS: dict[str, Spec] = {
         "half-life EWMA smoothing: 8-tap exact-decimal window "
         "convolution (alpha=1/2 so weights are exact in both binary "
         "and decimal — bit-reproducible, parallel, one user shuffle)"),
+    "q_abtest": Spec(
+        lambda spark, sf: abtest_readout(load_table(spark, sf,
+                                                    "events")),
+        (lambda na="CAST(n_a AS DOUBLE)", nb="CAST(n_b AS DOUBLE)",
+                sa="(CAST(s_a AS DOUBLE) / 100)",
+                sb="(CAST(s_b AS DOUBLE) / 100)",
+                qa="(CAST(q_a AS DOUBLE) / 10000)",
+                qb="(CAST(q_b AS DOUBLE) / 10000)":
+         f"""
+        WITH t AS (
+          SELECT event_type,
+                 (CAST('0x' || substr(md5('{AB_SEED}:'
+                      || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  % 2 = 0) AS a,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS c
+          FROM events),
+        stats AS (
+          SELECT event_type,
+                 CAST(COUNT(CASE WHEN a THEN 1 END) AS BIGINT) AS n_a,
+                 CAST(COUNT(CASE WHEN NOT a THEN 1 END) AS BIGINT)
+                   AS n_b,
+                 CAST(SUM(CASE WHEN a THEN c ELSE 0 END) AS BIGINT)
+                   AS s_a,
+                 CAST(SUM(CASE WHEN NOT a THEN c ELSE 0 END) AS BIGINT)
+                   AS s_b,
+                 CAST(SUM(CASE WHEN a THEN c * c ELSE 0 END) AS BIGINT)
+                   AS q_a,
+                 CAST(SUM(CASE WHEN NOT a THEN c * c ELSE 0 END)
+                      AS BIGINT) AS q_b
+          FROM t GROUP BY event_type)
+        SELECT event_type, n_a, n_b,
+               ROUND({sa} / {na}, 6) AS mean_a,
+               ROUND({sb} / {nb}, 6) AS mean_b,
+               ROUND({sa} / {na} - {sb} / {nb}, 6) AS lift,
+               ROUND(({sa} / {na} - {sb} / {nb})
+                     / sqrt((({qa} - {sa} * {sa} / {na}) / ({na} - 1))
+                              / {na}
+                            + (({qb} - {sb} * {sb} / {nb}) / ({nb} - 1))
+                              / {nb}), 6) AS z_stat
+        FROM stats
+        """)(),
+        "A/B experiment readout: deterministic salted-hash 50/50 "
+        "assignment + Welch z from exact per-arm sufficient statistics "
+        "(one conditional-agg pass; the moment-method family with "
+        "q_group_ols/q_autocorr)"),
     "q_seasonal_profile": Spec(
         lambda spark, sf: seasonal_profile(load_table(spark, sf,
                                                       "events")),

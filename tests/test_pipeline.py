@@ -934,3 +934,41 @@ def test_span_scrub_short_docs_yield_zero_segments(spark):
     assert got[0].n_tokens_kept == 2
     assert got[1].n_tokens_kept == 2
     assert got[2].n_scrubbed_segments == 0  # unique 8-token segment
+
+
+def test_abtest_matches_numpy_welch_and_is_stable(spark):
+    import hashlib
+    import math
+
+    from healthkit_to_sqlite_spark.operators.timeseries import (
+        AB_SEED,
+        abtest_readout,
+    )
+
+    ev = load_table(spark, SF, "events")
+    got = {r.event_type: r for r in abtest_readout(ev).collect()}
+
+    def arm_a(uid):
+        h = int(hashlib.md5(f"{AB_SEED}:{uid}".encode())
+                .hexdigest()[:8], 16)
+        return h % 2 == 0
+
+    import collections
+    arms = collections.defaultdict(lambda: ([], []))
+    for r in ev.select("event_type", "user_id", "value").collect():
+        arms[r.event_type][0 if arm_a(r.user_id) else 1].append(
+            round(r.value, 2))
+    assert set(got) == set(arms)
+    for t, (a, b) in arms.items():
+        ma, mb = sum(a) / len(a), sum(b) / len(b)
+        va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+        vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+        z = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
+        r = got[t]
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        assert abs(r.mean_a - ma) < 1e-6 and abs(r.lift - (ma - mb)) < 1e-6
+        assert abs(r.z_stat - z) < 1e-5
+    # assignment is repartition-stable (deterministic hash, no RNG)
+    again = {r.event_type: (r.n_a, r.n_b)
+             for r in abtest_readout(ev.repartition(7)).collect()}
+    assert again == {t: (r.n_a, r.n_b) for t, r in got.items()}
