@@ -360,3 +360,70 @@ def test_streaming_view_maintenance_matches_batch_and_survives_replay(
     assert tbl.current_version() == v
     assert {r.event_type: (r.n_events, r.sum_value)
             for r in read_view(spark, tbl).collect()} == want
+
+
+def test_watermark_drops_late_rows_and_holds_open_windows(
+        spark, tmp_path):
+    """Append-mode watermark semantics, the part everyone gets wrong,
+    pinned as Spark actually GUARANTEES them: (1) windows the
+    watermark has passed finalize with their on-time rows and emit
+    exactly once; (2) windows at/after the final watermark are HELD
+    OPEN and never emitted; (3) the watermark itself advances to
+    max(event time) - delay between micro-batches.  NOT pinned: the
+    drop of the planted late row — the guide's guarantee is
+    one-directional (data within the watermark is never dropped;
+    beyond it the drop is best-effort), and empirically Spark DOES
+    aggregate a late row into fresh state, so asserting the drop
+    would pin an implementation accident."""
+    import datetime
+
+    from healthkit_to_sqlite_spark.streaming.windowed import (
+        tumbling_window_stream,
+    )
+
+    def ev(eid, hour, minute=0):
+        return (eid, datetime.datetime(2024, 1, 1, hour, minute),
+                1, "click", 1.0, "{}")
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = str(tmp_path / "src")
+    # batch 1: on-time rows advance the watermark to 12:00 - 1h = 11:00
+    spark.createDataFrame([ev(0, 10), ev(1, 10, 30), ev(2, 11),
+                           ev(3, 12)], schema) \
+        .coalesce(1).write.mode("overwrite").parquet(d)
+    # batch 2: one LATE row (08:00 < watermark) + one fresh row.
+    # The file source orders micro-batches by modification time, so
+    # the late file must be strictly newer or the two may land in one
+    # batch / reversed order (no watermark yet => no drop).
+    import os
+    import time
+    time.sleep(2)
+    spark.createDataFrame([ev(4, 8), ev(5, 12, 30)], schema) \
+        .coalesce(1).write.mode("append").parquet(d)
+    now = time.time()
+    for f in os.listdir(d):
+        p = os.path.join(d, f)
+        if now - os.path.getmtime(p) < 1.5:
+            os.utime(p, (now + 10, now + 10))
+
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(d))
+    q = (tumbling_window_stream(src, window="1 hour", watermark="1 hour")
+         .writeStream.format("memory").queryName("late_drop")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.window_start.replace(tzinfo=None): r.n
+           for r in spark.table("late_drop").collect()}
+
+    h = lambda x: datetime.datetime(2024, 1, 1, x)  # noqa: E731
+    # (1) finalized exactly once with its on-time rows
+    assert got.get(h(10)) == 2
+    # (2) windows at/after the final watermark stay open and unemitted
+    assert h(12) not in got
+    assert datetime.datetime(2024, 1, 1, 12, 30) not in got
+    # (3) watermark advanced between batches: 12:00 - 1h after batch 0
+    marks = [p["eventTime"].get("watermark") for p in q.recentProgress]
+    assert "2024-01-01T11:00:00.000Z" in marks
