@@ -1488,12 +1488,13 @@ def khop_reachability(spark: SparkSession, documents: DataFrame,
     # -> ~3s at sf0.1)
     pairs = (minhash_lsh_pairs(documents).select("doc_a", "doc_b")
              .localCheckpoint(eager=True))
-    pairs.createOrReplaceTempView("__khop_pairs")
+    # DataFrames pass into spark.sql as template args — no global temp
+    # view to collide across concurrent callers of this operator
     return spark.sql(f"""
         WITH RECURSIVE edges AS (
-          SELECT doc_a AS src, doc_b AS dst FROM __khop_pairs
+          SELECT doc_a AS src, doc_b AS dst FROM {{pairs}}
           UNION ALL
-          SELECT doc_b, doc_a FROM __khop_pairs),
+          SELECT doc_b, doc_a FROM {{pairs}}),
         seeds AS (SELECT doc_id FROM {{documents}} d
                   WHERE doc_id % {KHOP_SEED_MOD} = 0),
         reach(seed, node, hop) AS (
@@ -1504,7 +1505,7 @@ def khop_reachability(spark: SparkSession, documents: DataFrame,
           WHERE r.hop < {max_hops})
         SELECT seed, node, CAST(MIN(hop) AS INT) AS dist
         FROM reach GROUP BY seed, node
-        """, documents=documents)
+        """, documents=documents, pairs=pairs)
 
 
 def kcore(documents: DataFrame, k: int = 2,
