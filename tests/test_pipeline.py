@@ -972,3 +972,58 @@ def test_abtest_matches_numpy_welch_and_is_stable(spark):
     again = {r.event_type: (r.n_a, r.n_b)
              for r in abtest_readout(ev.repartition(7)).collect()}
     assert again == {t: (r.n_a, r.n_b) for t, r in got.items()}
+
+
+def test_exact_arithmetic_ops_survive_adversarial_series(spark):
+    """Hypothesis drives adversarial event series (constant runs,
+    negatives, duplicates at one timestamp, singletons) through the
+    exact-arithmetic operators; every run must satisfy the operators'
+    algebraic invariants.  One Spark round-trip per example is slow,
+    so examples are capped and the series kept small."""
+    import datetime
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from healthkit_to_sqlite_spark.operators.timeseries import (
+        cusum_changepoint,
+        ewma_halflife,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    series = st.lists(
+        st.tuples(st.integers(0, 30),              # hour offset (dups ok)
+                  st.floats(-100, 100, allow_nan=False,
+                            allow_infinity=False)),
+        min_size=1, max_size=12)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(series)
+    def check(rows):
+        data = [(i, t0 + datetime.timedelta(hours=h), 1, "click",
+                 round(v, 2), "{}") for i, (h, v) in enumerate(rows)]
+        df = spark.createDataFrame(
+            data, "event_id long, ts timestamp_ntz, user_id long, "
+                  "event_type string, value double, props string")
+        # EWMA: convex combination of the trailing window, first==self
+        out = sorted(ewma_halflife(df).collect(),
+                     key=lambda r: (r.ts, r.event_id))
+        vals = [r.value for r in out]
+        assert out[0].ewma == round(out[0].value, 6)
+        for i, r in enumerate(out):
+            tail = vals[max(0, i - 7):i + 1]
+            assert min(tail) - 1e-6 <= r.ewma <= max(tail) + 1e-6
+        # CUSUM: exactly one changepoint row; |stat| maximal among all
+        # prefixes (recomputed directly in integer cents)
+        cp = cusum_changepoint(df).collect()
+        assert len(cp) == 1 and cp[0].n == len(rows)
+        cents = [int(round(r.value * 100)) for r in out]
+        n, tot = len(cents), sum(cents)
+        stats = [n * sum(cents[:t + 1]) - (t + 1) * tot
+                 for t in range(n)]
+        best = max(abs(s) for s in stats)
+        got_stat = cp[0].cusum_stat * n * 100
+        assert abs(abs(got_stat) - best) < 1e-3
+
+    check()
