@@ -162,6 +162,8 @@ HEADLINE = [
     "q_cusum",
     "q_khop_reach",
     "q_abtest",
+    "q_lm_perplexity",
+    "q_dsir_weights",
 ]
 
 

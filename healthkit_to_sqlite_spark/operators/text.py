@@ -481,6 +481,130 @@ def bpe_merge_pairs(documents: DataFrame, top: int = BPE_TOP) -> DataFrame:
                     F.row_number().over(w).cast("int").alias("merge_rank")))
 
 
+LM_TOPK = 20  # highest-perplexity docs to surface (the filter-out set)
+
+
+def lm_cross_entropy(documents: DataFrame, k: int = LM_TOPK) -> DataFrame:
+    """CCNet-style n-gram LM quality filter (Wenzek et al. 2020): train
+    a Laplace-smoothed bigram LM on half the corpus (doc_id % 2 = 0),
+    score the held-out half by average negative log-likelihood, and
+    surface the top-k highest-perplexity documents — the rows a
+    training-data pipeline would drop or down-weight.
+
+    Per held-out bigram (p, c):
+        nll = ln(c_prefix(p) + V) - ln(c_bigram(p, c) + 1)
+    with V = |train vocabulary| (Laplace / add-one smoothing), and
+    avg_nll = Σ nll / n_bigrams per document.
+
+    Plan: bigrams are built IN-ROW (zip_with of two slices — no
+    shuffle, no self-join on position) and exploded once per split.
+    Model training is one map-side-combined groupBy on (p, c);
+    prefix counts reuse that aggregate's output (a second, vocab-sized
+    shuffle); V is a broadcast one-row aggregate.  Scoring is an
+    equi-join of held-out bigrams against the model — the CCNet shape
+    at 100 TB: the model table is corpus-vocabulary-bounded (and in
+    production pruned/quantized, exactly like a KenLM artifact), so
+    AQE broadcasts it when small and shuffle-joins when not.  Floats
+    enter only at the final ln(); integer counts up to that point keep
+    the engines exact, and the per-doc mean is rounded to 6 dp before
+    the deterministic (avg_nll DESC, doc_id) top-k."""
+    toks = ws_tokens("text")
+    n = F.size(toks)
+    # (prev, cur) pairs in-row; slice(…, 2, n-1) is [] when n == 1, so
+    # zip_with yields [] and single-token docs drop out at explode.
+    bigrams = F.zip_with(F.slice(toks, 1, n - 1),
+                         F.slice(toks, 2, n - 1),
+                         lambda p, c: F.struct(p.alias("p"), c.alias("c")))
+
+    def split_bigrams(train_side: bool) -> DataFrame:
+        cond = (F.col("doc_id") % 2 == 0) if train_side \
+            else (F.col("doc_id") % 2 == 1)
+        return (documents.filter(cond)
+                .select("doc_id", F.explode(bigrams).alias("bg"))
+                .select("doc_id", F.col("bg.p").alias("p"),
+                        F.col("bg.c").alias("c")))
+
+    bc = (split_bigrams(True)
+          .groupBy("p", "c").agg(F.count(F.lit(1)).alias("cnt")))
+    pc = bc.groupBy("p").agg(F.sum("cnt").alias("cp"))
+    vocab = (documents.filter(F.col("doc_id") % 2 == 0)
+             .select(F.explode(toks).alias("tok"))
+             .agg(F.count_distinct("tok").alias("v")))
+
+    nll = (F.log(F.coalesce(F.col("cp"), F.lit(0)) + F.col("v")) -
+           F.log(F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)))
+    return (split_bigrams(False)
+            .join(bc, ["p", "c"], "left")
+            .join(pc, "p", "left")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum(nll).alias("s"))
+            .select("doc_id", "n_bigrams",
+                    F.round(F.col("s") / F.col("n_bigrams"), 6)
+                    .alias("avg_nll"))
+            .orderBy(F.col("avg_nll").desc(), "doc_id")
+            .limit(k))
+
+
+DSIR_BUCKETS = 1024  # hashed-feature dimensionality (DSIR uses 10⁴)
+DSIR_TOPK = 20
+
+
+def dsir_weights(documents: DataFrame, buckets: int = DSIR_BUCKETS,
+                 k: int = DSIR_TOPK) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): rank raw-pool documents
+    by hashed-n-gram importance weight against a target domain.
+
+    Target = ``lang = 'en'`` docs, raw = the whole corpus (target ⊆
+    raw, as in the paper where raw is the full crawl).  Unigrams hash
+    into ``buckets`` buckets via the oracle-portable 60-bit md5 hash;
+    both distributions are Laplace-smoothed over the bucket space, and
+    a non-target document's log-importance weight is
+
+        Σ_b n_b · [ln(c_t(b)+1) − ln(N_t+B) − ln(c_r(b)+1) + ln(N_r+B)]
+
+    — the log-likelihood ratio of the doc under the target vs raw
+    bag-of-buckets models.  Top-k by weight = "select these raw docs
+    for the training mix".
+
+    Plan: the model is BUCKET-BOUNDED — two map-side-combined
+    groupBys collapse the corpus to ≤B rows each, joined and closed
+    over two broadcast one-row totals, so the per-doc scoring join is
+    a BROADCAST hash join at any corpus size (the reason DSIR hashes
+    features at all: the model fits in memory while the corpus does
+    not).  Everything before the final ln() is integer-exact."""
+    bucket = (F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+              .cast("bigint") % buckets).alias("b")
+    toks = (documents
+            .select("doc_id", "lang",
+                    F.explode(ws_tokens("text")).alias("tok"))
+            .select("doc_id", "lang", bucket))
+    ct = (toks.filter(F.col("lang") == "en")
+          .groupBy("b").agg(F.count(F.lit(1)).alias("ct")))
+    cr = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tot = (toks.agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("nt"),
+        F.count(F.lit(1)).alias("nr")))
+    lw = (F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1) -
+          F.log(F.col("nt") + F.lit(buckets)) -
+          F.log(F.col("cr") + 1) +
+          F.log(F.col("nr") + F.lit(buckets)))
+    model = (cr.join(ct, "b", "left")
+             .crossJoin(F.broadcast(tot))
+             .select("b", lw.alias("lw")))
+    docb = (toks.filter(F.col("lang") != "en")
+            .groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n_b")))
+    return (docb.join(F.broadcast(model), "b")
+            .groupBy("doc_id")
+            .agg(F.sum("n_b").alias("n_tokens"),
+                 F.sum(F.col("n_b") * F.col("lw")).alias("w"))
+            .select("doc_id", "n_tokens",
+                    F.round("w", 6).alias("dsir_logw"))
+            .orderBy(F.col("dsir_logw").desc(), "doc_id")
+            .limit(k))
+
+
 def _markers_sql(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
 
@@ -764,4 +888,79 @@ SPECS: dict[str, Spec] = {
         """,
         "RAG chunking: overlapping token windows (size 32 / stride 24), "
         "map-only in-row builtins"),
+    "q_lm_perplexity": Spec(
+        lambda spark, sf: lm_cross_entropy(load_table(spark, sf,
+                                                      "documents")),
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS tok,
+                 generate_subscripts(string_split(text, ' '), 1) AS ord
+          FROM documents),
+        big AS (
+          SELECT a.doc_id, a.tok AS p, b.tok AS c
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+        bc AS (SELECT p, c, COUNT(*) AS cnt FROM big
+               WHERE doc_id % 2 = 0 GROUP BY p, c),
+        pc AS (SELECT p, CAST(SUM(cnt) AS BIGINT) AS cp FROM bc GROUP BY p),
+        v AS (SELECT COUNT(DISTINCT tok) AS v FROM toks
+              WHERE doc_id % 2 = 0),
+        sc AS (
+          SELECT h.doc_id,
+                 ln(COALESCE(pc.cp, 0) + v.v)
+                   - ln(COALESCE(bc.cnt, 0) + 1) AS nll
+          FROM big h
+          LEFT JOIN bc ON h.p = bc.p AND h.c = bc.c
+          LEFT JOIN pc ON h.p = pc.p
+          CROSS JOIN v
+          WHERE h.doc_id % 2 = 1)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(SUM(nll) / COUNT(*), 6) AS avg_nll
+        FROM sc GROUP BY doc_id
+        ORDER BY avg_nll DESC, doc_id
+        LIMIT 20
+        """,
+        "CCNet-style LM quality filter (Wenzek et al. 2020): "
+        "Laplace-smoothed bigram LM trained on the even-doc_id half, "
+        "held-out half scored by avg negative log-likelihood, top-k "
+        "highest-perplexity docs surfaced"),
+    "q_dsir_weights": Spec(
+        lambda spark, sf: dsir_weights(load_table(spark, sf, "documents")),
+        f"""
+        WITH tok0 AS (
+          SELECT doc_id, lang,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        toks AS (
+          SELECT doc_id, lang,
+                 CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+                   % {DSIR_BUCKETS} AS b
+          FROM tok0),
+        ct AS (SELECT b, COUNT(*) AS ct FROM toks
+               WHERE lang = 'en' GROUP BY b),
+        cr AS (SELECT b, COUNT(*) AS cr FROM toks GROUP BY b),
+        tot AS (SELECT
+          CAST((SELECT COUNT(*) FROM toks WHERE lang = 'en') AS BIGINT)
+            AS nt,
+          CAST((SELECT COUNT(*) FROM toks) AS BIGINT) AS nr),
+        model AS (
+          SELECT cr.b,
+                 ln(COALESCE(ct.ct, 0) + 1) - ln(tot.nt + {DSIR_BUCKETS})
+                   - ln(cr.cr + 1) + ln(tot.nr + {DSIR_BUCKETS}) AS lw
+          FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tot),
+        docb AS (
+          SELECT doc_id, b, COUNT(*) AS n_b FROM toks
+          WHERE lang <> 'en' GROUP BY doc_id, b)
+        SELECT d.doc_id, CAST(SUM(d.n_b) AS BIGINT) AS n_tokens,
+               ROUND(SUM(d.n_b * m.lw), 6) AS dsir_logw
+        FROM docb d JOIN model m ON d.b = m.b
+        GROUP BY d.doc_id
+        ORDER BY dsir_logw DESC, doc_id
+        LIMIT {DSIR_TOPK}
+        """,
+        "DSIR data selection (Xie et al. 2023): hashed-unigram "
+        "log-likelihood-ratio importance weights vs the lang='en' "
+        "target domain; bucket-bounded broadcast model, top-k raw "
+        "docs to mix into training"),
 }

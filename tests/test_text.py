@@ -8,7 +8,10 @@ the chunker's stride/size invariants cover every token exactly.
 from __future__ import annotations
 
 from healthkit_to_sqlite_spark.catalog import load_table
-from healthkit_to_sqlite_spark.operators.text import (bm25_topk, chunk_overlap,
+from healthkit_to_sqlite_spark.operators.text import (DSIR_BUCKETS, bm25_topk,
+                                                      chunk_overlap,
+                                                      dsir_weights,
+                                                      lm_cross_entropy,
                                                       rare_trigram_rate)
 
 SF = "/root/testdata/sf0.001"
@@ -45,6 +48,81 @@ def test_chunk_overlap_covers_every_token(spark):
         for c in cs:
             assert c.chunk_text.split(" ") == \
                 toks[c.start:c.start + c.n_chunk_tokens]
+
+
+def test_lm_cross_entropy_exact_on_fixture(spark):
+    """Hand-computed Laplace bigram NLLs: train = even doc_ids
+    {0: 'a b a b', 2: 'a b c'} ⇒ bigram counts (a,b):3 (b,a):1
+    (b,c):1, prefix counts a:3 b:2, V=3; held-out doc 1 'a b z'
+    scores (ln(6)-ln(4) + ln(5)-ln(1))/2, doc 3 'a b' scores
+    ln(6)-ln(4); single-token doc 5 has no bigrams and drops out."""
+    import math
+
+    rows = [(0, "a b a b"), (1, "a b z"), (2, "a b c"),
+            (3, "a b"), (5, "z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in lm_cross_entropy(df).collect()}
+    assert set(got) == {1, 3}
+    assert got[1].n_bigrams == 2 and got[3].n_bigrams == 1
+    exp1 = round(((math.log(6) - math.log(4)) + math.log(5)) / 2, 6)
+    exp3 = round(math.log(6) - math.log(4), 6)
+    assert got[1].avg_nll == exp1
+    assert got[3].avg_nll == exp3
+    assert got[1].avg_nll > got[3].avg_nll  # unseen bigram costs more
+
+
+def test_lm_cross_entropy_unseen_prefix_floor(spark):
+    """A held-out bigram whose prefix never appears in training hits
+    the smoothing floor exactly: nll = ln(0 + V) - ln(0 + 1) = ln V."""
+    import math
+
+    rows = [(0, "a b"), (1, "z q")]  # train vocab {a, b}, V = 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = lm_cross_entropy(df).collect()
+    assert len(got) == 1 and got[0].doc_id == 1
+    assert got[0].avg_nll == round(math.log(2), 6)
+
+
+def test_dsir_weights_match_pure_python(spark):
+    """Exact recompute of the DSIR log-likelihood-ratio weights in
+    pure Python (hashlib md5 mirrors the portable 60-bit bucket hash),
+    plus the selection property: a raw doc built from target-typical
+    tokens outranks one with no target overlap."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    rows = [(0, "x x y", "en"), (2, "x y y", "en"),
+            (1, "x y", "fr"), (3, "q r", "fr"), (5, "x q", "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = dsir_weights(df).collect()
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15],
+                   16) % DSIR_BUCKETS
+    ct: Counter = Counter()
+    cr: Counter = Counter()
+    for _, text, lang in rows:
+        for tok in text.split(" "):
+            cr[bucket(tok)] += 1
+            if lang == "en":
+                ct[bucket(tok)] += 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+    exp = {}
+    for doc_id, text, lang in rows:
+        if lang == "en":
+            continue
+        w = sum(math.log(ct.get(bucket(t), 0) + 1)
+                - math.log(nt + DSIR_BUCKETS)
+                - math.log(cr[bucket(t)] + 1)
+                + math.log(nr + DSIR_BUCKETS)
+                for t in text.split(" "))
+        exp[doc_id] = (len(text.split(" ")), round(w, 6))
+    assert {r.doc_id: (r.n_tokens, r.dsir_logw) for r in got} == exp
+    by_id = {r.doc_id: r.dsir_logw for r in got}
+    assert by_id[1] > by_id[5] > by_id[3]  # target overlap ranks higher
+    assert [r.doc_id for r in got] == \
+        sorted(by_id, key=lambda d: (-by_id[d], d))
 
 
 def test_rare_trigram_rate_flags_gibberish(spark):
