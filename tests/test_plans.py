@@ -448,3 +448,19 @@ def test_funnel_ordered_and_khop_no_nested_loops(spark, specs):
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_lm_and_dsir_broadcast_models_and_heap_topk(spark, specs):
+    """The LM/DSIR scoring joins must be hash joins against the
+    bounded model (broadcast at this scale), the only nested-loop is
+    the 1-row totals closure, and top-k must be a TakeOrdered heap,
+    never a global sort."""
+    for name in ("q_lm_perplexity", "q_dsir_weights"):
+        df = specs[name].build(spark, SF)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "TakeOrderedAndProject" in plan, name
+        assert has_broadcast_join(df), name
+        # exactly one nested-loop node: the broadcast 1-row
+        # vocab/totals crossJoin (each node prints twice: tree + detail)
+        assert plan.count("BroadcastNestedLoopJoin") == 2, name
