@@ -164,6 +164,7 @@ HEADLINE = [
     "q_abtest",
     "q_lm_perplexity",
     "q_dsir_weights",
+    "q_dsir_resample",
 ]
 
 

@@ -551,29 +551,11 @@ DSIR_BUCKETS = 1024  # hashed-feature dimensionality (DSIR uses 10⁴)
 DSIR_TOPK = 20
 
 
-def dsir_weights(documents: DataFrame, buckets: int = DSIR_BUCKETS,
-                 k: int = DSIR_TOPK) -> DataFrame:
-    """DSIR data selection (Xie et al. 2023): rank raw-pool documents
-    by hashed-n-gram importance weight against a target domain.
-
-    Target = ``lang = 'en'`` docs, raw = the whole corpus (target ⊆
-    raw, as in the paper where raw is the full crawl).  Unigrams hash
-    into ``buckets`` buckets via the oracle-portable 60-bit md5 hash;
-    both distributions are Laplace-smoothed over the bucket space, and
-    a non-target document's log-importance weight is
-
-        Σ_b n_b · [ln(c_t(b)+1) − ln(N_t+B) − ln(c_r(b)+1) + ln(N_r+B)]
-
-    — the log-likelihood ratio of the doc under the target vs raw
-    bag-of-buckets models.  Top-k by weight = "select these raw docs
-    for the training mix".
-
-    Plan: the model is BUCKET-BOUNDED — two map-side-combined
-    groupBys collapse the corpus to ≤B rows each, joined and closed
-    over two broadcast one-row totals, so the per-doc scoring join is
-    a BROADCAST hash join at any corpus size (the reason DSIR hashes
-    features at all: the model fits in memory while the corpus does
-    not).  Everything before the final ln() is integer-exact."""
+def _dsir_logw(documents: DataFrame,
+               buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Shared DSIR scorer: every non-target doc with its unrounded
+    log-importance weight ``w`` and token count (see `dsir_weights`
+    for semantics and the scale argument)."""
     bucket = (F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
               .cast("bigint") % buckets).alias("b")
     toks = (documents
@@ -598,10 +580,64 @@ def dsir_weights(documents: DataFrame, buckets: int = DSIR_BUCKETS,
     return (docb.join(F.broadcast(model), "b")
             .groupBy("doc_id")
             .agg(F.sum("n_b").alias("n_tokens"),
-                 F.sum(F.col("n_b") * F.col("lw")).alias("w"))
+                 F.sum(F.col("n_b") * F.col("lw")).alias("w")))
+
+
+def dsir_weights(documents: DataFrame, buckets: int = DSIR_BUCKETS,
+                 k: int = DSIR_TOPK) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): rank raw-pool documents
+    by hashed-n-gram importance weight against a target domain.
+
+    Target = ``lang = 'en'`` docs, raw = the whole corpus (target ⊆
+    raw, as in the paper where raw is the full crawl).  Unigrams hash
+    into ``buckets`` buckets via the oracle-portable 60-bit md5 hash;
+    both distributions are Laplace-smoothed over the bucket space, and
+    a non-target document's log-importance weight is
+
+        Σ_b n_b · [ln(c_t(b)+1) − ln(N_t+B) − ln(c_r(b)+1) + ln(N_r+B)]
+
+    — the log-likelihood ratio of the doc under the target vs raw
+    bag-of-buckets models.  Top-k by weight = "select these raw docs
+    for the training mix".
+
+    Plan: the model is BUCKET-BOUNDED — two map-side-combined
+    groupBys collapse the corpus to ≤B rows each, joined and closed
+    over two broadcast one-row totals, so the per-doc scoring join is
+    a BROADCAST hash join at any corpus size (the reason DSIR hashes
+    features at all: the model fits in memory while the corpus does
+    not).  Everything before the final ln() is integer-exact."""
+    return (_dsir_logw(documents, buckets)
             .select("doc_id", "n_tokens",
                     F.round("w", 6).alias("dsir_logw"))
             .orderBy(F.col("dsir_logw").desc(), "doc_id")
+            .limit(k))
+
+
+def dsir_resample(documents: DataFrame, buckets: int = DSIR_BUCKETS,
+                  k: int = DSIR_TOPK) -> DataFrame:
+    """The DSIR SELECTION step: sample k raw docs without replacement
+    with probability ∝ exp(importance weight), via the Gumbel top-k
+    trick (sampling ∝ exp(w) ≡ top-k of w + Gumbel noise).  The noise
+    is DERANDOMIZED the way every sampler in this repo is: the uniform
+    comes from the portable 60-bit md5 hash of the doc_id, so the
+    draw is reproducible, repartition-stable, and identical in the
+    DuckDB oracle —
+
+        u = (hash60(doc_id) mod 2⁵³ + 0.5) / 2⁵³          (exact)
+        key = w + (−ln(−ln u))                              (Gumbel)
+
+    One extra map-only projection over `_dsir_logw` and a TakeOrdered
+    heap — the selection pass adds nothing to the scoring cost."""
+    m = F.lit(2 ** 53)
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                             1, 15), 16, 10).cast("bigint") % m)
+         .cast("double") + F.lit(0.5)) / m.cast("double")
+    key = F.col("w") - F.log(-F.log(u))
+    return (_dsir_logw(documents, buckets)
+            .select("doc_id", "n_tokens",
+                    F.round("w", 6).alias("dsir_logw"),
+                    F.round(key, 6).alias("gumbel_key"))
+            .orderBy(F.col("gumbel_key").desc(), "doc_id")
             .limit(k))
 
 
@@ -963,4 +999,46 @@ SPECS: dict[str, Spec] = {
         "log-likelihood-ratio importance weights vs the lang='en' "
         "target domain; bucket-bounded broadcast model, top-k raw "
         "docs to mix into training"),
+    "q_dsir_resample": Spec(
+        lambda spark, sf: dsir_resample(load_table(spark, sf, "documents")),
+        f"""
+        WITH tok0 AS (
+          SELECT doc_id, lang,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        toks AS (
+          SELECT doc_id, lang,
+                 CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+                   % {DSIR_BUCKETS} AS b
+          FROM tok0),
+        ct AS (SELECT b, COUNT(*) AS ct FROM toks
+               WHERE lang = 'en' GROUP BY b),
+        cr AS (SELECT b, COUNT(*) AS cr FROM toks GROUP BY b),
+        tot AS (SELECT
+          CAST((SELECT COUNT(*) FROM toks WHERE lang = 'en') AS BIGINT)
+            AS nt,
+          CAST((SELECT COUNT(*) FROM toks) AS BIGINT) AS nr),
+        model AS (
+          SELECT cr.b,
+                 ln(COALESCE(ct.ct, 0) + 1) - ln(tot.nt + {DSIR_BUCKETS})
+                   - ln(cr.cr + 1) + ln(tot.nr + {DSIR_BUCKETS}) AS lw
+          FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tot),
+        docb AS (
+          SELECT doc_id, b, COUNT(*) AS n_b FROM toks
+          WHERE lang <> 'en' GROUP BY doc_id, b)
+        SELECT d.doc_id, CAST(SUM(d.n_b) AS BIGINT) AS n_tokens,
+               ROUND(SUM(d.n_b * m.lw), 6) AS dsir_logw,
+               ROUND(SUM(d.n_b * m.lw) - ln(-ln(
+                 (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                      1, 15) AS BIGINT)
+                    % {2 ** 53} + 0.5) / {2 ** 53})), 6) AS gumbel_key
+        FROM docb d JOIN model m ON d.b = m.b
+        GROUP BY d.doc_id
+        ORDER BY gumbel_key DESC, doc_id
+        LIMIT {DSIR_TOPK}
+        """,
+        "DSIR selection step: Gumbel top-k importance resampling "
+        "(sample ∝ exp(w) without replacement) with derandomized "
+        "hash-derived noise — reproducible, repartition-stable, "
+        "one map-only projection over the scorer"),
 }

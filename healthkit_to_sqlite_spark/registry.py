@@ -11,7 +11,7 @@ leaving timeseries/multimodal/pipeline/udx unverified).  ``PRIORITY``
 pins the verification window each round: queries whose semantics
 changed this round plus queries with no driver row yet come first,
 then the reference §2.A/§2.B parity surface, then the long-green
-remainder.  Everything (163 queries as of round 4) still runs in
+remainder.  Everything (164 queries as of round 4) still runs in
 tests/parity.py, whose committed PARITY_r{N}.json covers the overflow.
 """
 
@@ -28,7 +28,7 @@ from .spec import Spec
 #: never had a CORRECTNESS row, (3) the reference-parity §2.A/§2.B
 #: surface.  Names not listed (or not registered) follow in module
 #: order; unknown names here are ignored, so the list is safe to
-#: curate ahead of the code.  (163 queries as of round 4.)
+#: curate ahead of the code.  (164 queries as of round 4.)
 PRIORITY: tuple[str, ...] = (
     # (1) round 4: new or semantics-changed this round (atomic
     # multi-table commit; q-gram fuzzy blocking; banded ANN pairs; PQ
@@ -50,12 +50,13 @@ PRIORITY: tuple[str, ...] = (
     "q_heavy_hitters", "q_retention_cohort",
     "q_udtf_chunks_arrow", "q_source_cap", "q_rare_trigram_rate",
     "q_ann_ivfpq", "q_knn_graph", "q_rrf_fusion",
-    "q_inverted_index", "q_lm_perplexity", "q_dsir_weights",
+    "q_lm_perplexity", "q_dsir_weights", "q_dsir_resample",
     "q_manifest_multi",
-    # deliberate round-4 window overflow (53 never-checked > 50 slots):
-    # q_temperature_sample + q_negative_pairs + q_abtest lead the
-    # round-5 rotation; PARITY_r04 covers all three now
-    "q_temperature_sample", "q_negative_pairs", "q_abtest",
+    # deliberate round-4 window overflow (54 never-checked > 50 slots):
+    # q_inverted_index + q_temperature_sample + q_negative_pairs +
+    # q_abtest lead the round-5 rotation; PARITY_r04 covers all four
+    "q_inverted_index", "q_temperature_sample", "q_negative_pairs",
+    "q_abtest",
     "q_fuzzy_join", "q_ann_lsh_pairs", "q_ann_pq",
     "q_dedup_incremental", "q_manifest_roundtrip", "q_topk_cosine_pandas",
     "q_udaf_median", "q_dedup_embedding",

@@ -10,6 +10,7 @@ from __future__ import annotations
 from healthkit_to_sqlite_spark.catalog import load_table
 from healthkit_to_sqlite_spark.operators.text import (DSIR_BUCKETS, bm25_topk,
                                                       chunk_overlap,
+                                                      dsir_resample,
                                                       dsir_weights,
                                                       lm_cross_entropy,
                                                       rare_trigram_rate)
@@ -123,6 +124,34 @@ def test_dsir_weights_match_pure_python(spark):
     assert by_id[1] > by_id[5] > by_id[3]  # target overlap ranks higher
     assert [r.doc_id for r in got] == \
         sorted(by_id, key=lambda d: (-by_id[d], d))
+
+
+def test_dsir_resample_gumbel_keys_match_recompute(spark):
+    """The Gumbel keys are exactly w − ln(−ln(u)) with the
+    hash-derived uniform (pure-Python md5 recompute), the weight
+    column agrees with dsir_weights, and the draw is a permutation of
+    the scored docs ordered by key — derandomized sampling ∝ exp(w)."""
+    import hashlib
+    import math
+
+    rows = [(0, "x x y", "en"), (2, "x y y", "en"),
+            (1, "x y", "fr"), (3, "q r", "fr"), (5, "x q", "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = dsir_resample(df).collect()
+    weights = {r.doc_id: r.dsir_logw for r in dsir_weights(df).collect()}
+    assert {r.doc_id: r.dsir_logw for r in got} == weights
+
+    def u(doc_id: int) -> float:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return (h % 2 ** 53 + 0.5) / 2 ** 53
+    for r in got:
+        # recompute from the UNROUNDED weight is impossible here, but
+        # key − w is pure noise: compare the noise term exactly
+        noise = round(r.gumbel_key - r.dsir_logw, 5)
+        assert noise == round(-math.log(-math.log(u(r.doc_id))), 5)
+    keys = {r.doc_id: r.gumbel_key for r in got}
+    assert [r.doc_id for r in got] == \
+        sorted(keys, key=lambda d: (-keys[d], d))
 
 
 def test_rare_trigram_rate_flags_gibberish(spark):
