@@ -444,15 +444,25 @@ def group_ols_trend(events: DataFrame) -> DataFrame:
     x = F.expr("unix_micros(cast(ts as timestamp)) div 3600000000"
                ).cast("bigint")
     y = dec("value")
+    # The x moments accumulate in DECIMAL, not int64 (ADVICE r4):
+    # x ≈ 4.9e5 epoch-hours in 2026 ⇒ x² ≈ 2.4e11, so SUM(x*x) in
+    # bigint hits ANSI ARITHMETIC_OVERFLOW at ~4e7 rows per group —
+    # far below the 100 TB operating point — and DuckDB's silent
+    # HUGEINT widening makes the engines diverge exactly at that
+    # cliff.  decimal(12,0) holds epoch-hours past year 9999; the
+    # product is decimal(25,0) and its sum decimal(35,0), pushing the
+    # overflow horizon to ~4e23 rows per group (same discipline as
+    # connected_components_star's decimal signature sum).
+    xd = F.col("x").cast("decimal(12,0)")
     stats = (events
              .select("event_type", x.alias("x"), y.alias("y"))
              .groupBy("event_type")
              .agg(F.count(F.lit(1)).alias("n"),
-                  F.sum("x").alias("sx"),
+                  F.sum(xd).alias("sx"),
                   F.sum("y").alias("sy"),
                   F.sum(F.col("x").cast("decimal(18,0)")
                         * F.col("y")).alias("sxy"),
-                  F.sum(F.col("x") * F.col("x")).alias("sxx")))
+                  F.sum(xd * xd).alias("sxx")))
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")

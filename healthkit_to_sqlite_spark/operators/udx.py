@@ -40,18 +40,25 @@ def chunk_sentences(spark: SparkSession, documents: DataFrame,
     same output, whole-stage codegen)."""
     from pyspark.sql.functions import lit, udtf  # noqa: F401
 
+    # chunk size rides in as a SQL argument rather than a closure
+    # capture, and the input frame as a spark.sql template arg rather
+    # than a named temp view (ADVICE r4: session-global view names +
+    # state-captured registrations collide across concurrent callers
+    # in one session — same fix as khop_reachability, commit 89620ed).
+    # With no captured state, the global registration is idempotent.
     @udtf(returnType="doc_id bigint, chunk_id int, chunk string, n_tok int")
     class ChunkDoc:
-        def eval(self, doc_id: int, text: str):  # noqa: D401
+        def eval(self, doc_id: int, text: str, size: int):  # noqa: D401
             toks = text.split(" ")
-            for i in range(0, len(toks), chunk):
-                part = toks[i:i + chunk]
-                yield doc_id, i // chunk, " ".join(part), len(part)
+            for i in range(0, len(toks), size):
+                part = toks[i:i + size]
+                yield doc_id, i // size, " ".join(part), len(part)
 
     spark.udtf.register("chunk_doc", ChunkDoc)
-    documents.select("doc_id", "text").createOrReplaceTempView("docs_for_udtf")
     return spark.sql(
-        "SELECT c.* FROM docs_for_udtf, LATERAL chunk_doc(doc_id, text) AS c")
+        "SELECT c.* FROM {docs} AS d, "
+        f"LATERAL chunk_doc(d.doc_id, d.text, {int(chunk)}) AS c",
+        docs=documents.select("doc_id", "text"))
 
 
 def chunk_sentences_arrow(spark: SparkSession, documents: DataFrame,
@@ -66,21 +73,22 @@ def chunk_sentences_arrow(spark: SparkSession, documents: DataFrame,
     (text.chunk_overlap) remains the true 100 TB shape."""
     from pyspark.sql.functions import udtf
 
+    # same concurrency discipline as chunk_sentences: chunk size as a
+    # SQL argument, frame as a template arg, no temp view
     @udtf(returnType="doc_id bigint, chunk_id int, chunk string, n_tok int",
           useArrow=True)
     class ChunkDocArrow:
-        def eval(self, doc_id: int, text: str):  # noqa: D401
+        def eval(self, doc_id: int, text: str, size: int):  # noqa: D401
             toks = text.split(" ")
-            for i in range(0, len(toks), chunk):
-                part = toks[i:i + chunk]
-                yield doc_id, i // chunk, " ".join(part), len(part)
+            for i in range(0, len(toks), size):
+                part = toks[i:i + size]
+                yield doc_id, i // size, " ".join(part), len(part)
 
     spark.udtf.register("chunk_doc_arrow", ChunkDocArrow)
-    documents.select("doc_id", "text").createOrReplaceTempView(
-        "docs_for_udtf_arrow")
     return spark.sql(
-        "SELECT c.* FROM docs_for_udtf_arrow, "
-        "LATERAL chunk_doc_arrow(doc_id, text) AS c")
+        "SELECT c.* FROM {docs} AS d, "
+        f"LATERAL chunk_doc_arrow(d.doc_id, d.text, {int(chunk)}) AS c",
+        docs=documents.select("doc_id", "text"))
 
 
 POLY_N = 3  # leading tokens the polymorphic UDTF widens into columns
@@ -119,12 +127,16 @@ def leading_tokens_poly(spark: SparkSession, documents: DataFrame,
                    *[toks[i] if i < len(toks) else None
                      for i in range(n_arg)])
 
+    # ADVICE r4: the named temp view was session-global state that
+    # collided across concurrent callers; the frame now rides in as a
+    # spark.sql template arg.  The UDTF registration itself captures
+    # no state (n is a plan-time SQL argument the analyze() method
+    # reads), so the global name is re-registration-safe.
     spark.udtf.register("leading_tokens", LeadingTokens)
-    documents.select("doc_id", "text").createOrReplaceTempView(
-        "docs_for_poly_udtf")
     return spark.sql(
-        f"SELECT t.* FROM docs_for_poly_udtf, "
-        f"LATERAL leading_tokens(doc_id, text, {n}) AS t")
+        "SELECT t.* FROM {docs} AS d, "
+        f"LATERAL leading_tokens(d.doc_id, d.text, {int(n)}) AS t",
+        docs=documents.select("doc_id", "text"))
 
 
 def grouped_median_udaf(lineitem: DataFrame) -> DataFrame:

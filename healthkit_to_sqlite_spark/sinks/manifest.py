@@ -419,6 +419,43 @@ class ManifestTable(_ManifestLog):
                 continue
         raise CommitConflict(f"lost {max_retries} publish races")
 
+    def fold_batch(self, spark: SparkSession, partial: DataFrame,
+                   derive, batch_id: int,
+                   max_retries: int = 10) -> int | None:
+        """Read-fold-publish for ``foreachBatch`` where the written
+        content DERIVES from the current table content (incremental
+        materialized views): ``derive(head_df, partial)`` must return
+        the full new artifact.  The read+fold runs INSIDE the commit-
+        retry loop against the pinned head version, so a lost publish
+        race recomputes the fold from the NEW head instead of
+        re-staging stale totals (ADVICE r4: the maintenance writer
+        folded outside the loop, which silently lost concurrent
+        updates).  Replay protection is the same high-water contract
+        as :meth:`merge_batch`: ``batch_id == last`` no-ops,
+        ``batch_id < last`` raises :class:`BatchIdRegression`."""
+        for _ in range(max_retries):
+            head = self.current_version()
+            prev = self._load(head) if head else {}
+            last = prev.get("last_batch_id")
+            if last is not None and batch_id == last:
+                return None
+            if last is not None and batch_id < last:
+                raise BatchIdRegression(
+                    f"batch_id {batch_id} < table high-water mark {last}: "
+                    "the streaming checkpoint was reset; writing would "
+                    "silently drop data — use a fresh table")
+            merged = derive(self.read(spark, head), partial)
+            files, schema = self._stage(merged)
+            try:
+                self._publish({"schema": schema, "files": files,
+                               "parent": head, "fold_of": head,
+                               "last_batch_id": batch_id},
+                              head + 1)
+                return head + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"lost {max_retries} publish races")
+
     def foreach_batch_merger(self, spark: SparkSession, key: str):
         """``writeStream.foreachBatch(tbl.foreach_batch_merger(spark,
         "id"))`` — exactly-once streaming upsert."""

@@ -36,23 +36,28 @@ def _partial(df: DataFrame) -> DataFrame:
         .alias("sum_dec"))
 
 
+def _fold(head: DataFrame, partial: DataFrame) -> DataFrame:
+    """Fold batch partials into the stored artifact (algebraic:
+    count/sum merge by addition)."""
+    if not head.columns:
+        return partial
+    return (head.unionByName(partial)
+            .groupBy("event_type")
+            .agg(F.sum("n_events").cast("bigint").alias("n_events"),
+                 F.sum("sum_dec").cast(_SUM_DEC).alias("sum_dec")))
+
+
 def view_maintenance_writer(spark: SparkSession, table: ManifestTable):
     """``events.writeStream.foreachBatch(view_maintenance_writer(spark,
-    tbl))`` — maintain the per-type (n_events, sum_dec) artifact."""
+    tbl))`` — maintain the per-type (n_events, sum_dec) artifact.
+
+    The read+fold runs inside ``fold_batch``'s commit-retry loop
+    against the pinned head (ADVICE r4: folding OUTSIDE the loop and
+    handing the totals to merge_batch re-staged stale sums after a
+    lost publish race — a lost update under concurrent writers)."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        partial = _partial(batch_df)
-        head = table.read(spark)
-        if head.columns:
-            merged = (head.unionByName(partial)
-                      .groupBy("event_type")
-                      .agg(F.sum("n_events").cast("bigint")
-                           .alias("n_events"),
-                           F.sum("sum_dec").cast(_SUM_DEC)
-                           .alias("sum_dec")))
-        else:
-            merged = partial
-        table.merge_batch(spark, merged, "event_type", int(batch_id))
+        table.fold_batch(spark, _partial(batch_df), _fold, int(batch_id))
 
     return upsert
 

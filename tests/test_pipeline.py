@@ -524,10 +524,18 @@ def test_graph_jaccard_bounds_and_direct_equality(spark):
 
 
 def test_kll_merge_accuracy_vs_exact(spark):
-    """Per-type and merged KLL quantiles must sit within the sketch's
-    rank-error bound of the exact percentiles (normalized rank error
-    ~1.7% at default k; we allow 3% of the value RANGE as slack since
-    rank error maps to value error through the local density)."""
+    """Per-type and merged KLL quantiles must satisfy the sketch's
+    ACTUAL guarantee — normalized RANK error |rank(est)/n − q| ≤ ε —
+    not a value-distance bound.  (The r4 suite pinned |est − exact(q)|
+    ≤ 3% of the value range at p99, which is flaky by construction:
+    ~1.7% rank error at default k maps through the LOCAL DENSITY to
+    unbounded value error in a sparse tail, so a merge-order change in
+    the randomized compaction legitimately failed the pin.  VERDICT r4
+    item 1.)  ε = 0.025 gives ~1.5× headroom over the k=200 single
+    sketch bound while still rejecting any real regression (a broken
+    sketch is off by whole percentiles, not 2.5%)."""
+    import bisect
+
     from healthkit_to_sqlite_spark.operators.pipeline import (
         kll_quantile_merge,
     )
@@ -535,17 +543,19 @@ def test_kll_merge_accuracy_vs_exact(spark):
     ev = load_table(spark, SF, "events")
     got = {r.event_type: r for r in kll_quantile_merge(ev).collect()}
     vals = sorted(v.value for v in ev.select("value").collect())
-    assert got["__all__"].n == len(vals)
+    n = len(vals)
+    assert got["__all__"].n == n
 
-    def exact(q):
-        return vals[min(len(vals) - 1, int(q * len(vals)))]
-
-    spread = vals[-1] - vals[0]
     for q, attr in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
         est = getattr(got["__all__"], attr)
-        assert abs(est - exact(q)) <= 0.03 * spread + 1e-9, (q, est)
+        # rank of the estimate in the exact sorted corpus (midpoint of
+        # the tie run, so duplicates don't bias the normalized rank)
+        lo = bisect.bisect_left(vals, est)
+        hi = bisect.bisect_right(vals, est)
+        rank = (lo + hi) / 2
+        assert abs(rank / n - q) <= 0.025, (q, est, rank / n)
     # per-type sketch ns sum to the corpus n (mergeability invariant)
-    assert sum(r.n for k, r in got.items() if k != "__all__") == len(vals)
+    assert sum(r.n for k, r in got.items() if k != "__all__") == n
 
 
 def test_theta_set_algebra_accuracy_and_consistency(spark):
