@@ -87,6 +87,14 @@ def test_simhash_single_shuffle(spark, specs):
     # explode-by-bit second exchange
     df = specs["q_dedup_simhash"].build(spark, SF)
     assert shuffle_count(df) == 1
+    # signature width pinned with the cost it buys (VERDICT r4 item 4):
+    # 60 bits ≈ 2.4s at sf0.1 — a width change re-prices the kernel,
+    # so it must re-measure and update SCALE.md "Recall/cost operating
+    # points" rather than drift
+    import inspect
+
+    from healthkit_to_sqlite_spark.operators.dedup import simhash
+    assert inspect.signature(simhash).parameters["bits"].default == 60
 
 
 def test_interval_join_is_equi_join(spark, specs):

@@ -153,8 +153,22 @@ def test_ann_lsh_pairs_recall_floor(spark):
     ANN threshold: zero false positives (exact verify) and recall
     above the floor.  Measured 0.384 at sf0.01 with 16 planes /
     4 bands (the round-3 AND-only 8-bit bucket join measured 0.013 —
-    the floor exists to stop any such regression)."""
-    from healthkit_to_sqlite_spark.operators.similarity import ann_lsh_pairs
+    the floor exists to stop any such regression).
+
+    The banding parameters are PINNED alongside the floor (VERDICT r4
+    item 4): the r4 move 8×2 → 16×4 bought recall 0.013 → 0.384 for
+    ~2× kernel seconds (SCALE.md "Recall/cost operating points"), so
+    any future change to these constants must consciously re-measure
+    BOTH sides of that trade, not drift silently."""
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        N_EMB_BANDS,
+        N_EMB_PLANES,
+        ann_lsh_pairs,
+    )
+
+    assert (N_EMB_PLANES, N_EMB_BANDS) == (16, 4), \
+        "banding changed: re-measure recall AND seconds, update " \
+        "SCALE.md 'Recall/cost operating points', then re-pin here"
 
     emb01 = load_table(spark, "/root/testdata/sf0.01", "embeddings")
     lsh = {(r.vec_a, r.vec_b) for r in ann_lsh_pairs(emb01).collect()}
@@ -286,3 +300,48 @@ def test_mrl_rerank_recall_floor_vs_exact(spark):
     for r in got:
         assert r.cosine_sim == full[r.vec_id]
         assert -1.0 <= r.prefix_sim <= 1.0
+
+
+def test_ann_brp_lsh_recall_floor_and_no_false_positives(spark, emb):
+    """pyspark.ml BucketedRandomProjectionLSH (q_ann_brp, rows-only
+    contract) now carries a QUANTITATIVE pin like every other sketch/
+    ANN query (VERDICT r4 item 7): approxSimilarityJoin post-filters
+    by true distance, so the output must be a SUBSET of the exact
+    L2≤threshold pair set (zero false positives), and the seeded
+    3-table OR-amplification must keep recall above a floor.
+    Measured: 1388/1478 = 0.939 at sf0.001 (seed=42 ⇒ deterministic,
+    so a drop means parameters changed, not noise)."""
+    import numpy as np
+
+    from healthkit_to_sqlite_spark.operators.udx import ann_brp_lsh
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    x = np.array([r.embedding for r in rows])
+    d = np.sqrt(((x[:, None, :] - x[None, :, :]) ** 2).sum(-1))
+    exact = {(min(ids[i], ids[j]), max(ids[i], ids[j]))
+             for i in range(len(ids)) for j in range(i + 1, len(ids))
+             if d[i, j] <= 1.2}
+    got = {(r.vec_a, r.vec_b) for r in ann_brp_lsh(emb).collect()}
+    assert got <= exact                      # exact post-filter ⇒ no FPs
+    assert len(got & exact) / len(exact) >= 0.85
+
+
+def test_ml_minhash_pairs_recall_floor_and_no_false_positives(spark):
+    """pyspark.ml MinHashLSH (q_dedup_near, rows-only) quantitative
+    pin: every returned pair must ALSO pass the exact shingle-Jaccard
+    ≥0.6 test (the hashed-TF space at 2^18 features makes collisions
+    negligible at this scale), and the 5-table OR-amplification must
+    find nearly all true pairs.  Measured: 28/28 = 1.0 at sf0.001
+    (seed=42 ⇒ deterministic)."""
+    from healthkit_to_sqlite_spark.operators.dedup import (
+        ml_minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    got = {(r.doc_a, r.doc_b) for r in ml_minhash_lsh_pairs(docs).collect()}
+    exact = {(r.doc_a, r.doc_b) for r in
+             ngram_jaccard_pairs(docs, threshold=0.6,
+                                 max_df=10 ** 9).collect()}
+    assert got <= exact
+    assert len(got & exact) / max(1, len(exact)) >= 0.9
