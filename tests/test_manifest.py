@@ -421,3 +421,54 @@ def test_optimize_zorder_tightens_both_dims(spark, tbl):
     # time travel to the pre-optimize version still works
     assert {(r.id, r.v) for r in tbl.read(spark, version=v1).collect()} \
         == before
+
+
+def test_ingest_pass_failure_injection_then_exactly_once(
+        spark, hk_zip, tmp_path, monkeypatch):
+    """VERDICT r4 item 5 — the reference-semantics failure drill at
+    ingest scale: run the REAL multi-table convert() fan-out, kill the
+    writer staging its final table, and prove (a) ZERO tables are
+    visible (the reference's one-transaction-per-pass, core.rs:59-61/
+    70-72: a crashed run publishes nothing, never a partial set), then
+    (b) the re-run publishes the whole pass EXACTLY ONCE — version 1,
+    every table visible at full count, no doubled rows from the dead
+    attempt's orphaned staging files."""
+    from healthkit_to_sqlite_spark.sources.healthkit import convert
+
+    tables = convert(spark, hk_zip, str(tmp_path / "stage"))
+    assert len(tables) >= 4, "fixture must exercise the multi-type fan-out"
+    expected = {name: df.count() for name, df in tables.items()}
+
+    root = str(tmp_path / "catalog")
+    cat = ManifestCatalog(root)
+    real_stage = cat._stage
+    calls = {"n": 0}
+
+    def dying_stage(df):
+        calls["n"] += 1
+        if calls["n"] == len(tables):        # die staging the LAST table
+            raise RuntimeError("worker killed mid-pass")
+        return real_stage(df)
+
+    monkeypatch.setattr(cat, "_stage", dying_stage)
+    with pytest.raises(RuntimeError):
+        cat.publish_pass(dict(tables))
+    # (a) invisibility: no version, no tables, reads fail
+    assert cat.current_version() == 0
+    assert cat.table_names() == []
+    with pytest.raises(KeyError):
+        cat.read(spark, next(iter(tables)))
+
+    # (b) idempotent republish: fresh writer on the same root
+    monkeypatch.setattr(cat, "_stage", real_stage)
+    v = cat.publish_pass(dict(tables))
+    assert v == 1                            # one transaction per pass
+    assert sorted(cat.table_names()) == sorted(tables)
+    for name, want in expected.items():
+        assert cat.read(spark, name).count() == want, name
+    # the dead attempt's staged files are unreferenced garbage only:
+    # vacuum removes them without touching the published pass
+    removed = cat.vacuum(min_age_seconds=0)
+    assert removed
+    for name, want in expected.items():
+        assert cat.read(spark, name).count() == want, name

@@ -427,3 +427,70 @@ def test_watermark_drops_late_rows_and_holds_open_windows(
     # (3) watermark advanced between batches: 12:00 - 1h after batch 0
     marks = [p["eventTime"].get("watermark") for p in q.recentProgress]
     assert "2024-01-01T11:00:00.000Z" in marks
+
+
+def test_cdc_merger_kill_and_resume_exactly_once(spark, tmp_path):
+    """VERDICT r4 item 8 — a real local[32] failure-recovery drill for
+    the streaming CDC upsert sink: the stream DIES in the window
+    between manifest publish and streaming-checkpoint commit (the one
+    replay window foreachBatch has), is restarted from its checkpoint,
+    and the replayed micro-batch must NO-OP at the manifest layer —
+    exactly-once versions, last-write-wins content, no doubled
+    upserts.  (merge_batch's high-water unit test covers the no-op in
+    isolation; this drives it through an actual restarted
+    StreamingQuery.)"""
+    from pyspark.sql import functions as F
+
+    from healthkit_to_sqlite_spark.sinks.manifest import ManifestTable
+
+    src_dir = str(tmp_path / "cdc_src")
+    # 4 CDC files with overlapping keys: key k's final value is the
+    # LAST file that writes it (upsert semantics)
+    for i in range(4):
+        (spark.range(i * 5, i * 5 + 10)          # keys overlap by 5
+         .select(F.col("id"), F.lit(i).alias("gen"))
+         .coalesce(1).write.mode("append").parquet(src_dir))
+
+    tbl = ManifestTable(str(tmp_path / "cdc_tbl"))
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = spark.read.parquet(src_dir).schema
+
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src_dir))
+
+    merged_then_died = {"done": False}
+    real_merger = tbl.foreach_batch_merger(spark, "id")
+
+    def dying_merger(batch_df, batch_id):
+        real_merger(batch_df, batch_id)      # manifest publish lands
+        if batch_id == 1 and not merged_then_died["done"]:
+            merged_then_died["done"] = True
+            raise RuntimeError("killed after publish, before ckpt commit")
+
+    q = (stream().writeStream.foreachBatch(dying_merger)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    assert merged_then_died["done"]
+    v_crash = tbl.current_version()
+    assert v_crash >= 2                      # batches 0 and 1 published
+
+    # restart from the SAME checkpoint with the normal merger: Spark
+    # replays batch 1 (its commit never landed) — merge_batch must
+    # no-op it, then batches 2..3 apply once each
+    q2 = (stream().writeStream.foreachBatch(
+              tbl.foreach_batch_merger(spark, "id"))
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+
+    # exactly-once versions: the replayed batch added NO version —
+    # final = crash-point + one per remaining batch
+    assert tbl.current_version() == v_crash + 2
+    rows = {r.id: r.gen for r in tbl.read(spark).collect()}
+    assert len(rows) == 25                   # keys 0..24, one row each
+    # last-write-wins: key k belongs to the last file containing it
+    for k, gen in rows.items():
+        assert gen == min(3, k // 5), (k, gen)
