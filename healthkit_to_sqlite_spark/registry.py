@@ -30,44 +30,25 @@ from .spec import Spec
 #: order; unknown names here are ignored, so the list is safe to
 #: curate ahead of the code.  (164 queries as of round 4.)
 PRIORITY: tuple[str, ...] = (
-    # (1) round 4: new or semantics-changed this round (atomic
-    # multi-table commit; q-gram fuzzy blocking; banded ANN pairs; PQ
-    # re-rank; incremental-dedup NULL sources; roundtrip idempotency;
-    # type-hinted pandas UDFs; shared banded kernel; the six round-4
-    # additions: int8 quantized ANN, BM25, RAG chunking, exact-substring
-    # spans, Misra–Gries heavy hitters, retention cohorts)
-    "q_scd2", "q_ewma", "q_first_touch", "q_span_scrub",
-    "q_incremental_agg", "q_snapshot_diff", "q_bpe_pairs", "q_mrl_rerank",
-    "q_entity_resolution", "q_graph_jaccard",
-    "q_pivot", "q_range_frame", "q_window_analytics",
-    "q_kll_merge", "q_theta_sets", "q_temporal_join", "q_skyline",
-    "q_group_ols", "q_manifest_merge", "q_udtf_poly", "q_autocorr",
-    "q_snowflake_join", "q_corpus_profile", "q_nation_trade",
-    "q_returned_customers", "q_big_orders", "q_hll_sliding",
-    "q_funnel_ordered", "q_quarantine", "q_kcore",
-    "q_media_dedup", "q_seasonal_profile", "q_cusum", "q_khop_reach",
-    "q_quantize_int8", "q_bm25", "q_chunk_overlap", "q_exact_substring",
-    "q_heavy_hitters", "q_retention_cohort",
-    "q_udtf_chunks_arrow", "q_source_cap", "q_rare_trigram_rate",
-    "q_ann_ivfpq", "q_knn_graph", "q_rrf_fusion",
-    "q_lm_perplexity", "q_dsir_weights", "q_dsir_resample",
-    "q_manifest_multi",
-    # deliberate round-4 window overflow (54 never-checked > 50 slots):
-    # q_inverted_index + q_temperature_sample + q_negative_pairs +
-    # q_abtest lead the round-5 rotation; PARITY_r04 covers all four
+    # (1a) never driver-checked: the declared round-4 window overflow
+    # (VERDICT r4 item 3 — these four lead round 5)
     "q_inverted_index", "q_temperature_sample", "q_negative_pairs",
     "q_abtest",
-    "q_fuzzy_join", "q_ann_lsh_pairs", "q_ann_pq",
-    "q_dedup_incremental", "q_manifest_roundtrip", "q_topk_cosine_pandas",
-    "q_udaf_median", "q_dedup_embedding",
-    # (2) oldest driver row (green in r01 only — not in the r02/r03
-    # windows): rotate back in
+    # (1b) new in round 5
+    "q_ann_ivfpq_residual",
+    # (1c) semantics-adjacent changes this round: decimal x-moment
+    # accumulation (group_ols), template-arg UDTF rewiring (udtf_*),
+    # pq_codes seed_stride parameter (ann_pq / ann_ivfpq at default
+    # stride — outputs identical, re-verify anyway)
+    "q_group_ols", "q_udtf_poly", "q_udtf_chunks", "q_udtf_chunks_arrow",
+    "q_ann_pq", "q_ann_ivfpq",
+    # (2) oldest driver rows (green in r01 only): rotate back in
     "q_exists_in", "q_conditional_agg", "q_string_funcs", "q_ntile",
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_near",
     "q_topk_cosine", "q_embed_norms", "q_ann_lsh_buckets", "q_lang_id",
     "q_token_counts", "q_quality_score", "q_token_count_bpe",
-    # (3) last green in r02: next-oldest fill (first ~27 make the
-    # 50-slot window; the rest overflow to PARITY_r04.json)
+    # (3) last green in r02: next-oldest fill (window cut-off lands
+    # somewhere below; the remainder is covered by PARITY_r05.json)
     "q_flagship", "q_json_extract", "q_dedup_simhash", "q_schema_infer",
     "q_schema_unify", "q_kv_pivot", "q_collect_events", "q_path_join",
     "q_linestring", "q_partition_by_type", "q_filter_between",
@@ -78,8 +59,28 @@ PRIORITY: tuple[str, ...] = (
     "q_multimodal_meta", "q_multimodal_decode", "q_dedup_apply",
     "q_repetition_signals", "q_pii_scrub", "q_decontaminate",
     "q_stratified_sample", "q_pack_sequences", "q_interval_join",
-    "q_salted_join", "q_merge_upsert", "q_salted_agg", "q_udtf_chunks",
-    "q_ann_brp",
+    "q_salted_join", "q_merge_upsert", "q_salted_agg", "q_ann_brp",
+    # (4) r03-green fill
+    "q_fuzzy_join", "q_ann_lsh_pairs",
+    "q_dedup_incremental", "q_manifest_roundtrip", "q_topk_cosine_pandas",
+    "q_udaf_median", "q_dedup_embedding",
+    # (5) r04-green (newest rows, lowest re-verify urgency)
+    "q_scd2", "q_ewma", "q_first_touch", "q_span_scrub",
+    "q_incremental_agg", "q_snapshot_diff", "q_bpe_pairs", "q_mrl_rerank",
+    "q_entity_resolution", "q_graph_jaccard",
+    "q_pivot", "q_range_frame", "q_window_analytics",
+    "q_kll_merge", "q_theta_sets", "q_temporal_join", "q_skyline",
+    "q_manifest_merge", "q_autocorr",
+    "q_snowflake_join", "q_corpus_profile", "q_nation_trade",
+    "q_returned_customers", "q_big_orders", "q_hll_sliding",
+    "q_funnel_ordered", "q_quarantine", "q_kcore",
+    "q_media_dedup", "q_seasonal_profile", "q_cusum", "q_khop_reach",
+    "q_quantize_int8", "q_bm25", "q_chunk_overlap", "q_exact_substring",
+    "q_heavy_hitters", "q_retention_cohort",
+    "q_source_cap", "q_rare_trigram_rate",
+    "q_knn_graph", "q_rrf_fusion",
+    "q_lm_perplexity", "q_dsir_weights", "q_dsir_resample",
+    "q_manifest_multi",
 )
 
 

@@ -345,3 +345,75 @@ def test_ml_minhash_pairs_recall_floor_and_no_false_positives(spark):
                                  max_df=10 ** 9).collect()}
     assert got <= exact
     assert len(got & exact) / max(1, len(exact)) >= 0.9
+
+
+def test_ivfpq_residual_recall_and_distortion_vs_full_corpus(spark):
+    """VERDICT r4 item 6 — residual-encoded IVFADC (q_ann_ivfpq_residual)
+    vs the full-corpus-codebook variant at equal m/k:
+
+    (1) encoding DISTORTION: residual quantization MSE must be lower —
+        the published claim (Jégou et al. 2011 §IV) and the reason the
+        variant exists.  Measured at sf0.01: 0.772 vs 0.828 (~7% —
+        modest because the synthetic corpus is near-isotropic and K=8
+        coarse cells soak little variance; on clustered real data the
+        gap widens).
+    (2) end recall@5 at the SHIPPED operating point (rerank_factor=8):
+        residual ≥ full-corpus.  Measured 1.0 vs 1.0 (with the
+        corpus-spread seeding; the naive first-k residual seeds
+        measured 0.6 — the regression this pin guards).
+    All kernels are deterministic, so both pins are exact re-checks,
+    not statistical."""
+    import numpy as np
+
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        RES_SEED_STRIDE,
+        _assign_cells,
+        ann_ivfpq_residual_topk,
+        ann_ivfpq_topk,
+        kmeans_centroids,
+        pq_codes,
+    )
+
+    emb01 = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    rows = emb01.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, x = ids[order], x[order]
+    q = x[0]
+    exact5 = set(ids[np.argsort(((x - q) ** 2).sum(1))][1:6].tolist())
+
+    got_raw = {r.vec_id for r in ann_ivfpq_topk(emb01).collect()}
+    got_res = {r.vec_id for r in ann_ivfpq_residual_topk(emb01).collect()}
+    recall_raw = len(got_raw & exact5) / 5
+    recall_res = len(got_res & exact5) / 5
+    assert recall_res >= recall_raw, (recall_res, recall_raw)
+    assert recall_res >= 0.8
+
+    # quantization MSE at equal m/k, via the actual engine codebooks
+    def encode_mse(frame, stride):
+        codes, book = pq_codes(frame, seed_stride=stride)
+        crows = {r.vec_id: r for r in codes.collect()}
+        brows = {(r.j, r.cid): np.array(r.cemb) for r in book.collect()}
+        base = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+                for r in frame.select("vec_id", "embedding").collect()}
+        mse = 0.0
+        for vid, v in base.items():
+            c = crows[vid]
+            for j in range(4):
+                sl = v[j * 16:(j + 1) * 16]
+                mse += ((sl - brows[(j, getattr(c, f"code{j}"))]) ** 2).sum()
+        return mse / len(base)
+
+    cent = kmeans_centroids(emb01)
+    cells = _assign_cells(emb01, cent)
+    res = (emb01.select("vec_id", "embedding")
+           .join(cells, "vec_id")
+           .join(F.broadcast(cent), F.col("cell") == F.col("cid"))
+           .select("vec_id",
+                   F.zip_with("embedding", "cemb",
+                              lambda a, c: a.cast("double") - c)
+                   .alias("embedding")))
+    mse_res = encode_mse(res, RES_SEED_STRIDE)
+    mse_raw = encode_mse(emb01.select("vec_id", "embedding"), 1)
+    assert mse_res < mse_raw, (mse_res, mse_raw)
