@@ -175,8 +175,12 @@ HEADLINE = [
     "q_lm_perplexity",
     "q_dsir_weights",
     "q_dsir_resample",
-    # round 5: residual-encoded IVFADC (per-cell query LUTs)
+    # round 5: residual-encoded IVFADC (per-cell query LUTs), Gopher
+    # quality rules, token-budgeted mixture, simhash Hamming pairs
     "q_ann_ivfpq_residual",
+    "q_gopher_rules",
+    "q_token_budget_mix",
+    "q_simhash_near",
 ]
 
 

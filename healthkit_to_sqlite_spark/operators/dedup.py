@@ -242,6 +242,55 @@ def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
             .select("doc_id", folded.alias("simhash")))
 
 
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4          # 4 × 15-bit bands
+SIMHASH_MAX_HAMMING = 3    # ≤ bands−1 ⇒ banding is EXACT (pigeonhole)
+
+
+def simhash_near_pairs(documents: DataFrame,
+                       max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """SimHash near-duplicate pairs: band the 60-bit signatures into
+    ``SIMHASH_BANDS`` disjoint 15-bit slices, equi-join on identical
+    slices, verify with XOR popcount ≤ ``max_hamming`` (Charikar 2002
+    / Manku et al. 2007's web-dedup recipe — the Hamming-space
+    counterpart of MinHash banding).
+
+    EXACTNESS, not approximation, at the default radius: a pair with
+    Hamming distance d ≤ bands−1 differs in at most d bands, so at
+    least one band matches (pigeonhole) — every qualifying pair is
+    found, pinned in test_pipeline.  Raising ``max_hamming`` past
+    bands−1 degrades to the usual probabilistic recall.
+
+    Shape: the signature aggregate is one groupBy(doc_id) (see
+    `simhash`); banding is an in-row 4-entry explode; the self-join
+    keys on (band, 15-bit value) — 2^15 × 4 buckets bound collision
+    sets; multi-band matches collapse through the groupBy.  No
+    vectors, no O(n²): the classic bucket-bounded pair search."""
+    bits_per = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << bits_per) - 1
+    sig = simhash(documents)
+    band_entries = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright("simhash", b * bits_per)
+                 .bitwiseAND(F.lit(mask)).alias("bval"))
+        for b in range(SIMHASH_BANDS)])
+    banded = (sig.select("doc_id", "simhash",
+                         F.explode(band_entries).alias("bs"))
+              .select("doc_id", "simhash", "bs.band", "bs.bval"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bval") == F.col("b.bval"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.bit_count(F.col("a.simhash")
+                                .bitwiseXOR(F.col("b.simhash")))
+                    .cast("int").alias("hamming"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.min("hamming").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
 def _band_signatures(documents: DataFrame) -> DataFrame:
     """(doc_id, band, band_sig) long form — the reusable LSH banding
     stage shared by the self-join and incremental variants."""
@@ -475,6 +524,24 @@ _MINHASH_SQL = f"""
   GROUP BY doc_id, i
 """
 
+#: SimHash signature CTE chain (tok → bits → sig) shared by the
+#: signature query and the Hamming near-pair query, so both oracles
+#: stay in lockstep with `simhash`.
+_SIMHASH_SIG_SQL = f"""tok AS (
+          SELECT doc_id, CAST('0x' || substr(md5(t.tok), 1, 15) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents) t
+        ), bits AS (
+          SELECT doc_id, b.b,
+                 SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM tok, (SELECT unnest(range({SIMHASH_BITS})) AS b) b
+          GROUP BY doc_id, b.b
+        ), sig AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                          ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id)"""
+
 SPECS: dict[str, Spec] = {
     "q_dedup_exact": Spec(
         lambda spark, sf: exact_dedup(load_table(spark, sf, "documents")),
@@ -558,23 +625,33 @@ SPECS: dict[str, Spec] = {
         "duplication the symmetric Jaccard dilutes"),
     "q_dedup_simhash": Spec(
         lambda spark, sf: simhash(load_table(spark, sf, "documents")),
-        """
-        WITH tok AS (
-          SELECT doc_id, CAST('0x' || substr(md5(t.tok), 1, 15) AS BIGINT) AS h
-          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                FROM documents) t
-        ), bits AS (
-          SELECT doc_id, b.b,
-                 SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-          FROM tok, (SELECT unnest(range(60)) AS b) b
-          GROUP BY doc_id, b.b
-        )
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
-                    AS BIGINT) AS simhash
-        FROM bits GROUP BY doc_id
+        f"""
+        WITH {_SIMHASH_SIG_SQL}
+        SELECT doc_id, simhash FROM sig
         """,
         "SimHash 60-bit signatures (majority-vote bits)"),
+    "q_simhash_near": Spec(
+        lambda spark, sf: simhash_near_pairs(load_table(spark, sf,
+                                                        "documents")),
+        f"""
+        WITH {_SIMHASH_SIG_SQL},
+        banded AS (
+          SELECT doc_id, simhash, b.b AS band,
+                 (simhash >> (b.b * {SIMHASH_BITS // SIMHASH_BANDS}))
+                   & {(1 << (SIMHASH_BITS // SIMHASH_BANDS)) - 1} AS bval
+          FROM sig, (SELECT unnest(range({SIMHASH_BANDS})) AS b) b)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(MIN(bit_count(xor(a.simhash, b.simhash))) AS INT)
+                 AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING MIN(bit_count(xor(a.simhash, b.simhash)))
+               <= {SIMHASH_MAX_HAMMING}
+        """,
+        "SimHash Hamming near-pairs via 4×15-bit banding + XOR "
+        "popcount verify — EXACT at radius ≤ bands−1 by pigeonhole "
+        "(Manku et al. 2007 web-dedup shape)"),
     "q_dedup_audit": Spec(
         lambda spark, sf: dedup_audit(load_table(spark, sf, "documents")),
         rf"""

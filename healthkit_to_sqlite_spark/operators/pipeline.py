@@ -792,6 +792,81 @@ def mixture_rebalance(documents: DataFrame, seed: str = MIX_SEED) -> DataFrame:
                     .alias("rate")))
 
 
+TOKEN_BUDGET_NUM = 3     # per-source token budget = 3/100 of corpus
+TOKEN_BUDGET_DEN = 100   # tokens (integer fraction ⇒ exact comparison)
+TOKEN_BUDGET_SEED = "tb1"
+
+
+def token_budget_mix(documents: DataFrame,
+                     num: int = TOKEN_BUDGET_NUM,
+                     den: int = TOKEN_BUDGET_DEN,
+                     seed: str = TOKEN_BUDGET_SEED) -> DataFrame:
+    """Token-budgeted source mixture: cap every source at
+    ``num/den`` of the CORPUS TOKEN count (mixture_rebalance's
+    doc-count analog — training budgets are token budgets, and a
+    source of few huge documents evades a doc-count cap).
+
+    Scale shape — the naive form (per-source hash-ordered window +
+    running token sum) puts each ENTIRE source into one task, the
+    single-partition-window trap.  Instead the selection runs on the
+    bucket HISTOGRAM: (1) map-only salted-md5 bucket per doc
+    (0..65535); (2) per-(source, bucket) token sums — one partial-
+    aggregated groupBy, ≤ k·65536 rows; (3) running sum over buckets
+    WITHIN each source — a window over ≤65536-row partitions,
+    skew-free by construction; (4) per-source cutoff bucket (k rows,
+    broadcast); applying the mix downstream is then the map-only
+    ``bucket ≤ cutoff`` test (cf. dedup_apply) — this query returns
+    the per-source report, whose kept counts read straight off the
+    same bucket CDF.  Budget
+    adherence is within one bucket's tokens (~1/65536 of a source) —
+    the documented approximation, exactly how production pipelines
+    trade a per-row prefix scan for a histogram CDF.  All arithmetic
+    stays integer (token counts, num/den cross-multiplication), so
+    both engines pick identical cutoffs.  Output: per-source report
+    (docs/tokens before and after, budget)."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(ws_tokens("text"))
+    hb = _md5_bucket(F.col("doc_id"), f"tb:{seed}")
+    # ONE corpus scan: everything downstream (total, CDF, cutoffs,
+    # before/after report) derives from the bounded per-(source,
+    # bucket) histogram — ≤ k·65536 rows, localCheckpointed because
+    # four consumers would otherwise re-scan and re-tokenize the
+    # corpus four times (measured 14 parquet scans before this)
+    bucket_sums = (documents
+                   .select("source", n_tok.alias("n_tok"), hb.alias("hb"))
+                   .groupBy("source", "hb")
+                   .agg(F.sum("n_tok").alias("b_tok"),
+                        F.count(F.lit(1)).alias("b_docs"))
+                   ).localCheckpoint(eager=True)
+    tot = bucket_sums.agg(F.sum("b_tok").alias("t_total"))
+    w = (Window.partitionBy("source").orderBy("hb")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    # cutoff: largest bucket whose running total still fits the budget
+    cutoffs = (bucket_sums
+               .withColumn("cum", F.sum("b_tok").over(w))
+               .withColumn("cum_docs", F.sum("b_docs").over(w))
+               .crossJoin(F.broadcast(tot))
+               .filter(F.col("cum") * den <= F.col("t_total") * num)
+               .groupBy("source")
+               .agg(F.max("cum").alias("tokens_kept"),
+                    F.max("cum_docs").alias("n_kept")))
+    report = (bucket_sums.groupBy("source")
+              .agg(F.sum("b_docs").alias("n_docs"),
+                   F.sum("b_tok").alias("tokens")))
+    return (report
+            .join(F.broadcast(cutoffs), "source", "left")
+            .crossJoin(F.broadcast(tot))
+            .select("source", "n_docs", "tokens",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("tokens_kept", F.lit(0))
+                    .alias("tokens_kept"),
+                    # integer div on both engines (a double / + cast
+                    # would round in DuckDB but truncate in Spark)
+                    F.expr(f"(t_total * {num}) div {den}")
+                    .alias("budget")))
+
+
 # --- Bloom-filter runtime-pruned semi join ---------------------------------
 
 BLOOM_BITS = 1 << 16   # 64 Kbit filter = 1024 longs ≈ 8 KB
@@ -1985,6 +2060,46 @@ SPECS: dict[str, Spec] = {
         """,
         "uniform-target source-mixture rebalance: histogram-derived "
         "acceptance rates applied map-only via integer hash compare"),
+    "q_token_budget_mix": Spec(
+        lambda spark, sf: token_budget_mix(load_table(spark, sf,
+                                                      "documents")),
+        f"""
+        WITH staged AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 CAST('0x' || substr(md5('tb:{TOKEN_BUDGET_SEED}:'
+                      || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS hb
+          FROM documents),
+        bs AS (SELECT source, hb, CAST(SUM(n_tok) AS BIGINT) AS b_tok,
+                      CAST(COUNT(*) AS BIGINT) AS b_docs
+               FROM staged GROUP BY source, hb),
+        tot AS (SELECT CAST(SUM(b_tok) AS BIGINT) AS t_total FROM bs),
+        cum AS (SELECT source, hb,
+                       SUM(b_tok) OVER (PARTITION BY source
+                                        ORDER BY hb) AS cum,
+                       SUM(b_docs) OVER (PARTITION BY source
+                                         ORDER BY hb) AS cum_docs
+                FROM bs),
+        cutoffs AS (
+          SELECT source, CAST(MAX(cum) AS BIGINT) AS tokens_kept,
+                 CAST(MAX(cum_docs) AS BIGINT) AS n_kept
+          FROM cum, tot
+          WHERE cum * {TOKEN_BUDGET_DEN} <= t_total * {TOKEN_BUDGET_NUM}
+          GROUP BY source),
+        report AS (SELECT source, CAST(SUM(b_docs) AS BIGINT) AS n_docs,
+                          CAST(SUM(b_tok) AS BIGINT) AS tokens
+                   FROM bs GROUP BY source)
+        SELECT r.source, r.n_docs, r.tokens,
+               COALESCE(c.n_kept, 0) AS n_kept,
+               COALESCE(c.tokens_kept, 0) AS tokens_kept,
+               CAST(t.t_total * {TOKEN_BUDGET_NUM}
+                    // {TOKEN_BUDGET_DEN} AS BIGINT) AS budget
+        FROM report r
+        LEFT JOIN cutoffs c USING (source), tot t
+        """,
+        "token-budgeted source mixture: cap each source at 3% of "
+        "corpus tokens via a salted-hash bucket-histogram CDF "
+        "(skew-free; no per-source single-task window)"),
     "q_bloom_prune": Spec(
         lambda spark, sf: bloom_semi_join(load_table(spark, sf, "lineitem"),
                                           load_table(spark, sf, "supplier")),

@@ -641,6 +641,70 @@ def dsir_resample(documents: DataFrame, buckets: int = DSIR_BUCKETS,
             .limit(k))
 
 
+GOPHER_MIN_WORDS = 20     # Gopher uses 50; testdata docs run shorter
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 1  # Gopher: ≥2 of a larger list; ours is 5 words
+
+
+def gopher_rules(documents: DataFrame) -> DataFrame:
+    """Gopher quality-rule composite (Rae et al. 2021, appendix A1 —
+    the rule set C4/FineWeb-class pipelines start from): per document,
+    each rule as an explicit boolean plus the conjunctive ``keep``.
+
+    Rules (thresholds module-level so the filter is one conscious
+    config, not scattered literals): word count within
+    [min, max]; mean word length within [3, 10]; symbol-to-word ratio
+    (``#``/``...`` per word) below 0.1; fraction of words containing
+    an alphabetic character above 0.8; at least ``GOPHER_MIN_STOPWORDS``
+    stop-word hits.  (Gopher's line-level bullet/ellipsis rules need
+    line structure the corpus doesn't carry — a real deployment adds
+    them as two more integer ratios over split(text, '\\n').)
+
+    Everything derives from integer counts (token counts, summed
+    lengths, substring occurrences) divided once at the end — the
+    exact-sufficient-statistics discipline (cf. quality_scores), so
+    both engines agree bit-exactly and the booleans can't flip on a
+    float edge.  Map-only: one projection, no shuffle, trivially
+    100 TB-parallel."""
+    toks = ws_tokens("text")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(F.transform(toks, F.length),
+                          F.lit(0), lambda a, x: a + x)
+    mean_len = sum_len.cast("double") / n_words
+    n_hash = F.length("text") - F.length(F.replace("text", F.lit("#")))
+    n_ellipsis = (F.length("text")
+                  - F.length(F.replace("text", F.lit("...")))) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    alpha_frac = n_alpha_words.cast("double") / n_words
+    n_stop = _hits(toks, LANG_MARKERS["en"])
+    rules = {
+        "ok_n_words": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "ok_mean_len": (mean_len >= GOPHER_MIN_MEAN_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_LEN),
+        "ok_symbols": symbol_ratio < GOPHER_MAX_SYMBOL_RATIO,
+        "ok_alpha": alpha_frac > GOPHER_MIN_ALPHA_FRAC,
+        "ok_stopwords": n_stop >= GOPHER_MIN_STOPWORDS,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else keep & c
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+        *[c.alias(name) for name, c in rules.items()],
+        keep.alias("keep"))
+
+
 def _markers_sql(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
 
@@ -737,6 +801,53 @@ SPECS: dict[str, Spec] = {
         """,
         "corpus top-k bigram frequencies (in-row higher-order build, "
         "no positional self-join)"),
+    "q_gopher_rules": Spec(
+        lambda spark, sf: gopher_rules(load_table(spark, sf, "documents")),
+        f"""
+        WITH m AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_words,
+                 list_aggregate(list_transform(string_split(text, ' '),
+                                               t -> length(t)), 'sum')
+                   AS sum_len,
+                 length(text) - length(replace(text, '#', '')) AS n_hash,
+                 (length(text) - length(replace(text, '...', ''))) / 3
+                   AS n_ellipsis,
+                 len(list_filter(string_split(text, ' '),
+                                 t -> regexp_matches(t, '[a-zA-Z]')))
+                   AS n_alpha_words,
+                 {_HITS_SQL['en']} AS n_stop
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_words,
+                 CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+                 (n_hash + n_ellipsis) / n_words AS symbol_ratio,
+                 CAST(n_alpha_words AS DOUBLE) / n_words AS alpha_frac,
+                 CAST(n_stop AS BIGINT) AS n_stopwords
+          FROM m)
+        SELECT doc_id, CAST(n_words AS INT) AS n_words,
+               ROUND(mean_word_len, 6) AS mean_word_len,
+               ROUND(symbol_ratio, 6) AS symbol_ratio,
+               ROUND(alpha_frac, 6) AS alpha_frac,
+               n_stopwords,
+               n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                 AS ok_n_words,
+               mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN}
+                 AND {GOPHER_MAX_MEAN_LEN} AS ok_mean_len,
+               symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO} AS ok_symbols,
+               alpha_frac > {GOPHER_MIN_ALPHA_FRAC} AS ok_alpha,
+               n_stopwords >= {GOPHER_MIN_STOPWORDS} AS ok_stopwords,
+               (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+                 AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN}
+                                        AND {GOPHER_MAX_MEAN_LEN})
+                 AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}
+                 AND alpha_frac > {GOPHER_MIN_ALPHA_FRAC}
+                 AND n_stopwords >= {GOPHER_MIN_STOPWORDS} AS keep
+        FROM r
+        """,
+        "Gopher quality-rule composite (Rae et al. 2021 A1): per-doc "
+        "rule booleans + conjunctive keep, all integer-exact ratios "
+        "(map-only projection)"),
     "q_quality_score": Spec(
         lambda spark, sf: quality_scores(load_table(spark, sf, "documents")),
         f"""

@@ -35,7 +35,8 @@ PRIORITY: tuple[str, ...] = (
     "q_inverted_index", "q_temperature_sample", "q_negative_pairs",
     "q_abtest",
     # (1b) new in round 5
-    "q_ann_ivfpq_residual",
+    "q_ann_ivfpq_residual", "q_gopher_rules", "q_token_budget_mix",
+    "q_simhash_near",
     # (1c) semantics-adjacent changes this round: decimal x-moment
     # accumulation (group_ols), template-arg UDTF rewiring (udtf_*),
     # pq_codes seed_stride parameter (ann_pq / ann_ivfpq at default

@@ -1065,3 +1065,54 @@ def test_approx_distinct_error_bound(spark):
             <= max(2, 0.07 * exact[k].parts), (k, r)
         assert abs(r.approx_custs - exact[k].custs) \
             <= max(2, 0.07 * exact[k].custs), (k, r)
+
+
+def test_simhash_near_pairs_exact_at_pigeonhole_radius(spark):
+    """4 disjoint 15-bit bands find EVERY pair with Hamming ≤ 3 (a
+    pair differing in d ≤ bands−1 bits touches ≤ d bands, so one band
+    must match) — so at the default radius the banded join must equal
+    the brute-force pair set exactly, with correct distances."""
+    from healthkit_to_sqlite_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        simhash,
+        simhash_near_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ids = sorted(sigs)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(sigs[a] ^ sigs[b]).count("1")
+            if d <= SIMHASH_MAX_HAMMING:
+                brute[(a, b)] = d
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in simhash_near_pairs(docs).collect()}
+    assert got == brute
+    assert got, "fixture must contain at least one near pair"
+
+
+def test_token_budget_mix_respects_budget_and_keeps_small_sources(spark):
+    """Each source's kept tokens must fit the corpus-share budget (the
+    cutoff is the last bucket that FITS, so adherence is exact, not
+    just within a bucket), kept counts are sane, and a source already
+    under budget keeps every doc and every token."""
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        token_budget_mix,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    rows = token_budget_mix(docs).collect()
+    assert rows
+    budget = rows[0].budget
+    trimmed = 0
+    for r in rows:
+        assert r.budget == budget          # one corpus-wide budget
+        assert 0 <= r.n_kept <= r.n_docs
+        assert r.tokens_kept <= budget, r
+        if r.tokens <= budget:             # under-budget: keep all
+            assert r.n_kept == r.n_docs and r.tokens_kept == r.tokens, r
+        else:
+            trimmed += 1
+    assert trimmed > 0, "fixture must exercise the trimming path"

@@ -472,3 +472,19 @@ def test_lm_and_dsir_broadcast_models_and_heap_topk(spark, specs):
         # exactly one nested-loop node: the broadcast 1-row
         # vocab/totals crossJoin (each node prints twice: tree + detail)
         assert plan.count("BroadcastNestedLoopJoin") == 2, name
+
+
+def test_simhash_near_is_bucket_equi_join(spark, specs):
+    # the Hamming pair search must plan as a (band, bval) equi-join —
+    # never a cartesian/BNLJ over signatures
+    df = specs["q_simhash_near"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_budget_mix_scans_corpus_once(spark, specs):
+    # every consumer derives from the checkpointed bucket histogram:
+    # the final plan must not re-scan (and re-tokenize) the parquet
+    df = specs["q_token_budget_mix"].build(spark, SF)
+    assert formatted_plan(df).count("Scan parquet") == 0

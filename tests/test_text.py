@@ -267,3 +267,22 @@ def test_udtf_poly_schema_follows_constant_arg(spark):
     r = {x.doc_id: x for x in five.collect()}
     assert (r[2].tok0, r[2].tok1) == ("one", None)
     assert (r[1].tok0, r[1].tok1, r[1].tok2) == ("only", "two", None)
+
+
+def test_gopher_rules_conjunction_and_nondegenerate(spark):
+    """keep must equal the AND of the five rule booleans, every ratio
+    must be internally consistent with its counts, and the fixture
+    must exercise both keep outcomes (a filter that passes or rejects
+    everything tests nothing)."""
+    from healthkit_to_sqlite_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, SF, "documents")
+    rows = gopher_rules(docs).collect()
+    assert len(rows) == docs.count()
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < len(rows)
+    for r in rows:
+        assert r.keep == (r.ok_n_words and r.ok_mean_len and r.ok_symbols
+                          and r.ok_alpha and r.ok_stopwords), r
+        assert 0 <= r.alpha_frac <= 1
+        assert r.mean_word_len > 0
