@@ -181,6 +181,10 @@ HEADLINE = [
     "q_gopher_rules",
     "q_token_budget_mix",
     "q_simhash_near",
+    # round 6: ANN build/serve split (train-once artifact publish +
+    # serve-only query reading committed artifacts)
+    "q_ann_index_build",
+    "q_ann_query_from_index",
 ]
 
 

@@ -607,6 +607,23 @@ def ann_ivfpq_residual_topk(embeddings: DataFrame, query_vec_id: int = 0,
                    .alias("embedding"))
            .localCheckpoint(eager=True))
     codes, book = pq_codes(res, seed_stride=RES_SEED_STRIDE)
+    return _residual_adc_serve(embeddings, cent, cells, codes, book,
+                               query_vec_id, k, nprobe, rerank_factor)
+
+
+def _residual_adc_serve(embeddings: DataFrame, cent: DataFrame,
+                        cells: DataFrame, codes: DataFrame,
+                        book: DataFrame, query_vec_id: int = 0,
+                        k: int = 5, nprobe: int = 2,
+                        rerank_factor: int = PQ_RERANK) -> DataFrame:
+    """The SERVE half of residual IVFADC, factored out so the in-query
+    training path (`ann_ivfpq_residual_topk`) and the artifact-reading
+    path (`ann_query_from_index`) share it verbatim — the two must
+    rank identically for the build/serve split to be sound.  Performs
+    ZERO Lloyd iterations: probe selection + per-probed-cell query
+    residual + broadcast LUTs + (cell, code) ADC joins + bounded exact
+    re-rank; the only corpus-width scan reads the m code columns of
+    the probed cells."""
     qvec = (embeddings.filter(F.col("vec_id") == query_vec_id)
             .select(F.col("embedding").alias("q_emb")))
     probe = (cent.crossJoin(F.broadcast(qvec))
@@ -653,6 +670,91 @@ def ann_ivfpq_residual_topk(embeddings: DataFrame, query_vec_id: int = 0,
                     .alias("exact_dist"))
             .orderBy("exact_dist", "vec_id")
             .limit(k))
+
+
+def build_ann_index(spark: SparkSession, sf_dir: str):
+    """Train-once half of the FAISS-style build/serve split (VERDICT
+    r5 item 1b): run the coarse Lloyd quantizer + residual PQ training
+    ONCE and publish all four serving artifacts — ``centroids`` (K
+    rows), ``cells`` (vec_id → cell), ``codes`` (vec_id → m small
+    ints), ``codebook`` (m·k rows) — through a ``ManifestCatalog`` in
+    ONE atomic pass (a crashed build publishes nothing; version is 0
+    or 1, so re-runs are idempotent).  At 100 TB this is the index
+    REBUILD job that runs per corpus snapshot, while every query reads
+    the committed artifacts — the at-scale form of the reference's
+    build-once-then-query split (schema pass core.rs:85-132 vs
+    delegated queries README.md:27-94).  Returns the catalog handle.
+
+    The scratch catalog is cached per (op, sf_dir) per process, like
+    the other manifest contract queries."""
+    import os
+
+    from ..sinks.manifest import ManifestCatalog
+    from .pipeline import _work_dir
+
+    cat = ManifestCatalog(os.path.join(_work_dir("ann_index", sf_dir), "cat"))
+    if cat.current_version() < 1:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cent = kmeans_centroids(emb)
+        cells = _assign_cells(emb, cent).localCheckpoint(eager=True)
+        res = (emb.select("vec_id", "embedding")
+               .join(cells, "vec_id")
+               .join(F.broadcast(cent), F.col("cell") == F.col("cid"))
+               .select("vec_id",
+                       F.zip_with("embedding", "cemb",
+                                  lambda x, c: x.cast("double") - c)
+                       .alias("embedding"))
+               .localCheckpoint(eager=True))
+        codes, book = pq_codes(res, seed_stride=RES_SEED_STRIDE)
+        cat.publish_pass({"centroids": cent, "cells": cells,
+                          "codes": codes, "codebook": book})
+    return cat
+
+
+def ann_index_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query over the PUBLISHED index artifacts: per coarse
+    cell, member count, the sum of members' PQ codes (sensitive to
+    every stored code), and the stored centroid's L2 norm — all read
+    back THROUGH the manifest, so the oracle (which retrains from the
+    raw table) only hash-matches if the committed artifacts equal the
+    from-scratch training bit-for-bit."""
+    cat = build_ann_index(spark, sf_dir)
+    cells = cat.read(spark, "cells")
+    codes = cat.read(spark, "codes")
+    cent = cat.read(spark, "centroids")
+    code_sum = sum(F.col(f"code{j}").cast("long") for j in range(1, PQ_M)) \
+        + F.col("code0").cast("long")
+    per_cell = (cells.join(codes, "vec_id")
+                .groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n_vecs"),
+                     F.sum(code_sum).alias("code_sum")))
+    cent_norm = cent.select(
+        F.col("cid").alias("cell"),
+        F.round(F.sqrt(F.aggregate(
+            F.transform("cemb", lambda x: x * x),
+            F.lit(0.0), lambda a, v: a + v)), 6).alias("cent_norm"))
+    return per_cell.join(F.broadcast(cent_norm), "cell")
+
+
+def ann_query_from_index(spark: SparkSession, sf_dir: str,
+                         query_vec_id: int = 0, k: int = 5,
+                         nprobe: int = 2,
+                         rerank_factor: int = PQ_RERANK) -> DataFrame:
+    """Serve-only residual IVFADC: read the four committed index
+    artifacts and run `_residual_adc_serve` — ZERO Lloyd iterations in
+    the query plan (pinned in tests/test_plans.py: no decimal
+    training aggregates, artifact parquet scans present).  Same output
+    contract — and same oracle — as `q_ann_ivfpq_residual`; the exact
+    re-rank is the only stage that touches original vectors."""
+    cat = build_ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _residual_adc_serve(
+        emb,
+        cat.read(spark, "centroids"),
+        cat.read(spark, "cells"),
+        cat.read(spark, "codes"),
+        cat.read(spark, "codebook"),
+        query_vec_id, k, nprobe, rerank_factor)
 
 
 KNN_K = 5          # neighbors per node
@@ -1252,6 +1354,51 @@ def _ivfpq_residual_oracle_sql(k: int = 5, nprobe: int = 2,
     """
 
 
+def _ann_index_build_oracle_sql() -> str:
+    """From-scratch retraining of the residual-IVFADC artifacts in
+    DuckDB (same CTE generators the residual query oracle pins),
+    aggregated to the per-cell build summary — the Spark side reads
+    the MANIFEST-committed artifacts, so a hash match proves the
+    atomic publish preserved training bit-for-bit."""
+    sub = "list_transform(list_zip({a}, {b}), " \
+          "x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+    chains = []
+    for j in range(PQ_M):
+        lo, hi = j * PQ_SUB_DIM + 1, (j + 1) * PQ_SUB_DIM
+        emb = f"e.embedding[{lo}:{hi}]"
+        chains.append(_kmeans_cells_sql(IVF_ITERS, PQ_K, PQ_SUB_DIM,
+                                        emb=emb, prefix=f"s{j}_",
+                                        src="res",
+                                        seed_stride=RES_SEED_STRIDE))
+    code_cols = ", ".join(f"s{j}_cells.cell AS code{j}" for j in range(PQ_M))
+    froms = "s0_cells" + "".join(
+        f" JOIN s{j}_cells USING (vec_id)" for j in range(1, PQ_M))
+    code_sum = " + ".join(f"code{j}" for j in range(PQ_M))
+    return f"""
+    WITH {_kmeans_cells_sql(IVF_ITERS, N_CENTROIDS, DIM, prefix="c_")},
+    res AS (
+      SELECT e.vec_id,
+             {sub.format(a='e.embedding', b='c.cemb')} AS embedding
+      FROM embeddings e
+      JOIN c_cells cc USING (vec_id)
+      JOIN c_cent{IVF_ITERS} c ON c.cid = cc.cell),
+    {", ".join(chains)},
+    codes AS (
+      SELECT s0_cells.vec_id, {code_cols}
+      FROM {froms})
+    SELECT cc.cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM({code_sum}) AS BIGINT) AS code_sum,
+           MIN(cn.cent_norm) AS cent_norm
+    FROM c_cells cc
+    JOIN codes USING (vec_id)
+    JOIN (SELECT cid AS cell,
+                 ROUND({_NORM_SQL.format(c='cemb')}, 6) AS cent_norm
+          FROM c_cent{IVF_ITERS}) cn USING (cell)
+    GROUP BY cc.cell
+    """
+
+
 def _banded_pairs_sql(min_cos: float) -> str:
     """Banded sign-LSH candidate pairs + exact verify, parameterized
     on the verify threshold — shared by the near-dup (0.4) and ANN
@@ -1342,6 +1489,22 @@ SPECS: dict[str, Spec] = {
         "per-probed-cell query LUTs, (cell, code) ADC joins — equal "
         "m/k byte budget, better within-cell resolution (recall "
         "comparison pinned in tests)"),
+    "q_ann_index_build": Spec(
+        ann_index_build_summary,
+        _ann_index_build_oracle_sql(),
+        "train-once half of the ANN serving split: coarse centroids + "
+        "cells + residual PQ codes + codebook published as FOUR "
+        "manifest tables in ONE atomic catalog pass, summary read back "
+        "through the manifest (oracle retrains from scratch — hash "
+        "match proves the committed artifacts equal training "
+        "bit-for-bit)"),
+    "q_ann_query_from_index": Spec(
+        ann_query_from_index,
+        _ivfpq_residual_oracle_sql(),
+        "serve-only residual IVFADC: reads ONLY the four committed "
+        "index artifacts + the query vector; zero Lloyd iterations in "
+        "the plan (pinned in test_plans) — same oracle as "
+        "q_ann_ivfpq_residual, so build/serve must rank identically"),
     "q_graph_jaccard": Spec(
         lambda spark, sf: graph_jaccard(load_table(spark, sf,
                                                    "embeddings")),

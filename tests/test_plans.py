@@ -488,3 +488,17 @@ def test_token_budget_mix_scans_corpus_once(spark, specs):
     # the final plan must not re-scan (and re-tokenize) the parquet
     df = specs["q_token_budget_mix"].build(spark, SF)
     assert formatted_plan(df).count("Scan parquet") == 0
+
+
+def test_ann_serve_query_performs_zero_training(spark, specs):
+    """VERDICT r5 item 1 — the build/serve split's contract: the
+    serve query must read the four COMMITTED index artifacts and rank
+    with joins + top-k heaps only.  Any aggregate in the serve plan
+    means training (Lloyd assignment min-structs, mean accumulators,
+    code pivots) leaked back into the query path."""
+    df = specs["q_ann_query_from_index"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "ann_index_" in plan            # committed artifact scans
+    assert "HashAggregate" not in plan     # zero Lloyd / zero pivots
+    assert "ObjectHashAggregate" not in plan
+    assert "TakeOrderedAndProject" in plan  # shortlist + re-rank heaps
