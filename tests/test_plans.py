@@ -502,3 +502,23 @@ def test_ann_serve_query_performs_zero_training(spark, specs):
     assert "HashAggregate" not in plan     # zero Lloyd / zero pivots
     assert "ObjectHashAggregate" not in plan
     assert "TakeOrderedAndProject" in plan  # shortlist + re-rank heaps
+
+
+def test_embedding_pair_kernel_cost_pinned(spark, specs):
+    """VERDICT r5 item 2 — q_graph_jaccard's ×1.41 bench drift was
+    unexplained because nothing pinned the underlying pair kernel's
+    plan cost; a kernel regression would surface only as silent bench
+    noise.  Pin the shape: 3 exchanges (band repartition reused by
+    both self-join sides + candidate distinct + verify join), bounded
+    scans, and strictly equi-join candidate generation."""
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        dedup_embedding_pairs,
+    )
+
+    df = dedup_embedding_pairs(load_table(spark, SF, "embeddings"))
+    plan = formatted_plan(df)
+    assert shuffle_count(df) == 3
+    assert plan.count("Scan parquet") <= 8  # runtime dedupes via reuse
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
