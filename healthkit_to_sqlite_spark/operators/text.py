@@ -705,6 +705,142 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
         keep.alias("keep"))
 
 
+GOPHER_MAX_BULLET_RATIO = 0.9    # Rae et al. 2021 A1: drop if >90%
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3  # ... of lines start bulleted / >30% end "..."
+REFLOW_WORDS_PER_LINE = 8
+
+
+def reflow_lines(documents: DataFrame,
+                 words_per_line: int = REFLOW_WORDS_PER_LINE) -> DataFrame:
+    """Deterministically synthesize line structure for the line-level
+    quality rules: regroup each document's words into lines of
+    ``words_per_line``, prefix a line with a bullet when the md5-hash
+    of (doc_id, line_no) ≡ 0 (mod 3) and suffix an ellipsis when
+    ≡ 3 (mod 7), and rejoin with ``\\n`` into ``text_nl``.
+
+    The fixture corpus carries no newlines (the r5 skip note on
+    :func:`gopher_rules`), so a contract query over raw ``text`` would
+    pin line rules on degenerate one-line documents; the reflow gives
+    every doc a real multi-line shape with per-doc-varying bullet/
+    ellipsis ratios — both booleans genuinely flip across the corpus —
+    while staying bit-reproducible in DuckDB (hashlib md5 == Spark
+    md5 == DuckDB md5, same derandomization as every sampler here).
+    Map-only projection; at scale this stands in for the corpus's own
+    line structure (a real deployment feeds ``text`` with newlines
+    straight to :func:`gopher_line_stats` and skips the reflow)."""
+    ws = F.split(F.col("text"), " ")
+    n_lines = F.floor((F.size(ws) + words_per_line - 1)
+                      / F.lit(float(words_per_line))).cast("int")
+
+    def mk_line(i):
+        base = F.array_join(
+            F.slice(ws, i * words_per_line + 1, words_per_line), " ")
+        h = (F.conv(F.substring(
+            F.md5(F.concat(F.lit("gl:"), F.col("doc_id").cast("string"),
+                           F.lit(":"), i.cast("string"))), 1, 15),
+            16, 10).cast("bigint"))
+        return F.concat(
+            F.when(h % 3 == 0, F.lit("• ")).otherwise(F.lit("")),
+            base,
+            F.when(h % 7 == 3, F.lit("...")).otherwise(F.lit("")))
+
+    lines = F.transform(F.sequence(F.lit(0), n_lines - 1), mk_line)
+    return documents.withColumn("text_nl", F.array_join(lines, "\n"))
+
+
+def gopher_line_stats(documents: DataFrame,
+                      text_col: str = "text_nl") -> DataFrame:
+    """Gopher's LINE-level quality rules (Rae et al. 2021, appendix
+    A1) — the two rules :func:`gopher_rules` consciously skipped while
+    the corpus had no line structure: drop a document when more than
+    90% of its lines start with a bullet, or more than 30% end with an
+    ellipsis.  Counts are integers over ``split(text, '\\n')`` divided
+    once at the end (the exact-sufficient-statistics discipline), so
+    both engines agree bit-exactly.  Map-only: no shuffle, trivially
+    100 TB-parallel; feed real newline-carrying text directly, or a
+    :func:`reflow_lines` synthesis when the corpus is single-line."""
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda l: l.startswith("• ") | l.startswith("- ")
+        | l.startswith("* ")))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda l: l.endswith("...") | l.endswith("…")))
+    bullet_ratio = n_bullet.cast("double") / n_lines
+    ellipsis_ratio = n_ellipsis.cast("double") / n_lines
+    ok_bullet = bullet_ratio <= GOPHER_MAX_BULLET_RATIO
+    ok_ellipsis = ellipsis_ratio <= GOPHER_MAX_ELLIPSIS_RATIO
+    return documents.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet"),
+        n_ellipsis.alias("n_ellipsis"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        ok_bullet.alias("ok_bullet_lines"),
+        ok_ellipsis.alias("ok_ellipsis_lines"),
+        (ok_bullet & ok_ellipsis).alias("keep"))
+
+
+_GOPHER_LINES_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+lines AS (
+  SELECT doc_id, CAST(t.i AS INT) AS ln,
+         array_to_string(
+           ws[(CAST(t.i AS INT) * {REFLOW_WORDS_PER_LINE} + 1):
+              (CAST(t.i AS INT) * {REFLOW_WORDS_PER_LINE}
+               + {REFLOW_WORDS_PER_LINE})], ' ') AS line
+  FROM words,
+       UNNEST(generate_series(
+         0, (len(ws) + {REFLOW_WORDS_PER_LINE - 1})
+            // {REFLOW_WORDS_PER_LINE} - 1)) AS t(i)),
+marked AS (
+  SELECT doc_id, ln,
+         CASE WHEN h % 3 = 0 THEN '• ' || line ELSE line END
+         || CASE WHEN h % 7 = 3 THEN '...' ELSE '' END AS line
+  FROM (SELECT *,
+               CAST('0x' || substr(md5('gl:' || CAST(doc_id AS VARCHAR)
+                                       || ':' || CAST(ln AS VARCHAR)),
+                                   1, 15) AS BIGINT) AS h
+        FROM lines))
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_lines,
+       CAST(SUM(CASE WHEN starts_with(line, '• ')
+                       OR starts_with(line, '- ')
+                       OR starts_with(line, '* ') THEN 1 ELSE 0 END)
+            AS INT) AS n_bullet,
+       CAST(SUM(CASE WHEN ends_with(line, '...')
+                       OR ends_with(line, '…') THEN 1 ELSE 0 END)
+            AS INT) AS n_ellipsis,
+       ROUND(CAST(SUM(CASE WHEN starts_with(line, '• ')
+                             OR starts_with(line, '- ')
+                             OR starts_with(line, '* ') THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS bullet_ratio,
+       ROUND(CAST(SUM(CASE WHEN ends_with(line, '...')
+                             OR ends_with(line, '…') THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS ellipsis_ratio,
+       CAST(SUM(CASE WHEN starts_with(line, '• ')
+                       OR starts_with(line, '- ')
+                       OR starts_with(line, '* ') THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) <= {GOPHER_MAX_BULLET_RATIO}
+         AS ok_bullet_lines,
+       CAST(SUM(CASE WHEN ends_with(line, '...')
+                       OR ends_with(line, '…') THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) <= {GOPHER_MAX_ELLIPSIS_RATIO}
+         AS ok_ellipsis_lines,
+       (CAST(SUM(CASE WHEN starts_with(line, '• ')
+                        OR starts_with(line, '- ')
+                        OR starts_with(line, '* ') THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*) <= {GOPHER_MAX_BULLET_RATIO})
+       AND (CAST(SUM(CASE WHEN ends_with(line, '...')
+                            OR ends_with(line, '…') THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*) <= {GOPHER_MAX_ELLIPSIS_RATIO})
+         AS keep
+FROM marked GROUP BY doc_id
+"""
+
+
 def _markers_sql(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
 
@@ -801,6 +937,16 @@ SPECS: dict[str, Spec] = {
         """,
         "corpus top-k bigram frequencies (in-row higher-order build, "
         "no positional self-join)"),
+    "q_gopher_lines": Spec(
+        lambda spark, sf: gopher_line_stats(
+            reflow_lines(load_table(spark, sf, "documents"))),
+        _GOPHER_LINES_ORACLE,
+        "Gopher LINE-level rules (Rae et al. 2021 A1): >90% bulleted "
+        "lines / >30% ellipsis-ending lines drop the doc — the two "
+        "rules q_gopher_rules skipped while the corpus was "
+        "single-line; deterministic md5 reflow synthesizes per-doc "
+        "line structure (real corpora feed newline text directly); "
+        "integer-exact counts, map-only"),
     "q_gopher_rules": Spec(
         lambda spark, sf: gopher_rules(load_table(spark, sf, "documents")),
         f"""

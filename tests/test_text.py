@@ -286,3 +286,33 @@ def test_gopher_rules_conjunction_and_nondegenerate(spark):
                           and r.ok_alpha and r.ok_stopwords), r
         assert 0 <= r.alpha_frac <= 1
         assert r.mean_word_len > 0
+
+
+def test_gopher_line_rules_on_real_multiline_docs(spark):
+    """VERDICT r5 item 3 — line rules pinned on REAL newline-carrying
+    text (no reflow): integer-exact counts and both A1 thresholds
+    exercised from both sides.  doc 1: 10 lines, 10 bullets (ratio
+    1.0 > 0.9 → drop); doc 2: 10 lines, 4 ellipsis (0.4 > 0.3 →
+    drop); doc 3: mixed but under both thresholds → keep; doc 4:
+    single line, no markers → keep."""
+    from healthkit_to_sqlite_spark.operators.text import gopher_line_stats
+
+    docs = spark.createDataFrame(
+        [(1, "\n".join(f"• item {i}" for i in range(10))),
+         (2, "\n".join([f"line {i}..." for i in range(4)]
+                       + [f"line {i}" for i in range(4, 10)])),
+         (3, "• bullet one\n- bullet two\nplain line\ntrailing dots...\n"
+             "last line"),
+         (4, "just one plain line")],
+        "doc_id int, text string")
+    rows = {r.doc_id: r for r in
+            gopher_line_stats(docs, text_col="text").collect()}
+    assert (rows[1].n_lines, rows[1].n_bullet, rows[1].n_ellipsis) == (10, 10, 0)
+    assert not rows[1].ok_bullet_lines and not rows[1].keep
+    assert (rows[2].n_lines, rows[2].n_ellipsis) == (10, 4)
+    assert not rows[2].ok_ellipsis_lines and not rows[2].keep
+    assert (rows[3].n_lines, rows[3].n_bullet, rows[3].n_ellipsis) == (5, 2, 1)
+    assert rows[3].bullet_ratio == 0.4 and rows[3].ellipsis_ratio == 0.2
+    assert rows[3].keep
+    assert (rows[4].n_lines, rows[4].n_bullet, rows[4].n_ellipsis) == (1, 0, 0)
+    assert rows[4].keep
