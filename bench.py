@@ -187,6 +187,8 @@ HEADLINE = [
     "q_ann_query_from_index",
     # round 6: Gopher line-level rules over deterministic reflow
     "q_gopher_lines",
+    # round 6: paragraph-granularity banded-MinHash near-dedup
+    "q_dedup_paragraph",
 ]
 
 

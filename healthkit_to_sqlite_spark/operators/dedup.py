@@ -113,7 +113,8 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     return staged.select("doc_id", *mins)
 
 
-def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(documents: DataFrame,
+                      max_bucket: int | None = None) -> DataFrame:
     """LSH banding: band signature = joined minhashes of the band's
     rows; docs sharing any band signature are candidate pairs.
     Equi-join on (band, signature) — the O(n²) search becomes a bucket
@@ -129,8 +130,23 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     cascade) on BOTH sides.  Repartitioning by (band, band_sig) is
     exactly the shuffle the join needs anyway, and the two identical
     exchange subtrees dedupe into one materialized shuffle stage under
-    AQE (signatures computed once; measured 3.8s → 2.3s at sf0.1)."""
+    AQE (signatures computed once; measured 3.8s → 2.3s at sf0.1).
+
+    ``max_bucket`` (None = off, doc-level default unchanged) drops
+    band buckets holding more than that many members BEFORE the
+    self-join — the hot-bucket counterpart of the shingle df cap: a
+    bucket of B identical-signature items (boilerplate paragraphs,
+    empty strings) contributes B² join rows that exact-dup stages
+    already handle more cheaply.  The count runs as a window over the
+    (band, band_sig)-partitioned exchange the join needs anyway, so
+    the cap adds no extra shuffle."""
     sig = _band_signatures(documents).repartition("band", "band_sig")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        n = F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig"))
+        sig = (sig.withColumn("__n", n)
+               .filter(F.col("__n") <= max_bucket).drop("__n"))
     a, b = sig.alias("a"), sig.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_sig") == F.col("b.band_sig"))
@@ -138,6 +154,63 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
             .groupBy(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
             .agg(F.count(F.lit(1)).alias("n_bands")))
+
+
+PARA_WORDS = 16        # words per synthetic paragraph (≈2 reflow lines)
+PARA_SHIFT = 65_536    # pid = doc_id·SHIFT + para_idx (exact to 2^52/SHIFT docs)
+MAX_PARA_BUCKET = 50   # hot-band-bucket cap (same discipline as MAX_SHINGLE_DF)
+
+
+def paragraphs(documents: DataFrame,
+               words_per_para: int = PARA_WORDS) -> DataFrame:
+    """(doc_id, para_idx, text) — consecutive ``words_per_para``-word
+    groups of each document, the paragraph granularity between
+    doc-level LSH and exact-substring spans (RefinedWeb/FineWeb's
+    middle dedup stage).  The fixture corpus is single-line, so
+    paragraph boundaries come from the same deterministic regrouping
+    as :func:`text.reflow_lines` (a real corpus splits on blank
+    lines instead — one-line change, same downstream kernel).
+    Map-only explode; a doc's paragraphs stay on its partition."""
+    ws = F.split(F.col("text"), " ")
+    n_para = F.floor((F.size(ws) + words_per_para - 1)
+                     / F.lit(float(words_per_para))).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_para - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("para_idx"),
+            F.array_join(F.slice(ws, i * words_per_para + 1,
+                                 words_per_para), " ").alias("ptext")))
+    return (documents.select("doc_id", F.explode(paras).alias("p"))
+            .select("doc_id", "p.para_idx",
+                    F.col("p.ptext").alias("text")))
+
+
+def dedup_paragraph_pairs(documents: DataFrame,
+                          max_bucket: int = MAX_PARA_BUCKET) -> DataFrame:
+    """Paragraph-granularity near-dedup (VERDICT r5 item 7): run the
+    SAME banded-MinHash kernel (`minhash_lsh_pairs`) over the
+    paragraph relation, with paragraphs keyed as
+    ``pid = doc_id·PARA_SHIFT + para_idx`` so the kernel's single-key
+    contract holds, then decode the pids back to (doc, para)
+    references.  Same-doc pairs are kept — intra-document paragraph
+    repetition is exactly what this granularity catches that
+    doc-level LSH dilutes.
+
+    The ``max_bucket`` cap applies the q_ngram_jaccard hot-key
+    discipline to band buckets: at 100 TB the saturated buckets are
+    boilerplate ("click here to subscribe") whose members exact-dup
+    handles for free; without the cap one such bucket of B paragraphs
+    is B² candidate rows on a single reducer key."""
+    para = paragraphs(documents).select(
+        (F.col("doc_id") * PARA_SHIFT + F.col("para_idx")).alias("doc_id"),
+        "text")
+    pairs = minhash_lsh_pairs(para, max_bucket=max_bucket)
+    return pairs.select(
+        F.floor(F.col("doc_a") / PARA_SHIFT).cast("bigint").alias("doc_a"),
+        (F.col("doc_a") % PARA_SHIFT).cast("int").alias("para_a"),
+        F.floor(F.col("doc_b") / PARA_SHIFT).cast("bigint").alias("doc_b"),
+        (F.col("doc_b") % PARA_SHIFT).cast("int").alias("para_b"),
+        "n_bands")
 
 
 def _shingle_candidates(documents: DataFrame, max_df: int):
@@ -517,12 +590,19 @@ _SHINGLES_SQL = _shingles_sql()
 
 _H60_SQL = "CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)"
 
-_MINHASH_SQL = f"""
+def _minhash_sql(source: str = "documents") -> str:
+    """MinHash signature CTE body, parameterized on the shingle source
+    relation so the same chain runs at document and paragraph
+    granularity."""
+    return f"""
   SELECT doc_id, i,
          MIN(((i*2+1) * ({_H60_SQL} % {P}) + i*7 + 13) % {P}) AS mh
-  FROM ({_SHINGLES_SQL}), (SELECT unnest(range({N_HASHES})) AS i)
+  FROM ({_shingles_sql(source=source)}), (SELECT unnest(range({N_HASHES})) AS i)
   GROUP BY doc_id, i
 """
+
+
+_MINHASH_SQL = _minhash_sql()
 
 #: SimHash signature CTE chain (tok → bits → sig) shared by the
 #: signature query and the Hamming near-pair query, so both oracles
@@ -576,6 +656,48 @@ SPECS: dict[str, Spec] = {
         GROUP BY 1, 2
         """,
         "C2 MinHash+LSH banding candidate pairs (deterministic, oracle-checked)"),
+    "q_dedup_paragraph": Spec(
+        lambda spark, sf: dedup_paragraph_pairs(load_table(spark, sf,
+                                                           "documents")),
+        f"""
+        WITH para AS (
+          SELECT w.doc_id * {PARA_SHIFT} + CAST(t.i AS BIGINT) AS doc_id,
+                 array_to_string(
+                   ws[(CAST(t.i AS INT) * {PARA_WORDS} + 1):
+                      (CAST(t.i AS INT) * {PARA_WORDS} + {PARA_WORDS})],
+                   ' ') AS text
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents) w,
+               UNNEST(generate_series(
+                 0, (len(ws) + {PARA_WORDS - 1}) // {PARA_WORDS} - 1))
+                 AS t(i)),
+        mh AS ({_minhash_sql(source="para")}),
+        bands AS (
+          SELECT doc_id, CAST(i // {N_HASHES // N_BANDS} AS INT) AS band,
+                 STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_sig
+          FROM mh GROUP BY 1, 2),
+        capped AS (
+          SELECT doc_id, band, band_sig FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY band, band_sig) AS n
+            FROM bands) WHERE n <= {MAX_PARA_BUCKET}),
+        pairs AS (
+          SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS n_bands
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT CAST(pa // {PARA_SHIFT} AS BIGINT) AS doc_a,
+               CAST(pa % {PARA_SHIFT} AS INT) AS para_a,
+               CAST(pb // {PARA_SHIFT} AS BIGINT) AS doc_b,
+               CAST(pb % {PARA_SHIFT} AS INT) AS para_b,
+               n_bands
+        FROM pairs
+        """,
+        "paragraph-granularity near-dedup (RefinedWeb/FineWeb middle "
+        "stage): same banded-MinHash kernel over 16-word paragraph "
+        "units keyed doc_id*2^16+idx, hot-band-bucket cap (=the "
+        "q_ngram_jaccard df discipline), doc back-references decoded; "
+        "same-doc pairs kept (intra-doc repetition)"),
     "q_ngram_jaccard": Spec(
         lambda spark, sf: ngram_jaccard_pairs(load_table(spark, sf, "documents")),
         f"""

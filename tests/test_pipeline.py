@@ -1116,3 +1116,31 @@ def test_token_budget_mix_respects_budget_and_keeps_small_sources(spark):
         else:
             trimmed += 1
     assert trimmed > 0, "fixture must exercise the trimming path"
+
+
+def test_paragraph_dedup_bucket_cap_and_backrefs(spark):
+    """VERDICT r5 item 7 — paragraph-granularity near-dedup: (1) two
+    docs sharing a 16-word paragraph pair at paragraph granularity
+    with correct (doc, para) back-references; (2) a band bucket
+    saturated past MAX_PARA_BUCKET is dropped entirely (hot-bucket
+    discipline), while the distinctive pair survives."""
+    from healthkit_to_sqlite_spark.operators.dedup import (
+        MAX_PARA_BUCKET,
+        dedup_paragraph_pairs,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(16))          # para 0 of 1, 2
+    boiler = "the same sixteen boilerplate words repeat here again and " \
+             "again to fill one paragraph slot"
+    rows = [(1, shared + " unique tail one two three four five six seven "
+                "eight nine ten eleven twelve thirteen fourteen fifteen"),
+            (2, shared + " other ending alpha beta gamma delta epsilon "
+                "zeta eta theta iota kappa lam mu nu xi")]
+    # MAX_PARA_BUCKET+1 single-paragraph docs with IDENTICAL text: all
+    # land in one band bucket per band → bucket size > cap → dropped
+    rows += [(100 + i, boiler) for i in range(MAX_PARA_BUCKET + 1)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup_paragraph_pairs(docs).collect()
+    keys = {(r.doc_a, r.para_a, r.doc_b, r.para_b) for r in pairs}
+    assert (1, 0, 2, 0) in keys                 # shared paragraph found
+    assert all(r.doc_a < 100 for r in pairs)    # saturated bucket gone
