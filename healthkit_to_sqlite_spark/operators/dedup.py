@@ -66,13 +66,21 @@ def normalized_dedup(documents: DataFrame) -> DataFrame:
     both engines agree byte-for-byte (Unicode NFC/NFKC fold is the
     production upgrade; Spark-side it is one extra UDF-free
     ``translate``/ICU step, documented rather than faked here)."""
+    return (documents
+            .groupBy(canonical_md5_expr().alias("canon_md5"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def canonical_md5_expr() -> Column:
+    """md5 of the normalized text (casefold / punct-strip /
+    ws-collapse) — the single home of the normalized-dedup key, shared
+    by :func:`normalized_dedup` and the composed pipeline's dedup
+    stage."""
     canon = F.trim(F.regexp_replace(
         F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
         r"\s+", " "))
-    return (documents
-            .groupBy(F.md5(canon).alias("canon_md5"))
-            .agg(F.min("doc_id").alias("keep_id"),
-                 F.count(F.lit(1)).alias("n_copies")))
+    return F.md5(canon)
 
 
 def word_shingles(documents: DataFrame, k: int = SHINGLE) -> DataFrame:
@@ -590,6 +598,11 @@ _SHINGLES_SQL = _shingles_sql()
 
 _H60_SQL = "CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)"
 
+#: normalized-text md5 (mirrors canonical_md5_expr) — shared by the
+#: q_dedup_normalized oracle and the composed-pipeline oracle.
+CANON_MD5_SQL = (r"md5(trim(regexp_replace(regexp_replace(lower(text),"
+                 r" '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))")
+
 def _minhash_sql(source: str = "documents") -> str:
     """MinHash signature CTE body, parameterized on the shingle source
     relation so the same chain runs at document and paragraph
@@ -632,9 +645,8 @@ SPECS: dict[str, Spec] = {
         "C1 exact dedup (hash-groupBy, deterministic keeper)"),
     "q_dedup_normalized": Spec(
         lambda spark, sf: normalized_dedup(load_table(spark, sf, "documents")),
-        r"""
-        SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
-                     '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS canon_md5,
+        f"""
+        SELECT {CANON_MD5_SQL} AS canon_md5,
                MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         FROM documents
         GROUP BY 1

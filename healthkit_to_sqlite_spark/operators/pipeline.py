@@ -37,9 +37,12 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions import dec, ws_tokens
 from ..spec import Spec
-from .dedup import (_MINHASH_SQL, N_BANDS, N_HASHES, _shingles_sql,
-                    minhash_lsh_pairs)
-from .text import FUZZY_PAIRS_CTE_SQL
+from .dedup import (CANON_MD5_SQL, _MINHASH_SQL, N_BANDS, N_HASHES,
+                    _shingles_sql, minhash_lsh_pairs)
+from .text import (FUZZY_PAIRS_CTE_SQL, GOPHER_MAX_MEAN_LEN,
+                   GOPHER_MAX_SYMBOL_RATIO, GOPHER_MAX_WORDS,
+                   GOPHER_MIN_ALPHA_FRAC, GOPHER_MIN_MEAN_LEN,
+                   GOPHER_MIN_STOPWORDS, GOPHER_MIN_WORDS, _HITS_SQL)
 
 # --- C2+: dedup clustering (connected components) -------------------------
 
@@ -865,6 +868,197 @@ def token_budget_mix(documents: DataFrame,
                     # would round in DuckDB but truncate in Spark)
                     F.expr(f"(t_total * {num}) div {den}")
                     .alias("budget")))
+
+
+# --- composed end-to-end pipeline ------------------------------------------
+
+
+def pipeline_e2e_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline as ONE DAG (VERDICT r5 item
+    4): ingest → Gopher quality keep → normalized dedup →
+    decontaminate → token-budget mixture → pack, emitting per-stage
+    (docs, tokens) conservation counts.  Every stage reuses the SAME
+    predicate/kernel its standalone pinned query uses
+    (`gopher_keep_expr`, `canonical_md5_expr`, the `word_shingles`
+    n-gram join, the `token_budget_mix` bucket-CDF, `PACK_BUDGET`), so
+    this query catches interface drift between the stages the way
+    `q_entity_resolution` does for the fuzzy-join stack.
+
+    Scale shape — exactly TWO passes over the corpus text, both
+    materialized as bounded artifacts up front:
+
+    1. the SLIM per-doc relation (ids + integer token count + two md5
+       keys + stage booleans; no text) — localCheckpointed because six
+       stage aggregates, two windows, and the mixture CDF all consume
+       it;
+    2. the contamination drop set — one shingle-partitioned self-join
+       of the n-gram relation (corpus side ⋈ eval side in one
+       exchange, reused by AQE) reduced to a distinct doc_id list
+       (bounded by eval-suite overlap), then checkpointed.
+
+    Every later stage is a flag column over the slim relation:
+    dedup's keeper is a min-over-canon window (no join-back), the
+    mixture cutoff is a k-row broadcast, packing is the
+    concat-and-chunk token count (sequences = ⌈tokens/budget⌉ per
+    lang — the GPT-style packing; the greedy no-split variant lives
+    in `q_pack_sequences`).  The final plan touches parquet ZERO
+    times (pinned in test_plans); token conservation (stage 4 ==
+    stage 5 tokens) is pinned in test_pipeline."""
+    from pyspark.sql import Window
+
+    from .dedup import canonical_md5_expr, word_shingles
+    from .text import gopher_keep_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(ws_tokens("text"))
+    hb = _md5_bucket(F.col("doc_id"), f"tb:{TOKEN_BUDGET_SEED}")
+    slim = (docs.select("doc_id", "source", "lang",
+                        n_tok.alias("n_tok"),
+                        canonical_md5_expr().alias("canon"),
+                        gopher_keep_expr().alias("q_keep"),
+                        hb.alias("hb"),
+                        (F.col("doc_id") % BENCH_MOD == 0).alias("is_bench"))
+            .localCheckpoint(eager=True))
+    grams = word_shingles(docs, k=DECON_NGRAM).repartition("shingle")
+    a, b = grams.alias("a"), grams.alias("b")
+    cont = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") % BENCH_MOD != 0)
+                   & (F.col("b.doc_id") % BENCH_MOD == 0))
+            .select(F.col("a.doc_id").alias("doc_id")).distinct()
+            .withColumn("contaminated", F.lit(True))
+            .localCheckpoint(eager=True))
+    w_canon = Window.partitionBy("canon")
+    d_keep = (F.col("q_keep")
+              & (F.col("doc_id")
+                 == F.min(F.when(F.col("q_keep"), F.col("doc_id")))
+                 .over(w_canon)))
+    flagged = (slim.join(F.broadcast(cont), "doc_id", "left")
+               .withColumn("d_keep", d_keep)
+               .withColumn("c_keep", F.col("d_keep") & ~F.col("is_bench")
+                           & F.col("contaminated").isNull()))
+    hist = (flagged.filter("c_keep").groupBy("source", "hb")
+            .agg(F.sum("n_tok").alias("b_tok")))
+    tot = hist.agg(F.sum("b_tok").alias("t_total"))
+    w_cum = (Window.partitionBy("source").orderBy("hb")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    cut = (hist.withColumn("cum", F.sum("b_tok").over(w_cum))
+           .crossJoin(F.broadcast(tot))
+           .filter(F.col("cum") * TOKEN_BUDGET_DEN
+                   <= F.col("t_total") * TOKEN_BUDGET_NUM)
+           .groupBy("source").agg(F.max("hb").alias("cut_hb")))
+    final = (flagged.join(F.broadcast(cut), "source", "left")
+             .withColumn("m_keep",
+                         F.coalesce(F.col("c_keep")
+                                    & (F.col("hb") <= F.col("cut_hb")),
+                                    F.lit(False))))
+
+    def _pair(flag, i):
+        return [F.sum(F.when(flag, 1).otherwise(0)).cast("long")
+                .alias(f"d{i}"),
+                F.sum(F.when(flag, F.col("n_tok")).otherwise(0))
+                .cast("long").alias(f"t{i}")]
+
+    agg = final.agg(
+        F.count(F.lit(1)).cast("long").alias("d0"),
+        F.sum("n_tok").cast("long").alias("t0"),
+        *_pair(F.col("q_keep"), 1), *_pair(F.col("d_keep"), 2),
+        *_pair(F.col("c_keep"), 3), *_pair(F.col("m_keep"), 4))
+    rep = agg.select(F.expr(
+        "stack(5, '0_ingest', d0, t0, '1_quality', d1, t1, "
+        "'2_dedup', d2, t2, '3_decontam', d3, t3, "
+        "'4_mixture', d4, t4) as (stage, n_docs, n_tokens)"))
+    packed = (final.filter("m_keep").groupBy("lang")
+              .agg(F.sum("n_tok").alias("lt"))
+              .agg(F.coalesce(
+                  F.sum(F.expr(f"(lt + {PACK_BUDGET - 1}) "
+                               f"div {PACK_BUDGET}")), F.lit(0))
+                  .cast("long").alias("n_docs"),
+                  F.coalesce(F.sum("lt"), F.lit(0)).cast("long")
+                  .alias("n_tokens"))
+              .select(F.lit("5_packed").alias("stage"),
+                      "n_docs", "n_tokens"))
+    return rep.unionByName(packed)
+
+
+#: DuckDB mirror of pipeline_e2e_query — stage predicates built from
+#: the SAME module constants (thresholds, seeds, mods, budget) and the
+#: shared CANON_MD5_SQL / _shingles_sql / _HITS_SQL fragments, so the
+#: oracle drifts only if a stage's published contract does.
+_PIPE_E2E_ORACLE = f"""
+WITH slim AS (
+  SELECT doc_id, source, lang,
+         len(string_split(text, ' ')) AS n_tok,
+         {CANON_MD5_SQL} AS canon,
+         (len(string_split(text, ' '))
+            BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+          AND CAST(list_aggregate(list_transform(string_split(text, ' '),
+                     t -> length(t)), 'sum') AS DOUBLE)
+              / len(string_split(text, ' '))
+            BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN}
+          AND (length(text) - length(replace(text, '#', ''))
+               + (length(text) - length(replace(text, '...', ''))) / 3)
+              / len(string_split(text, ' ')) < {GOPHER_MAX_SYMBOL_RATIO}
+          AND CAST(len(list_filter(string_split(text, ' '),
+                     t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+              / len(string_split(text, ' ')) > {GOPHER_MIN_ALPHA_FRAC}
+          AND {_HITS_SQL['en']} >= {GOPHER_MIN_STOPWORDS}) AS q_keep,
+         CAST('0x' || substr(md5('tb:{TOKEN_BUDGET_SEED}:'
+              || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS hb,
+         doc_id % {BENCH_MOD} = 0 AS is_bench
+  FROM documents),
+cont AS (
+  SELECT DISTINCT a.doc_id
+  FROM ({_shingles_sql(k=DECON_NGRAM)}) a
+  JOIN ({_shingles_sql(k=DECON_NGRAM)}) b
+    ON a.shingle = b.shingle
+   AND a.doc_id % {BENCH_MOD} <> 0 AND b.doc_id % {BENCH_MOD} = 0),
+flagged AS (
+  SELECT s.*,
+         q_keep AND s.doc_id = MIN(CASE WHEN q_keep THEN s.doc_id END)
+                      OVER (PARTITION BY canon) AS d_keep
+  FROM slim s),
+flagged2 AS (
+  SELECT f.*,
+         d_keep AND NOT is_bench AND c.doc_id IS NULL AS c_keep
+  FROM flagged f LEFT JOIN cont c ON f.doc_id = c.doc_id),
+hist AS (
+  SELECT source, hb, SUM(n_tok) AS b_tok
+  FROM flagged2 WHERE c_keep GROUP BY 1, 2),
+tot AS (SELECT SUM(b_tok) AS t_total FROM hist),
+cuts AS (
+  SELECT source, MAX(hb) AS cut_hb FROM (
+    SELECT source, hb,
+           SUM(b_tok) OVER (PARTITION BY source ORDER BY hb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM hist), tot
+  WHERE cum * {TOKEN_BUDGET_DEN} <= t_total * {TOKEN_BUDGET_NUM}
+  GROUP BY source),
+final AS (
+  SELECT f.*, COALESCE(c_keep AND f.hb <= c.cut_hb, false) AS m_keep
+  FROM flagged2 f LEFT JOIN cuts c USING (source)),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS d0, CAST(SUM(n_tok) AS BIGINT) AS t0,
+         CAST(SUM(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN q_keep THEN n_tok ELSE 0 END) AS BIGINT) AS t1,
+         CAST(SUM(CASE WHEN d_keep THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         CAST(SUM(CASE WHEN d_keep THEN n_tok ELSE 0 END) AS BIGINT) AS t2,
+         CAST(SUM(CASE WHEN c_keep THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+         CAST(SUM(CASE WHEN c_keep THEN n_tok ELSE 0 END) AS BIGINT) AS t3,
+         CAST(SUM(CASE WHEN m_keep THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+         CAST(SUM(CASE WHEN m_keep THEN n_tok ELSE 0 END) AS BIGINT) AS t4
+  FROM final),
+packed AS (
+  SELECT CAST(COALESCE(SUM((lt + {PACK_BUDGET - 1}) // {PACK_BUDGET}), 0)
+              AS BIGINT) AS d5,
+         CAST(COALESCE(SUM(lt), 0) AS BIGINT) AS t5
+  FROM (SELECT SUM(n_tok) AS lt FROM final WHERE m_keep GROUP BY lang))
+SELECT '0_ingest' AS stage, d0 AS n_docs, t0 AS n_tokens FROM agg
+UNION ALL SELECT '1_quality', d1, t1 FROM agg
+UNION ALL SELECT '2_dedup', d2, t2 FROM agg
+UNION ALL SELECT '3_decontam', d3, t3 FROM agg
+UNION ALL SELECT '4_mixture', d4, t4 FROM agg
+UNION ALL SELECT '5_packed', d5, t5 FROM packed
+"""
 
 
 # --- Bloom-filter runtime-pruned semi join ---------------------------------
@@ -1759,6 +1953,16 @@ def snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS: dict[str, Spec] = {
+    "q_pipeline_e2e": Spec(
+        pipeline_e2e_query,
+        _PIPE_E2E_ORACLE,
+        "end-to-end composed pipeline in ONE DAG: ingest → Gopher "
+        "keep → normalized dedup (min-over-canon window, no join-back) "
+        "→ n-gram decontamination (shingle self-join drop set) → "
+        "token-budget mixture (bucket-CDF cutoff) → concat-and-chunk "
+        "pack; per-stage (docs, tokens) conservation counts; exactly "
+        "two corpus passes, both checkpointed artifacts — final plan "
+        "is parquet-scan-free (pinned)"),
     "q_entity_resolution": Spec(
         lambda spark, sf: entity_resolution(load_table(spark, sf, "part")),
         f"""

@@ -669,7 +669,29 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
     exact-sufficient-statistics discipline (cf. quality_scores), so
     both engines agree bit-exactly and the booleans can't flip on a
     float edge.  Map-only: one projection, no shuffle, trivially
-    100 TB-parallel."""
+    100 TB-parallel.  The rule booleans are built by
+    :func:`_gopher_rule_columns` so the composed pipeline
+    (`q_pipeline_e2e`) applies the IDENTICAL predicate without
+    re-deriving it."""
+    stats, rules = _gopher_rule_columns()
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else keep & c
+    return documents.select(
+        "doc_id",
+        stats["n_words"].alias("n_words"),
+        F.round(stats["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(stats["symbol_ratio"], 6).alias("symbol_ratio"),
+        F.round(stats["alpha_frac"], 6).alias("alpha_frac"),
+        stats["n_stopwords"].alias("n_stopwords"),
+        *[c.alias(name) for name, c in rules.items()],
+        keep.alias("keep"))
+
+
+def _gopher_rule_columns():
+    """(stats, rules) column dicts over a ``text`` column — the single
+    home of the Gopher A1 document-level predicate, shared by
+    :func:`gopher_rules` and the composed pipeline's quality stage."""
     toks = ws_tokens("text")
     n_words = F.size(toks)
     sum_len = F.aggregate(F.transform(toks, F.length),
@@ -691,18 +713,19 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
         "ok_alpha": alpha_frac > GOPHER_MIN_ALPHA_FRAC,
         "ok_stopwords": n_stop >= GOPHER_MIN_STOPWORDS,
     }
+    stats = {"n_words": n_words, "mean_word_len": mean_len,
+             "symbol_ratio": symbol_ratio, "alpha_frac": alpha_frac,
+             "n_stopwords": n_stop}
+    return stats, rules
+
+
+def gopher_keep_expr() -> "F.Column":
+    """The conjunctive Gopher keep boolean over a ``text`` column."""
+    _, rules = _gopher_rule_columns()
     keep = None
     for c in rules.values():
         keep = c if keep is None else keep & c
-    return documents.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        F.round(mean_len, 6).alias("mean_word_len"),
-        F.round(symbol_ratio, 6).alias("symbol_ratio"),
-        F.round(alpha_frac, 6).alias("alpha_frac"),
-        n_stop.alias("n_stopwords"),
-        *[c.alias(name) for name, c in rules.items()],
-        keep.alias("keep"))
+    return keep
 
 
 GOPHER_MAX_BULLET_RATIO = 0.9    # Rae et al. 2021 A1: drop if >90%

@@ -1144,3 +1144,24 @@ def test_paragraph_dedup_bucket_cap_and_backrefs(spark):
     keys = {(r.doc_a, r.para_a, r.doc_b, r.para_b) for r in pairs}
     assert (1, 0, 2, 0) in keys                 # shared paragraph found
     assert all(r.doc_a < 100 for r in pairs)    # saturated bucket gone
+
+
+def test_pipeline_e2e_stage_conservation(spark):
+    """The composed pipeline's invariants: stage counts monotonically
+    non-increasing through the filters, token conservation through
+    packing (stage 4 tokens == stage 5 tokens), and sequence count =
+    sum over langs of ceil(tokens/budget)."""
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        pipeline_e2e_query,
+    )
+
+    rows = {r.stage: r for r in
+            pipeline_e2e_query(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"0_ingest", "1_quality", "2_dedup",
+                         "3_decontam", "4_mixture", "5_packed"}
+    order = ["0_ingest", "1_quality", "2_dedup", "3_decontam", "4_mixture"]
+    for earlier, later in zip(order, order[1:]):
+        assert rows[later].n_docs <= rows[earlier].n_docs
+        assert rows[later].n_tokens <= rows[earlier].n_tokens
+    assert rows["5_packed"].n_tokens == rows["4_mixture"].n_tokens
+    assert 0 < rows["5_packed"].n_docs <= rows["4_mixture"].n_docs
