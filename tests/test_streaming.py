@@ -494,3 +494,49 @@ def test_cdc_merger_kill_and_resume_exactly_once(spark, tmp_path):
     # last-write-wins: key k belongs to the last file containing it
     for k, gen in rows.items():
         assert gen == min(3, k // 5), (k, gen)
+
+
+def test_fold_batch_two_writer_race_loses_no_update(spark, tmp_path):
+    """VERDICT r5 item 8 — two interleaved fold_batch writers on ONE
+    artifact table: writer B commits BETWEEN writer A's head read and
+    A's publish (deterministically interposed inside A's derive
+    callback).  A must lose the CAS race, re-read B's head, re-fold,
+    and publish BOTH updates — no lost update.  Also pins the
+    documented id contract: an uncoordinated LOWER batch id after a
+    higher one raises BatchIdRegression instead of dropping data."""
+    from healthkit_to_sqlite_spark.sinks.manifest import (
+        BatchIdRegression,
+        ManifestTable,
+    )
+
+    tbl = ManifestTable(str(tmp_path / "tbl"))
+    tbl.append(spark.createDataFrame([("a", 1)], "k string, v long"))
+
+    def fold(head_df, partial):
+        return (head_df.unionByName(partial)
+                .groupBy("k").agg(F.sum("v").cast("long").alias("v")))
+
+    fired = {"b": False}
+
+    def derive_a(head_df, partial):
+        if not fired["b"]:
+            fired["b"] = True
+            # writer B lands between A's head read and A's publish
+            tbl.fold_batch(
+                spark, spark.createDataFrame([("b", 10)],
+                                             "k string, v long"),
+                fold, batch_id=1)
+        return fold(head_df, partial)
+
+    v = tbl.fold_batch(
+        spark, spark.createDataFrame([("a", 5)], "k string, v long"),
+        derive_a, batch_id=2)
+    assert v == 3  # seed=1, B=2, A retried onto 3
+    final = {r.k: r.v for r in tbl.read(spark).collect()}
+    assert final == {"a": 6, "b": 10}  # both folds survived
+
+    # uncoordinated id below the high-water mark: loud, not lossy
+    with pytest.raises(BatchIdRegression):
+        tbl.fold_batch(
+            spark, spark.createDataFrame([("c", 1)], "k string, v long"),
+            fold, batch_id=1)
