@@ -527,6 +527,15 @@ def _compact(out: dict, timings: dict[str, float],
         compact["queries"] = dict(slowest[:k])
         if len(json.dumps(compact)) <= budget:
             break
+    # ENFORCED bound, not just empirical (r5 ADVICE): if the k=0
+    # shrink still exceeds the budget (a grown family table, a long
+    # sf1 error string), drop the optional fields largest-first until
+    # it fits — the driver must always be able to parse the tail line.
+    for field in ("family_subtotals", "queries_note",
+                  "sf1_ratio_vs_sf0.1", "metric"):
+        if len(json.dumps(compact)) <= budget:
+            break
+        compact.pop(field, None)
     return compact
 
 

@@ -11,8 +11,13 @@ leaving timeseries/multimodal/pipeline/udx unverified).  ``PRIORITY``
 pins the verification window each round: queries whose semantics
 changed this round plus queries with no driver row yet come first,
 then the reference §2.A/§2.B parity surface, then the long-green
-remainder.  Everything (164 queries as of round 4) still runs in
+remainder.  Everything (173 queries as of round 6) still runs in
 tests/parity.py, whose committed PARITY_r{N}.json covers the overflow.
+
+The window contract is self-tested: tests/test_registry.py asserts
+that ``list(queries())[:50]`` equals ``PRIORITY[:50]`` exactly, so an
+unregistered/misspelled PRIORITY name (which would silently let
+module-order queries eat verification slots) fails the suite.
 """
 
 from __future__ import annotations
@@ -28,47 +33,40 @@ from .spec import Spec
 #: never had a CORRECTNESS row, (3) the reference-parity §2.A/§2.B
 #: surface.  Names not listed (or not registered) follow in module
 #: order; unknown names here are ignored, so the list is safe to
-#: curate ahead of the code.  (164 queries as of round 4.)
+#: curate ahead of the code — but the FIRST 50 are contract (see
+#: tests/test_registry.py).  (173 queries as of round 6.)
 PRIORITY: tuple[str, ...] = (
-    # (1a) never driver-checked: the declared round-4 window overflow
-    # (VERDICT r4 item 3 — these four lead round 5)
-    "q_inverted_index", "q_temperature_sample", "q_negative_pairs",
-    "q_abtest",
-    # (1b) new in round 5
-    "q_ann_ivfpq_residual", "q_gopher_rules", "q_token_budget_mix",
-    "q_simhash_near",
-    # (1c) semantics-adjacent changes this round: decimal x-moment
-    # accumulation (group_ols), template-arg UDTF rewiring (udtf_*),
-    # pq_codes seed_stride parameter (ann_pq / ann_ivfpq at default
-    # stride — outputs identical, re-verify anyway)
-    "q_group_ols", "q_udtf_poly", "q_udtf_chunks", "q_udtf_chunks_arrow",
-    "q_ann_pq", "q_ann_ivfpq",
-    # (2) oldest driver rows (green in r01 only): rotate back in
-    "q_exists_in", "q_conditional_agg", "q_string_funcs", "q_ntile",
-    "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_near",
-    "q_topk_cosine", "q_embed_norms", "q_ann_lsh_buckets", "q_lang_id",
-    "q_token_counts", "q_quality_score", "q_token_count_bpe",
-    # (3) last green in r02: next-oldest fill (window cut-off lands
-    # somewhere below; the remainder is covered by PARITY_r05.json)
-    "q_flagship", "q_json_extract", "q_dedup_simhash", "q_schema_infer",
-    "q_schema_unify", "q_kv_pivot", "q_collect_events", "q_path_join",
-    "q_linestring", "q_partition_by_type", "q_filter_between",
-    "q_filter_or_isin", "q_project_arith", "q_agg_sum", "q_group_agg",
-    "q_date_parse", "q_topk", "q_collect_stats_map", "q_ngram_jaccard",
-    "q_ann_ivf", "q_fingerprint", "q_tfidf", "q_posexplode", "q_lag_lead",
-    "q_sliding_window", "q_tumbling_window", "q_sessionize", "q_asof_join",
+    # ---- round-6 window (slots 1-50) ------------------------------
+    # (1a) new in round 6 (never driver-checked)
+    "q_pipeline_e2e", "q_ann_index_build", "q_ann_query_from_index",
+    "q_gopher_lines", "q_dedup_paragraph",
+    # (1b) kernels touched in round 6 — outputs proven identical
+    # locally (168/168 parity), re-verify at the driver anyway:
+    # Lloyd-loop checkpointing (ann_* / semantic / postings), the
+    # gopher/canon expression factoring (gopher_rules,
+    # dedup_normalized), the minhash max_bucket parameter at its
+    # default-off setting (dedup_minhash_lsh)
+    "q_ann_ivfpq_residual", "q_ann_ivfpq", "q_ann_pq", "q_ann_ivf",
+    "q_dedup_semantic", "q_ivf_postings", "q_gopher_rules",
+    "q_dedup_normalized", "q_dedup_minhash_lsh",
+    # (2) oldest surviving driver rows (green in r02 only — past the
+    # r05 window cut; VERDICT r5 item 5)
+    "q_posexplode", "q_lag_lead", "q_sliding_window",
+    "q_tumbling_window", "q_sessionize", "q_asof_join",
     "q_multimodal_meta", "q_multimodal_decode", "q_dedup_apply",
     "q_repetition_signals", "q_pii_scrub", "q_decontaminate",
     "q_stratified_sample", "q_pack_sequences", "q_interval_join",
     "q_salted_join", "q_merge_upsert", "q_salted_agg", "q_ann_brp",
-    # (4) r03-green fill
-    "q_fuzzy_join", "q_ann_lsh_pairs",
-    "q_dedup_incremental", "q_manifest_roundtrip", "q_topk_cosine_pandas",
-    "q_udaf_median", "q_dedup_embedding",
-    # (5) r04-green (newest rows, lowest re-verify urgency)
+    # (3) r03-green fill
+    "q_fuzzy_join", "q_ann_lsh_pairs", "q_dedup_incremental",
+    "q_manifest_roundtrip", "q_topk_cosine_pandas", "q_udaf_median",
+    "q_dedup_embedding",
+    # (4) r04-green oldest (window cut lands at q_graph_jaccard)
     "q_scd2", "q_ewma", "q_first_touch", "q_span_scrub",
-    "q_incremental_agg", "q_snapshot_diff", "q_bpe_pairs", "q_mrl_rerank",
-    "q_entity_resolution", "q_graph_jaccard",
+    "q_incremental_agg", "q_snapshot_diff", "q_bpe_pairs",
+    "q_mrl_rerank", "q_entity_resolution", "q_graph_jaccard",
+    # ---- overflow (covered by PARITY_r06.json) --------------------
+    # (5) r04-green remainder
     "q_pivot", "q_range_frame", "q_window_analytics",
     "q_kll_merge", "q_theta_sets", "q_temporal_join", "q_skyline",
     "q_manifest_merge", "q_autocorr",
@@ -82,6 +80,20 @@ PRIORITY: tuple[str, ...] = (
     "q_knn_graph", "q_rrf_fusion",
     "q_lm_perplexity", "q_dsir_weights", "q_dsir_resample",
     "q_manifest_multi",
+    # (6) r05-window rows (newest driver green, lowest urgency)
+    "q_inverted_index", "q_temperature_sample", "q_negative_pairs",
+    "q_abtest", "q_token_budget_mix", "q_simhash_near", "q_group_ols",
+    "q_udtf_poly", "q_udtf_chunks", "q_udtf_chunks_arrow",
+    "q_exists_in", "q_conditional_agg", "q_string_funcs", "q_ntile",
+    "q_dedup_exact", "q_topk_cosine", "q_embed_norms",
+    "q_ann_lsh_buckets", "q_lang_id", "q_token_counts",
+    "q_quality_score", "q_token_count_bpe",
+    "q_flagship", "q_json_extract", "q_dedup_simhash", "q_schema_infer",
+    "q_schema_unify", "q_kv_pivot", "q_collect_events", "q_path_join",
+    "q_linestring", "q_partition_by_type", "q_filter_between",
+    "q_filter_or_isin", "q_project_arith", "q_agg_sum", "q_group_agg",
+    "q_date_parse", "q_topk", "q_collect_stats_map", "q_ngram_jaccard",
+    "q_fingerprint", "q_tfidf", "q_dedup_near",
 )
 
 
