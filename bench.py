@@ -185,6 +185,7 @@ HEADLINE = [
     # serve-only query reading committed artifacts)
     "q_ann_index_build",
     "q_ann_query_from_index",
+    "q_ann_index_append",
     # round 6: Gopher line-level rules over deterministic reflow
     "q_gopher_lines",
     # round 6: paragraph-granularity banded-MinHash near-dedup

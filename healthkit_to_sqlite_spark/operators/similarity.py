@@ -432,11 +432,17 @@ def pq_codes(embeddings: DataFrame, m: int = PQ_M, sub_dim: int = PQ_SUB_DIM,
                 .select("j", F.col("cell").alias("cid"), "cemb")
                 .localCheckpoint(eager=True))
     codes_long = _assign_sub(staged, cent)
+    return _codes_wide(codes_long, m), cent
+
+
+def _codes_wide(codes_long: DataFrame, m: int = PQ_M) -> DataFrame:
+    """(vec_id, j, cell) long form → (vec_id, code0..code{m-1}) — the
+    stored code layout, shared by training and the frozen-codebook
+    append encoder."""
     codes = (codes_long.groupBy("vec_id")
              .pivot("j", list(range(m))).agg(F.first("cell")))
-    codes = codes.select("vec_id", *[F.col(str(j)).alias(f"code{j}")
-                                     for j in range(m)])
-    return codes, cent
+    return codes.select("vec_id", *[F.col(str(j)).alias(f"code{j}")
+                                    for j in range(m)])
 
 
 PQ_RERANK = 8  # shortlist factor: ADC keeps rerank*k, exact re-ranks
@@ -747,6 +753,90 @@ def ann_query_from_index(spark: SparkSession, sf_dir: str,
     contract — and same oracle — as `q_ann_ivfpq_residual`; the exact
     re-rank is the only stage that touches original vectors."""
     cat = build_ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _residual_adc_serve(
+        emb,
+        cat.read(spark, "centroids"),
+        cat.read(spark, "cells"),
+        cat.read(spark, "codes"),
+        cat.read(spark, "codebook"),
+        query_vec_id, k, nprobe, rerank_factor)
+
+
+ANN_APPEND_SPLIT = 400  # base/new split: base trains, new is encoded
+#                         frozen (base must cover the PQ_K·stride seeds)
+
+
+def build_ann_index_appended(spark: SparkSession, sf_dir: str,
+                             split: int = ANN_APPEND_SPLIT):
+    """Incremental index maintenance — the FAISS ``add()`` story on
+    top of the build/serve split: version 1 trains the residual-IVFADC
+    index on the BASE corpus (``vec_id < split``) and publishes all
+    four artifacts; version 2 encodes the NEW vectors with the FROZEN
+    base-trained quantizers (one nearest-centroid assignment + one
+    nearest-code assignment — no Lloyd iterations) and appends their
+    cells+codes rows in ONE atomic multi-table catalog pass
+    (``publish_pass`` merges per-table file lists, so both tables
+    grow in the same commit; centroids/codebook carry over
+    untouched).  Version 1 remains time-travelable as the pre-append
+    index.  At 100 TB this is the daily-ingest shape: encoding cost
+    scales with |batch|, the index is rebuilt (retrained) only when
+    drift warrants it.  Both stages are version-guarded, so crashed
+    or repeated builds resume idempotently."""
+    import os
+
+    from ..sinks.manifest import ManifestCatalog
+    from .pipeline import _work_dir
+
+    cat = ManifestCatalog(
+        os.path.join(_work_dir("ann_index_append", sf_dir), "cat"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    if cat.current_version() < 1:
+        base = emb.filter(F.col("vec_id") < split)
+        cent = kmeans_centroids(base)
+        cells = _assign_cells(base, cent).localCheckpoint(eager=True)
+        res = (base.select("vec_id", "embedding")
+               .join(cells, "vec_id")
+               .join(F.broadcast(cent), F.col("cell") == F.col("cid"))
+               .select("vec_id",
+                       F.zip_with("embedding", "cemb",
+                                  lambda x, c: x.cast("double") - c)
+                       .alias("embedding"))
+               .localCheckpoint(eager=True))
+        codes, book = pq_codes(res, seed_stride=RES_SEED_STRIDE)
+        cat.publish_pass({"centroids": cent, "cells": cells,
+                          "codes": codes, "codebook": book})
+    if cat.current_version() < 2:
+        cent = cat.read(spark, "centroids")
+        book = cat.read(spark, "codebook")
+        new = emb.filter(F.col("vec_id") >= split)
+        ncells = _assign_cells(new, cent).localCheckpoint(eager=True)
+        nres = (new.select("vec_id", "embedding")
+                .join(ncells, "vec_id")
+                .join(F.broadcast(cent), F.col("cell") == F.col("cid"))
+                .select("vec_id",
+                        F.zip_with("embedding", "cemb",
+                                   lambda x, c: x.cast("double") - c)
+                        .alias("embedding")))
+        staged = (nres.select("vec_id",
+                              F.explode(_pq_subspaces()).alias("s"))
+                  .select("vec_id", "s.j", "s.sub"))
+        ncodes = _codes_wide(_assign_sub(staged, book))
+        cat.publish_pass({"cells": ncells, "codes": ncodes})
+    return cat
+
+
+def ann_query_from_appended_index(spark: SparkSession, sf_dir: str,
+                                  query_vec_id: int = 0, k: int = 5,
+                                  nprobe: int = 2,
+                                  rerank_factor: int = PQ_RERANK
+                                  ) -> DataFrame:
+    """Serve from the APPENDED index head: the same aggregate-free
+    serve kernel, now answering over base ∪ appended vectors whose
+    codes came from two different encode passes — the oracle retrains
+    on base and encodes everything from scratch, so a hash match
+    proves frozen-quantizer append encoding equals it exactly."""
+    cat = build_ann_index_appended(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     return _residual_adc_serve(
         emb,
@@ -1354,6 +1444,91 @@ def _ivfpq_residual_oracle_sql(k: int = 5, nprobe: int = 2,
     """
 
 
+def _ivfpq_append_oracle_sql(split: int = ANN_APPEND_SPLIT, k: int = 5,
+                             nprobe: int = 2,
+                             rerank_factor: int = PQ_RERANK) -> str:
+    """Append-index serve in DuckDB: train every Lloyd chain on the
+    BASE subset only (``src`` parameterization), then assign ALL
+    vectors (base + appended) to the frozen centroids/codebooks —
+    mirroring the two-pass Spark build argmin-for-argmin."""
+    sub = "list_transform(list_zip({a}, {b}), " \
+          "x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+    i = IVF_ITERS
+    chains, alls, luts, join_luts = [], [], [], ""
+    for j in range(PQ_M):
+        lo, hi = j * PQ_SUB_DIM + 1, (j + 1) * PQ_SUB_DIM
+        emb = f"e.embedding[{lo}:{hi}]"
+        chains.append(_kmeans_cells_sql(i, PQ_K, PQ_SUB_DIM, emb=emb,
+                                        prefix=f"s{j}_", src="res_base",
+                                        seed_stride=RES_SEED_STRIDE))
+        alls.append(f"""s{j}_all AS (
+          SELECT vec_id, cid AS code{j} FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_L2_SQL.format(e=f'({emb})', c='c.cemb')},
+                                c.cid) AS rn
+            FROM res e, s{j}_cent{i} c) WHERE rn = 1)""")
+        luts.append(f"""lut{j} AS (
+          SELECT r.q_cell, c.cid AS code{j},
+                 ROUND({_L2_SQL.format(e=f'(r.qr[{lo}:{hi}])',
+                                       c='c.cemb')}, 9) AS d{j}
+          FROM s{j}_cent{i} c, qres r)""")
+        join_luts += (f" JOIN lut{j} ON lut{j}.q_cell = all_cells.cell"
+                      f" AND lut{j}.code{j} = codes.code{j}")
+    code_cols = ", ".join(f"s{j}_all.code{j}" for j in range(PQ_M))
+    froms = "s0_all" + "".join(
+        f" JOIN s{j}_all USING (vec_id)" for j in range(1, PQ_M))
+    dist = " + ".join(f"d{j}" for j in range(PQ_M))
+    qe_all = "list_transform(e.embedding, x -> CAST(x AS DOUBLE))"
+    return f"""
+    WITH base AS (SELECT * FROM embeddings WHERE vec_id < {split}),
+    {_kmeans_cells_sql(i, N_CENTROIDS, DIM, prefix="c_", src="base")},
+    all_cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_L2_SQL.format(e=f'({qe_all})', c='c.cemb')},
+                            c.cid) AS rn
+        FROM embeddings e, c_cent{i} c) WHERE rn = 1),
+    probe AS (
+      SELECT cid AS q_cell FROM c_cent{i} c,
+           (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+            FROM embeddings WHERE vec_id = 0) q
+      ORDER BY {_L2_SQL.format(e='(q.qe)', c='c.cemb')}, cid
+      LIMIT {nprobe}),
+    res AS (
+      SELECT e.vec_id,
+             {sub.format(a='e.embedding', b='c.cemb')} AS embedding
+      FROM embeddings e
+      JOIN all_cells cc USING (vec_id)
+      JOIN c_cent{i} c ON c.cid = cc.cell),
+    res_base AS (SELECT * FROM res WHERE vec_id < {split}),
+    {", ".join(chains)},
+    {", ".join(alls)},
+    codes AS (SELECT s0_all.vec_id, {code_cols} FROM {froms}),
+    qres AS (
+      SELECT p.q_cell,
+             {sub.format(a='q.q_emb', b='c.cemb')} AS qr
+      FROM probe p
+      JOIN c_cent{i} c ON c.cid = p.q_cell,
+           (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q),
+    {", ".join(luts)},
+    shortlist AS (
+      SELECT codes.vec_id, all_cells.cell, ROUND({dist}, 9) AS approx_dist
+      FROM codes
+      JOIN all_cells USING (vec_id)
+      JOIN probe ON all_cells.cell = probe.q_cell{join_luts}
+      WHERE codes.vec_id <> 0
+      ORDER BY approx_dist, codes.vec_id LIMIT {rerank_factor * k})
+    SELECT s.vec_id, s.cell, s.approx_dist,
+           ROUND({_L2_SQL.format(e='e.embedding', c='q.q_emb')}, 9)
+             AS exact_dist
+    FROM shortlist s JOIN embeddings e ON s.vec_id = e.vec_id,
+         (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+    ORDER BY exact_dist, s.vec_id LIMIT {k}
+    """
+
+
 def _ann_index_build_oracle_sql() -> str:
     """From-scratch retraining of the residual-IVFADC artifacts in
     DuckDB (same CTE generators the residual query oracle pins),
@@ -1505,6 +1680,17 @@ SPECS: dict[str, Spec] = {
         "index artifacts + the query vector; zero Lloyd iterations in "
         "the plan (pinned in test_plans) — same oracle as "
         "q_ann_ivfpq_residual, so build/serve must rank identically"),
+    "q_ann_index_append": Spec(
+        ann_query_from_appended_index,
+        _ivfpq_append_oracle_sql(),
+        "incremental index maintenance (the FAISS add() shape): new "
+        "vectors encoded with the FROZEN base-trained quantizers (one "
+        "assignment pass, zero Lloyd iterations) and appended to "
+        "cells+codes in ONE atomic multi-table catalog pass (version "
+        "1 = base index stays time-travelable); serve reads the "
+        "appended head through the shared serve kernel — the oracle "
+        "retrains on base and encodes everything from scratch, so the "
+        "hash match proves append encoding is exact"),
     "q_graph_jaccard": Spec(
         lambda spark, sf: graph_jaccard(load_table(spark, sf,
                                                    "embeddings")),

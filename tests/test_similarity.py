@@ -417,3 +417,37 @@ def test_ivfpq_residual_recall_and_distortion_vs_full_corpus(spark):
     mse_res = encode_mse(res, RES_SEED_STRIDE)
     mse_raw = encode_mse(emb01.select("vec_id", "embedding"), 1)
     assert mse_res < mse_raw, (mse_res, mse_raw)
+
+
+def test_ann_index_append_freezes_quantizers_and_time_travels(spark):
+    """Incremental index maintenance invariants: (1) the append pass
+    publishes version 2 with cells/codes covering base ∪ new while
+    centroids/codebook stay BYTE-identical to version 1 (frozen
+    quantizers); (2) version 1 still reads as the pre-append index
+    (time travel); (3) appended rows' cells are exactly what frozen
+    assignment of the new vectors produces."""
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        ANN_APPEND_SPLIT,
+        _assign_cells,
+        build_ann_index_appended,
+    )
+    from healthkit_to_sqlite_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    cat = build_ann_index_appended(spark, sf)
+    assert cat.current_version() == 2
+    emb = load_table(spark, sf, "embeddings")
+    n_total = emb.count()
+    assert cat.read(spark, "cells").count() == n_total
+    assert cat.read(spark, "codes").count() == n_total
+    assert cat.read(spark, "cells", version=1).count() == ANN_APPEND_SPLIT
+    c1 = sorted(map(tuple, cat.read(spark, "centroids", version=1).collect()))
+    c2 = sorted(map(tuple, cat.read(spark, "centroids").collect()))
+    assert c1 == c2  # quantizers frozen across the append
+    new = emb.filter(F.col("vec_id") >= ANN_APPEND_SPLIT)
+    expect = {(r.vec_id, r.cell) for r in _assign_cells(
+        new, cat.read(spark, "centroids")).collect()}
+    got = {(r.vec_id, r.cell)
+           for r in cat.read(spark, "cells").collect()
+           if r.vec_id >= ANN_APPEND_SPLIT}
+    assert got == expect
