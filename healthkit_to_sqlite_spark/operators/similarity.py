@@ -763,6 +763,90 @@ def ann_query_from_index(spark: SparkSession, sf_dir: str,
         query_vec_id, k, nprobe, rerank_factor)
 
 
+ANN_BATCH_Q = 8  # query-set size for the amortized batch serve
+
+
+def ann_batch_query_from_index(spark: SparkSession, sf_dir: str,
+                               n_queries: int = ANN_BATCH_Q, k: int = 5,
+                               nprobe: int = 2,
+                               rerank_factor: int = PQ_RERANK
+                               ) -> DataFrame:
+    """Amortized BATCH serve from the committed index — the real
+    serving workload shape: answer ``n_queries`` top-k searches with
+    ONE pass over the code columns.  Per query the work is the same
+    nprobe-pruned residual ADC, but the corpus-width scan is shared:
+    each probed code row fans out only to the queries probing its
+    cell (join on the Q·nprobe-row broadcast probe table), LUTs are
+    one broadcast keyed (q_id, q_cell, code_j) (Q·nprobe·m·k rows —
+    KBs), and both the shortlist and the exact re-rank are per-query
+    WindowGroupLimit heaps, never global sorts.  At 100 TB this is
+    why vector serving batches queries: scan cost amortizes 1/Q per
+    query while broadcast state stays tiny.  Zero Lloyd work —
+    aggregate-free plan like the single-query serve (pinned)."""
+    from pyspark.sql import Window
+
+    cat = build_ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = cat.read(spark, "centroids")
+    cells = cat.read(spark, "cells")
+    codes = cat.read(spark, "codes")
+    book = cat.read(spark, "codebook")
+    qs = (emb.filter(F.col("vec_id") < n_queries)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_emb")))
+    w_probe = Window.partitionBy("q_id").orderBy("qdist", "q_cell")
+    probe = (cent.crossJoin(F.broadcast(qs))
+             .select("q_id", F.col("cid").alias("q_cell"),
+                     F.round(_l2sq(F.transform("q_emb",
+                                               lambda x: x.cast("double")),
+                                   F.col("cemb")), 9).alias("qdist"))
+             .withColumn("rn", F.row_number().over(w_probe))
+             .filter(F.col("rn") <= nprobe)
+             .select("q_id", "q_cell"))
+    qres = (cent.join(F.broadcast(probe), F.col("cid") == F.col("q_cell"))
+            .join(F.broadcast(qs), "q_id")
+            .select("q_id", "q_cell",
+                    F.zip_with("q_emb", "cemb",
+                               lambda x, c: x.cast("double") - c)
+                    .alias("embedding")))
+    qslices = (qres.select("q_id", "q_cell",
+                           F.explode(_pq_subspaces()).alias("s"))
+               .select("q_id", "q_cell", "s.j",
+                       F.col("s.sub").alias("qe")))
+    lut = (book.join(F.broadcast(qslices), "j")
+           .select("q_id", "q_cell", "j", "cid",
+                   F.round(_l2sq(F.col("qe"), F.col("cemb")), 9).alias("d")))
+    approx = (codes.join(cells, "vec_id")
+              .join(F.broadcast(probe), F.col("cell") == F.col("q_cell")))
+    dist_terms = []
+    for j in range(PQ_M):
+        lut_j = (lut.filter(F.col("j") == j)
+                 .select("q_id", "q_cell", F.col("cid").alias(f"code{j}"),
+                         F.col("d").alias(f"d{j}")))
+        approx = approx.join(F.broadcast(lut_j),
+                             ["q_id", "q_cell", f"code{j}"])
+        dist_terms.append(F.col(f"d{j}"))
+    total = dist_terms[0]
+    for t in dist_terms[1:]:
+        total = total + t
+    w_short = Window.partitionBy("q_id").orderBy("approx_dist", "vec_id")
+    shortlist = (approx.filter(F.col("vec_id") != F.col("q_id"))
+                 .select("q_id", "vec_id", "cell",
+                         F.round(total, 9).alias("approx_dist"))
+                 .withColumn("srn", F.row_number().over(w_short))
+                 .filter(F.col("srn") <= rerank_factor * k)
+                 .drop("srn"))
+    w_rank = Window.partitionBy("q_id").orderBy("exact_dist", "vec_id")
+    return (shortlist
+            .join(emb.select("vec_id", "embedding"), "vec_id")
+            .join(F.broadcast(qs), "q_id")
+            .select("q_id", "vec_id", "cell", "approx_dist",
+                    F.round(_l2sq(F.col("embedding"), F.col("q_emb")), 9)
+                    .alias("exact_dist"))
+            .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+            .filter(F.col("rank") <= k))
+
+
 ANN_APPEND_SPLIT = 400  # base/new split: base trains, new is encoded
 #                         frozen (base must cover the PQ_K·stride seeds)
 
@@ -1529,6 +1613,91 @@ def _ivfpq_append_oracle_sql(split: int = ANN_APPEND_SPLIT, k: int = 5,
     """
 
 
+def _ann_batch_oracle_sql(n_queries: int = ANN_BATCH_Q, k: int = 5,
+                          nprobe: int = 2,
+                          rerank_factor: int = PQ_RERANK) -> str:
+    """Batch residual-ADC serve in DuckDB: the residual oracle's
+    chains (full-corpus training) with the query side generalized to
+    a Q-row relation — per-query probes, per-(query, cell) LUTs, and
+    per-query ROW_NUMBER shortlist/rank windows."""
+    sub = "list_transform(list_zip({a}, {b}), " \
+          "x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+    i = IVF_ITERS
+    chains, luts, join_luts = [], [], ""
+    for j in range(PQ_M):
+        lo, hi = j * PQ_SUB_DIM + 1, (j + 1) * PQ_SUB_DIM
+        emb = f"e.embedding[{lo}:{hi}]"
+        chains.append(_kmeans_cells_sql(i, PQ_K, PQ_SUB_DIM, emb=emb,
+                                        prefix=f"s{j}_", src="res",
+                                        seed_stride=RES_SEED_STRIDE))
+        luts.append(f"""lut{j} AS (
+          SELECT r.q_id, r.q_cell, c.cid AS code{j},
+                 ROUND({_L2_SQL.format(e=f'(r.qr[{lo}:{hi}])',
+                                       c='c.cemb')}, 9) AS d{j}
+          FROM s{j}_cent{i} c, qres r)""")
+        join_luts += (f" JOIN lut{j} ON lut{j}.q_id = probe.q_id"
+                      f" AND lut{j}.q_cell = c_cells.cell"
+                      f" AND lut{j}.code{j} = codes.code{j}")
+    code_cols = ", ".join(f"s{j}_cells.cell AS code{j}" for j in range(PQ_M))
+    froms = "s0_cells" + "".join(
+        f" JOIN s{j}_cells USING (vec_id)" for j in range(1, PQ_M))
+    dist = " + ".join(f"d{j}" for j in range(PQ_M))
+    return f"""
+    WITH {_kmeans_cells_sql(i, N_CENTROIDS, DIM, prefix="c_")},
+    qs AS (SELECT vec_id AS q_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id < {n_queries}),
+    probe AS (
+      SELECT q_id, q_cell FROM (
+        SELECT q.q_id, c.cid AS q_cell,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY {_L2_SQL.format(
+                     e='list_transform(q.q_emb, x -> CAST(x AS DOUBLE))',
+                     c='c.cemb')}, c.cid) AS rn
+        FROM c_cent{i} c, qs q) WHERE rn <= {nprobe}),
+    res AS (
+      SELECT e.vec_id,
+             {sub.format(a='e.embedding', b='c.cemb')} AS embedding
+      FROM embeddings e
+      JOIN c_cells cc USING (vec_id)
+      JOIN c_cent{i} c ON c.cid = cc.cell),
+    {", ".join(chains)},
+    codes AS (
+      SELECT s0_cells.vec_id, {code_cols}
+      FROM {froms}),
+    qres AS (
+      SELECT p.q_id, p.q_cell,
+             {sub.format(a='q.q_emb', b='c.cemb')} AS qr
+      FROM probe p
+      JOIN c_cent{i} c ON c.cid = p.q_cell
+      JOIN qs q ON q.q_id = p.q_id),
+    {", ".join(luts)},
+    scored AS (
+      SELECT probe.q_id, codes.vec_id, c_cells.cell,
+             ROUND({dist}, 9) AS approx_dist
+      FROM codes
+      JOIN c_cells USING (vec_id)
+      JOIN probe ON c_cells.cell = probe.q_cell{join_luts}
+      WHERE codes.vec_id <> probe.q_id),
+    shortlist AS (
+      SELECT q_id, vec_id, cell, approx_dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY approx_dist, vec_id) AS srn
+        FROM scored) WHERE srn <= {rerank_factor * k})
+    SELECT q_id, vec_id, cell, approx_dist, exact_dist,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT x.*, ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY exact_dist, vec_id) AS rn
+          FROM (SELECT s.q_id, s.vec_id, s.cell, s.approx_dist,
+                       ROUND({_L2_SQL.format(e='e.embedding',
+                                             c='q.q_emb')}, 9)
+                         AS exact_dist
+                FROM shortlist s
+                JOIN embeddings e ON s.vec_id = e.vec_id
+                JOIN qs q ON q.q_id = s.q_id) x)
+    WHERE rn <= {k}
+    """
+
+
 def _ann_index_build_oracle_sql() -> str:
     """From-scratch retraining of the residual-IVFADC artifacts in
     DuckDB (same CTE generators the residual query oracle pins),
@@ -1680,6 +1849,15 @@ SPECS: dict[str, Spec] = {
         "index artifacts + the query vector; zero Lloyd iterations in "
         "the plan (pinned in test_plans) — same oracle as "
         "q_ann_ivfpq_residual, so build/serve must rank identically"),
+    "q_ann_batch_queries": Spec(
+        ann_batch_query_from_index,
+        _ann_batch_oracle_sql(),
+        "amortized BATCH serve from the committed index: 8 top-k "
+        "searches in ONE pass over the code columns — probed rows fan "
+        "out only to the queries probing their cell, LUTs are one "
+        "(q, cell, code)-keyed broadcast, shortlist + re-rank are "
+        "per-query WindowGroupLimit heaps; the 1/Q scan amortization "
+        "is why vector serving batches queries at 100 TB"),
     "q_ann_index_append": Spec(
         ann_query_from_appended_index,
         _ivfpq_append_oracle_sql(),

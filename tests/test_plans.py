@@ -534,3 +534,16 @@ def test_pipeline_e2e_final_plan_is_scan_free(spark, specs):
     plan = formatted_plan(df)
     assert plan.count("Scan parquet") == 0
     assert "CartesianProduct" not in plan
+
+
+def test_ann_batch_serve_plan_is_training_free_with_heap_topk(spark, specs):
+    """The batch serve must share the single-query serve's contract —
+    committed-artifact scans, zero aggregates (no Lloyd/pivot work) —
+    and its per-query shortlist/rank must plan as WindowGroupLimit
+    heaps, never per-query global sorts."""
+    df = specs["q_ann_batch_queries"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "ann_index_" in plan
+    assert "HashAggregate" not in plan
+    assert "ObjectHashAggregate" not in plan
+    assert "WindowGroupLimit" in plan
