@@ -540,3 +540,86 @@ def test_fold_batch_two_writer_race_loses_no_update(spark, tmp_path):
         tbl.fold_batch(
             spark, spark.createDataFrame([("c", 1)], "k string, v long"),
             fold, batch_id=1)
+
+
+def test_streaming_index_append_kill_resume_matches_batch_encode(
+        spark, tmp_path):
+    """Streaming ANN index maintenance drill: vectors arrive in 4
+    micro-batches, each encoded with FROZEN quantizers and appended
+    exactly-once; the stream is KILLED between manifest publish and
+    checkpoint commit on batch 1 and restarted.  Invariants: the
+    replayed batch adds no version (exactly-once), every vector is
+    indexed exactly once, and the streamed encodings are
+    BIT-IDENTICAL to a one-shot batch encode of the same vectors."""
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        RES_SEED_STRIDE,
+        _assign_cells,
+        kmeans_centroids,
+        pq_codes,
+    )
+    from healthkit_to_sqlite_spark.sinks.manifest import ManifestTable
+    from healthkit_to_sqlite_spark.streaming.index_maintenance import (
+        encode_vectors,
+        index_append_writer,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    cent = kmeans_centroids(base)
+    cells = _assign_cells(base, cent)
+    res = (base.select("vec_id", "embedding")
+           .join(cells, "vec_id")
+           .join(F.broadcast(cent), F.col("cell") == F.col("cid"))
+           .select("vec_id",
+                   F.zip_with("embedding", "cemb",
+                              lambda x, c: x.cast("double") - c)
+                   .alias("embedding")).localCheckpoint(eager=True))
+    _, book = pq_codes(res, seed_stride=RES_SEED_STRIDE)
+    cent = cent.localCheckpoint(eager=True)
+    book = book.localCheckpoint(eager=True)
+
+    # "arriving" vectors: the base rows re-keyed, 4 files = 4 batches
+    src_dir = str(tmp_path / "vec_src")
+    for i in range(4):
+        (emb.filter((F.col("vec_id") >= i * 100)
+                    & (F.col("vec_id") < i * 100 + 100))
+         .select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+         .coalesce(1).write.mode("append").parquet(src_dir))
+
+    tbl = ManifestTable(str(tmp_path / "enc_tbl"))
+    ckpt = str(tmp_path / "enc_ckpt")
+    schema = spark.read.parquet(src_dir).schema
+
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src_dir))
+
+    real = index_append_writer(spark, tbl, cent, book)
+    died = {"done": False}
+
+    def dying(batch_df, batch_id):
+        real(batch_df, batch_id)
+        if batch_id == 1 and not died["done"]:
+            died["done"] = True
+            raise RuntimeError("killed after publish, before ckpt commit")
+
+    q = (stream().writeStream.foreachBatch(dying)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    assert died["done"]
+    v_crash = tbl.current_version()
+
+    q2 = (stream().writeStream.foreachBatch(real)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+
+    assert tbl.current_version() == v_crash + 2  # replay added nothing
+    streamed = sorted(map(tuple, tbl.read(spark).collect()))
+    assert len(streamed) == 400                  # each vector once
+    expect = sorted(map(tuple, encode_vectors(
+        spark.read.parquet(src_dir), cent, book).collect()))
+    assert streamed == expect                    # bit-identical encode
