@@ -187,6 +187,7 @@ HEADLINE = [
     "q_ann_query_from_index",
     "q_ann_index_append",
     "q_ann_batch_queries",
+    "q_embed_covariance",
     # round 6: Gopher line-level rules over deterministic reflow
     "q_gopher_lines",
     # round 6: paragraph-granularity banded-MinHash near-dedup

@@ -763,6 +763,83 @@ def ann_query_from_index(spark: SparkSession, sf_dir: str,
         query_vec_id, k, nprobe, rerank_factor)
 
 
+def embedding_covariance(embeddings: DataFrame) -> DataFrame:
+    """Population covariance matrix of the embedding corpus (upper
+    triangle, D(D+1)/2 = 2080 rows at D=64) — the input artifact for
+    PCA / whitening / Mahalanobis outlier scoring over an embedding
+    column.
+
+    Shape: one scan explodes each vector's in-row outer-product pairs
+    (d1 ≤ d2) straight into a groupBy(d1, d2) whose MAP-SIDE partial
+    aggregation collapses every partition to ≤2080 rows before the
+    exchange — the shuffle carries O(D²) rows total, never O(n·D²);
+    per-dimension sums ride a second cheap scan and broadcast-join
+    back (D rows).  Sums accumulate in DECIMAL(30,10) (exact,
+    summation-order independent) and the covariance combines them in
+    ONE fixed double expression, so both engines produce bit-identical
+    matrices regardless of partitioning.  At 100 TB the constant
+    per-row explode cost (D(D+1)/2 structs) can be traded for a
+    numpy partial-Gram `mapInPandas` kernel (X^T X per Arrow batch) —
+    faster, but float64 partials are accumulation-order dependent, so
+    the exact-decimal form stays the verification contract."""
+    e = F.col("embedding")
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda i: F.transform(
+            F.sequence(i, F.lit(DIM - 1)),
+            lambda j: F.struct(
+                i.cast("int").alias("d1"), j.cast("int").alias("d2"),
+                (F.element_at(e, i + 1).cast("double")
+                 * F.element_at(e, j + 1).cast("double")).alias("p")))))
+    prods = (embeddings.select(F.explode(pairs).alias("pp"))
+             .select("pp.d1", "pp.d2", "pp.p")
+             .groupBy("d1", "d2")
+             .agg(F.sum(F.col("p").cast("decimal(30,10)"))
+                  .cast("double").alias("sxy")))
+    dims = (embeddings.select(F.posexplode("embedding").alias("d0", "x"))
+            .groupBy("d0")
+            .agg(F.sum(F.col("x").cast("double").cast("decimal(30,10)"))
+                 .cast("double").alias("sx"),
+                 F.count(F.lit(1)).alias("n")))
+    m1 = dims.select(F.col("d0").cast("int").alias("d1"),
+                     F.col("sx").alias("sx1"), "n")
+    m2 = dims.select(F.col("d0").cast("int").alias("d2"),
+                     F.col("sx").alias("sx2"))
+    cov = (F.col("sxy") - F.col("sx1") * F.col("sx2") / F.col("n")) \
+        / F.col("n")
+    # + 0.0 canonicalizes IEEE negative zero: DuckDB's ROUND keeps the
+    # sign of a tiny negative rounded to zero, Spark's does not, and
+    # -0.0 == 0.0 compares equal but STRINGIFIES differently — the
+    # driver's value hash (and any sorted-row compare) would diverge.
+    return (prods.join(F.broadcast(m1), "d1")
+            .join(F.broadcast(m2), "d2")
+            .select("d1", "d2",
+                    (F.round(cov, 6) + F.lit(0.0)).alias("cov")))
+
+
+_EMBED_COV_ORACLE = f"""
+WITH dims AS (SELECT unnest(range({DIM})) AS d),
+m AS (
+  SELECT d.d,
+         CAST(SUM(CAST(CAST(embedding[d.d + 1] AS DOUBLE)
+                       AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+         COUNT(*) AS n
+  FROM embeddings, dims d GROUP BY d.d),
+p AS (
+  SELECT d1.d AS d1, d2.d AS d2,
+         CAST(SUM(CAST(CAST(embedding[d1.d + 1] AS DOUBLE)
+                       * CAST(embedding[d2.d + 1] AS DOUBLE)
+                       AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+  FROM embeddings, dims d1, dims d2
+  WHERE d1.d <= d2.d GROUP BY 1, 2)
+SELECT CAST(p.d1 AS INT) AS d1, CAST(p.d2 AS INT) AS d2,
+       ROUND((sxy - m1.sx * m2.sx / m1.n) / m1.n, 6) + 0.0 AS cov
+FROM p
+JOIN m m1 ON m1.d = p.d1
+JOIN m m2 ON m2.d = p.d2
+"""
+
+
 ANN_BATCH_Q = 8  # query-set size for the amortized batch serve
 
 
@@ -1849,6 +1926,15 @@ SPECS: dict[str, Spec] = {
         "index artifacts + the query vector; zero Lloyd iterations in "
         "the plan (pinned in test_plans) — same oracle as "
         "q_ann_ivfpq_residual, so build/serve must rank identically"),
+    "q_embed_covariance": Spec(
+        lambda spark, sf: embedding_covariance(
+            load_table(spark, sf, "embeddings")),
+        _EMBED_COV_ORACLE,
+        "population covariance of the embedding corpus (upper "
+        "triangle, D(D+1)/2 rows) — the PCA/whitening/Mahalanobis "
+        "input artifact; in-row outer-product explode with map-side "
+        "combine (shuffle carries O(D^2) rows, never O(n*D^2)), "
+        "decimal-exact sums, one fixed double combine expression"),
     "q_ann_batch_queries": Spec(
         ann_batch_query_from_index,
         _ann_batch_oracle_sql(),

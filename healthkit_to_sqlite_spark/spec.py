@@ -35,3 +35,11 @@ class Spec:
     oracle: Optional[str]
     #: one-line provenance: which SURVEY.md §2 row this implements
     doc: str = ""
+
+# Float-result gotcha (round 6): IEEE NEGATIVE ZERO. DuckDB's ROUND
+# keeps the sign of a tiny negative rounded to zero (-0.0); Spark's
+# does not. -0.0 == 0.0 compares equal, but str()/hash paths diverge,
+# which misaligns the driver's sorted-row value hash for the whole
+# result. Any double column that can round to zero from below must
+# canonicalize with `+ 0.0` after ROUND in BOTH engines (see
+# q_embed_covariance).
