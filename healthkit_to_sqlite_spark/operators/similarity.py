@@ -840,6 +840,63 @@ JOIN m m2 ON m2.d = p.d2
 """
 
 
+PCA_P = 8  # projection components
+
+
+def pca_project(embeddings: DataFrame, p: int = PCA_P) -> DataFrame:
+    """PCA projection of the embedding corpus onto its top-``p``
+    principal components — the classic dimensionality-reduction /
+    decorrelation step before clustering or coarse ANN.
+
+    Two-phase shape mirroring the ANN build/serve economics: (1) the
+    DISTRIBUTED part is :func:`embedding_covariance` (O(D²)-row
+    shuffle) plus a D-row mean aggregate; (2) the 64×64 eigen-
+    decomposition runs driver-side on the BOUNDED matrix (2080
+    values — the one place a driver step is correct at any corpus
+    size), with eigenvector signs canonicalized (largest-|entry|
+    positive) so the basis is unique; (3) projection is a map-only
+    pass against the broadcast literal D×p component matrix —
+    (x − μ)·V per row, no shuffle.  Rows-only contract (eigen-
+    decomposition is not SQL-expressible); the math properties —
+    orthonormal basis, per-component projection variance equal to the
+    eigenvalue, eigenvalue ordering — are pinned exactly in
+    test_similarity."""
+    import numpy as np
+
+    cov_rows = embedding_covariance(embeddings).collect()  # ≤ D(D+1)/2
+    cmat = np.zeros((DIM, DIM))
+    for r in cov_rows:
+        cmat[r.d1, r.d2] = cmat[r.d2, r.d1] = r.cov
+    mean_rows = (embeddings
+                 .select(F.posexplode("embedding").alias("d0", "x"))
+                 .groupBy("d0")
+                 .agg((F.sum(F.col("x").cast("double")
+                             .cast("decimal(30,10)")).cast("double")
+                       / F.count(F.lit(1))).alias("mu"))
+                 .collect())                               # ≤ D rows
+    mu = np.zeros(DIM)
+    for r in mean_rows:
+        mu[r.d0] = r.mu
+    w, v = np.linalg.eigh(cmat)
+    order = np.argsort(w)[::-1][:p]
+    comps = v[:, order].copy()
+    for c in range(comps.shape[1]):
+        if comps[np.argmax(np.abs(comps[:, c])), c] < 0:
+            comps[:, c] = -comps[:, c]
+    offsets = mu @ comps                                   # p scalars
+
+    def pc(c: int) -> Column:
+        vec = F.array(*[F.lit(float(x)) for x in comps[:, c]])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), vec,
+                       lambda x, vv: x.cast("double") * vv),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return F.round(dot - F.lit(float(offsets[c])), 6) + F.lit(0.0)
+
+    return embeddings.select(
+        "vec_id", "label", *[pc(c).alias(f"pc{c}") for c in range(p)])
+
+
 ANN_BATCH_Q = 8  # query-set size for the amortized batch serve
 
 
@@ -1926,6 +1983,17 @@ SPECS: dict[str, Spec] = {
         "index artifacts + the query vector; zero Lloyd iterations in "
         "the plan (pinned in test_plans) — same oracle as "
         "q_ann_ivfpq_residual, so build/serve must rank identically"),
+    "q_pca_project": Spec(
+        lambda spark, sf: pca_project(load_table(spark, sf, "embeddings")),
+        None,  # eigendecomposition is not SQL-expressible: rows-only;
+        #        orthonormality / variance-equals-eigenvalue /
+        #        eigenvalue-order pins in test_similarity
+        "PCA projection onto the top-8 principal components: "
+        "distributed covariance + D-row means, driver-side 64x64 "
+        "eigh on the BOUNDED matrix (sign-canonicalized basis), "
+        "map-only (x-mu)@V projection against broadcast literal "
+        "components — the decorrelation step before clustering or "
+        "coarse ANN"),
     "q_embed_covariance": Spec(
         lambda spark, sf: embedding_covariance(
             load_table(spark, sf, "embeddings")),

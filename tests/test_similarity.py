@@ -451,3 +451,40 @@ def test_ann_index_append_freezes_quantizers_and_time_travels(spark):
            for r in cat.read(spark, "cells").collect()
            if r.vec_id >= ANN_APPEND_SPLIT}
     assert got == expect
+
+
+def test_pca_projection_math_properties(spark):
+    """Rows-only accuracy pins for q_pca_project (every rows-only
+    query carries a quantitative floor): (1) the projected columns'
+    POPULATION variances equal the top eigenvalues of the corpus
+    covariance, in decreasing order (the defining PCA property);
+    (2) distinct components are uncorrelated; (3) the projection is
+    deterministic across rebuilds (sign canonicalization makes the
+    basis unique)."""
+    import numpy as np
+
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        PCA_P,
+        pca_project,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    rows = pca_project(emb).collect()
+    mat = np.array([[getattr(r, f"pc{c}") for c in range(PCA_P)]
+                    for r in rows])
+    # raw covariance from numpy as the independent reference
+    x = np.array([list(r.embedding) for r in
+                  emb.select("embedding").collect()], dtype=np.float64)
+    evals = np.sort(np.linalg.eigvalsh(np.cov(x.T, bias=True)))[::-1]
+    pvar = mat.var(axis=0)                      # population variance
+    assert np.all(np.diff(pvar) <= 1e-9)        # decreasing
+    # projection variance == eigenvalue (rounding to 6dp + the
+    # covariance's own 6dp rounding bound the drift)
+    assert np.allclose(pvar, evals[:PCA_P], atol=1e-3)
+    pcov = np.cov(mat.T, bias=True)
+    off = pcov - np.diag(np.diag(pcov))
+    assert np.abs(off).max() < 1e-3             # decorrelated
+    rows2 = pca_project(emb).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
