@@ -193,6 +193,7 @@ HEADLINE = [
     "q_gopher_lines",
     # round 6: paragraph-granularity banded-MinHash near-dedup
     "q_dedup_paragraph",
+    "q_dedup_paragraph_apply",
     # round 6: composed end-to-end pipeline (ingest -> quality ->
     # dedup -> decontaminate -> mixture -> pack, one DAG)
     "q_pipeline_e2e",

@@ -221,6 +221,39 @@ def dedup_paragraph_pairs(documents: DataFrame,
         "n_bands")
 
 
+def dedup_paragraph_apply(documents: DataFrame,
+                          max_bucket: int = MAX_PARA_BUCKET) -> DataFrame:
+    """APPLY stage for paragraph near-dedup — what RefinedWeb/FineWeb
+    actually do to documents: drop every paragraph that appears as
+    the HIGHER-pid side of a candidate pair (lowest (doc, para) in a
+    duplicate group survives; same keeper discipline as
+    `exact_dedup`), then rebuild each document from its surviving
+    paragraphs in order.  Emits per-doc (n_paras, n_kept) plus the
+    md5 of the rebuilt text so the oracle verifies the RECONSTRUCTED
+    CONTENT, not just counts.  Shape: the pair kernel + one anti-join
+    + one groupBy(doc_id) rebuild — paragraphs rejoin their doc's
+    partition, no text ever rides the banding shuffle."""
+    para = paragraphs(documents)
+    pairs = dedup_paragraph_pairs(documents, max_bucket)
+    losers = (pairs.select(F.col("doc_b").alias("doc_id"),
+                           F.col("para_b").alias("para_idx")).distinct())
+    kept = para.join(losers, ["doc_id", "para_idx"], "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.md5(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("para_idx",
+                                         F.col("text").alias("ptext")))),
+                            lambda s: s.ptext), " ")).alias("scrub_md5")))
+    sizes = para.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    return (sizes.join(rebuilt, "doc_id", "left")
+            .select("doc_id", "n_paras",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("scrub_md5", F.md5(F.lit("")))
+                    .alias("scrub_md5")))
+
+
 def _shingle_candidates(documents: DataFrame, max_df: int):
     """Shared candidate stage for the pairwise n-gram verifiers:
     df-capped shingles, per-doc sizes, and the a<b shared-shingle
@@ -617,6 +650,43 @@ def _minhash_sql(source: str = "documents") -> str:
 
 _MINHASH_SQL = _minhash_sql()
 
+#: Paragraph-granularity candidate-pair CTE chain (para0 → para →
+#: mh → bands → capped → pairs) shared by the q_dedup_paragraph and
+#: q_dedup_paragraph_apply oracles so both stay in lockstep with
+#: `dedup_paragraph_pairs`.  Build lazily at import end (needs
+#: PARA_* constants defined below the kernels).
+def _para_pairs_ctes() -> str:
+    return f"""para0 AS (
+          SELECT w.doc_id, CAST(t.i AS INT) AS para_idx,
+                 array_to_string(
+                   ws[(CAST(t.i AS INT) * {PARA_WORDS} + 1):
+                      (CAST(t.i AS INT) * {PARA_WORDS} + {PARA_WORDS})],
+                   ' ') AS text
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents) w,
+               UNNEST(generate_series(
+                 0, (len(ws) + {PARA_WORDS - 1}) // {PARA_WORDS} - 1))
+                 AS t(i)),
+        para AS (
+          SELECT doc_id * {PARA_SHIFT} + CAST(para_idx AS BIGINT)
+                   AS doc_id, text
+          FROM para0),
+        mh AS ({_minhash_sql(source="para")}),
+        bands AS (
+          SELECT doc_id, CAST(i // {N_HASHES // N_BANDS} AS INT) AS band,
+                 STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_sig
+          FROM mh GROUP BY 1, 2),
+        capped AS (
+          SELECT doc_id, band, band_sig FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY band, band_sig) AS n
+            FROM bands) WHERE n <= {MAX_PARA_BUCKET}),
+        pairs AS (
+          SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS n_bands
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)"""
+
 #: SimHash signature CTE chain (tok → bits → sig) shared by the
 #: signature query and the Hamming near-pair query, so both oracles
 #: stay in lockstep with `simhash`.
@@ -672,44 +742,51 @@ SPECS: dict[str, Spec] = {
         lambda spark, sf: dedup_paragraph_pairs(load_table(spark, sf,
                                                            "documents")),
         f"""
-        WITH para AS (
-          SELECT w.doc_id * {PARA_SHIFT} + CAST(t.i AS BIGINT) AS doc_id,
-                 array_to_string(
-                   ws[(CAST(t.i AS INT) * {PARA_WORDS} + 1):
-                      (CAST(t.i AS INT) * {PARA_WORDS} + {PARA_WORDS})],
-                   ' ') AS text
-          FROM (SELECT doc_id, string_split(text, ' ') AS ws
-                FROM documents) w,
-               UNNEST(generate_series(
-                 0, (len(ws) + {PARA_WORDS - 1}) // {PARA_WORDS} - 1))
-                 AS t(i)),
-        mh AS ({_minhash_sql(source="para")}),
-        bands AS (
-          SELECT doc_id, CAST(i // {N_HASHES // N_BANDS} AS INT) AS band,
-                 STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_sig
-          FROM mh GROUP BY 1, 2),
-        capped AS (
-          SELECT doc_id, band, band_sig FROM (
-            SELECT *, COUNT(*) OVER (PARTITION BY band, band_sig) AS n
-            FROM bands) WHERE n <= {MAX_PARA_BUCKET}),
-        pairs AS (
-          SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS n_bands
-          FROM capped a JOIN capped b
-            ON a.band = b.band AND a.band_sig = b.band_sig
-           AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
+        WITH {{ctes}}
         SELECT CAST(pa // {PARA_SHIFT} AS BIGINT) AS doc_a,
                CAST(pa % {PARA_SHIFT} AS INT) AS para_a,
                CAST(pb // {PARA_SHIFT} AS BIGINT) AS doc_b,
                CAST(pb % {PARA_SHIFT} AS INT) AS para_b,
                n_bands
         FROM pairs
-        """,
+        """.format(ctes=_para_pairs_ctes()),
         "paragraph-granularity near-dedup (RefinedWeb/FineWeb middle "
         "stage): same banded-MinHash kernel over 16-word paragraph "
         "units keyed doc_id*2^16+idx, hot-band-bucket cap (=the "
         "q_ngram_jaccard df discipline), doc back-references decoded; "
         "same-doc pairs kept (intra-doc repetition)"),
+    "q_dedup_paragraph_apply": Spec(
+        lambda spark, sf: dedup_paragraph_apply(load_table(spark, sf,
+                                                           "documents")),
+        f"""
+        WITH {{ctes}},
+        losers AS (
+          SELECT DISTINCT CAST(pb // {PARA_SHIFT} AS BIGINT) AS doc_id,
+                          CAST(pb % {PARA_SHIFT} AS INT) AS para_idx
+          FROM pairs),
+        kept AS (
+          SELECT p.* FROM para0 p
+          LEFT JOIN losers l
+            ON p.doc_id = l.doc_id AND p.para_idx = l.para_idx
+          WHERE l.doc_id IS NULL),
+        rebuilt AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 md5(STRING_AGG(text, ' ' ORDER BY para_idx))
+                   AS scrub_md5
+          FROM kept GROUP BY doc_id),
+        sizes AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras
+          FROM para0 GROUP BY doc_id)
+        SELECT s.doc_id, s.n_paras,
+               CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(r.scrub_md5, md5('')) AS scrub_md5
+        FROM sizes s LEFT JOIN rebuilt r USING (doc_id)
+        """.format(ctes=_para_pairs_ctes()),
+        "paragraph-dedup APPLY (the RefinedWeb document scrub): drop "
+        "every higher-pid paragraph of a candidate pair, rebuild each "
+        "doc from survivors in order — md5 of the reconstructed text "
+        "makes the oracle verify CONTENT, not just counts; pair "
+        "kernel + anti-join + one per-doc rebuild groupBy"),
     "q_ngram_jaccard": Spec(
         lambda spark, sf: ngram_jaccard_pairs(load_table(spark, sf, "documents")),
         f"""
