@@ -189,6 +189,7 @@ HEADLINE = [
     "q_ann_batch_queries",
     "q_embed_covariance",
     "q_pca_project",
+    "q_bpe_train",
     # round 6: Gopher line-level rules over deterministic reflow
     "q_gopher_lines",
     # round 6: paragraph-granularity banded-MinHash near-dedup

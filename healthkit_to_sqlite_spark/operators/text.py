@@ -481,6 +481,98 @@ def bpe_merge_pairs(documents: DataFrame, top: int = BPE_TOP) -> DataFrame:
                     F.row_number().over(w).cast("int").alias("merge_rank")))
 
 
+BPE_MERGES = 6  # training rounds for the full BPE loop
+
+
+def bpe_train(documents: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
+    """FULL iterative BPE tokenizer training (Sennrich et al. 2016) —
+    the multi-round extension of :func:`bpe_merge_pairs`: per round,
+    count adjacent symbol pairs over the distinct-word table (weighted
+    by word frequency), pick the argmax pair (count desc, then
+    lexicographic — engine-stable), and apply the merge corpus-wide;
+    emit the learned merge table.
+
+    Scale shape — the standard distributed-BPE loop: the working set
+    collapses to |vocab| rows up front and stays there (word
+    frequencies carry the corpus weight), each round is ONE bounded
+    shuffle (pair groupBy) plus a 1-row argmax collect, and the merge
+    application is a map-only literal string replace.  Per-round
+    ``localCheckpoint`` keeps lineage one round deep (the iterative
+    discipline every training loop here follows).
+
+    Merge application is a SINGLE-PASS non-overlapping string replace
+    of ``" a b " → " ab "`` — identical semantics in Spark and
+    DuckDB, which is the point: on odd runs of a self-pair (``a a a``)
+    the straggler symbol waits for a later round, a deterministic and
+    engine-mirrorable variant of the canonical refold (which differs
+    only on those runs)."""
+    words = (documents
+             .select(F.explode(ws_tokens("text")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+             .withColumn("s", F.concat(
+                 F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")))
+             .localCheckpoint(eager=True))
+    learned: list[tuple] = []
+    for r in range(1, merges + 1):
+        arr = F.split(F.trim(F.col("s")), " ")
+        pairs = (words.filter(F.size(arr) >= 2)
+                 .select("freq", F.explode(F.transform(
+                     F.sequence(F.lit(1), F.size(arr) - 1),
+                     lambda i: F.struct(
+                         F.element_at(arr, i).alias("a"),
+                         F.element_at(arr, i + 1).alias("b"))))
+                     .alias("p")))
+        best = (pairs.groupBy("p.a", "p.b")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.col("n").desc(), "a", "b").limit(1).collect())
+        if not best:
+            break
+        a, b, n = best[0].a, best[0].b, best[0].n
+        learned.append((r, a, b, a + b, int(n)))
+        words = (words.withColumn(
+            "s", F.replace(F.col("s"), F.lit(f" {a} {b} "),
+                           F.lit(f" {a}{b} ")))
+            .localCheckpoint(eager=True))
+    return documents.sparkSession.createDataFrame(
+        learned,
+        "merge_rank int, lhs string, rhs string, merged string, n bigint")
+
+
+def _bpe_train_oracle_sql(merges: int = BPE_MERGES) -> str:
+    """Unrolled merge rounds in DuckDB (fixed small count — same
+    no-recursion-needed reasoning as the Lloyd chains)."""
+    parts = [r"""state_1 AS (
+      SELECT word, freq,
+             ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s
+      FROM (SELECT tok AS word, COUNT(*) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE tok <> '' GROUP BY tok))"""]
+    for r in range(1, merges + 1):
+        parts.append(f"""pairs_{r} AS (
+          SELECT a, b, SUM(freq) AS n FROM (
+            SELECT freq, l[CAST(t.i AS INT)] AS a,
+                   l[CAST(t.i AS INT) + 1] AS b
+            FROM (SELECT freq, string_split(trim(s), ' ') AS l
+                  FROM state_{r}),
+                 UNNEST(generate_series(1, len(l) - 1)) AS t(i))
+          GROUP BY a, b),
+        best_{r} AS (
+          SELECT a, b, n FROM pairs_{r} ORDER BY n DESC, a, b LIMIT 1)""")
+        if r < merges:
+            parts.append(f"""state_{r + 1} AS (
+          SELECT word, freq,
+                 replace(s, ' ' || bb.a || ' ' || bb.b || ' ',
+                         ' ' || bb.a || bb.b || ' ') AS s
+          FROM state_{r}, best_{r} bb)""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a AS lhs, b AS rhs, a || b AS merged,"
+        f" CAST(n AS BIGINT) AS n FROM best_{r}"
+        for r in range(1, merges + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
 LM_TOPK = 20  # highest-perplexity docs to surface (the filter-out set)
 
 
@@ -895,6 +987,14 @@ FUZZY_PAIRS_CTE_SQL = """names AS (
            AND abs(a.pos - b.pos) <= 4)"""
 
 SPECS: dict[str, Spec] = {
+    "q_bpe_train": Spec(
+        lambda spark, sf: bpe_train(load_table(spark, sf, "documents")),
+        _bpe_train_oracle_sql(),
+        "FULL iterative BPE training (Sennrich et al. 2016): 6 merge "
+        "rounds over the |vocab|-row working set — one bounded pair "
+        "shuffle + a 1-row argmax per round, map-only literal merge "
+        "apply, per-round checkpointed lineage; emits the learned "
+        "merge table (the distributed-BPE loop shape at 100 TB)"),
     "q_bpe_pairs": Spec(
         lambda spark, sf: bpe_merge_pairs(load_table(spark, sf,
                                                      "documents")),

@@ -316,3 +316,31 @@ def test_gopher_line_rules_on_real_multiline_docs(spark):
     assert rows[3].keep
     assert (rows[4].n_lines, rows[4].n_bullet, rows[4].n_ellipsis) == (1, 0, 0)
     assert rows[4].keep
+
+
+def test_bpe_train_learns_compositional_merges(spark):
+    """The full BPE loop must actually ITERATE: a hand-built corpus
+    where 'ab' is the dominant pair and 'ab'+'c' dominates round 2
+    must learn (a,b)->ab then (ab,c)->abc — the second merge is only
+    expressible using the first round's symbol.  Also pins the
+    single-pass replace discipline on odd same-char runs (aaa with
+    pair (a,a) leaves a straggler for a later round)."""
+    from healthkit_to_sqlite_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["abc"] * 10 + ["abd"] * 3)),
+         (2, " ".join(["abc"] * 5 + ["zz"] * 2))],
+        "doc_id long, text string")
+    merges = [(r.lhs, r.rhs, r.merged) for r in
+              bpe_train(docs, merges=3).collect()]
+    assert merges[0] == ("a", "b", "ab")
+    assert merges[1] == ("ab", "c", "abc")   # uses round-1 symbol
+
+    runs = spark.createDataFrame([(1, "aaa aaa aaa aaa")],
+                                 "doc_id long, text string")
+    m = [(r.lhs, r.rhs, r.merged) for r in
+         bpe_train(runs, merges=2).collect()]
+    # round 1: (a,a)->aa merges the first two of each aaa (single-pass
+    # replace); round 2 pairs the straggler: (aa,a)->aaa
+    assert m[0] == ("a", "a", "aa")
+    assert m[1] == ("aa", "a", "aaa")
