@@ -769,30 +769,29 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
     PCA / whitening / Mahalanobis outlier scoring over an embedding
     column.
 
-    Shape: one scan explodes each vector's in-row outer-product pairs
-    (d1 ≤ d2) straight into a groupBy(d1, d2) whose MAP-SIDE partial
-    aggregation collapses every partition to ≤2080 rows before the
-    exchange — the shuffle carries O(D²) rows total, never O(n·D²);
-    per-dimension sums ride a second cheap scan and broadcast-join
-    back (D rows).  Sums accumulate in DECIMAL(30,10) (exact,
-    summation-order independent) and the covariance combines them in
-    ONE fixed double expression, so both engines produce bit-identical
-    matrices regardless of partitioning.  At 100 TB the constant
-    per-row explode cost (D(D+1)/2 structs) can be traded for a
-    numpy partial-Gram `mapInPandas` kernel (X^T X per Arrow batch) —
-    faster, but float64 partials are accumulation-order dependent, so
-    the exact-decimal form stays the verification contract."""
-    e = F.col("embedding")
-    pairs = F.flatten(F.transform(
-        F.sequence(F.lit(0), F.lit(DIM - 1)),
-        lambda i: F.transform(
-            F.sequence(i, F.lit(DIM - 1)),
-            lambda j: F.struct(
-                i.cast("int").alias("d1"), j.cast("int").alias("d2"),
-                (F.element_at(e, i + 1).cast("double")
-                 * F.element_at(e, j + 1).cast("double")).alias("p")))))
-    prods = (embeddings.select(F.explode(pairs).alias("pp"))
-             .select("pp.d1", "pp.d2", "pp.p")
+    Shape: one scan, two chained ``posexplode``s (the second filtered
+    to d2 ≥ d1) feed each row's upper-triangle products straight into
+    a groupBy(d1, d2) whose MAP-SIDE partial aggregation collapses
+    every partition to ≤2080 rows before the exchange — the shuffle
+    carries O(D²) rows total, never O(n·D²); per-dimension sums ride
+    a second cheap scan and broadcast-join back (D rows).  (The
+    chained-Generate form measured 5.8 s vs 9.4 s at sf0.1 for a
+    per-row 2080-struct array build — Generate streams, a giant
+    in-row array materializes.)  Sums accumulate in DECIMAL(30,10)
+    (exact, summation-order independent) and the covariance combines
+    them in ONE fixed double expression, so both engines produce
+    bit-identical matrices regardless of partitioning.  At 100 TB the
+    per-row D²/2 product cost can be traded for a numpy partial-Gram
+    `mapInPandas` kernel (X^T X per Arrow batch) — faster, but
+    float64 partials are accumulation-order dependent, so the
+    exact-decimal form stays the verification contract."""
+    prods = (embeddings
+             .select("embedding", F.posexplode("embedding").alias("d1", "x1"))
+             .select("d1", "x1", F.posexplode("embedding").alias("d2", "x2"))
+             .filter(F.col("d2") >= F.col("d1"))
+             .select("d1", "d2",
+                     (F.col("x1").cast("double")
+                      * F.col("x2").cast("double")).alias("p"))
              .groupBy("d1", "d2")
              .agg(F.sum(F.col("p").cast("decimal(30,10)"))
                   .cast("double").alias("sxy")))
@@ -843,47 +842,80 @@ JOIN m m2 ON m2.d = p.d2
 PCA_P = 8  # projection components
 
 
-def pca_project(embeddings: DataFrame, p: int = PCA_P) -> DataFrame:
-    """PCA projection of the embedding corpus onto its top-``p``
-    principal components — the classic dimensionality-reduction /
-    decorrelation step before clustering or coarse ANN.
+def build_pca_model(spark: SparkSession, sf_dir: str, p: int = PCA_P):
+    """Train-once half of the PCA split (same artifact economics as
+    `build_ann_index`): run the DISTRIBUTED statistics —
+    :func:`embedding_covariance` (O(D²)-row shuffle) and the D-row
+    decimal-exact mean aggregate — then the 64×64 eigendecomposition
+    driver-side on the BOUNDED matrix (the one place a driver step is
+    correct at any corpus size), canonicalize eigenvector signs
+    (largest-|entry| positive ⇒ unique basis), and publish the model
+    as ONE atomic catalog pass: ``components`` (d, c, v — D·p rows)
+    and ``offsets`` (c, off — the pre-folded μ·V scalars).
+    Version-guarded and cached per (op, sf_dir) like every build
+    job here."""
+    import os
 
-    Two-phase shape mirroring the ANN build/serve economics: (1) the
-    DISTRIBUTED part is :func:`embedding_covariance` (O(D²)-row
-    shuffle) plus a D-row mean aggregate; (2) the 64×64 eigen-
-    decomposition runs driver-side on the BOUNDED matrix (2080
-    values — the one place a driver step is correct at any corpus
-    size), with eigenvector signs canonicalized (largest-|entry|
-    positive) so the basis is unique; (3) projection is a map-only
-    pass against the broadcast literal D×p component matrix —
-    (x − μ)·V per row, no shuffle.  Rows-only contract (eigen-
-    decomposition is not SQL-expressible); the math properties —
-    orthonormal basis, per-component projection variance equal to the
-    eigenvalue, eigenvalue ordering — are pinned exactly in
+    import numpy as np
+
+    from ..sinks.manifest import ManifestCatalog
+    from .pipeline import _work_dir
+
+    cat = ManifestCatalog(os.path.join(_work_dir("pca_model", sf_dir),
+                                       "cat"))
+    if cat.current_version() < 1:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cov_rows = embedding_covariance(emb).collect()   # ≤ D(D+1)/2
+        cmat = np.zeros((DIM, DIM))
+        for r in cov_rows:
+            cmat[r.d1, r.d2] = cmat[r.d2, r.d1] = r.cov
+        mean_rows = (emb
+                     .select(F.posexplode("embedding").alias("d0", "x"))
+                     .groupBy("d0")
+                     .agg((F.sum(F.col("x").cast("double")
+                                 .cast("decimal(30,10)")).cast("double")
+                           / F.count(F.lit(1))).alias("mu"))
+                     .collect())                         # ≤ D rows
+        mu = np.zeros(DIM)
+        for r in mean_rows:
+            mu[r.d0] = r.mu
+        w, v = np.linalg.eigh(cmat)
+        order = np.argsort(w)[::-1][:p]
+        comps = v[:, order].copy()
+        for c in range(comps.shape[1]):
+            if comps[np.argmax(np.abs(comps[:, c])), c] < 0:
+                comps[:, c] = -comps[:, c]
+        offsets = mu @ comps
+        comp_rows = [(d, c, float(comps[d, c]))
+                     for d in range(DIM) for c in range(p)]
+        cat.publish_pass({
+            "components": spark.createDataFrame(
+                comp_rows, "d int, c int, v double"),
+            "offsets": spark.createDataFrame(
+                [(c, float(offsets[c])) for c in range(p)],
+                "c int, off double")})
+    return cat
+
+
+def pca_project(embeddings: DataFrame, p: int = PCA_P,
+                model=None) -> DataFrame:
+    """Serve half of the PCA split: project onto the COMMITTED
+    component matrix — a map-only (x − μ)·V pass against broadcast
+    literal components, no shuffle, no training in the query path.
+    ``model`` is the catalog handle from :func:`build_pca_model`
+    (reading the bounded D·p artifact back is a ≤512-row collect, the
+    same k-row-LUT discipline as the ANN serves).  Rows-only contract
+    (the eigendecomposition is not SQL-expressible); orthonormality /
+    variance-equals-eigenvalue / determinism pins in
     test_similarity."""
     import numpy as np
 
-    cov_rows = embedding_covariance(embeddings).collect()  # ≤ D(D+1)/2
-    cmat = np.zeros((DIM, DIM))
-    for r in cov_rows:
-        cmat[r.d1, r.d2] = cmat[r.d2, r.d1] = r.cov
-    mean_rows = (embeddings
-                 .select(F.posexplode("embedding").alias("d0", "x"))
-                 .groupBy("d0")
-                 .agg((F.sum(F.col("x").cast("double")
-                             .cast("decimal(30,10)")).cast("double")
-                       / F.count(F.lit(1))).alias("mu"))
-                 .collect())                               # ≤ D rows
-    mu = np.zeros(DIM)
-    for r in mean_rows:
-        mu[r.d0] = r.mu
-    w, v = np.linalg.eigh(cmat)
-    order = np.argsort(w)[::-1][:p]
-    comps = v[:, order].copy()
-    for c in range(comps.shape[1]):
-        if comps[np.argmax(np.abs(comps[:, c])), c] < 0:
-            comps[:, c] = -comps[:, c]
-    offsets = mu @ comps                                   # p scalars
+    spark = embeddings.sparkSession
+    comps = np.zeros((DIM, p))
+    for r in model.read(spark, "components").collect():   # ≤ D·p rows
+        comps[r.d, r.c] = r.v
+    offsets = {r.c: r.off for r in
+               model.read(spark, "offsets").collect()}    # ≤ p rows
 
     def pc(c: int) -> Column:
         vec = F.array(*[F.lit(float(x)) for x in comps[:, c]])
@@ -895,6 +927,11 @@ def pca_project(embeddings: DataFrame, p: int = PCA_P) -> DataFrame:
 
     return embeddings.select(
         "vec_id", "label", *[pc(c).alias(f"pc{c}") for c in range(p)])
+
+
+def pca_project_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pca_project(load_table(spark, sf_dir, "embeddings"),
+                       model=build_pca_model(spark, sf_dir))
 
 
 ANN_BATCH_Q = 8  # query-set size for the amortized batch serve
@@ -1984,16 +2021,16 @@ SPECS: dict[str, Spec] = {
         "the plan (pinned in test_plans) — same oracle as "
         "q_ann_ivfpq_residual, so build/serve must rank identically"),
     "q_pca_project": Spec(
-        lambda spark, sf: pca_project(load_table(spark, sf, "embeddings")),
+        pca_project_query,
         None,  # eigendecomposition is not SQL-expressible: rows-only;
         #        orthonormality / variance-equals-eigenvalue /
         #        eigenvalue-order pins in test_similarity
-        "PCA projection onto the top-8 principal components: "
-        "distributed covariance + D-row means, driver-side 64x64 "
-        "eigh on the BOUNDED matrix (sign-canonicalized basis), "
-        "map-only (x-mu)@V projection against broadcast literal "
-        "components — the decorrelation step before clustering or "
-        "coarse ANN"),
+        "PCA with the train-once/serve split: distributed covariance "
+        "+ D-row means feed a driver-side 64x64 eigh (sign-"
+        "canonicalized basis) published as manifest artifacts "
+        "(components + pre-folded offsets); serve is a map-only "
+        "(x-mu)@V projection against broadcast literal components — "
+        "the decorrelation step before clustering or coarse ANN"),
     "q_embed_covariance": Spec(
         lambda spark, sf: embedding_covariance(
             load_table(spark, sf, "embeddings")),

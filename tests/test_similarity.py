@@ -466,12 +466,14 @@ def test_pca_projection_math_properties(spark):
     from healthkit_to_sqlite_spark.catalog import load_table
     from healthkit_to_sqlite_spark.operators.similarity import (
         PCA_P,
+        build_pca_model,
         pca_project,
     )
 
     sf = "/root/testdata/sf0.001"
     emb = load_table(spark, sf, "embeddings")
-    rows = pca_project(emb).collect()
+    model = build_pca_model(spark, sf)
+    rows = pca_project(emb, model=model).collect()
     mat = np.array([[getattr(r, f"pc{c}") for c in range(PCA_P)]
                     for r in rows])
     # raw covariance from numpy as the independent reference
@@ -486,5 +488,5 @@ def test_pca_projection_math_properties(spark):
     pcov = np.cov(mat.T, bias=True)
     off = pcov - np.diag(np.diag(pcov))
     assert np.abs(off).max() < 1e-3             # decorrelated
-    rows2 = pca_project(emb).collect()
+    rows2 = pca_project(emb, model=model).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
