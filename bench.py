@@ -190,6 +190,8 @@ HEADLINE = [
     "q_embed_covariance",
     "q_pca_project",
     "q_bpe_train",
+    "q_hash_embed",
+    "q_mahalanobis",
     # round 6: Gopher line-level rules over deterministic reflow
     "q_gopher_lines",
     # round 6: paragraph-granularity banded-MinHash near-dedup

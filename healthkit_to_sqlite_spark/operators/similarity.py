@@ -893,7 +893,10 @@ def build_pca_model(spark: SparkSession, sf_dir: str, p: int = PCA_P):
                 comp_rows, "d int, c int, v double"),
             "offsets": spark.createDataFrame(
                 [(c, float(offsets[c])) for c in range(p)],
-                "c int, off double")})
+                "c int, off double"),
+            "evals": spark.createDataFrame(
+                [(c, float(w[order[c]])) for c in range(p)],
+                "c int, lam double")})
     return cat
 
 
@@ -932,6 +935,54 @@ def pca_project(embeddings: DataFrame, p: int = PCA_P,
 def pca_project_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(load_table(spark, sf_dir, "embeddings"),
                        model=build_pca_model(spark, sf_dir))
+
+
+MAHAL_K = 20  # strongest outliers surfaced
+
+
+def mahalanobis_topk(embeddings: DataFrame, model, k: int = MAHAL_K,
+                     p: int = PCA_P) -> DataFrame:
+    """Embedding OUTLIER scoring via the PCA-whitened (rank-``p``
+    approximate) Mahalanobis distance — the statistical data-cleaning
+    filter over an embedding column: md²(x) = Σ_c ((x−μ)·v_c)²/λ_c
+    over the committed model's top components.  Map-only against the
+    broadcast literal model + one TakeOrdered heap; serve-shaped like
+    `pca_project` (zero training in the query path).  Rows-only
+    contract; pinned in test_similarity: corpus MEAN of md² equals p
+    EXACTLY in expectation (each whitened component has unit
+    variance by construction) and the scores match an independent
+    numpy computation."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    comps = np.zeros((DIM, p))
+    for r in model.read(spark, "components").collect():
+        comps[r.d, r.c] = r.v
+    offsets = {r.c: r.off for r in model.read(spark, "offsets").collect()}
+    lams = {r.c: max(r.lam, 1e-30) for r in
+            model.read(spark, "evals").collect()}
+
+    def term(c: int) -> Column:
+        vec = F.array(*[F.lit(float(x)) for x in comps[:, c]])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), vec,
+                       lambda x, vv: x.cast("double") * vv),
+            F.lit(0.0), lambda acc, x: acc + x)
+        z = dot - F.lit(float(offsets[c]))
+        return z * z / F.lit(float(lams[c]))
+
+    md2 = term(0)
+    for c in range(1, p):
+        md2 = md2 + term(c)
+    return (embeddings
+            .select("vec_id", "label", F.round(md2, 6).alias("md2"))
+            .orderBy(F.col("md2").desc(), "vec_id")
+            .limit(k))
+
+
+def mahalanobis_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mahalanobis_topk(load_table(spark, sf_dir, "embeddings"),
+                            model=build_pca_model(spark, sf_dir))
 
 
 ANN_BATCH_Q = 8  # query-set size for the amortized batch serve
@@ -2031,6 +2082,15 @@ SPECS: dict[str, Spec] = {
         "(components + pre-folded offsets); serve is a map-only "
         "(x-mu)@V projection against broadcast literal components — "
         "the decorrelation step before clustering or coarse ANN"),
+    "q_mahalanobis": Spec(
+        mahalanobis_query,
+        None,  # PCA-model-derived (eigh): rows-only; mean-md2 == p
+        #        and numpy-equality pins in test_similarity
+        "embedding outlier top-k via PCA-whitened Mahalanobis "
+        "distance over the committed model (md2 = sum_c ((x-mu)@v_c)^2"
+        "/lam_c): map-only serve + TakeOrdered heap, zero training in "
+        "the query path — the statistical data-cleaning filter for an "
+        "embedding column"),
     "q_embed_covariance": Spec(
         lambda spark, sf: embedding_covariance(
             load_table(spark, sf, "embeddings")),

@@ -481,6 +481,53 @@ def bpe_merge_pairs(documents: DataFrame, top: int = BPE_TOP) -> DataFrame:
                     F.row_number().over(w).cast("int").alias("merge_rank")))
 
 
+HASH_EMBED_DIM = 64  # feature-hash buckets (matches the corpus emb dim)
+
+
+def hash_embed(documents: DataFrame,
+               dim: int = HASH_EMBED_DIM) -> DataFrame:
+    """Feature-hashing document embeddings (the hashing trick,
+    Weinberger et al. 2009): every token lands in bucket
+    ``md5(token) mod dim`` with a ±1 sign from the hash's next bit;
+    a document's embedding is the signed token-count vector —
+    integer-exact, vocabulary-free, and constant-memory regardless of
+    vocabulary size (the point at 100 TB: no vocab table to build,
+    broadcast, or grow).  Emitted in SPARSE long form (doc_id, d,
+    val ≠ 0) — one explode + one groupBy with map-side combine; the
+    md5-derived hash is the package-standard cross-engine idiom, so
+    the oracle reproduces every bucket and sign."""
+    h = (F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+         .cast("bigint"))
+    return (documents
+            .select("doc_id", F.explode(ws_tokens("text")).alias("token"))
+            .filter(F.col("token") != "")
+            .select("doc_id",
+                    F.pmod(h, F.lit(dim)).cast("int").alias("d"),
+                    F.when(F.pmod(F.expr(
+                        f"CAST(conv(substring(md5(token), 1, 8), 16, 10)"
+                        f" AS BIGINT) div {dim}"), 2) == 0,
+                        F.lit(1)).otherwise(F.lit(-1)).alias("sgn"))
+            .groupBy("doc_id", "d")
+            .agg(F.sum("sgn").alias("val"))
+            .filter(F.col("val") != 0))
+
+
+_HASH_EMBED_ORACLE = f"""
+SELECT doc_id, d, CAST(SUM(sgn) AS BIGINT) AS val FROM (
+  SELECT doc_id,
+         CAST(h % {HASH_EMBED_DIM} AS INT) AS d,
+         CASE WHEN (h // {HASH_EMBED_DIM}) % 2 = 0 THEN 1 ELSE -1 END
+           AS sgn
+  FROM (SELECT doc_id,
+               CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token <> ''))
+GROUP BY doc_id, d
+HAVING SUM(sgn) <> 0
+"""
+
+
 BPE_MERGES = 6  # training rounds for the full BPE loop
 
 
@@ -987,6 +1034,13 @@ FUZZY_PAIRS_CTE_SQL = """names AS (
            AND abs(a.pos - b.pos) <= 4)"""
 
 SPECS: dict[str, Spec] = {
+    "q_hash_embed": Spec(
+        lambda spark, sf: hash_embed(load_table(spark, sf, "documents")),
+        _HASH_EMBED_ORACLE,
+        "feature-hashing document embeddings (Weinberger et al. 2009 "
+        "hashing trick): md5-bucketed signed token counts, sparse "
+        "long form — vocabulary-free and constant-memory at any "
+        "corpus size; one explode + one map-side-combined groupBy"),
     "q_bpe_train": Spec(
         lambda spark, sf: bpe_train(load_table(spark, sf, "documents")),
         _bpe_train_oracle_sql(),

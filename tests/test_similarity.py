@@ -490,3 +490,41 @@ def test_pca_projection_math_properties(spark):
     assert np.abs(off).max() < 1e-3             # decorrelated
     rows2 = pca_project(emb, model=model).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_mahalanobis_mean_equals_p_and_matches_numpy(spark):
+    """Rows-only pins for q_mahalanobis: (1) over the whole corpus the
+    MEAN rank-p whitened Mahalanobis distance equals p (each whitened
+    component has unit variance by construction of the PCA model);
+    (2) the Spark scores equal an independent numpy computation."""
+    import numpy as np
+
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        PCA_P,
+        build_pca_model,
+        mahalanobis_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    model = build_pca_model(spark, sf)
+    n = emb.count()
+    all_rows = mahalanobis_topk(emb, model, k=n).collect()
+    md2 = np.array([r.md2 for r in all_rows])
+    assert abs(md2.mean() - PCA_P) < 1e-3
+
+    x = np.array([list(r.embedding) for r in
+                  emb.select("embedding").collect()], dtype=np.float64)
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    comps = np.zeros((64, PCA_P))
+    for r in model.read(spark, "components").collect():
+        comps[r.d, r.c] = r.v
+    off = np.array([r.off for r in sorted(
+        model.read(spark, "offsets").collect(), key=lambda r: r.c)])
+    lam = np.array([r.lam for r in sorted(
+        model.read(spark, "evals").collect(), key=lambda r: r.c)])
+    ref = (((x @ comps) - off) ** 2 / lam).sum(axis=1)
+    ref_by_id = dict(zip(ids, ref))
+    for r in all_rows:
+        assert abs(r.md2 - ref_by_id[r.vec_id]) < 1e-4, r.vec_id
