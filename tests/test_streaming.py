@@ -623,3 +623,65 @@ def test_streaming_index_append_kill_resume_matches_batch_encode(
     expect = sorted(map(tuple, encode_vectors(
         spark.read.parquet(src_dir), cent, book).collect()))
     assert streamed == expect                    # bit-identical encode
+
+
+def test_streaming_covariance_kill_resume_equals_batch_bitwise(
+        spark, tmp_path):
+    """Streaming second-moment maintenance: embeddings arrive in 4
+    micro-batches, sufficient statistics fold exactly-once (decimal
+    sums are associative and order-independent), the stream is killed
+    between publish and checkpoint commit and restarted — and the
+    derived covariance must equal the one-shot batch operator
+    BIT-FOR-BIT over the same vectors."""
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        embedding_covariance,
+    )
+    from healthkit_to_sqlite_spark.sinks.manifest import ManifestTable
+    from healthkit_to_sqlite_spark.streaming.moments import (
+        moments_writer,
+        read_covariance,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    src_dir = str(tmp_path / "mom_src")
+    for i in range(4):
+        (emb.filter((F.col("vec_id") >= i * 125)
+                    & (F.col("vec_id") < i * 125 + 125))
+         .select("vec_id", "embedding")
+         .coalesce(1).write.mode("append").parquet(src_dir))
+
+    tbl = ManifestTable(str(tmp_path / "mom_tbl"))
+    ckpt = str(tmp_path / "mom_ckpt")
+    schema = spark.read.parquet(src_dir).schema
+
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src_dir))
+
+    real = moments_writer(spark, tbl)
+    died = {"done": False}
+
+    def dying(batch_df, batch_id):
+        real(batch_df, batch_id)
+        if batch_id == 1 and not died["done"]:
+            died["done"] = True
+            raise RuntimeError("killed after publish, before ckpt commit")
+
+    q = (stream().writeStream.foreachBatch(dying)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    assert died["done"]
+    v_crash = tbl.current_version()
+
+    q2 = (stream().writeStream.foreachBatch(real)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert tbl.current_version() == v_crash + 2  # replay no-opped
+
+    streamed = sorted(map(tuple, read_covariance(spark, tbl).collect()))
+    batch = sorted(map(tuple, embedding_covariance(emb).collect()))
+    assert streamed == batch                      # bit-identical
