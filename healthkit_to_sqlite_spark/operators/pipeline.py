@@ -904,12 +904,22 @@ def pipeline_e2e_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     in `q_pack_sequences`).  The final plan touches parquet ZERO
     times (pinned in test_plans); token conservation (stage 4 ==
     stage 5 tokens) is pinned in test_pipeline."""
+    return pipeline_e2e(load_table(spark, sf_dir, "documents"))
+
+
+def pipeline_e2e(docs: DataFrame, num: int = TOKEN_BUDGET_NUM,
+                 den: int = TOKEN_BUDGET_DEN) -> DataFrame:
+    """DataFrame-level body of `q_pipeline_e2e` (split out so pytest
+    can drive every stage's drop behavior on synthetic corpora — the
+    fixture table happens to carry no normalized duplicates, which
+    would leave the dedup stage a silent no-op in composition).
+    ``num/den`` is the per-source token budget (contract default
+    3/100; tests widen it so a two-doc corpus can keep anything)."""
     from pyspark.sql import Window
 
     from .dedup import canonical_md5_expr, word_shingles
     from .text import gopher_keep_expr
 
-    docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(ws_tokens("text"))
     hb = _md5_bucket(F.col("doc_id"), f"tb:{TOKEN_BUDGET_SEED}")
     slim = (docs.select("doc_id", "source", "lang",
@@ -943,8 +953,7 @@ def pipeline_e2e_query(spark: SparkSession, sf_dir: str) -> DataFrame:
              .rowsBetween(Window.unboundedPreceding, 0))
     cut = (hist.withColumn("cum", F.sum("b_tok").over(w_cum))
            .crossJoin(F.broadcast(tot))
-           .filter(F.col("cum") * TOKEN_BUDGET_DEN
-                   <= F.col("t_total") * TOKEN_BUDGET_NUM)
+           .filter(F.col("cum") * den <= F.col("t_total") * num)
            .groupBy("source").agg(F.max("hb").alias("cut_hb")))
     final = (flagged.join(F.broadcast(cut), "source", "left")
              .withColumn("m_keep",

@@ -1165,3 +1165,43 @@ def test_pipeline_e2e_stage_conservation(spark):
         assert rows[later].n_tokens <= rows[earlier].n_tokens
     assert rows["5_packed"].n_tokens == rows["4_mixture"].n_tokens
     assert 0 < rows["5_packed"].n_docs <= rows["4_mixture"].n_docs
+
+
+def test_pipeline_e2e_every_stage_fires_on_synthetic_corpus(spark):
+    """Composition pin on a corpus engineered so EVERY stage drops
+    something (the fixture table has no normalized duplicates, so the
+    dedup stage is a no-op there): quality drops the short doc, dedup
+    drops the punctuation-variant twin, decontamination drops the
+    bench doc (id%50==0) and its n-gram-sharing neighbor, the widened
+    60% budget keeps both surviving sources, and packing conserves
+    mixture tokens."""
+    from healthkit_to_sqlite_spark.operators.pipeline import pipeline_e2e
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the other fox naps with a cat nearby for a while longer")
+    twin = good.replace("fox jumps", "fox, jumps").replace(
+        "cat nearby", "cat; nearby")       # same canon, passes quality
+    rows = [
+        (1, good, "en", "srcA"),
+        (2, twin, "en", "srcA"),                    # normalized twin of 1
+        (3, "too short", "en", "srcA"),             # fails quality
+        (50, "the secret benchmark question about foxes appears here "
+             "with twenty one distinct carefully chosen common words "
+             "in a row again", "en", "srcB"),       # bench member
+        (4, "the secret benchmark question about foxes appears here "
+            "inside training data with more ordinary words after it "
+            "and padding words", "en", "srcB"),     # contaminated by 50
+        (5, "a completely separate clean document with many plain "
+            "common words that the stopword rule accepts and nothing "
+            "shared with that held out suite", "en", "srcB"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    got = {r.stage: r for r in pipeline_e2e(docs, num=60, den=100).collect()}
+    assert got["0_ingest"].n_docs == 6
+    assert got["1_quality"].n_docs == 5            # doc 3 out
+    assert got["2_dedup"].n_docs == 4              # doc 2 out (twin)
+    assert got["3_decontam"].n_docs == 2           # bench 50 + doc 4 out
+    assert got["4_mixture"].n_docs == 2            # both sources fit 60%
+    assert got["5_packed"].n_tokens == got["4_mixture"].n_tokens
+    assert got["5_packed"].n_docs == 1             # one 256-token seq
