@@ -1205,3 +1205,31 @@ def test_pipeline_e2e_every_stage_fires_on_synthetic_corpus(spark):
     assert got["4_mixture"].n_docs == 2            # both sources fit 60%
     assert got["5_packed"].n_tokens == got["4_mixture"].n_tokens
     assert got["5_packed"].n_docs == 1             # one 256-token seq
+
+
+def test_paragraphs_reconstruct_original_text_exactly(spark):
+    """The apply stage's correctness rests on paragraphs() being a
+    lossless partition of the word sequence: joining a doc's
+    paragraphs in order with single spaces must reproduce the
+    original text byte-for-byte, across the boundary cases (empty
+    string, one word, exactly one paragraph, one-past boundary,
+    multi-paragraph, unicode)."""
+    from healthkit_to_sqlite_spark.operators.dedup import (
+        PARA_WORDS,
+        paragraphs,
+    )
+
+    texts = ["",
+             "solo",
+             " ".join(f"w{i}" for i in range(PARA_WORDS)),
+             " ".join(f"w{i}" for i in range(PARA_WORDS + 1)),
+             " ".join(f"w{i}" for i in range(3 * PARA_WORDS + 7)),
+             "naïve café über " + " ".join(["word"] * 20)]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    out = {}
+    for r in paragraphs(docs).collect():
+        out.setdefault(r.doc_id, []).append((r.para_idx, r.text))
+    for i, t in enumerate(texts):
+        parts = [p for _, p in sorted(out[i])]
+        assert " ".join(parts) == t, (i, parts)
