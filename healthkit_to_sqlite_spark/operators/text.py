@@ -501,12 +501,11 @@ def hash_embed(documents: DataFrame,
     return (documents
             .select("doc_id", F.explode(ws_tokens("text")).alias("token"))
             .filter(F.col("token") != "")
+            .select("doc_id", h.alias("h"))   # hash once per token
             .select("doc_id",
-                    F.pmod(h, F.lit(dim)).cast("int").alias("d"),
-                    F.when(F.pmod(F.expr(
-                        f"CAST(conv(substring(md5(token), 1, 8), 16, 10)"
-                        f" AS BIGINT) div {dim}"), 2) == 0,
-                        F.lit(1)).otherwise(F.lit(-1)).alias("sgn"))
+                    F.pmod("h", F.lit(dim)).cast("int").alias("d"),
+                    F.when(F.pmod(F.expr(f"h div {dim}"), 2) == 0,
+                           F.lit(1)).otherwise(F.lit(-1)).alias("sgn"))
             .groupBy("doc_id", "d")
             .agg(F.sum("sgn").alias("val"))
             .filter(F.col("val") != 0))
