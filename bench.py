@@ -192,6 +192,7 @@ HEADLINE = [
     "q_bpe_train",
     "q_hash_embed",
     "q_mahalanobis",
+    "q_ann_recall_report",
     # round 6: Gopher line-level rules over deterministic reflow
     "q_gopher_lines",
     # round 6: paragraph-granularity banded-MinHash near-dedup

@@ -1069,6 +1069,76 @@ def ann_batch_query_from_index(spark: SparkSession, sf_dir: str,
             .filter(F.col("rank") <= k))
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str,
+                      n_queries: int = ANN_BATCH_Q, k: int = 5,
+                      nprobe: int = 2,
+                      rerank_factor: int = PQ_RERANK) -> DataFrame:
+    """Index QUALITY MONITOR: per-query recall@k of the committed
+    residual-IVFADC index against the exact L2 ground truth, as a
+    first-class contract artifact — the evaluation job a serving
+    stack runs per index rebuild to decide whether nprobe (or a
+    retrain) is due.  The approximate side is the amortized batch
+    serve; the exact side ranks the probe set against the full corpus
+    (the audit cost — at 100 TB it runs on a sampled probe set, which
+    is exactly what ``n_queries`` models).  Integer hit counts divide
+    once at the end, so both engines agree bit-exactly."""
+    from pyspark.sql import Window
+
+    approx = (ann_batch_query_from_index(spark, sf_dir, n_queries, k,
+                                         nprobe, rerank_factor)
+              .select("q_id", "vec_id"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (emb.filter(F.col("vec_id") < n_queries)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_emb")))
+    scored = (emb.select("vec_id", "embedding")
+              .crossJoin(F.broadcast(qs))
+              .filter(F.col("vec_id") != F.col("q_id"))
+              .select("q_id", "vec_id",
+                      F.round(_l2sq(F.col("embedding"), F.col("q_emb")), 9)
+                      .alias("d")))
+    w = Window.partitionBy("q_id").orderBy("d", "vec_id")
+    exact = (scored.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= k).select("q_id", "vec_id"))
+    hits = (approx.join(exact, ["q_id", "vec_id"])
+            .groupBy("q_id").agg(F.count(F.lit(1)).alias("n")))
+    return (qs.select("q_id").join(hits, "q_id", "left")
+            .select("q_id",
+                    F.coalesce("n", F.lit(0)).cast("bigint")
+                    .alias("n_hits"),
+                    F.round(F.coalesce("n", F.lit(0)).cast("double")
+                            / F.lit(float(k)), 6).alias("recall")))
+
+
+def _ann_recall_oracle_sql(n_queries: int = ANN_BATCH_Q, k: int = 5,
+                           nprobe: int = 2,
+                           rerank_factor: int = PQ_RERANK) -> str:
+    return f"""
+    WITH approx AS (
+      SELECT q_id, vec_id FROM (
+        {_ann_batch_oracle_sql(n_queries, k, nprobe, rerank_factor)})),
+    qset AS (SELECT vec_id AS q_id, embedding AS q_emb
+             FROM embeddings WHERE vec_id < {n_queries}),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY {_L2_SQL.format(e='e.embedding', c='q.q_emb')},
+                          e.vec_id) AS rn
+        FROM embeddings e, qset q
+        WHERE e.vec_id <> q.q_id) WHERE rn <= {k}),
+    hits AS (
+      SELECT a.q_id, COUNT(*) AS n
+      FROM approx a JOIN exact x
+        ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+      GROUP BY a.q_id)
+    SELECT q.q_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(COALESCE(h.n, 0) AS DOUBLE) / {k}, 6) AS recall
+    FROM (SELECT q_id FROM qset) q
+    LEFT JOIN hits h USING (q_id)
+    """
+
+
 ANN_APPEND_SPLIT = 400  # base/new split: base trains, new is encoded
 #                         frozen (base must cover the PQ_K·stride seeds)
 
@@ -2109,6 +2179,14 @@ SPECS: dict[str, Spec] = {
         "(q, cell, code)-keyed broadcast, shortlist + re-rank are "
         "per-query WindowGroupLimit heaps; the 1/Q scan amortization "
         "is why vector serving batches queries at 100 TB"),
+    "q_ann_recall_report": Spec(
+        ann_recall_report,
+        _ann_recall_oracle_sql(),
+        "index quality monitor: per-query recall@k of the committed "
+        "residual-IVFADC index vs the exact L2 ground truth over the "
+        "probe set — the per-rebuild evaluation artifact that decides "
+        "nprobe bumps / retrains; integer hit counts divide once at "
+        "the end (engine-exact)"),
     "q_ann_index_append": Spec(
         ann_query_from_appended_index,
         _ivfpq_append_oracle_sql(),
