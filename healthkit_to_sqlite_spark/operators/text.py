@@ -317,6 +317,79 @@ def bm25_topk(documents: DataFrame, terms: tuple[str, ...] = BM25_TERMS,
             .limit(k))
 
 
+def build_text_index(spark: SparkSession, sf_dir: str):
+    """Train-once half of the TEXT retrieval split (the lexical
+    sibling of `similarity.build_ann_index`): publish the FULL
+    inverted index — ``postings`` (term, doc_id, tf), ``doclen``
+    (doc_id, dl), and the 1-row corpus ``stats`` — as ONE atomic
+    catalog pass.  At 100 TB postings are the term-bucketed artifact
+    every lexical query prunes into; rebuild is a per-snapshot batch
+    job.  Version-guarded and cached per (op, sf_dir)."""
+    import os
+
+    from ..sinks.manifest import ManifestCatalog
+    from .pipeline import _work_dir
+
+    cat = ManifestCatalog(os.path.join(_work_dir("text_index", sf_dir),
+                                       "cat"))
+    if cat.current_version() < 1:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = (docs.select("doc_id",
+                            F.explode(ws_tokens("text")).alias("term"))
+                .filter(F.col("term") != ""))
+        postings = (toks.groupBy("term", "doc_id")
+                    .agg(F.count(F.lit(1)).alias("tf")))
+        doclen = docs.select("doc_id",
+                             F.size(ws_tokens("text")).alias("dl"))
+        stats = doclen.agg(F.count(F.lit(1)).alias("n_docs"),
+                           F.sum("dl").alias("sum_dl"))
+        cat.publish_pass({"postings": postings, "doclen": doclen,
+                          "stats": stats})
+    return cat
+
+
+def bm25_from_index(spark: SparkSession, sf_dir: str,
+                    terms: tuple[str, ...] = BM25_TERMS,
+                    k: int = 15) -> DataFrame:
+    """Serve-only BM25 over the COMMITTED inverted index: filter
+    postings to the query terms (at scale: a term-pruned artifact
+    scan — the corpus text is never read), join document lengths,
+    pivot the ≤|terms| tf columns, and score with the SAME
+    fixed-term-order rational-idf expression as the in-query
+    `bm25_topk` — so this query shares q_bm25's oracle verbatim and a
+    hash match proves the committed index reproduces corpus scoring
+    exactly.  df / corpus stats are bounded collects (≤|terms| rows +
+    1 row, the k-row-LUT discipline); candidate docs are only those
+    containing ≥1 query term."""
+    cat = build_text_index(spark, sf_dir)
+    post = (cat.read(spark, "postings")
+            .filter(F.col("term").isin(*terms)))
+    doclen = cat.read(spark, "doclen")
+    st = cat.read(spark, "stats").first()            # 1 row
+    n_docs, sum_dl = int(st.n_docs), int(st.sum_dl)
+    dfs = {r.term: int(r.df) for r in
+           post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+           .collect()}                               # ≤ |terms| rows
+    avgdl = sum_dl / n_docs
+    wide = (post.join(doclen, "doc_id")
+            .groupBy("doc_id", "dl")
+            .pivot("term", list(terms)).agg(F.first("tf")))
+    score = F.lit(0.0)
+    for w in terms:
+        tf = F.coalesce(F.col(w), F.lit(0)).cast("double")
+        df = dfs.get(w, 0)
+        idf = F.lit((n_docs - df + 0.5) / (df + 0.5))
+        norm = tf + F.lit(BM25_K1) * (F.lit(1 - BM25_B)
+                                      + F.lit(BM25_B) * F.col("dl")
+                                      / F.lit(avgdl))
+        score = score + idf * tf * F.lit(BM25_K1 + 1) / norm
+    return (wide.select("doc_id", F.col("dl").alias("n_tokens"),
+                        F.round(score, 6).alias("bm25"))
+            .filter(F.col("bm25") > 0)
+            .orderBy(F.col("bm25").desc(), "doc_id")
+            .limit(k))
+
+
 RARE_TRI_MIN_DF = 5  # trigram seen in fewer docs than this is "rare"
 
 
@@ -1475,3 +1548,16 @@ SPECS: dict[str, Spec] = {
         "hash-derived noise — reproducible, repartition-stable, "
         "one map-only projection over the scorer"),
 }
+
+#: Serve-only BM25 shares the in-query oracle VERBATIM — the whole
+#: point of the split: the committed index must reproduce corpus
+#: scoring bit-for-bit.
+SPECS["q_bm25_from_index"] = Spec(
+    lambda spark, sf: bm25_from_index(spark, sf),
+    SPECS["q_bm25"].oracle,
+    "serve-only BM25 over the committed inverted index (lexical "
+    "sibling of q_ann_query_from_index): term-pruned postings scan + "
+    "doclen join + fixed-order rational-idf scoring from bounded "
+    "df/stats collects — corpus text never read; same oracle as "
+    "q_bm25, so a hash match proves index-serving equals corpus "
+    "scoring exactly")
