@@ -547,3 +547,14 @@ def test_ann_batch_serve_plan_is_training_free_with_heap_topk(spark, specs):
     assert "HashAggregate" not in plan
     assert "ObjectHashAggregate" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_bm25_serve_never_reads_corpus_text(spark, specs):
+    """The lexical serve split's contract: scoring reads ONLY the
+    committed index artifacts (term-pruned postings + doclen +
+    bounded stats) — the documents table must not appear in the
+    plan."""
+    df = specs["q_bm25_from_index"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "text_index_" in plan
+    assert "documents.parquet" not in plan
