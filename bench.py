@@ -194,6 +194,7 @@ HEADLINE = [
     "q_mahalanobis",
     "q_ann_recall_report",
     "q_bm25_from_index",
+    "q_dedup_from_index",
     # round 6: Gopher line-level rules over deterministic reflow
     "q_gopher_lines",
     # round 6: paragraph-granularity banded-MinHash near-dedup

@@ -461,6 +461,56 @@ def incremental_dedup(documents: DataFrame,
                  F.count(F.lit(1)).alias("n_collisions")))
 
 
+def build_signature_index(spark: "SparkSession", sf_dir: str,
+                          corpus_max_src: int = 10):
+    """Materialize what `incremental_dedup`'s docstring promises the
+    production shape is: the CORPUS side's band-signature table as a
+    COMMITTED manifest artifact (same train-once economics as the ANN
+    and BM25 index builds).  The daily job then computes signatures
+    only for the new batch and joins them against this table — cost
+    ∝ |batch|, corpus never re-signed.  Version-guarded and cached
+    per (op, sf_dir)."""
+    import os
+
+    from ..sinks.manifest import ManifestCatalog
+    from .pipeline import _work_dir
+
+    cat = ManifestCatalog(os.path.join(_work_dir("sig_index", sf_dir),
+                                       "cat"))
+    if cat.current_version() < 1:
+        docs = load_table(spark, sf_dir, "documents")
+        src_num = F.regexp_extract("source", r"src(\d+)", 1).try_cast("int")
+        corpus = docs.filter(
+            F.coalesce(src_num < corpus_max_src, F.lit(False)))
+        cat.publish_pass({"signatures": _band_signatures(corpus)})
+    return cat
+
+
+def incremental_dedup_from_index(spark: "SparkSession", sf_dir: str,
+                                 corpus_max_src: int = 10) -> DataFrame:
+    """Serve-only incremental dedup: sign ONLY the new batch and join
+    against the COMMITTED corpus signature table — identical output
+    contract (and oracle) to `q_dedup_incremental`, so a hash match
+    proves the persisted-signature path equals re-signing the corpus
+    in-query.  The plan never reads corpus rows' text (pinned in
+    test_plans): batch signatures are the only text-derived work."""
+    cat = build_signature_index(spark, sf_dir, corpus_max_src)
+    corpus_sig = cat.read(spark, "signatures")
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"src(\d+)", 1).try_cast("int")
+    batch = docs.filter(
+        ~F.coalesce(src_num < corpus_max_src, F.lit(False)))
+    bsig = _band_signatures(batch)
+    return (bsig.alias("n")
+            .join(corpus_sig.alias("c"),
+                  (F.col("n.band") == F.col("c.band"))
+                  & (F.col("n.band_sig") == F.col("c.band_sig")))
+            .groupBy(F.col("n.doc_id").alias("doc_id"))
+            .agg(F.min(F.col("c.doc_id")).alias("first_corpus_dup"),
+                 F.countDistinct(F.col("c.doc_id")).alias("n_corpus_dups"),
+                 F.count(F.lit(1)).alias("n_collisions")))
+
+
 def dedup_audit(documents: DataFrame) -> DataFrame:
     """Per-source dedup-yield audit — the dashboard a curation team
     watches across snapshots: how many documents each dedup stage
@@ -980,3 +1030,15 @@ SPECS: dict[str, Spec] = {
         "removed; one text scan via posexplode_outer feeds both the "
         "segment join and the per-doc token budget"),
 }
+
+#: Serve-only incremental dedup shares q_dedup_incremental's oracle
+#: VERBATIM: the committed corpus signature table must reproduce the
+#: re-sign-everything result exactly.
+SPECS["q_dedup_from_index"] = Spec(
+    lambda spark, sf: incremental_dedup_from_index(spark, sf),
+    SPECS["q_dedup_incremental"].oracle,
+    "serve-only incremental dedup (dedup sibling of the ANN/BM25 "
+    "serving splits): batch signatures joined against the COMMITTED "
+    "corpus band-signature artifact — corpus text never re-read, cost "
+    "scales with |batch|; same oracle as q_dedup_incremental, so the "
+    "hash match proves persisted signatures equal in-query re-signing")

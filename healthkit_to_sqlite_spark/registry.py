@@ -11,7 +11,7 @@ leaving timeseries/multimodal/pipeline/udx unverified).  ``PRIORITY``
 pins the verification window each round: queries whose semantics
 changed this round plus queries with no driver row yet come first,
 then the reference §2.A/§2.B parity surface, then the long-green
-remainder.  Everything (183 queries as of round 6) still runs in
+remainder.  Everything (184 queries as of round 6) still runs in
 tests/parity.py, whose committed PARITY_r{N}.json covers the overflow.
 
 The window contract is self-tested: tests/test_registry.py asserts
@@ -34,7 +34,7 @@ from .spec import Spec
 #: surface.  Names not listed (or not registered) follow in module
 #: order; unknown names here are ignored, so the list is safe to
 #: curate ahead of the code — but the FIRST 50 are contract (see
-#: tests/test_registry.py).  (183 queries as of round 6.)
+#: tests/test_registry.py).  (184 queries as of round 6.)
 PRIORITY: tuple[str, ...] = (
     # ---- round-6 window (slots 1-50) ------------------------------
     # (1a) new in round 6 (never driver-checked)
@@ -43,6 +43,7 @@ PRIORITY: tuple[str, ...] = (
     "q_pca_project", "q_gopher_lines", "q_dedup_paragraph",
     "q_dedup_paragraph_apply", "q_bpe_train", "q_hash_embed",
     "q_mahalanobis", "q_ann_recall_report", "q_bm25_from_index",
+    "q_dedup_from_index",
     # (1b) kernels touched in round 6 — outputs proven identical
     # locally (168/168 parity), re-verify at the driver anyway:
     # Lloyd-loop checkpointing (ann_* / semantic / postings), the
@@ -60,13 +61,12 @@ PRIORITY: tuple[str, ...] = (
     "q_repetition_signals", "q_pii_scrub", "q_decontaminate",
     "q_stratified_sample", "q_pack_sequences", "q_interval_join",
     "q_salted_join", "q_merge_upsert", "q_salted_agg", "q_ann_brp",
-    # (3) r03-green fill
+    # (3) r03-green fill (window cut lands at q_udaf_median)
     "q_fuzzy_join", "q_ann_lsh_pairs", "q_dedup_incremental",
     "q_manifest_roundtrip", "q_topk_cosine_pandas", "q_udaf_median",
-    "q_dedup_embedding",
     # ---- overflow (covered by PARITY_r06.json) ----------------
-    # (4) r04-green remainder (newest of the old rows)
-    "q_scd2", "q_ewma", "q_first_touch", "q_span_scrub", "q_incremental_agg", "q_snapshot_diff", "q_bpe_pairs", "q_mrl_rerank", "q_entity_resolution", "q_graph_jaccard",
+    # (4) r03/r04-green remainder (newest of the old rows)
+    "q_dedup_embedding", "q_scd2", "q_ewma", "q_first_touch", "q_span_scrub", "q_incremental_agg", "q_snapshot_diff", "q_bpe_pairs", "q_mrl_rerank", "q_entity_resolution", "q_graph_jaccard",
     "q_pivot", "q_range_frame", "q_window_analytics",
     "q_kll_merge", "q_theta_sets", "q_temporal_join", "q_skyline",
     "q_manifest_merge", "q_autocorr",

@@ -558,3 +558,13 @@ def test_bm25_serve_never_reads_corpus_text(spark, specs):
     plan = formatted_plan(df)
     assert "text_index_" in plan
     assert "documents.parquet" not in plan
+
+
+def test_dedup_serve_reads_committed_signatures(spark, specs):
+    """The dedup serving split's contract: the corpus side comes from
+    the committed signature artifact; only the BATCH side may touch
+    the documents table."""
+    df = specs["q_dedup_from_index"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "sig_index_" in plan
+    assert plan.count("documents.parquet") <= 1
