@@ -225,10 +225,20 @@ def dedup_paragraph_apply(documents: DataFrame,
                           max_bucket: int = MAX_PARA_BUCKET) -> DataFrame:
     """APPLY stage for paragraph near-dedup — what RefinedWeb/FineWeb
     actually do to documents: drop every paragraph that appears as
-    the HIGHER-pid side of a candidate pair (lowest (doc, para) in a
-    duplicate group survives; same keeper discipline as
-    `exact_dedup`), then rebuild each document from its surviving
-    paragraphs in order.  Emits per-doc (n_paras, n_kept) plus the
+    the HIGHER-pid side of ANY candidate pair, then rebuild each
+    document from its surviving paragraphs in order.
+
+    Drop semantics are deliberately GREEDY-PAIRWISE, not
+    connected-component (r6 ADVICE asked for the distinction to be
+    explicit): on a chain A<B<C with pairs (A,B) and (B,C) only, both
+    B and C are dropped even though C's sole near-duplicate B was
+    itself dropped — stricter than `exact_dedup`'s
+    keep-one-per-duplicate-group, which would keep C.  This is the
+    published RefinedWeb behavior (near-dup chains are boilerplate
+    far more often than content) and it is what the oracle pins; a
+    group-based variant would need the CC kernel
+    (`dedup_clusters_star`) between pairs and apply, which the
+    doc-level `q_dedup_apply` path already demonstrates.  Emits per-doc (n_paras, n_kept) plus the
     md5 of the rebuilt text so the oracle verifies the RECONSTRUCTED
     CONTENT, not just counts.  Shape: the pair kernel + one anti-join
     + one groupBy(doc_id) rebuild — paragraphs rejoin their doc's
@@ -469,14 +479,16 @@ def build_signature_index(spark: "SparkSession", sf_dir: str,
     and BM25 index builds).  The daily job then computes signatures
     only for the new batch and joins them against this table — cost
     ∝ |batch|, corpus never re-signed.  Version-guarded and cached
-    per (op, sf_dir)."""
+    per (op, corpus_max_src, sf_dir) — the split parameter is part of
+    the cache key, else a second call with a different corpus boundary
+    would silently serve the first call's index (r6 ADVICE)."""
     import os
 
     from ..sinks.manifest import ManifestCatalog
     from .pipeline import _work_dir
 
-    cat = ManifestCatalog(os.path.join(_work_dir("sig_index", sf_dir),
-                                       "cat"))
+    cat = ManifestCatalog(os.path.join(
+        _work_dir(f"sig_index_{corpus_max_src}", sf_dir), "cat"))
     if cat.current_version() < 1:
         docs = load_table(spark, sf_dir, "documents")
         src_num = F.regexp_extract("source", r"src(\d+)", 1).try_cast("int")
