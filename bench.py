@@ -17,6 +17,29 @@ and the single full JSON line outgrew that window):
   metric/value/unit/sf plus the slowest queries, per-family
   subtotals, ingest throughput, and sf1 ratios) so the driver's
   tail-capture always parses it.
+
+HEADLINE qualification rule (VERDICT r6 item 8; COVERAGE.md cross-
+references this): a contract query joins HEADLINE when it either (a)
+represents an operator family's heavy path (real data volume, a
+shuffle/join/training stage whose regression would matter at scale) or
+(b) was flagged by a verdict as needing round-over-round visibility.
+Cheap single-expression relational/streaming/multimodal primitives
+stay out of HEADLINE — but since round 7 NOTHING is perf-invisible:
+every registered query absent from HEADLINE gets one timed pass per
+bench run, recorded under ``tail_queries`` in the full JSON (VERDICT
+r6 item 3).  HEADLINE (warm-up + median-of-3) remains the headline
+metric.
+
+Variance pinning (VERDICT r6 item 1b): the full JSON records each
+headline query's min/max across its 3 timed runs under ``spread``,
+and any query whose new median exceeds 1.5× its previously COMMITTED
+median (read from BENCH_FULL_LOCAL.json before overwrite) is re-run
+in a FRESH JVM (subprocess, after the main session stops, so runs
+never overlap) — the fresh median replaces the in-loop one and the
+substitution is recorded under ``fresh_reruns``, so a same-JVM
+GC/bench-order artifact can no longer masquerade as a kernel
+regression (the r6 q_multimodal_embed ×4.5 / q_resample_ffill ×2.9
+anomalies were exactly this).
 """
 
 from __future__ import annotations
@@ -234,11 +257,19 @@ def force(df) -> None:
 
 SF1_COPIES = 10
 
-#: Top-10 heaviest r03 headline queries (all documents/embeddings).
+#: Top-10 heaviest r03 headline queries (all documents/embeddings),
+#: plus (r7, VERDICT r6 item 5) the four SERVE-ONLY split queries —
+#: the build/serve split's claim is that serve cost stays ~flat as
+#: the corpus grows (the index build runs in the untimed warm-up, so
+#: the timed runs are pure serve).  Expected: serve ratios well below
+#: their in-query twins' ~2× (probe/postings scans grow sublinearly;
+#: q_dedup_from_index's BATCH also grows 10×, so it tracks |batch|).
 SF1_QUERIES = [
     "q_dedup_clusters_star", "q_ann_pq", "q_dedup_clusters", "q_pagerank",
     "q_containment", "q_dedup_semantic", "q_ngram_counts",
     "q_dedup_minhash_lsh", "q_ngram_jaccard", "q_triangles",
+    "q_ann_query_from_index", "q_ann_batch_queries",
+    "q_bm25_from_index", "q_dedup_from_index",
 ]
 
 
@@ -406,6 +437,72 @@ def bench_ingest(spark, n_records: int) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _time_runs(spark, build, sf_dir: str, n_runs: int = 3) -> list[float]:
+    """Warm-up (untimed) + ``n_runs`` timed materializations."""
+    force(build(spark, sf_dir))
+    runs = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        force(build(spark, sf_dir))
+        runs.append(time.perf_counter() - t0)
+    return runs
+
+
+#: Outlier-rerun gate: new median > RERUN_RATIO × previously committed
+#: median AND new median ≥ RERUN_FLOOR s (sub-half-second queries
+#: jitter multiplicatively without meaning anything).
+RERUN_RATIO = 1.5
+RERUN_FLOOR = 0.5
+
+
+def _prev_committed() -> dict[str, float]:
+    """Per-query medians from the committed BENCH_FULL_LOCAL.json
+    (read BEFORE this run overwrites it)."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL_LOCAL.json")) as fh:
+            return dict(json.load(fh).get("queries") or {})
+    except (OSError, ValueError):
+        return {}
+
+
+def _fresh_jvm_medians(names: list[str]) -> dict[str, float]:
+    """Re-time ``names`` in a FRESH JVM: subprocess re-invokes this
+    file with --only (runs after the parent session stops, so the two
+    Spark processes never overlap).  Returns {} on any failure — a
+    broken rerun must not sink the bench."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--only", ",".join(names)],
+            capture_output=True, text=True, timeout=1800, check=True)
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("ONLY "):
+                return json.loads(line[5:])
+    except Exception:  # noqa: BLE001 — auxiliary protocol, not the metric
+        pass
+    return {}
+
+
+def run_only(names: list[str]) -> None:
+    """--only mode: warm-up + median-of-3 for just these queries, one
+    line of output.  The fresh-JVM arm of the outlier protocol."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+
+    from healthkit_to_sqlite_spark.registry import queries
+    from healthkit_to_sqlite_spark.session import get_spark
+
+    spark = get_spark("bench_only", cpus=cpus, shuffle_partitions=cpus)
+    qs = queries()
+    timings = {n: round(statistics.median(_time_runs(spark, qs[n], sf_dir)), 4)
+               for n in names if n in qs}
+    print("ONLY " + json.dumps(timings))
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
@@ -414,6 +511,7 @@ def main() -> None:
     from healthkit_to_sqlite_spark.session import get_spark
     from healthkit_to_sqlite_spark.registry import queries
 
+    prev = _prev_committed()
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
     qs = queries()
     names = [n for n in HEADLINE if n in qs]
@@ -443,15 +541,25 @@ def main() -> None:
         pass
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in names:
-        build = qs[name]
-        force(build(spark, sf_dir))          # warm-up (untimed)
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            force(build(spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
+        runs = _time_runs(spark, qs[name], sf_dir)
         timings[name] = round(statistics.median(runs), 4)
+        spread[name] = [round(min(runs), 4), round(max(runs), 4)]
+
+    # tail pass (VERDICT r6 item 3): one timed run for every contract
+    # query NOT in HEADLINE, so no registered query is perf-invisible.
+    # Warm-up + single run — visibility, not a headline-grade median.
+    tail: dict[str, float] = {}
+    tail_errors: dict[str, str] = {}
+    for name in qs:
+        if name in timings:
+            continue
+        try:
+            tail[name] = round(_time_runs(spark, qs[name], sf_dir,
+                                          n_runs=1)[0], 4)
+        except Exception as e:  # noqa: BLE001 — record, don't abort
+            tail_errors[name] = f"{type(e).__name__}: {str(e)[:160]}"
 
     out = {
         "metric": "headline query wall time (median of 3, noop sink)",
@@ -463,7 +571,11 @@ def main() -> None:
         "spark": spark.version,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spread": spread,
+        "tail_queries": tail,
     }
+    if tail_errors:
+        out["tail_errors"] = tail_errors
     if ingest_out is not None:
         out["ingest"] = ingest_out
     # 10× scale point (skippable: SPARK_GRAFT_SF1=0) — runs LAST so it
@@ -473,6 +585,27 @@ def main() -> None:
             out["sf1"] = bench_sf1(spark, qs, timings)
         except Exception as e:  # noqa: BLE001 — auxiliary evidence
             out["sf1"] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+
+    # outlier protocol (VERDICT r6 item 1b): queries that blew past
+    # 1.5× their previously committed median get a fresh-JVM retime
+    # AFTER the main session stops (never two Spark processes at once).
+    outliers = [n for n, sec in timings.items()
+                if prev.get(n) and sec > RERUN_RATIO * prev[n]
+                and sec >= RERUN_FLOOR]
+    if os.environ.get("SPARK_GRAFT_RERUN", "1") == "0":
+        outliers = []
+    if outliers:
+        spark.stop()
+        fresh = _fresh_jvm_medians(outliers)
+        reruns = {}
+        for n in outliers:
+            if n in fresh:
+                reruns[n] = {"in_loop": timings[n], "fresh": fresh[n],
+                             "prev": prev[n]}
+                timings[n] = fresh[n]
+        out["fresh_reruns"] = reruns
+        out["queries"] = timings
+        out["value"] = round(sum(timings.values()), 4)
     full_line = json.dumps(out)
     print(full_line)
     try:  # sidecar copy for the judge (repo-local, cheap)
@@ -534,6 +667,13 @@ def _compact(out: dict, timings: dict[str, float],
     if isinstance(sf1, dict):
         compact["sf1_ratio_vs_sf0.1"] = sf1.get(
             "ratio_vs_sf0.1", {"error": str(sf1.get("error"))[:120]})
+    if out.get("fresh_reruns"):
+        compact["fresh_reruns"] = {
+            n: v["fresh"] for n, v in out["fresh_reruns"].items()}
+    if out.get("tail_queries"):
+        compact["tail_total_sec"] = round(
+            sum(out["tail_queries"].values()), 2)
+        compact["tail_n"] = len(out["tail_queries"])
     for k in (15, 10, 6, 3, 0):
         compact["queries"] = dict(slowest[:k])
         if len(json.dumps(compact)) <= budget:
@@ -542,7 +682,8 @@ def _compact(out: dict, timings: dict[str, float],
     # shrink still exceeds the budget (a grown family table, a long
     # sf1 error string), drop the optional fields largest-first until
     # it fits — the driver must always be able to parse the tail line.
-    for field in ("family_subtotals", "queries_note",
+    for field in ("fresh_reruns", "tail_total_sec", "tail_n",
+                  "family_subtotals", "queries_note",
                   "sf1_ratio_vs_sf0.1", "metric"):
         if len(json.dumps(compact)) <= budget:
             break
@@ -551,4 +692,7 @@ def _compact(out: dict, timings: dict[str, float],
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--only":
+        run_only([n for n in sys.argv[2].split(",") if n])
+    else:
+        main()
