@@ -226,6 +226,11 @@ HEADLINE = [
     # round 6: composed end-to-end pipeline (ingest -> quality ->
     # dedup -> decontaminate -> mixture -> pack, one DAG)
     "q_pipeline_e2e",
+    # round 7: incremental APPEND maintenance for the two build-only
+    # indexes (BM25 postings + dedup signatures) — completes the
+    # serving symmetry across all trained artifacts
+    "q_bm25_index_append",
+    "q_dedup_index_append",
 ]
 
 

@@ -498,6 +498,79 @@ def build_signature_index(spark: "SparkSession", sf_dir: str,
     return cat
 
 
+SIG_APPEND_FIRST = 5  # day-1 corpus = src0..4; day-2 append = src5..9
+
+
+def build_signature_index_appended(spark: "SparkSession", sf_dir: str,
+                                   first_max_src: int = SIG_APPEND_FIRST,
+                                   corpus_max_src: int = 10):
+    """Incremental maintenance for the dedup signature index (VERDICT
+    r6 item 2 — the dedup side of the serving symmetry): version 1
+    signs the day-1 corpus (``src < first_max_src``); version 2 signs
+    ONLY the day-2 arrivals (``first_max_src <= src < corpus_max_src``)
+    and appends their band-signature rows in one atomic pass.  Day-1
+    text is never re-read by the append (its only corpus scan carries
+    the day-2 source filter) and version 1 stays time-travelable as
+    the pre-append index.
+
+    MinHash signatures are embarrassingly append-friendly — a doc's
+    signature depends on nothing but its own shingles (the hash
+    family is fixed by construction, the dedup analog of a frozen
+    quantizer), so incremental growth is pure row append with no
+    global statistic to reconcile.  This is the production loop the
+    in-query `incremental_dedup` docstring promises: each day signs
+    |batch| docs, joins against the committed table, and appends the
+    survivors' signatures back.  Version-guarded and cached per
+    (op, split params, sf_dir)."""
+    import os
+
+    from ..sinks.manifest import ManifestCatalog
+    from .pipeline import _work_dir
+
+    cat = ManifestCatalog(os.path.join(
+        _work_dir(f"sig_index_append_{first_max_src}_{corpus_max_src}",
+                  sf_dir), "cat"))
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"src(\d+)", 1).try_cast("int")
+    if cat.current_version() < 1:
+        day1 = docs.filter(F.coalesce(src_num < first_max_src,
+                                      F.lit(False)))
+        cat.publish_pass({"signatures": _band_signatures(day1)})
+    if cat.current_version() < 2:
+        day2 = docs.filter(
+            F.coalesce((src_num >= first_max_src)
+                       & (src_num < corpus_max_src), F.lit(False)))
+        cat.publish_pass({"signatures": _band_signatures(day2)})
+    return cat
+
+
+def incremental_dedup_from_appended_index(spark: "SparkSession",
+                                          sf_dir: str,
+                                          corpus_max_src: int = 10
+                                          ) -> DataFrame:
+    """Serve incremental dedup from the APPENDED signature head: the
+    batch signs itself and joins the two-pass-grown corpus signature
+    table.  Shares q_dedup_incremental's oracle verbatim (which signs
+    the full src<10 corpus in one shot), so a hash match proves
+    day-by-day signature appends equal one-shot corpus signing."""
+    cat = build_signature_index_appended(
+        spark, sf_dir, corpus_max_src=corpus_max_src)
+    corpus_sig = cat.read(spark, "signatures")
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"src(\d+)", 1).try_cast("int")
+    batch = docs.filter(
+        ~F.coalesce(src_num < corpus_max_src, F.lit(False)))
+    bsig = _band_signatures(batch)
+    return (bsig.alias("n")
+            .join(corpus_sig.alias("c"),
+                  (F.col("n.band") == F.col("c.band"))
+                  & (F.col("n.band_sig") == F.col("c.band_sig")))
+            .groupBy(F.col("n.doc_id").alias("doc_id"))
+            .agg(F.min(F.col("c.doc_id")).alias("first_corpus_dup"),
+                 F.countDistinct(F.col("c.doc_id")).alias("n_corpus_dups"),
+                 F.count(F.lit(1)).alias("n_collisions")))
+
+
 def incremental_dedup_from_index(spark: "SparkSession", sf_dir: str,
                                  corpus_max_src: int = 10) -> DataFrame:
     """Serve-only incremental dedup: sign ONLY the new batch and join
@@ -1054,3 +1127,15 @@ SPECS["q_dedup_from_index"] = Spec(
     "corpus band-signature artifact — corpus text never re-read, cost "
     "scales with |batch|; same oracle as q_dedup_incremental, so the "
     "hash match proves persisted signatures equal in-query re-signing")
+
+#: Append maintenance shares the same oracle once more: signature
+#: growth day-by-day must equal one-shot corpus signing.
+SPECS["q_dedup_index_append"] = Spec(
+    lambda spark, sf: incremental_dedup_from_appended_index(spark, sf),
+    SPECS["q_dedup_incremental"].oracle,
+    "incremental APPEND for the dedup signature index (r6 VERDICT "
+    "item 2): v1 signs the day-1 corpus, v2 signs only day-2 "
+    "arrivals and appends their band signatures atomically (fixed "
+    "hash family = the dedup analog of a frozen quantizer); serve "
+    "joins the appended head — same oracle as q_dedup_incremental, "
+    "so the hash match proves per-day appends equal one-shot signing")

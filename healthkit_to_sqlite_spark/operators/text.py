@@ -359,13 +359,26 @@ def bm25_from_index(spark: SparkSession, sf_dir: str,
     `bm25_topk` — so this query shares q_bm25's oracle verbatim and a
     hash match proves the committed index reproduces corpus scoring
     exactly.  df / corpus stats are bounded collects (≤|terms| rows +
-    1 row, the k-row-LUT discipline); candidate docs are only those
-    containing ≥1 query term."""
-    cat = build_text_index(spark, sf_dir)
+    ≤|passes| rows, the k-row-LUT discipline); candidate docs are only
+    those containing ≥1 query term."""
+    return _bm25_serve(spark, build_text_index(spark, sf_dir), terms, k)
+
+
+def _bm25_serve(spark: SparkSession, cat, terms: tuple[str, ...],
+                k: int) -> DataFrame:
+    """The shared serve kernel of the BM25 split — one body for the
+    single-pass index and the appended index, so both provably score
+    identically.  ``stats`` is treated as a MERGEABLE statistic: each
+    publish pass contributes one (n_docs, sum_dl) delta row and the
+    serve SUMs them — integer-exact, order-independent, and exactly
+    how a 100 TB postings artifact carries corpus stats across
+    incremental appends (no read-modify-write of a global row)."""
     post = (cat.read(spark, "postings")
             .filter(F.col("term").isin(*terms)))
     doclen = cat.read(spark, "doclen")
-    st = cat.read(spark, "stats").first()            # 1 row
+    st = (cat.read(spark, "stats")
+          .agg(F.sum("n_docs").alias("n_docs"),
+               F.sum("sum_dl").alias("sum_dl")).first())
     n_docs, sum_dl = int(st.n_docs), int(st.sum_dl)
     dfs = {r.term: int(r.df) for r in
            post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -388,6 +401,75 @@ def bm25_from_index(spark: SparkSession, sf_dir: str,
             .filter(F.col("bm25") > 0)
             .orderBy(F.col("bm25").desc(), "doc_id")
             .limit(k))
+
+
+BM25_APPEND_SPLIT = 400  # base/new doc split for the append build
+
+
+def build_text_index_appended(spark: SparkSession, sf_dir: str,
+                              split: int = BM25_APPEND_SPLIT):
+    """Incremental maintenance for the inverted index (VERDICT r6
+    item 2 — the BM25 side of the serving symmetry): version 1 builds
+    postings/doclen/stats for the BASE corpus (``doc_id < split``);
+    version 2 tokenizes ONLY the new batch (``doc_id >= split``) and
+    appends its postings + doclen rows plus one stats DELTA row in a
+    single atomic catalog pass.  Nothing about the base is recomputed
+    or rewritten — base text is never re-read (the append stage's
+    only corpus scan carries a ``doc_id >= split`` pushed filter) and
+    version 1 stays time-travelable as the pre-append index.
+
+    What "frozen" means for a lexical index: BM25 has no trained
+    quantizer, but its global statistics (n_docs, sum_dl, per-term
+    df) DO shift with appends — so unlike ANN's frozen-codebook
+    append, correct serving must see post-append statistics.  The
+    design makes that automatic: df comes from the appended postings
+    themselves and corpus stats are mergeable per-pass delta rows the
+    serve kernel SUMs (`_bm25_serve`) — integer-exact, append-order
+    independent, no read-modify-write of any committed row.  At
+    100 TB this is the daily-ingest shape: cost ∝ |batch| tokens,
+    with a periodic full rebuild only if impact-ordering/pruning
+    layouts degrade.  Cited reference anchor: the incremental
+    second pass over a committed schema (reference core.rs:63-73) at
+    artifact scale."""
+    import os
+
+    from ..sinks.manifest import ManifestCatalog
+    from .pipeline import _work_dir
+
+    cat = ManifestCatalog(os.path.join(
+        _work_dir(f"text_index_append_{split}", sf_dir), "cat"))
+
+    def _parts(docs):
+        toks = (docs.select("doc_id",
+                            F.explode(ws_tokens("text")).alias("term"))
+                .filter(F.col("term") != ""))
+        postings = (toks.groupBy("term", "doc_id")
+                    .agg(F.count(F.lit(1)).alias("tf")))
+        doclen = docs.select("doc_id",
+                             F.size(ws_tokens("text")).alias("dl"))
+        stats = doclen.agg(F.count(F.lit(1)).alias("n_docs"),
+                           F.sum("dl").alias("sum_dl"))
+        return {"postings": postings, "doclen": doclen, "stats": stats}
+
+    docs = load_table(spark, sf_dir, "documents")
+    if cat.current_version() < 1:
+        cat.publish_pass(_parts(docs.filter(F.col("doc_id") < split)))
+    if cat.current_version() < 2:
+        cat.publish_pass(_parts(docs.filter(F.col("doc_id") >= split)))
+    return cat
+
+
+def bm25_from_appended_index(spark: SparkSession, sf_dir: str,
+                             terms: tuple[str, ...] = BM25_TERMS,
+                             k: int = 15) -> DataFrame:
+    """Serve BM25 from the APPENDED index head — the same serve
+    kernel as `bm25_from_index`, now over postings/doclen written by
+    two different encode passes with summed stats deltas.  Shares
+    q_bm25's oracle verbatim (which scores the whole corpus in one
+    shot), so a hash match proves batch-incremental index maintenance
+    reproduces from-scratch corpus scoring exactly."""
+    return _bm25_serve(spark, build_text_index_appended(spark, sf_dir),
+                       terms, k)
 
 
 RARE_TRI_MIN_DF = 5  # trigram seen in fewer docs than this is "rare"
@@ -1561,3 +1643,14 @@ SPECS["q_bm25_from_index"] = Spec(
     "df/stats collects — corpus text never read; same oracle as "
     "q_bm25, so a hash match proves index-serving equals corpus "
     "scoring exactly")
+
+#: Append maintenance shares the same oracle again: incremental index
+#: growth must be INVISIBLE to scoring.
+SPECS["q_bm25_index_append"] = Spec(
+    lambda spark, sf: bm25_from_appended_index(spark, sf),
+    SPECS["q_bm25"].oracle,
+    "incremental APPEND for the inverted index (r6 VERDICT item 2): "
+    "v1 indexes the base corpus, v2 tokenizes only the new batch and "
+    "atomically appends postings/doclen plus a mergeable stats delta "
+    "row; serve SUMs the deltas — same oracle as q_bm25, so the hash "
+    "match proves batch append equals from-scratch corpus indexing")

@@ -11,7 +11,7 @@ leaving timeseries/multimodal/pipeline/udx unverified).  ``PRIORITY``
 pins the verification window each round: queries whose semantics
 changed this round plus queries with no driver row yet come first,
 then the reference §2.A/§2.B parity surface, then the long-green
-remainder.  Everything (184 queries as of round 6) still runs in
+remainder.  Everything (186 queries as of round 7) still runs in
 tests/parity.py, whose committed PARITY_r{N}.json covers the overflow.
 
 The window contract is self-tested: tests/test_registry.py asserts
@@ -34,53 +34,55 @@ from .spec import Spec
 #: surface.  Names not listed (or not registered) follow in module
 #: order; unknown names here are ignored, so the list is safe to
 #: curate ahead of the code — but the FIRST 50 are contract (see
-#: tests/test_registry.py).  (184 queries as of round 6.)
+#: tests/test_registry.py).  (186 queries as of round 7.)
 PRIORITY: tuple[str, ...] = (
-    # ---- round-6 window (slots 1-50) ------------------------------
-    # (1a) new in round 6 (never driver-checked)
+    # ---- round-7 window (slots 1-50) ------------------------------
+    # (1a) new in round 7 (never driver-checked): the two append-
+    # maintenance serves (VERDICT r6 item 2)
+    "q_bm25_index_append", "q_dedup_index_append",
+    # (1b) kernels touched in round 7 — Lloyd _lloyd_ckpt cadence
+    # plumbing + seed-guard memo (ann_* / semantic / postings), the
+    # _bm25_serve stats-SUM refactor (bm25_from_index), the
+    # signature-index cache-key change (dedup_from_index); outputs
+    # proven identical locally, re-verify at the driver anyway
+    "q_dedup_semantic", "q_ivf_postings", "q_ann_ivf", "q_ann_pq",
+    "q_ann_ivfpq", "q_ann_ivfpq_residual", "q_bm25_from_index",
+    "q_dedup_from_index",
+    # (2) oldest surviving driver rows — the r03/r04-green block past
+    # the r06 window cut (VERDICT r6 item 4)
+    "q_dedup_embedding", "q_scd2", "q_ewma", "q_first_touch",
+    "q_span_scrub", "q_incremental_agg", "q_snapshot_diff",
+    "q_bpe_pairs", "q_mrl_rerank", "q_entity_resolution",
+    "q_graph_jaccard", "q_pivot", "q_range_frame",
+    "q_window_analytics", "q_kll_merge", "q_theta_sets",
+    "q_temporal_join", "q_skyline", "q_manifest_merge", "q_autocorr",
+    "q_snowflake_join", "q_corpus_profile", "q_nation_trade",
+    "q_returned_customers", "q_big_orders", "q_hll_sliding",
+    "q_funnel_ordered", "q_quarantine", "q_kcore", "q_media_dedup",
+    "q_seasonal_profile", "q_cusum", "q_khop_reach",
+    "q_quantize_int8", "q_bm25", "q_chunk_overlap",
+    "q_exact_substring", "q_heavy_hitters", "q_retention_cohort",
+    "q_source_cap",
+    # ---- overflow (covered by PARITY_r07.json) ----------------
+    # (3) r03/r04-green remainder
+    "q_rare_trigram_rate", "q_knn_graph", "q_rrf_fusion",
+    "q_lm_perplexity", "q_dsir_weights", "q_dsir_resample",
+    "q_manifest_multi",
+    # (4) r05/r06-window rows (newest driver green, lowest urgency)
     "q_pipeline_e2e", "q_ann_index_build", "q_ann_query_from_index",
     "q_ann_index_append", "q_ann_batch_queries", "q_embed_covariance",
     "q_pca_project", "q_gopher_lines", "q_dedup_paragraph",
     "q_dedup_paragraph_apply", "q_bpe_train", "q_hash_embed",
-    "q_mahalanobis", "q_ann_recall_report", "q_bm25_from_index",
-    "q_dedup_from_index",
-    # (1b) kernels touched in round 6 — outputs proven identical
-    # locally (168/168 parity), re-verify at the driver anyway:
-    # Lloyd-loop checkpointing (ann_* / semantic / postings), the
-    # gopher/canon expression factoring (gopher_rules,
-    # dedup_normalized), the minhash max_bucket parameter at its
-    # default-off setting (dedup_minhash_lsh)
-    "q_ann_ivfpq_residual", "q_ann_ivfpq", "q_ann_pq", "q_ann_ivf",
-    "q_dedup_semantic", "q_ivf_postings", "q_gopher_rules",
-    "q_dedup_normalized", "q_dedup_minhash_lsh",
-    # (2) oldest surviving driver rows (green in r02 only — past the
-    # r05 window cut; VERDICT r5 item 5)
+    "q_mahalanobis", "q_ann_recall_report",
+    "q_gopher_rules", "q_dedup_normalized", "q_dedup_minhash_lsh",
     "q_posexplode", "q_lag_lead", "q_sliding_window",
     "q_tumbling_window", "q_sessionize", "q_asof_join",
     "q_multimodal_meta", "q_multimodal_decode", "q_dedup_apply",
     "q_repetition_signals", "q_pii_scrub", "q_decontaminate",
     "q_stratified_sample", "q_pack_sequences", "q_interval_join",
     "q_salted_join", "q_merge_upsert", "q_salted_agg", "q_ann_brp",
-    # (3) r03-green fill (window cut lands at q_udaf_median)
     "q_fuzzy_join", "q_ann_lsh_pairs", "q_dedup_incremental",
     "q_manifest_roundtrip", "q_topk_cosine_pandas", "q_udaf_median",
-    # ---- overflow (covered by PARITY_r06.json) ----------------
-    # (4) r03/r04-green remainder (newest of the old rows)
-    "q_dedup_embedding", "q_scd2", "q_ewma", "q_first_touch", "q_span_scrub", "q_incremental_agg", "q_snapshot_diff", "q_bpe_pairs", "q_mrl_rerank", "q_entity_resolution", "q_graph_jaccard",
-    "q_pivot", "q_range_frame", "q_window_analytics",
-    "q_kll_merge", "q_theta_sets", "q_temporal_join", "q_skyline",
-    "q_manifest_merge", "q_autocorr",
-    "q_snowflake_join", "q_corpus_profile", "q_nation_trade",
-    "q_returned_customers", "q_big_orders", "q_hll_sliding",
-    "q_funnel_ordered", "q_quarantine", "q_kcore",
-    "q_media_dedup", "q_seasonal_profile", "q_cusum", "q_khop_reach",
-    "q_quantize_int8", "q_bm25", "q_chunk_overlap", "q_exact_substring",
-    "q_heavy_hitters", "q_retention_cohort",
-    "q_source_cap", "q_rare_trigram_rate",
-    "q_knn_graph", "q_rrf_fusion",
-    "q_lm_perplexity", "q_dsir_weights", "q_dsir_resample",
-    "q_manifest_multi",
-    # (6) r05-window rows (newest driver green, lowest urgency)
     "q_inverted_index", "q_temperature_sample", "q_negative_pairs",
     "q_abtest", "q_token_budget_mix", "q_simhash_near", "q_group_ols",
     "q_udtf_poly", "q_udtf_chunks", "q_udtf_chunks_arrow",

@@ -1275,3 +1275,55 @@ def test_paragraphs_reconstruct_original_text_exactly(spark):
     for i, t in enumerate(texts):
         parts = [p for _, p in sorted(out[i])]
         assert " ".join(parts) == t, (i, parts)
+
+
+def test_dedup_signature_append_time_travels_and_matches_one_shot(spark):
+    """Append-maintenance invariants for the dedup signature index
+    (r7): (1) version 1 = day-1 sources only (time travel); (2) the
+    appended head's day-1 rows are byte-identical to v1 (fixed hash
+    family = frozen "quantizer": signing day 2 never re-signs or
+    perturbs day 1); (3) head = one-shot signing of the full corpus;
+    (4) serving against the appended head equals in-query incremental
+    dedup row-for-row."""
+    from pyspark.sql import functions as F
+
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.dedup import (
+        SIG_APPEND_FIRST,
+        _band_signatures,
+        build_signature_index_appended,
+        incremental_dedup,
+        incremental_dedup_from_appended_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cat = build_signature_index_appended(spark, sf)
+    assert cat.current_version() == 2
+    docs = load_table(spark, sf, "documents")
+    src_num = F.regexp_extract("source", r"src(\d+)", 1).try_cast("int")
+    day1_ids = {r.doc_id for r in docs.filter(
+        F.coalesce(src_num < SIG_APPEND_FIRST, F.lit(False)))
+        .select("doc_id").collect()}
+
+    # (1) time travel: v1 holds exactly the day-1 docs' signatures
+    v1 = cat.read(spark, "signatures", version=1)
+    assert {r.doc_id for r in v1.select("doc_id").distinct().collect()} \
+        == day1_ids
+
+    # (2) day-1 rows carried over byte-identical
+    head = cat.read(spark, "signatures")
+    assert sorted(map(tuple, v1.collect())) == \
+        sorted(map(tuple,
+                   head.filter(F.col("doc_id").isin(day1_ids)).collect()))
+
+    # (3) head == one-shot signing of the full src<10 corpus
+    corpus = docs.filter(F.coalesce(src_num < 10, F.lit(False)))
+    assert sorted(map(tuple, head.collect())) == \
+        sorted(map(tuple, _band_signatures(corpus).collect()))
+
+    # (4) serve equality vs in-query incremental dedup
+    got = sorted(map(tuple,
+                     incremental_dedup_from_appended_index(spark, sf)
+                     .collect()))
+    want = sorted(map(tuple, incremental_dedup(docs).collect()))
+    assert got == want

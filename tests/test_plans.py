@@ -568,3 +568,22 @@ def test_dedup_serve_reads_committed_signatures(spark, specs):
     plan = formatted_plan(df)
     assert "sig_index_" in plan
     assert plan.count("documents.parquet") <= 1
+
+
+def test_bm25_append_serve_never_reads_corpus_text(spark, specs):
+    """The appended-index serve (r7): scoring still reads ONLY
+    committed artifacts — two encode passes must not change the
+    serve plan's data sources."""
+    df = specs["q_bm25_index_append"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "text_index_append_" in plan
+    assert "documents.parquet" not in plan
+
+
+def test_dedup_append_serve_reads_committed_signatures(spark, specs):
+    """The appended signature serve (r7): corpus side = committed
+    artifact grown by two passes; only the batch side scans text."""
+    df = specs["q_dedup_index_append"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "sig_index_append_" in plan
+    assert plan.count("documents.parquet") <= 1

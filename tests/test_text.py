@@ -344,3 +344,60 @@ def test_bpe_train_learns_compositional_merges(spark):
     # replace); round 2 pairs the straggler: (aa,a)->aaa
     assert m[0] == ("a", "a", "aa")
     assert m[1] == ("aa", "a", "aaa")
+
+
+def test_bm25_index_append_time_travels_and_matches_one_shot(spark):
+    """Append-maintenance invariants for the inverted index (r7,
+    mirroring test_ann_index_append): (1) version 1 is the base-only
+    index (time travel: doclen/stats cover exactly doc_id < split);
+    (2) the appended head covers the whole corpus with the batch's
+    rows ADDED, base rows byte-identical (never rewritten); (3) the
+    summed stats deltas equal one-shot corpus stats; (4) serving the
+    appended head equals the in-query corpus scorer row-for-row."""
+    from pyspark.sql import functions as F
+
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.text import (
+        BM25_APPEND_SPLIT,
+        bm25_from_appended_index,
+        bm25_topk,
+        build_text_index_appended,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cat = build_text_index_appended(spark, sf)
+    assert cat.current_version() == 2
+    docs = load_table(spark, sf, "documents")
+    n_total = docs.count()
+    n_base = docs.filter(F.col("doc_id") < BM25_APPEND_SPLIT).count()
+
+    # (1) time travel: v1 = base-only
+    assert cat.read(spark, "doclen", version=1).count() == n_base
+    s1 = cat.read(spark, "stats", version=1).collect()
+    assert len(s1) == 1 and s1[0].n_docs == n_base
+    assert cat.read(spark, "postings", version=1) \
+              .agg(F.max("doc_id")).first()[0] < BM25_APPEND_SPLIT
+
+    # (2) head covers all docs; base postings carried over unchanged
+    assert cat.read(spark, "doclen").count() == n_total
+    base_v1 = sorted(map(tuple,
+                         cat.read(spark, "postings", version=1).collect()))
+    base_v2 = sorted(map(tuple, cat.read(spark, "postings")
+                         .filter(F.col("doc_id") < BM25_APPEND_SPLIT)
+                         .collect()))
+    assert base_v1 == base_v2
+
+    # (3) mergeable stats: two delta rows summing to corpus truth
+    st = cat.read(spark, "stats")
+    assert st.count() == 2
+    merged = st.agg(F.sum("n_docs").alias("n"),
+                    F.sum("sum_dl").alias("s")).first()
+    truth = docs.select(F.count(F.lit(1)).alias("n"),
+                        F.sum(F.size(F.split("text", " "))).alias("s")
+                        ).first()
+    assert (merged.n, merged.s) == (truth.n, truth.s)
+
+    # (4) serve equality vs the in-query corpus scorer
+    got = sorted(map(tuple, bm25_from_appended_index(spark, sf).collect()))
+    want = sorted(map(tuple, bm25_topk(docs).collect()))
+    assert got == want
