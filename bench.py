@@ -231,6 +231,10 @@ HEADLINE = [
     # serving symmetry across all trained artifacts
     "q_bm25_index_append",
     "q_dedup_index_append",
+    # round 7: quality-aware keeper selection + per-source adaptive
+    # quality quantile threshold (both window-shaped selection ops)
+    "q_dedup_keep_best",
+    "q_quality_quantile",
 ]
 
 

@@ -213,6 +213,78 @@ def dedup_apply(documents: DataFrame) -> DataFrame:
             .select("doc_id", "lang", "source", "n_chars"))
 
 
+def dedup_keep_best(documents: DataFrame) -> DataFrame:
+    """Quality-aware keeper selection for near-dup clusters — the
+    FineWeb/RefinedWeb refinement of `dedup_apply`: instead of the
+    arbitrary component-minimum doc_id, each cluster keeps its BEST
+    member (longest document; ties broken by doc_id), on the theory
+    that within a template family the longest variant carries the
+    most content.
+
+    Shape: the CC labels (`dedup_clusters` — same kernel, same
+    candidate graph) joined with the per-doc length, then one
+    row_number window per cluster (order n_chars DESC, doc_id ASC).
+    The window partitions on cluster_id — near-dup clusters are tiny
+    (measured max 4 members at sf0.1) so no partition skew; text
+    never enters the window, only (doc_id, cluster_id, n_chars).
+    At 100 TB this rides the committed cluster artifact the dedup
+    pipeline materializes anyway; swapping `n_chars` for any
+    committed quality score is a one-column change."""
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(documents).select("doc_id", "cluster_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id")
+    return (documents.select("doc_id", "n_chars")
+            .join(clusters, "doc_id")
+            .select("doc_id", "cluster_id", "n_chars",
+                    (F.row_number().over(w) == 1).alias("is_keeper")))
+
+
+QUALITY_QUANTILE = 0.75  # per-source keep threshold (nearest-rank)
+
+
+def quality_quantile_filter(documents: DataFrame,
+                            q: float = QUALITY_QUANTILE) -> DataFrame:
+    """Per-source ADAPTIVE quality thresholding — the curation move
+    that a single global cutoff gets wrong: each source keeps its own
+    top (1−q) fraction by alpha-ratio quality score, so a uniformly
+    noisy source is trimmed as aggressively as a clean one (per-domain
+    quantile filtering, the DataComp/FineWeb ablation shape).
+
+    The threshold is the EXACT nearest-rank quantile (the score at
+    row ⌈q·n⌉ in (score, doc_id) order) — deterministic under ties
+    and reproducible in any engine, unlike interpolated percentiles
+    whose float blends differ.  Shape: one scored projection (integer
+    counts → one IEEE division), a per-source row_number/count window
+    to locate the threshold row, a broadcast join of the ≤|sources|
+    threshold rows back, and one aggregate.  At 100 TB the exact
+    per-source sort is the verification contract; production swaps in
+    `approx_percentile` (mergeable sketch, no sort) with this query
+    as its audit — same substitution the percentile note in SCALE.md
+    §relational documents.  Emits per-source (n_docs, threshold,
+    n_kept)."""
+    from pyspark.sql import Window
+
+    score = (F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+             / F.col("n_chars"))
+    scored = documents.select("doc_id", "source", score.alias("score"))
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    ranked = scored.select(
+        "source", "score",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"))
+    thr = (ranked
+           .filter(F.col("rn") == F.ceil(F.lit(q) * F.col("n")))
+           .select("source", F.col("score").alias("thr")))
+    return (scored.join(F.broadcast(thr), "source")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.max("thr"), 6).alias("threshold"),
+                 F.sum((F.col("score") >= F.col("thr")).cast("long"))
+                 .alias("n_kept")))
+
+
 # --- graph ranking over the near-dup graph ---------------------------------
 
 PR_DAMPING = 0.85
@@ -2201,6 +2273,56 @@ SPECS: dict[str, Spec] = {
         FROM documents d JOIN keepers USING (doc_id)
         """,
         "near-dup pipeline applied: one canonical doc per CC cluster"),
+    "q_dedup_keep_best": Spec(
+        lambda spark, sf: dedup_keep_best(load_table(spark, sf,
+                                                     "documents")),
+        f"""
+        WITH RECURSIVE {_LSH_PAIRS_SQL},
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+        cl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+               FROM reach GROUP BY node)
+        SELECT d.doc_id, cl.cluster_id, d.n_chars,
+               (ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                  ORDER BY d.n_chars DESC, d.doc_id) = 1) AS is_keeper
+        FROM documents d JOIN cl USING (doc_id)
+        """,
+        "quality-aware near-dup keeper selection (FineWeb refinement "
+        "of q_dedup_apply): each CC cluster keeps its LONGEST member "
+        "(ties → doc_id) via a per-cluster rank window over "
+        "(id, cluster, n_chars) — text never enters the window"),
+    "q_quality_quantile": Spec(
+        lambda spark, sf: quality_quantile_filter(load_table(spark, sf,
+                                                             "documents")),
+        f"""
+        WITH scored AS (
+          SELECT doc_id, source,
+                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / n_chars AS score
+          FROM documents),
+        ranked AS (
+          SELECT source, score,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY score, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM scored),
+        thr AS (SELECT source, score AS thr FROM ranked
+                WHERE rn = CAST(CEIL({QUALITY_QUANTILE} * n) AS BIGINT))
+        SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(MAX(t.thr), 6) AS threshold,
+               CAST(SUM(CASE WHEN s.score >= t.thr THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept
+        FROM scored s JOIN thr t USING (source)
+        GROUP BY s.source
+        """,
+        "per-source adaptive quality threshold (DataComp/FineWeb "
+        "per-domain quantile filtering): EXACT nearest-rank q=0.75 "
+        "alpha-ratio cutoff per source — deterministic under ties; "
+        "production swaps approx_percentile with this as the audit"),
     "q_hll_merge": Spec(
         lambda spark, sf: hll_merge(load_table(spark, sf, "events")),
         None,  # sketch encoding is engine-specific — rows-only check

@@ -1327,3 +1327,61 @@ def test_dedup_signature_append_time_travels_and_matches_one_shot(spark):
                      .collect()))
     want = sorted(map(tuple, incremental_dedup(docs).collect()))
     assert got == want
+
+
+def test_dedup_keep_best_prefers_longest_not_min_id(spark):
+    """Quality-aware keeper selection (r7): in a near-dup cluster the
+    LONGEST member must win even when it is not the component-minimum
+    doc_id (the exact case where this differs from dedup_apply);
+    singletons keep themselves."""
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        dedup_apply,
+        dedup_keep_best,
+    )
+
+    # identical texts ⇒ guaranteed LSH collision in every band;
+    # n_chars is an independent column in the corpus schema, so the
+    # higher-id doc can be the longer one
+    t = " ".join(f"tok{i}" for i in range(30))
+    rows = [(0, t, "en", "s0", 10),
+            (1, t, "en", "s0", 99),
+            (2, "completely different singleton text here", "en",
+             "s1", 40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = {r.doc_id: r for r in dedup_keep_best(df).collect()}
+    assert got[0].cluster_id == 0 and got[1].cluster_id == 0
+    assert not got[0].is_keeper and got[1].is_keeper  # longest wins
+    assert got[2].is_keeper and got[2].cluster_id == 2
+    # contrast pin: min-id apply keeps doc 0 instead
+    kept_minid = {r.doc_id for r in dedup_apply(df).collect()}
+    assert kept_minid == {0, 2}
+
+
+def test_quality_quantile_thresholds_are_per_source(spark):
+    """Per-source adaptive thresholding (r7): each source's nearest-
+    rank p75 cutoff is computed within the source — a uniformly
+    high-quality source still trims its bottom ranks while a noisy
+    source's locally-good docs survive a globally-fatal score."""
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        quality_quantile_filter,
+    )
+
+    def doc(i, src, n_alpha, n_chars):
+        return (i, "a" * n_alpha, "en", src, n_chars)
+
+    rows = [doc(0, "A", 2, 10), doc(1, "A", 4, 10),
+            doc(2, "A", 6, 10), doc(3, "A", 8, 10),
+            doc(4, "B", 90, 100), doc(5, "B", 91, 100),
+            doc(6, "B", 95, 100), doc(7, "B", 100, 100)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = {r.source: r for r in quality_quantile_filter(df).collect()}
+    # rank ceil(0.75*4)=3 ascending: A → 0.6, B → 0.95
+    assert got["A"].threshold == 0.6 and got["A"].n_kept == 2
+    assert got["B"].threshold == 0.95 and got["B"].n_kept == 2
+    # the adaptivity pin: B's dropped docs (0.90/0.91) score far above
+    # A's kept ones (0.6/0.8)
+    assert got["A"].n_docs == 4 and got["B"].n_docs == 4
