@@ -235,6 +235,9 @@ HEADLINE = [
     # quality quantile threshold (both window-shaped selection ops)
     "q_dedup_keep_best",
     "q_quality_quantile",
+    # round 7: tokenizer build/serve split (encode with the committed
+    # BPE merge table; the in-query training twin is q_bpe_train)
+    "q_bpe_encode",
 ]
 
 

@@ -740,9 +740,83 @@ def bpe_train(documents: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
         "merge_rank int, lhs string, rhs string, merged string, n bigint")
 
 
-def _bpe_train_oracle_sql(merges: int = BPE_MERGES) -> str:
-    """Unrolled merge rounds in DuckDB (fixed small count — same
-    no-recursion-needed reasoning as the Lloyd chains)."""
+def build_bpe_model(spark: SparkSession, sf_dir: str,
+                    merges: int = BPE_MERGES):
+    """Train-once half of the TOKENIZER split (round 7 — the same
+    build/serve symmetry as ANN/BM25/dedup/PCA): run the full
+    iterative BPE loop ONCE and publish the learned merge table
+    (merge_rank, lhs, rhs, merged, n — ≤``merges`` rows) as a
+    committed manifest artifact.  At 100 TB the tokenizer is trained
+    on a sample snapshot and then applied to every corpus for months —
+    exactly this artifact's lifecycle.  Version-guarded and cached
+    per (op, merges, sf_dir)."""
+    import os
+
+    from ..sinks.manifest import ManifestCatalog
+    from .pipeline import _work_dir
+
+    cat = ManifestCatalog(os.path.join(
+        _work_dir(f"bpe_model_{merges}", sf_dir), "cat"))
+    if cat.current_version() < 1:
+        cat.publish_pass({"merges": bpe_train(
+            load_table(spark, sf_dir, "documents"), merges)})
+    return cat
+
+
+def bpe_encode_from_model(spark: SparkSession, sf_dir: str,
+                          merges: int = BPE_MERGES) -> DataFrame:
+    """Serve half of the tokenizer split: ENCODE the corpus with the
+    COMMITTED merge table — zero training in the query plan.  The
+    ≤``merges``-row model is a bounded collect (the k-row-LUT
+    discipline); each merge becomes one literal single-pass
+    non-overlapping string replace applied in rank order over the
+    char-split word form (map-only, codegen'd), then piece counts
+    aggregate per document — ONE exchange in the whole plan (pinned
+    in test_plans: no TakeOrdered argmax, no training shuffles).
+
+    The oracle re-trains from scratch and exploits self-encoding: the
+    training unroll's fully-merged word states ARE the encodings of
+    every corpus word — so a hash match proves the committed merge
+    table, replayed merge-by-merge on raw text, reproduces the
+    training-time segmentation exactly (the tokenizer-consistency
+    property a training pipeline depends on: train-time and
+    apply-time segmentations must agree)."""
+    cat = build_bpe_model(spark, sf_dir, merges)
+    model = sorted(cat.read(spark, "merges").collect(),
+                   key=lambda r: r.merge_rank)       # ≤ merges rows
+    return bpe_apply(load_table(spark, sf_dir, "documents"),
+                     [(m.lhs, m.rhs) for m in model])
+
+
+def bpe_apply(documents: DataFrame,
+              merge_list: list[tuple[str, str]]) -> DataFrame:
+    """Apply an already-learned BPE merge list to a corpus — the pure
+    map-side encode kernel `bpe_encode_from_model` wraps (factored out
+    so unit tests can drive it with a hand model).  Single-pass
+    non-overlapping replace per merge, in rank order — identical
+    semantics to training's apply step, including the odd-self-run
+    straggler behavior (``aaa`` under merge (a,a) → ``aa a``)."""
+    words = (documents.select("doc_id",
+                              F.explode(ws_tokens("text")).alias("word"))
+             .filter(F.col("word") != ""))
+    s = F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 "))
+    for lhs, rhs in merge_list:
+        s = F.replace(s, F.lit(f" {lhs} {rhs} "),
+                      F.lit(f" {lhs}{rhs} "))
+    return (words.select("doc_id",
+                         F.size(F.split(F.trim(s), " ")).alias("np"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("np").cast("bigint").alias("n_pieces")))
+
+
+def _bpe_states_sql(merges: int = BPE_MERGES,
+                    final_state: bool = False) -> list[str]:
+    """Shared CTE chain for the unrolled BPE training rounds (fixed
+    small count — same no-recursion-needed reasoning as the Lloyd
+    chains).  With ``final_state`` a ``state_final`` CTE applies the
+    LAST learned merge too — the fully-encoded per-word table the
+    encode oracle joins against."""
     parts = [r"""state_1 AS (
       SELECT word, freq,
              ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s
@@ -767,11 +841,40 @@ def _bpe_train_oracle_sql(merges: int = BPE_MERGES) -> str:
                  replace(s, ' ' || bb.a || ' ' || bb.b || ' ',
                          ' ' || bb.a || bb.b || ' ') AS s
           FROM state_{r}, best_{r} bb)""")
+    if final_state:
+        parts.append(f"""state_final AS (
+          SELECT word,
+                 replace(s, ' ' || bb.a || ' ' || bb.b || ' ',
+                         ' ' || bb.a || bb.b || ' ') AS s
+          FROM state_{merges}, best_{merges} bb)""")
+    return parts
+
+
+def _bpe_train_oracle_sql(merges: int = BPE_MERGES) -> str:
     sel = "\nUNION ALL ".join(
         f"SELECT {r} AS merge_rank, a AS lhs, b AS rhs, a || b AS merged,"
         f" CAST(n AS BIGINT) AS n FROM best_{r}"
         for r in range(1, merges + 1))
-    return "WITH " + ",\n".join(parts) + "\n" + sel
+    return "WITH " + ",\n".join(_bpe_states_sql(merges)) + "\n" + sel
+
+
+def _bpe_encode_oracle_sql(merges: int = BPE_MERGES) -> str:
+    """Self-encode oracle: the training unroll's fully-merged per-word
+    state IS the encoding of every corpus word, so per-doc piece
+    counts come from one word join — no per-document merge replay."""
+    return ("WITH " + ",\n".join(_bpe_states_sql(merges,
+                                                 final_state=True)) + f"""
+    , docw AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+      WHERE tok <> '')
+    SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(trim(f.s), ' '))) AS BIGINT)
+             AS n_pieces
+    FROM docw d JOIN state_final f ON d.tok = f.word
+    GROUP BY d.doc_id
+    """)
 
 
 LM_TOPK = 20  # highest-perplexity docs to surface (the filter-out set)
@@ -1203,6 +1306,14 @@ SPECS: dict[str, Spec] = {
         "shuffle + a 1-row argmax per round, map-only literal merge "
         "apply, per-round checkpointed lineage; emits the learned "
         "merge table (the distributed-BPE loop shape at 100 TB)"),
+    "q_bpe_encode": Spec(
+        lambda spark, sf: bpe_encode_from_model(spark, sf),
+        _bpe_encode_oracle_sql(),
+        "tokenizer build/serve split (r7): encode the corpus with the "
+        "COMMITTED BPE merge table — bounded model collect, rank-order "
+        "literal replaces (map-only), one exchange, zero training in "
+        "the plan; oracle retrains and self-encodes, so a hash match "
+        "proves train-time and apply-time segmentations agree"),
     "q_bpe_pairs": Spec(
         lambda spark, sf: bpe_merge_pairs(load_table(spark, sf,
                                                      "documents")),

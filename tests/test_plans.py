@@ -587,3 +587,18 @@ def test_dedup_append_serve_reads_committed_signatures(spark, specs):
     plan = formatted_plan(df)
     assert "sig_index_append_" in plan
     assert plan.count("documents.parquet") <= 1
+
+
+def test_bpe_encode_serve_plan_is_map_only(spark, specs):
+    """The tokenizer serve split (r7): the committed merge table is a
+    bounded driver-side collect folded into literal replaces, so the
+    encode plan must be ONE corpus scan → codegen'd map → a single
+    per-doc aggregation exchange — zero training (no argmax heaps, no
+    per-round shuffles), and the merges visible as folded literals."""
+    df = specs["q_bpe_encode"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) == 1
+    # one scan = tree line + detail header in the formatted plan
+    assert plan.count("Scan parquet") == 2
+    assert "TakeOrderedAndProject" not in plan
+    assert "replace(" in plan          # folded literal merge chain

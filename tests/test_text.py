@@ -401,3 +401,32 @@ def test_bm25_index_append_time_travels_and_matches_one_shot(spark):
     got = sorted(map(tuple, bm25_from_appended_index(spark, sf).collect()))
     want = sorted(map(tuple, bm25_topk(docs).collect()))
     assert got == want
+
+
+def test_bpe_apply_matches_training_segmentation(spark):
+    """Tokenizer-consistency property the serve split depends on:
+    replaying the learned merge list over raw text must reproduce the
+    training loop's own final segmentation — including the single-pass
+    straggler discipline on odd same-char runs ('aaa' under (a,a) →
+    'aa a', two pieces).  Drives the factored-out apply kernel with a
+    hand model so each count is checkable by eye."""
+    from healthkit_to_sqlite_spark.operators.text import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, "abc abc aaa"), (2, "abd zz")],
+        "doc_id long, text string")
+    # hand model mirroring what bpe_train learns on this corpus
+    rows = {r.doc_id: r for r in
+            bpe_apply(docs, [("a", "b"), ("ab", "c")]).collect()}
+    # doc 1: abc->[abc]=1, abc->1, aaa->[a a a]=3 ; doc 2: abd->[ab d]=2, zz->[z z]=2
+    assert (rows[1].n_words, rows[1].n_pieces) == (3, 5)
+    assert (rows[2].n_words, rows[2].n_pieces) == (2, 4)
+
+    # odd-run straggler discipline under (a,a): the single-pass
+    # replace consumes the shared delimiter space, so every 'aa' hit
+    # is followed by a skip — 'aaa' -> aa|a, 'aaaa' -> aa|a|a (NOT
+    # aa|aa), exactly what training's per-round apply produces
+    runs = spark.createDataFrame([(1, "aaa aaaa")],
+                                 "doc_id long, text string")
+    r = bpe_apply(runs, [("a", "a")]).collect()[0]
+    assert (r.n_words, r.n_pieces) == (2, 5)  # aa|a + aa|a|a
