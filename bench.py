@@ -238,6 +238,9 @@ HEADLINE = [
     # round 7: tokenizer build/serve split (encode with the committed
     # BPE merge table; the in-query training twin is q_bpe_train)
     "q_bpe_encode",
+    # round 7: statically-pruned BM25 serve (top-m impact-ordered
+    # postings per term; serve cost flat in corpus size — sf1 set)
+    "q_bm25_pruned",
 ]
 
 
@@ -282,6 +285,10 @@ SF1_QUERIES = [
     "q_dedup_minhash_lsh", "q_ngram_jaccard", "q_triangles",
     "q_ann_query_from_index", "q_ann_batch_queries",
     "q_bm25_from_index", "q_dedup_from_index",
+    # (r7) the pruned lexical serve: ≤ m·|terms| rows regardless of
+    # corpus size — the ratio should sit at ~1.0 where
+    # q_bm25_from_index grows with each term's full postings list
+    "q_bm25_pruned",
 ]
 
 

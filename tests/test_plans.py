@@ -602,3 +602,17 @@ def test_bpe_encode_serve_plan_is_map_only(spark, specs):
     assert plan.count("Scan parquet") == 2
     assert "TakeOrderedAndProject" not in plan
     assert "replace(" in plan          # folded literal merge chain
+
+
+def test_bm25_pruned_serve_plan_is_bounded_artifact_scan(spark, specs):
+    """The pruned lexical serve (r7): ≤ m·|terms| artifact rows in,
+    term IN pushed to the parquet scan, ONE exchange (conditional
+    pivot agg), top-k as a TakeOrdered heap, corpus text never read —
+    the plan whose cost is flat in corpus size."""
+    df = specs["q_bm25_pruned"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "text_index_pruned_" in plan
+    assert "documents.parquet" not in plan
+    assert shuffle_count(df) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "In(term" in plan              # pushed term filter

@@ -430,3 +430,43 @@ def test_bpe_apply_matches_training_segmentation(spark):
                                  "doc_id long, text string")
     r = bpe_apply(runs, [("a", "a")]).collect()[0]
     assert (r.n_words, r.n_pieces) == (2, 5)  # aa|a + aa|a|a
+
+
+def test_bm25_pruned_static_index_properties(spark):
+    """Static-pruning invariants (Carmel 2001 shape): (1) each query
+    term keeps exactly min(m, df) postings; (2) pruning only ever
+    REMOVES score mass — every served doc scores ≤ its full-corpus
+    BM25 (idf comes from the committed full-corpus df, so surviving
+    postings are never re-weighted); (3) with m ≥ max df pruning is a
+    no-op and the serve must reproduce the in-query scorer
+    row-for-row — the exactness pin for the whole serve path."""
+    from pyspark.sql import functions as F
+
+    from healthkit_to_sqlite_spark.operators.text import (
+        BM25_TERMS,
+        bm25_pruned_topk,
+        bm25_topk,
+        build_pruned_text_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cat = build_pruned_text_index(spark, sf)
+    dfs = {r.term: r.df for r in
+           cat.read(spark, "termdf")
+           .filter(F.col("term").isin(*BM25_TERMS)).collect()}
+    counts = {r.term: r["count"] for r in
+              cat.read(spark, "pruned")
+              .filter(F.col("term").isin(*BM25_TERMS))
+              .groupBy("term").count().collect()}
+    assert all(dfs[t] > 64 for t in BM25_TERMS)  # pruning bites
+    assert counts == {t: 64 for t in BM25_TERMS}
+
+    docs = load_table(spark, sf, "documents")
+    n = docs.count()
+    full = {r.doc_id: r.bm25 for r in bm25_topk(docs, k=n).collect()}
+    for r in bm25_pruned_topk(spark, sf).collect():
+        assert r.bm25 <= full[r.doc_id] + 1e-9
+
+    want = sorted(map(tuple, bm25_topk(docs).collect()))
+    got = sorted(map(tuple, bm25_pruned_topk(spark, sf, m=512).collect()))
+    assert got == want
