@@ -241,6 +241,9 @@ HEADLINE = [
     # round 7: statically-pruned BM25 serve (top-m impact-ordered
     # postings per term; serve cost flat in corpus size — sf1 set)
     "q_bm25_pruned",
+    # round 7: model-based quality filter (ridge-distilled Gopher
+    # labels over hashed features; map-only score-as-you-scan serve)
+    "q_quality_classifier",
 ]
 
 

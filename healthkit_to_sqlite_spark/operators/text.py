@@ -837,6 +837,111 @@ HAVING SUM(sgn) <> 0
 """
 
 
+QC_RIDGE = 1.0  # L2 regularizer on the classifier normal equations
+
+
+def build_quality_classifier(spark: SparkSession, sf_dir: str,
+                             dim: int = HASH_EMBED_DIM,
+                             ridge: float = QC_RIDGE):
+    """Model-based quality filtering, train half (the DataComp /
+    FineWeb-Edu "fastText classifier" shape: distill a labeling
+    signal into a cheap linear model over hashed features, then score
+    the whole corpus with it).  Here the teacher labels are the Gopher
+    rule conjunction (at 100 TB they'd be LLM judgments or curated
+    seed sets — the pipeline is identical); features are the
+    vocabulary-free signed hashed token counts of :func:`hash_embed`
+    plus a bias bucket.
+
+    Training is ridge regression by NORMAL EQUATIONS, and both
+    sufficient statistics are distributed integer aggregations:
+    A = XᵀX is a within-document sparse pair join → groupBy(d1,d2)
+    SUM of integer products (≤ (dim+1)(dim+2)/2 result rows — the
+    same bounded-Gram shuffle shape as `embedding_covariance`, but
+    sparse: Σ|nnz|² pairs, nnz ≈ distinct buckets per doc), and
+    b = Xᵀy is one groupBy(d) SUM — both engine-exact (no float
+    accumulation anywhere in the distributed phase).  The (dim+1)²
+    solve happens driver-side on the bounded matrix (the PCA-split
+    discipline, similarity.build_pca_model) and the weight vector is
+    published as a committed manifest artifact.  Version-guarded and
+    cached per (op, dim, sf_dir)."""
+    import os
+
+    import numpy as np
+
+    from ..sinks.manifest import ManifestCatalog
+    from .pipeline import _work_dir
+
+    cat = ManifestCatalog(os.path.join(
+        _work_dir(f"qc_model_{dim}", sf_dir), "cat"))
+    if cat.current_version() < 1:
+        docs = load_table(spark, sf_dir, "documents")
+        feats = hash_embed(docs, dim).union(
+            docs.select("doc_id", F.lit(dim).alias("d"),
+                        F.lit(1).cast("bigint").alias("val")))
+        labels = docs.select(
+            "doc_id", gopher_keep_expr().cast("long").alias("y"))
+        f1 = feats.select("doc_id", F.col("d").alias("d1"),
+                          F.col("val").alias("v1"))
+        f2 = feats.select("doc_id", F.col("d").alias("d2"),
+                          F.col("val").alias("v2"))
+        gram = (f1.join(f2, "doc_id")
+                .filter(F.col("d2") >= F.col("d1"))
+                .groupBy("d1", "d2")
+                .agg(F.sum(F.col("v1") * F.col("v2")).alias("a")))
+        xty = (feats.join(labels, "doc_id")
+               .groupBy("d")
+               .agg(F.sum(F.col("val") * F.col("y")).alias("b")))
+        A = np.zeros((dim + 1, dim + 1))
+        for r in gram.collect():        # ≤ (dim+1)(dim+2)/2 rows
+            A[r.d1, r.d2] = A[r.d2, r.d1] = float(r.a)
+        b = np.zeros(dim + 1)
+        for r in xty.collect():         # ≤ dim+1 rows
+            b[r.d] = float(r.b)
+        w = np.linalg.solve(A + ridge * np.eye(dim + 1), b)
+        cat.publish_pass({"weights": spark.createDataFrame(
+            [(int(d), float(w[d])) for d in range(dim + 1)],
+            "d int, w double")})
+    return cat
+
+
+def quality_classifier_scores(spark: SparkSession, sf_dir: str,
+                              dim: int = HASH_EMBED_DIM) -> DataFrame:
+    """Serve half of the classifier split: score every document with
+    the COMMITTED weights — a PURE MAP (zero shuffles, pinned in
+    test_plans).  The ≤ dim+1 weights are a bounded collect folded in
+    as a literal array; each token contributes ``sign · w[bucket]``
+    via an in-row transform/aggregate, which equals the
+    bucket-aggregated dot product exactly in real arithmetic (per
+    bucket: w_b · Σ signs = w_b · val), so serving never materializes
+    the feature vectors it was trained on — score-as-you-scan, the
+    only per-doc cost a 100 TB corpus sweep can afford.  Rows-only
+    contract (the driver-side linear solve is not SQL-expressible);
+    exact normal-equation / numpy-prediction / distillation-accuracy
+    pins in test_text."""
+    cat = build_quality_classifier(spark, sf_dir, dim)
+    w = {r.d: r.w for r in
+         cat.read(spark, "weights").collect()}      # ≤ dim+1 rows
+    warr = F.array(*[F.lit(float(w[d])) for d in range(dim)])
+
+    def contrib(t: Column) -> Column:
+        # same bucket/sign derivation as hash_embed, in-row per token
+        h = (F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+             .cast("bigint"))
+        bucket = F.pmod(h, F.lit(dim))
+        quot = ((h - bucket) / F.lit(dim)).cast("bigint")  # h ≤ 2³²:
+        sgn = F.when(F.pmod(quot, F.lit(2)) == 0,          # exact in
+                     F.lit(1.0)).otherwise(F.lit(-1.0))    # double
+        return sgn * F.element_at(warr, (bucket + 1).cast("int"))
+
+    toks = F.filter(ws_tokens("text"), lambda t: t != F.lit(""))
+    score = F.aggregate(toks, F.lit(float(w[dim])),
+                        lambda acc, t: acc + contrib(t))
+    return (load_table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.round(score, 6).alias("qc_score"),
+                    (score > 0.5).alias("pred_keep")))
+
+
 BPE_MERGES = 6  # training rounds for the full BPE loop
 
 
@@ -1920,6 +2025,19 @@ SPECS["q_bm25_index_append"] = Spec(
     "atomically appends postings/doclen plus a mergeable stats delta "
     "row; serve SUMs the deltas — same oracle as q_bm25, so the hash "
     "match proves batch append equals from-scratch corpus indexing")
+
+SPECS["q_quality_classifier"] = Spec(
+    lambda spark, sf: quality_classifier_scores(spark, sf),
+    None,  # driver-side ridge solve: rows-only; exact integer
+    #        normal-equation / numpy-weight-equality / distillation-
+    #        beats-baseline pins in test_text, map-only plan pin in
+    #        test_plans
+    "model-based quality filtering (DataComp/FineWeb-Edu fastText "
+    "shape): distill the Gopher rule labels into a ridge regression "
+    "over signed hashed token features — XtX/Xty as exact integer "
+    "distributed aggregations (bounded Gram shuffle), driver-side "
+    "(dim+1)^2 solve published as a manifest artifact; serve is a "
+    "pure map (literal weights, score-as-you-scan, zero shuffles)")
 
 SPECS["q_bm25_pruned"] = Spec(
     lambda spark, sf: bm25_pruned_topk(spark, sf),

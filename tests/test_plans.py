@@ -616,3 +616,15 @@ def test_bm25_pruned_serve_plan_is_bounded_artifact_scan(spark, specs):
     assert shuffle_count(df) == 1
     assert "TakeOrderedAndProject" in plan
     assert "In(term" in plan              # pushed term filter
+
+
+def test_quality_classifier_serve_is_pure_map(spark, specs):
+    """The classifier serve (r7): committed weights fold in as a
+    literal array and every token scores in-row — the plan must be a
+    single corpus scan with ZERO exchanges (score-as-you-scan; no
+    feature materialization, no training aggregates)."""
+    df = specs["q_quality_classifier"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) == 0
+    assert plan.count("Scan parquet") == 2   # tree + detail, one scan
+    assert "HashAggregate" not in plan

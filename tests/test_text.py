@@ -470,3 +470,61 @@ def test_bm25_pruned_static_index_properties(spark):
     want = sorted(map(tuple, bm25_topk(docs).collect()))
     got = sorted(map(tuple, bm25_pruned_topk(spark, sf, m=512).collect()))
     assert got == want
+
+
+def test_quality_classifier_exact_solve_and_distillation(spark):
+    """Classifier-split pins: (1) the distributed integer normal
+    equations reproduce a pure-Python X/y build EXACTLY, so the
+    committed weights are bit-identical to an independent numpy solve
+    on the same statistics; (2) served scores equal numpy X·w at the
+    6-dp contract rounding; (3) the distillation actually learned
+    the teacher: thresholded agreement with the Gopher labels beats
+    the all-keep majority baseline."""
+    import hashlib
+
+    import numpy as np
+
+    from healthkit_to_sqlite_spark.operators.text import (
+        HASH_EMBED_DIM,
+        build_quality_classifier,
+        gopher_keep_expr,
+        quality_classifier_scores,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dim = HASH_EMBED_DIM
+    rows = load_table(spark, sf, "documents").select(
+        "doc_id", "text", gopher_keep_expr().cast("long").alias("y")
+    ).collect()
+
+    def feat(text):
+        x = np.zeros(dim + 1)
+        x[dim] = 1.0
+        for t in text.split(" "):
+            if not t:
+                continue
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            x[h % dim] += 1 if (h // dim) % 2 == 0 else -1
+        return x
+
+    ids = sorted(r.doc_id for r in rows)
+    by_id = {r.doc_id: r for r in rows}
+    X = np.stack([feat(by_id[i].text) for i in ids])
+    y = np.array([by_id[i].y for i in ids], float)
+    w = np.linalg.solve(X.T @ X + np.eye(dim + 1), X.T @ y)
+
+    cat = build_quality_classifier(spark, sf)
+    wc = np.zeros(dim + 1)
+    for r in cat.read(spark, "weights").collect():
+        wc[r.d] = r.w
+    assert np.array_equal(w, wc)          # bit-identical solve inputs
+
+    got = {r.doc_id: (r.qc_score, r.pred_keep) for r in
+           quality_classifier_scores(spark, sf).collect()}
+    pred = X @ w
+    assert max(abs(got[i][0] - round(pred[j], 6))
+               for j, i in enumerate(ids)) <= 1e-6
+    acc = sum((got[i][0] > 0.5) == (by_id[i].y == 1) for i in ids) / len(ids)
+    base = max(y.mean(), 1 - y.mean())
+    assert acc > base                      # learned beyond majority
+    assert acc >= 0.87
