@@ -871,8 +871,10 @@ def build_quality_classifier(spark: SparkSession, sf_dir: str,
     from ..sinks.manifest import ManifestCatalog
     from .pipeline import _work_dir
 
+    # ridge is part of the cache key (the r6 ADVICE sig-index lesson:
+    # every parameter the artifact depends on must key the cache)
     cat = ManifestCatalog(os.path.join(
-        _work_dir(f"qc_model_{dim}", sf_dir), "cat"))
+        _work_dir(f"qc_model_{dim}_r{ridge:g}", sf_dir), "cat"))
     if cat.current_version() < 1:
         docs = load_table(spark, sf_dir, "documents")
         feats = hash_embed(docs, dim).union(
