@@ -244,6 +244,8 @@ HEADLINE = [
     # round 7: model-based quality filter (ridge-distilled Gopher
     # labels over hashed features; map-only score-as-you-scan serve)
     "q_quality_classifier",
+    # round 7: its per-source confusion-count monitoring artifact
+    "q_quality_classifier_eval",
 ]
 
 

@@ -944,6 +944,53 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str,
                     (score > 0.5).alias("pred_keep")))
 
 
+def quality_classifier_eval(spark: SparkSession, sf_dir: str,
+                            dim: int = HASH_EMBED_DIM) -> DataFrame:
+    """Classifier MONITORING artifact (the lexical-model sibling of
+    `q_ann_recall_report`, closing the same loop: train → serve →
+    EVALUATE → retrain decision): per-source confusion counts of the
+    COMMITTED classifier against the teacher labels.  At 100 TB this
+    is the per-domain quality audit FineWeb-class pipelines run per
+    snapshot — a source whose agreement drifts is where the model
+    retrains or the threshold moves.
+
+    Shape: the map-only serve scorer plus the teacher predicate in
+    ONE projection, then a single groupBy(source) of integer
+    conditional counts — engine-exact sufficient statistics (tp/fp/
+    fn/tn are bigint sums of booleans; derived rates belong
+    downstream).  Rows-only like its serve twin (committed weights
+    are not SQL-derivable); exact pure-python-recompute pin in
+    test_text."""
+    cat = build_quality_classifier(spark, sf_dir, dim)
+    w = {r.d: r.w for r in
+         cat.read(spark, "weights").collect()}      # ≤ dim+1 rows
+    warr = F.array(*[F.lit(float(w[d])) for d in range(dim)])
+
+    def contrib(t: Column) -> Column:
+        h = (F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+             .cast("bigint"))
+        bucket = F.pmod(h, F.lit(dim))
+        quot = ((h - bucket) / F.lit(dim)).cast("bigint")
+        sgn = F.when(F.pmod(quot, F.lit(2)) == 0,
+                     F.lit(1.0)).otherwise(F.lit(-1.0))
+        return sgn * F.element_at(warr, (bucket + 1).cast("int"))
+
+    toks = F.filter(ws_tokens("text"), lambda t: t != F.lit(""))
+    score = F.aggregate(toks, F.lit(float(w[dim])),
+                        lambda acc, t: acc + contrib(t))
+    pred = score > 0.5
+    label = gopher_keep_expr()
+    one = lambda c: c.cast("long")  # noqa: E731
+    return (load_table(spark, sf_dir, "documents")
+            .select("source", pred.alias("p"), label.alias("y"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(one(F.col("p") & F.col("y"))).alias("tp"),
+                 F.sum(one(F.col("p") & ~F.col("y"))).alias("fp"),
+                 F.sum(one(~F.col("p") & F.col("y"))).alias("fn"),
+                 F.sum(one(~F.col("p") & ~F.col("y"))).alias("tn")))
+
+
 BPE_MERGES = 6  # training rounds for the full BPE loop
 
 
@@ -2040,6 +2087,16 @@ SPECS["q_quality_classifier"] = Spec(
     "distributed aggregations (bounded Gram shuffle), driver-side "
     "(dim+1)^2 solve published as a manifest artifact; serve is a "
     "pure map (literal weights, score-as-you-scan, zero shuffles)")
+
+SPECS["q_quality_classifier_eval"] = Spec(
+    lambda spark, sf: quality_classifier_eval(spark, sf),
+    None,  # committed weights not SQL-derivable: rows-only; exact
+    #        pure-python confusion-count pin in test_text
+    "classifier monitoring artifact (the lexical q_ann_recall_report): "
+    "per-source confusion counts of the committed model vs the teacher "
+    "labels — integer-exact tp/fp/fn/tn sums in one scan + one "
+    "exchange; the per-domain audit that drives retrain/threshold "
+    "decisions at snapshot cadence")
 
 SPECS["q_bm25_pruned"] = Spec(
     lambda spark, sf: bm25_pruned_topk(spark, sf),

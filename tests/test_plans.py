@@ -628,3 +628,14 @@ def test_quality_classifier_serve_is_pure_map(spark, specs):
     assert shuffle_count(df) == 0
     assert plan.count("Scan parquet") == 2   # tree + detail, one scan
     assert "HashAggregate" not in plan
+
+
+def test_quality_classifier_eval_single_pass(spark, specs):
+    """The monitoring artifact (r7): scorer + teacher predicate fused
+    into one projection — a single corpus scan and ONE groupBy(source)
+    exchange; no join between prediction and label sides."""
+    df = specs["q_quality_classifier_eval"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) == 1
+    assert plan.count("Scan parquet") == 2   # tree + detail, one scan
+    assert "Join" not in plan

@@ -528,3 +528,52 @@ def test_quality_classifier_exact_solve_and_distillation(spark):
     base = max(y.mean(), 1 - y.mean())
     assert acc > base                      # learned beyond majority
     assert acc >= 0.87
+
+
+def test_quality_classifier_eval_counts_exact(spark):
+    """The monitoring artifact's confusion counts must equal a pure
+    Python recompute from raw text + committed weights EXACTLY
+    (integer sufficient statistics), and partition the corpus:
+    tp+fp+fn+tn == n_docs per source, Σ n_docs == corpus size."""
+    import hashlib
+
+    import numpy as np
+
+    from healthkit_to_sqlite_spark.operators.text import (
+        HASH_EMBED_DIM,
+        build_quality_classifier,
+        gopher_keep_expr,
+        quality_classifier_eval,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dim = HASH_EMBED_DIM
+    rows = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "text",
+        gopher_keep_expr().cast("long").alias("y")).collect()
+    wc = np.zeros(dim + 1)
+    for r in build_quality_classifier(spark, sf).read(
+            spark, "weights").collect():
+        wc[r.d] = r.w
+
+    def score(text):
+        s = wc[dim]
+        for t in text.split(" "):
+            if not t:
+                continue
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            s += (1 if (h // dim) % 2 == 0 else -1) * wc[h % dim]
+        return s
+
+    exp: dict[str, list[int]] = {}
+    for r in rows:
+        p, y = score(r.text) > 0.5, r.y == 1
+        c = exp.setdefault(r.source, [0, 0, 0, 0, 0])
+        c[0] += 1
+        c[1 + (0 if p and y else 1 if p else 2 if y else 3)] += 1
+    got = {r.source: [r.n_docs, r.tp, r.fp, r.fn, r.tn] for r in
+           quality_classifier_eval(spark, sf).collect()}
+    assert got == exp
+    assert sum(v[0] for v in got.values()) == len(rows)
+    for v in got.values():
+        assert v[1] + v[2] + v[3] + v[4] == v[0]
