@@ -906,23 +906,17 @@ def build_quality_classifier(spark: SparkSession, sf_dir: str,
     return cat
 
 
-def quality_classifier_scores(spark: SparkSession, sf_dir: str,
-                              dim: int = HASH_EMBED_DIM) -> DataFrame:
-    """Serve half of the classifier split: score every document with
-    the COMMITTED weights — a PURE MAP (zero shuffles, pinned in
-    test_plans).  The ≤ dim+1 weights are a bounded collect folded in
-    as a literal array; each token contributes ``sign · w[bucket]``
-    via an in-row transform/aggregate, which equals the
-    bucket-aggregated dot product exactly in real arithmetic (per
-    bucket: w_b · Σ signs = w_b · val), so serving never materializes
-    the feature vectors it was trained on — score-as-you-scan, the
-    only per-doc cost a 100 TB corpus sweep can afford.  Rows-only
-    contract (the driver-side linear solve is not SQL-expressible);
-    exact normal-equation / numpy-prediction / distillation-accuracy
-    pins in test_text."""
-    cat = build_quality_classifier(spark, sf_dir, dim)
-    w = {r.d: r.w for r in
-         cat.read(spark, "weights").collect()}      # ≤ dim+1 rows
+def qc_score_col(w: dict[int, float],
+                 dim: int = HASH_EMBED_DIM) -> Column:
+    """The classifier's score as ONE in-row Column over ``text`` —
+    the single home of the serve expression, shared by the batch
+    serve, the monitoring artifact, and the streaming filter (so all
+    three provably score identically).  Weights fold in as a literal
+    array; each token contributes ``sign · w[bucket]`` via an in-row
+    transform/aggregate, which equals the bucket-aggregated dot
+    product exactly in real arithmetic (per bucket: w_b · Σ signs =
+    w_b · val) — serving never materializes the feature vectors it
+    was trained on."""
     warr = F.array(*[F.lit(float(w[d])) for d in range(dim)])
 
     def contrib(t: Column) -> Column:
@@ -936,8 +930,30 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str,
         return sgn * F.element_at(warr, (bucket + 1).cast("int"))
 
     toks = F.filter(ws_tokens("text"), lambda t: t != F.lit(""))
-    score = F.aggregate(toks, F.lit(float(w[dim])),
-                        lambda acc, t: acc + contrib(t))
+    return F.aggregate(toks, F.lit(float(w[dim])),
+                       lambda acc, t: acc + contrib(t))
+
+
+def read_qc_weights(spark: SparkSession, cat,
+                    dim: int = HASH_EMBED_DIM) -> dict[int, float]:
+    """Bounded (≤ dim+1 rows) collect of the committed weight
+    artifact — the k-row-LUT discipline."""
+    return {r.d: r.w for r in cat.read(spark, "weights").collect()}
+
+
+def quality_classifier_scores(spark: SparkSession, sf_dir: str,
+                              dim: int = HASH_EMBED_DIM) -> DataFrame:
+    """Serve half of the classifier split: score every document with
+    the COMMITTED weights — a PURE MAP (zero shuffles, pinned in
+    test_plans): score-as-you-scan, the only per-doc cost a 100 TB
+    corpus sweep can afford.  The scorer expression lives in
+    :func:`qc_score_col` (shared verbatim with the monitoring
+    artifact and the streaming filter).  Rows-only contract (the
+    driver-side linear solve is not SQL-expressible); exact
+    normal-equation / numpy-prediction / distillation-accuracy pins
+    in test_text."""
+    cat = build_quality_classifier(spark, sf_dir, dim)
+    score = qc_score_col(read_qc_weights(spark, cat, dim), dim)
     return (load_table(spark, sf_dir, "documents")
             .select("doc_id",
                     F.round(score, 6).alias("qc_score"),
@@ -962,22 +978,7 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str,
     are not SQL-derivable); exact pure-python-recompute pin in
     test_text."""
     cat = build_quality_classifier(spark, sf_dir, dim)
-    w = {r.d: r.w for r in
-         cat.read(spark, "weights").collect()}      # ≤ dim+1 rows
-    warr = F.array(*[F.lit(float(w[d])) for d in range(dim)])
-
-    def contrib(t: Column) -> Column:
-        h = (F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
-             .cast("bigint"))
-        bucket = F.pmod(h, F.lit(dim))
-        quot = ((h - bucket) / F.lit(dim)).cast("bigint")
-        sgn = F.when(F.pmod(quot, F.lit(2)) == 0,
-                     F.lit(1.0)).otherwise(F.lit(-1.0))
-        return sgn * F.element_at(warr, (bucket + 1).cast("int"))
-
-    toks = F.filter(ws_tokens("text"), lambda t: t != F.lit(""))
-    score = F.aggregate(toks, F.lit(float(w[dim])),
-                        lambda acc, t: acc + contrib(t))
+    score = qc_score_col(read_qc_weights(spark, cat, dim), dim)
     pred = score > 0.5
     label = gopher_keep_expr()
     one = lambda c: c.cast("long")  # noqa: E731

@@ -685,3 +685,27 @@ def test_streaming_covariance_kill_resume_equals_batch_bitwise(
     streamed = sorted(map(tuple, read_covariance(spark, tbl).collect()))
     batch = sorted(map(tuple, embedding_covariance(emb).collect()))
     assert streamed == batch                      # bit-identical
+
+
+def test_streaming_quality_scores_match_batch(spark, tmp_path):
+    """The streaming quality filter (r7) must score arriving documents
+    EXACTLY as the batch serve does: same committed weights, same
+    in-row scorer Column (qc_score_col, shared verbatim), several
+    micro-batches through the file source — streamed rows equal the
+    batch q_quality_classifier result row-for-row, and every corpus
+    doc arrives exactly once."""
+    from healthkit_to_sqlite_spark.operators.text import (
+        quality_classifier_scores,
+    )
+    from healthkit_to_sqlite_spark.streaming.quality import (
+        run_streaming_quality,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple,
+                     run_streaming_quality(spark, sf,
+                                           str(tmp_path)).collect()))
+    want = sorted(map(tuple,
+                      quality_classifier_scores(spark, sf).collect()))
+    assert got == want
+    assert len(got) == len({r[0] for r in got})  # exactly-once per doc
