@@ -831,13 +831,19 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
     PCA / whitening / Mahalanobis outlier scoring over an embedding
     column.
 
-    Shape: one scan, two chained ``posexplode``s (the second filtered
-    to d2 ≥ d1) feed each row's upper-triangle products straight into
-    a groupBy(d1, d2) whose MAP-SIDE partial aggregation collapses
-    every partition to ≤2080 rows before the exchange — the shuffle
-    carries O(D²) rows total, never O(n·D²); per-dimension sums ride
-    a second cheap scan and broadcast-join back (D rows).  (The
-    chained-Generate form measured 5.8 s vs 9.4 s at sf0.1 for a
+    Shape: one scan, two chained ``posexplode``s — the second over
+    ``slice(embedding, d1+1, D−d1)`` so ONLY the upper triangle is
+    ever generated (D(D+1)/2 rows per input row instead of exploding
+    all D² and filtering; r7 A/B at sf0.1: first-call 8.5 → 6.0 s,
+    median-of-3 ~6.2-6.7 → 5.6-6.0 s — modest, because the kept
+    products' decimal partial-agg dominates, not the discarded
+    generation; bit-identical 2080-row output since the product
+    multiset is unchanged) — feeding each row's products straight
+    into a groupBy(d1, d2) whose MAP-SIDE partial aggregation
+    collapses every partition to ≤2080 rows before the exchange — the
+    shuffle carries O(D²) rows total, never O(n·D²); per-dimension
+    sums ride a second cheap scan and broadcast-join back (D rows).
+    (The chained-Generate form measured 5.8 s vs 9.4 s at sf0.1 for a
     per-row 2080-struct array build — Generate streams, a giant
     in-row array materializes.)  Sums accumulate in DECIMAL(30,10)
     (exact, summation-order independent) and the covariance combines
@@ -851,9 +857,12 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
     the exact-decimal form stays the verification contract."""
     prods = (embeddings
              .select("embedding", F.posexplode("embedding").alias("d1", "x1"))
-             .select("d1", "x1", F.posexplode("embedding").alias("d2", "x2"))
-             .filter(F.col("d2") >= F.col("d1"))
-             .select("d1", "d2",
+             .select("d1", "x1",
+                     F.posexplode(F.slice(F.col("embedding"),
+                                          F.col("d1") + 1,
+                                          F.lit(DIM) - F.col("d1")))
+                     .alias("off", "x2"))
+             .select("d1", (F.col("d1") + F.col("off")).alias("d2"),
                      (F.col("x1").cast("double")
                       * F.col("x2").cast("double")).alias("p"))
              .groupBy("d1", "d2")
