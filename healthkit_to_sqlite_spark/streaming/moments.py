@@ -33,11 +33,16 @@ _DEC = "decimal(30,10)"
 
 def _partial(batch: DataFrame) -> DataFrame:
     """Per-batch sufficient statistics in the artifact layout."""
+    # upper-triangle-only Generate (slice from d1), mirroring the r7
+    # batch-kernel change — same product multiset, half the volume
     prods = (batch
              .select("embedding", F.posexplode("embedding").alias("d1", "x1"))
-             .select("d1", "x1", F.posexplode("embedding").alias("d2", "x2"))
-             .filter(F.col("d2") >= F.col("d1"))
-             .select("d1", "d2",
+             .select("d1", "x1",
+                     F.posexplode(F.slice(
+                         F.col("embedding"), F.col("d1") + 1,
+                         F.size("embedding") - F.col("d1")))
+                     .alias("off", "x2"))
+             .select("d1", (F.col("d1") + F.col("off")).alias("d2"),
                      (F.col("x1").cast("double")
                       * F.col("x2").cast("double")).cast(_DEC).alias("p"))
              .groupBy("d1", "d2")
