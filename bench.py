@@ -246,6 +246,16 @@ HEADLINE = [
     "q_quality_classifier",
     # round 7: its per-source confusion-count monitoring artifact
     "q_quality_classifier_eval",
+    # round 7: 1-bit binary-quantization ANN (XOR+POPCNT Hamming
+    # shortlist over two packed BIGINT words, exact cosine re-rank —
+    # the 16×-compression tier below int8 and PQ)
+    "q_ann_binary",
+    # round 7: MMR diversity re-rank (distributed shortlist + pairwise
+    # sims, bounded-collect greedy — the RAG context-diversification op)
+    "q_mmr_rerank",
+    # round 7: Count-Min sketch frequency estimates (oracle-exact
+    # salted-md5 cells; ≤ d·w = 1024 shuffle rows at any corpus size)
+    "q_cms_counts",
 ]
 
 

@@ -829,6 +829,94 @@ def hll_sliding_distinct(events: DataFrame, hours: int = 4) -> DataFrame:
                  F.count(F.lit(1)).alias("n_hours_present")))
 
 
+CMS_D = 4          # Count-Min hash rows
+CMS_W = 256        # counters per row
+CMS_PROBES = 20    # heaviest exact tokens probed against the sketch
+
+
+def cms_token_counts(documents: DataFrame, d: int = CMS_D, w: int = CMS_W,
+                     n_probes: int = CMS_PROBES) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) token-frequency
+    estimation, probed at the corpus's heaviest tokens — completes the
+    mergeable-sketch family (HLL distinct, KLL quantiles, Theta set
+    algebra, Misra–Gries heavy hitters) with the point-FREQUENCY
+    sketch.
+
+    Unlike the other four (engine-specific encodings → rows-only),
+    this CMS is ORACLE-EXACT: the d row-hashes derive from the
+    package's salted-md5 idiom (`_md5_bucket` discipline), so DuckDB
+    rebuilds the identical d×w integer matrix and the identical
+    min-over-rows estimates — every value is an exact integer count.
+
+    Scale shape: the build explodes each token into its d (row, cell)
+    coordinates and map-side-combines a groupBy down to ≤ d·w = 1024
+    rows TOTAL regardless of corpus size — per-partition partials are
+    also ≤ d·w, which is the sketch's mergeability (partition/day/
+    shard partials sum into any coarser grain for free).  The probe
+    side broadcasts the bounded sketch against the n_probes tokens.
+    Estimate invariant pinned in test_pipeline: cms_n ≥ exact_n
+    always (CMS never underestimates), with the measured overestimate
+    at this (d, w) recorded as the accuracy pin."""
+    toks = documents.select(F.explode(ws_tokens("text")).alias("token"))
+    rows = toks.select(
+        "token",
+        F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"))
+    h = F.md5(F.concat_ws(":", F.lit("cms"), F.col("r").cast("string"),
+                          F.col("token")))
+    cell = F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint"),
+                  F.lit(w))
+    sketch = (rows.select("r", cell.alias("c"))
+              .groupBy("r", "c")
+              .agg(F.count(F.lit(1)).alias("n")))      # ≤ d·w rows total
+    probes = (toks.groupBy("token")
+              .agg(F.count(F.lit(1)).alias("exact_n"))
+              .orderBy(F.col("exact_n").desc(), "token")
+              .limit(n_probes))
+    pr = probes.select(
+        "token", "exact_n",
+        F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"))
+    ph = F.md5(F.concat_ws(":", F.lit("cms"), F.col("r").cast("string"),
+                           F.col("token")))
+    pcell = F.pmod(F.conv(F.substring(ph, 1, 4), 16, 10).cast("bigint"),
+                   F.lit(w))
+    return (pr.select("token", "exact_n", "r", pcell.alias("c"))
+            .join(F.broadcast(sketch), ["r", "c"])
+            .groupBy("token", "exact_n")
+            .agg(F.min("n").alias("cms_n"))
+            .select("token", "exact_n", "cms_n",
+                    (F.col("cms_n") - F.col("exact_n")).alias("over"))
+            .orderBy(F.col("exact_n").desc(), "token"))
+
+
+def _cms_oracle_sql(d: int = CMS_D, w: int = CMS_W,
+                    n_probes: int = CMS_PROBES) -> str:
+    """DuckDB twin of `cms_token_counts` — same salted-md5 cells, same
+    d×w integer matrix, same min-over-rows estimate."""
+    cell = (f"CAST('0x' || substr(md5('cms:' || CAST(r AS VARCHAR) || ':' "
+            f"|| token), 1, 4) AS BIGINT) % {w}")
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    rows_ AS (
+      SELECT token, r FROM toks, generate_series(0, {d - 1}) g(r)),
+    sketch AS MATERIALIZED (
+      SELECT r, {cell} AS c, CAST(COUNT(*) AS BIGINT) AS n
+      FROM rows_ GROUP BY r, c),
+    probes AS MATERIALIZED (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM toks GROUP BY token
+      ORDER BY exact_n DESC, token LIMIT {n_probes}),
+    pcells AS (
+      SELECT p.token, p.exact_n, g.r, {cell.replace('token', 'p.token')} AS c
+      FROM probes p, generate_series(0, {d - 1}) g(r))
+    SELECT p.token, p.exact_n, MIN(s.n) AS cms_n,
+           MIN(s.n) - p.exact_n AS over
+    FROM pcells p JOIN sketch s ON s.r = p.r AND s.c = p.c
+    GROUP BY p.token, p.exact_n
+    ORDER BY p.exact_n DESC, p.token
+    """
+
+
 # --- source-mixture rebalance ----------------------------------------------
 
 MIX_SEED = "mix1"
@@ -2763,4 +2851,10 @@ SPECS: dict[str, Spec] = {
         "heavy hitters: per-partition Misra–Gries summaries + exact "
         "candidate verify — bounded-memory, partitioning-independent "
         "EXACT result above the N/(k+1) threshold"),
+    "q_cms_counts": Spec(
+        lambda spark, sf: cms_token_counts(load_table(spark, sf, "documents")),
+        _cms_oracle_sql(),
+        "Count-Min sketch point-frequency estimates at the heaviest "
+        "tokens — salted-md5 hashes make the d×w integer matrix and "
+        "min-over-rows estimates oracle-exact; ≤ d·w rows shuffle"),
 }

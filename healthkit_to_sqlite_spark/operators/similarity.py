@@ -1717,6 +1717,239 @@ def quantized_topk(embeddings: DataFrame, query_vec_id: int = 0,
             .limit(k))
 
 
+BQ_WORDS = 2              # sign bits packed into two 32-bit BIGINT words
+BQ_WORD_BITS = DIM // BQ_WORDS
+BQ_RERANK = PQ_RERANK     # Hamming shortlist factor (same split as ADC)
+
+
+def _sign_words(emb: str = "embedding") -> list[Column]:
+    """Pack the per-dimension sign bits of a 64-d vector into two
+    BIGINT words of 32 bits each (bit i of word w = 1 iff dimension
+    w*32+i is positive).
+
+    Two half-words rather than one 64-bit word because bit 63 is the
+    sign bit of a signed BIGINT and the engines disagree on shift
+    overflow there (Java wraps silently; DuckDB range-checks) —
+    capping at bit 31 keeps every packed value an exact small
+    non-negative integer in both.  SUM serves as the bit-OR: the
+    shifted positions are distinct, so the adds never carry."""
+    return [
+        F.expr(
+            f"aggregate(transform(slice({emb}, {w * BQ_WORD_BITS + 1}, "
+            f"{BQ_WORD_BITS}), (x, i) -> IF(CAST(x AS DOUBLE) > 0D, "
+            f"shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)")
+        for w in range(BQ_WORDS)
+    ]
+
+
+def binary_ann_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                    k: int = 10, rerank_factor: int = BQ_RERANK) -> DataFrame:
+    """ANN via 1-bit (binary sign) quantization + Hamming shortlist +
+    exact cosine re-rank — the most compressed serving path in the
+    family: 64 float32 dims (256 B) become two BIGINT words (16 B, a
+    16× scan cut; 32× against fp64), and the candidate metric is two
+    XOR+POPCNT instructions per vector, cheaper than any ADC lookup.
+    This is the production "binary quantization" tier (sign bits of
+    the raw dimensions, the degenerate m=64/1-bit PQ codebook): it
+    approximates ANGULAR closeness, so the shortlist re-ranks by
+    exact cosine rather than L2 (contrast `ann_pq_topk`, whose ADC
+    approximates L2 and re-ranks by L2).
+
+    Plan shape at 100 TB: one map-only projection packs the words
+    (scan reads only the code columns on a stored index), a 1-row
+    broadcast carries the query words, TakeOrdered keeps the
+    ``rerank_factor*k`` smallest Hamming distances (integer-exact in
+    both engines, ties by vec_id), and only those rows' full vectors
+    are fetched for the exact re-rank.  No shuffle anywhere except
+    the O(k) TakeOrdered merge."""
+    words = _sign_words()
+    coded = embeddings.select(
+        "vec_id", *[w.alias(f"w{i}") for i, w in enumerate(words)])
+    q = (coded.filter(F.col("vec_id") == query_vec_id)
+         .select(*[F.col(f"w{i}").alias(f"q{i}") for i in range(BQ_WORDS)]))
+    ham = None
+    for i in range(BQ_WORDS):
+        term = F.bit_count(F.col(f"w{i}").bitwiseXOR(F.col(f"q{i}")))
+        ham = term if ham is None else ham + term
+    shortlist = (coded.crossJoin(F.broadcast(q))
+                 .filter(F.col("vec_id") != query_vec_id)
+                 .select("vec_id", ham.cast("int").alias("hamming"))
+                 .orderBy("hamming", "vec_id")
+                 .limit(rerank_factor * k))
+    qvec = (embeddings.filter(F.col("vec_id") == query_vec_id)
+            .select(F.col("embedding").alias("q_emb")))
+    cos = cosine_similarity(F.col("embedding"), F.col("q_emb"))
+    return (shortlist
+            .join(embeddings.select("vec_id", "embedding"), "vec_id")
+            .crossJoin(F.broadcast(qvec))
+            .select("vec_id", "hamming", F.round(cos, 6).alias("cos_q"))
+            .orderBy(F.round(cos, 9).desc(), "vec_id")
+            .limit(k))
+
+
+def _binary_ann_oracle_sql(k: int = 10,
+                           rerank_factor: int = BQ_RERANK) -> str:
+    """DuckDB twin of `binary_ann_topk`: identical packing (sum-as-OR
+    over distinct shifted bits), identical integer Hamming, identical
+    9-dp cosine tie-break."""
+    def word(lo: int, hi: int) -> str:
+        return (f"list_aggregate(list_transform("
+                f"list_zip(embedding[{lo}:{hi}], "
+                f"generate_series(0, {BQ_WORD_BITS - 1})), "
+                f"x -> CASE WHEN CAST(x[1] AS DOUBLE) > 0 THEN "
+                f"(CAST(1 AS BIGINT) << CAST(x[2] AS INT)) "
+                f"ELSE CAST(0 AS BIGINT) END), 'sum')")
+    cos = (f"({_DOT_Q_SQL}) / ({_NORM_SQL.format(c='e.embedding')} * "
+           f"{_NORM_SQL.format(c='q.q_emb')})")
+    return f"""
+    WITH coded AS (
+      SELECT vec_id,
+             {word(1, BQ_WORD_BITS)} AS w0,
+             {word(BQ_WORD_BITS + 1, DIM)} AS w1
+      FROM embeddings),
+    qw AS (SELECT w0 AS q0, w1 AS q1 FROM coded WHERE vec_id = 0),
+    short AS (
+      SELECT c.vec_id,
+             CAST(bit_count(xor(c.w0, qw.q0))
+                  + bit_count(xor(c.w1, qw.q1)) AS INT) AS hamming
+      FROM coded c, qw
+      WHERE c.vec_id <> 0
+      ORDER BY hamming, c.vec_id
+      LIMIT {rerank_factor * k}),
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+    SELECT s.vec_id, s.hamming, ROUND({cos}, 6) AS cos_q
+    FROM short s
+    JOIN embeddings e ON e.vec_id = s.vec_id, q
+    ORDER BY ROUND({cos}, 9) DESC, s.vec_id
+    LIMIT {k}
+    """
+
+
+MMR_SHORTLIST = 30   # relevance shortlist fed to the greedy
+MMR_K = 10           # diversified results returned
+MMR_LAMBDA = 0.7     # relevance vs diversity weight (Carbonell 1998)
+
+
+def mmr_rerank(embeddings: DataFrame, query_vec_id: int = 0,
+               k: int = MMR_K, shortlist: int = MMR_SHORTLIST,
+               lam: float = MMR_LAMBDA) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-rank (Carbonell &
+    Goldstein 1998) — the standard RAG retrieval-diversification
+    step: greedily pick, k times, the candidate maximizing
+    ``λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)``, so near-duplicate
+    passages don't crowd the context window.
+
+    Distribution split: the DISTRIBUTED work is the relevance
+    shortlist (full-scan cosine + TakeOrdered, same kernel as
+    `topk_cosine`) and the within-shortlist pairwise similarity
+    matrix (broadcast self-join, ≤ shortlist² = 900 rows).  The
+    greedy itself is inherently sequential over k steps, so it runs
+    driver-side on the BOUNDED collected matrix (≤ shortlist +
+    shortlist² rows — the same bounded-model-collect discipline as
+    `build_pca_model`); at 100 TB the shortlist comes from the
+    committed ANN index and this stage's cost is O(k·shortlist),
+    independent of corpus size.
+
+    Cross-engine exactness: rel and sim collect 9-dp-rounded (HALF_UP
+    on both engines), every score is then pure IEEE-double arithmetic
+    (λ·rel − (1−λ)·max) identical in Python and DuckDB, ties break on
+    vec_id, and the 6-dp display rounding happens IN SPARK on the way
+    out (F.round == DuckDB ROUND; Python's round() is banker's and
+    never touches the data)."""
+    q = (embeddings.filter(F.col("vec_id") == query_vec_id)
+         .select(F.col("embedding").alias("q_emb")))
+    rel_col = F.round(
+        cosine_similarity(F.col("embedding"), F.col("q_emb")), 9)
+    cand = (embeddings.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", "embedding", rel_col.alias("rel"))
+            .orderBy(F.col("rel").desc(), "vec_id")
+            .limit(shortlist))
+    a = cand.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
+    pairs = (a.crossJoin(F.broadcast(b))
+             .filter(F.col("i") != F.col("j"))
+             .select("i", "j", F.round(
+                 cosine_similarity(F.col("ea"), F.col("eb")), 9).alias("s")))
+    rel = {r["vec_id"]: r["rel"]
+           for r in cand.select("vec_id", "rel").collect()}  # ≤ shortlist rows
+    sim = {(r["i"], r["j"]): r["s"]
+           for r in pairs.collect()}                         # ≤ shortlist² rows
+    selected: list[int] = []
+    remaining = set(rel)
+    rows = []
+    for step in range(1, k + 1):
+        best_v, best_score = None, None
+        for v in sorted(remaining):
+            penalty = max((sim[(v, u)] for u in selected), default=0.0)
+            score = lam * rel[v] - (1.0 - lam) * penalty
+            if best_score is None or score > best_score:
+                best_v, best_score = v, score
+        selected.append(best_v)
+        remaining.discard(best_v)
+        rows.append((step, best_v, best_score))
+    out = embeddings.sparkSession.createDataFrame(
+        rows, schema="step INT, vec_id BIGINT, mmr_score DOUBLE")
+    return out.select("step", "vec_id",
+                      F.round("mmr_score", 6).alias("mmr_score"))
+
+
+def _mmr_oracle_sql(k: int = MMR_K, shortlist: int = MMR_SHORTLIST,
+                    lam: float = MMR_LAMBDA) -> str:
+    """DuckDB twin of `mmr_rerank`: the k greedy steps UNROLL into k
+    chained CTEs (the `_kmeans_cells_sql` unrolling pattern) — step t
+    scores every unselected shortlist member against the accumulated
+    selection via a correlated MAX and keeps the (score DESC, vec_id)
+    winner.
+
+    Every CTE is MATERIALIZED: each sel{{t}} references sel{{t-1}}
+    three times, so DuckDB's default CTE inlining would expand the
+    base scan 3^k times (observed as fd exhaustion before the first
+    row)."""
+    cos = ("list_aggregate(list_transform(list_zip({a}, {b}), "
+           "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') / "
+           "(sqrt(list_aggregate(list_transform({a}, "
+           "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) * "
+           "sqrt(list_aggregate(list_transform({b}, "
+           "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')))")
+    steps = []
+    for t in range(1, k + 1):
+        prev = f"sel{t - 1}"
+        steps.append(f"""
+    sel{t} AS MATERIALIZED (
+      SELECT * FROM {prev}
+      UNION ALL
+      (SELECT c.vec_id, {t} AS step,
+              {lam} * c.rel - {1.0 - lam} * COALESCE(
+                (SELECT MAX(p.s) FROM pairs p
+                 WHERE p.i = c.vec_id
+                   AND p.j IN (SELECT vec_id FROM {prev})), 0.0) AS score
+       FROM short c
+       WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+       ORDER BY score DESC, c.vec_id
+       LIMIT 1))""")
+    return f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    short AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding,
+             ROUND({cos.format(a='e.embedding', b='q.q_emb')}, 9) AS rel
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id
+      LIMIT {shortlist}),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS i, b.vec_id AS j,
+             ROUND({cos.format(a='a.embedding', b='b.embedding')}, 9) AS s
+      FROM short a, short b
+      WHERE a.vec_id <> b.vec_id),
+    sel0 AS (SELECT CAST(NULL AS BIGINT) AS vec_id, 0 AS step,
+                    0.0 AS score WHERE 1 = 0),{','.join(steps)}
+    SELECT step, vec_id, ROUND(score, 6) AS mmr_score
+    FROM sel{k}
+    ORDER BY step
+    """
+
+
 # --- oracle SQL -----------------------------------------------------------
 
 _DOT_Q_SQL = """
@@ -2585,4 +2818,16 @@ SPECS: dict[str, Spec] = {
         """,
         "int8 symmetric quantization + quantized-cosine top-k (4× scan "
         "compression; integer-exact scores — scale cancels in cosine)"),
+    "q_ann_binary": Spec(
+        lambda spark, sf: binary_ann_topk(load_table(spark, sf, "embeddings")),
+        _binary_ann_oracle_sql(),
+        "ANN via 1-bit binary quantization (sign bits packed into two "
+        "BIGINT words, 16× scan cut) — XOR+POPCNT Hamming shortlist, "
+        "exact cosine re-rank; integer-exact candidate metric"),
+    "q_mmr_rerank": Spec(
+        lambda spark, sf: mmr_rerank(load_table(spark, sf, "embeddings")),
+        _mmr_oracle_sql(),
+        "MMR diversity re-rank (Carbonell 1998): distributed shortlist "
+        "+ pairwise sims, bounded-collect greedy; oracle unrolls the "
+        "k greedy steps as chained CTEs"),
 }

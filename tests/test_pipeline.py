@@ -1385,3 +1385,26 @@ def test_quality_quantile_thresholds_are_per_source(spark):
     # the adaptivity pin: B's dropped docs (0.90/0.91) score far above
     # A's kept ones (0.6/0.8)
     assert got["A"].n_docs == 4 and got["B"].n_docs == 4
+
+
+def test_cms_never_underestimates_and_small_w_overestimates(spark):
+    """Count-Min invariants: (1) at the contract (d=4, w=256) every
+    probe estimate ≥ its exact count AND — measured on this corpus,
+    where d·w comfortably exceeds the vocabulary's collision
+    pressure — equals it exactly; (2) at a deliberately tiny w=4 the
+    sketch MUST overestimate somewhere (collisions are forced: the
+    vocabulary is far larger than 4 counters/row) yet still never
+    underestimates.  Together they pin both CMS guarantees: one-sided
+    error always, ε-accuracy at the contract parameters."""
+    from healthkit_to_sqlite_spark.operators.pipeline import cms_token_counts
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = cms_token_counts(docs).collect()
+    assert len(out) == 20
+    assert all(r.cms_n >= r.exact_n and r.over == r.cms_n - r.exact_n
+               for r in out)
+    assert all(r.over == 0 for r in out)  # measured at (4, 256)
+
+    tiny = cms_token_counts(docs, w=4).collect()
+    assert all(r.cms_n >= r.exact_n for r in tiny)
+    assert any(r.over > 0 for r in tiny)
