@@ -834,6 +834,31 @@ CMS_W = 256        # counters per row
 CMS_PROBES = 20    # heaviest exact tokens probed against the sketch
 
 
+def _cms_cell(r, token, w: int):
+    """Counter index for (row, token): first 4 hex digits of the
+    salted md5, mod w — the package's one cross-engine hash idiom."""
+    h = F.md5(F.concat_ws(":", F.lit("cms"), r.cast("string"), token))
+    return F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint"),
+                  F.lit(w))
+
+
+def cms_sketch(documents: DataFrame, d: int = CMS_D,
+               w: int = CMS_W) -> DataFrame:
+    """The d×w Count-Min matrix as (r, c, n) rows — ≤ d·w rows total
+    (and per map-side partial), whatever the corpus size.  Integer
+    counts sum associatively, so per-shard/per-batch sketches fold
+    into the corpus sketch bit-identically (the mergeability the
+    streaming maintenance in streaming/sketch.py relies on)."""
+    toks = documents.select(F.explode(ws_tokens("text")).alias("token"))
+    rows = toks.select(
+        "token",
+        F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"))
+    return (rows.select("r", _cms_cell(F.col("r"), F.col("token"), w)
+                        .alias("c"))
+            .groupBy("r", "c")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 def cms_token_counts(documents: DataFrame, d: int = CMS_D, w: int = CMS_W,
                      n_probes: int = CMS_PROBES) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) token-frequency
@@ -858,16 +883,7 @@ def cms_token_counts(documents: DataFrame, d: int = CMS_D, w: int = CMS_W,
     always (CMS never underestimates), with the measured overestimate
     at this (d, w) recorded as the accuracy pin."""
     toks = documents.select(F.explode(ws_tokens("text")).alias("token"))
-    rows = toks.select(
-        "token",
-        F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"))
-    h = F.md5(F.concat_ws(":", F.lit("cms"), F.col("r").cast("string"),
-                          F.col("token")))
-    cell = F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint"),
-                  F.lit(w))
-    sketch = (rows.select("r", cell.alias("c"))
-              .groupBy("r", "c")
-              .agg(F.count(F.lit(1)).alias("n")))      # ≤ d·w rows total
+    sketch = cms_sketch(documents, d, w)               # ≤ d·w rows total
     probes = (toks.groupBy("token")
               .agg(F.count(F.lit(1)).alias("exact_n"))
               .orderBy(F.col("exact_n").desc(), "token")
@@ -875,10 +891,7 @@ def cms_token_counts(documents: DataFrame, d: int = CMS_D, w: int = CMS_W,
     pr = probes.select(
         "token", "exact_n",
         F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"))
-    ph = F.md5(F.concat_ws(":", F.lit("cms"), F.col("r").cast("string"),
-                           F.col("token")))
-    pcell = F.pmod(F.conv(F.substring(ph, 1, 4), 16, 10).cast("bigint"),
-                   F.lit(w))
+    pcell = _cms_cell(F.col("r"), F.col("token"), w)
     return (pr.select("token", "exact_n", "r", pcell.alias("c"))
             .join(F.broadcast(sketch), ["r", "c"])
             .groupBy("token", "exact_n")

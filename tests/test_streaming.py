@@ -709,3 +709,73 @@ def test_streaming_quality_scores_match_batch(spark, tmp_path):
                       quality_classifier_scores(spark, sf).collect()))
     assert got == want
     assert len(got) == len({r[0] for r in got})  # exactly-once per doc
+
+
+def test_streaming_cms_kill_resume_equals_batch_sketch(spark, tmp_path):
+    """Streaming Count-Min maintenance: documents arrive in 4
+    micro-batches, per-batch sketches fold exactly-once (integer cell
+    counts are associative and order-independent), the stream is
+    killed between publish and checkpoint commit and restarted — the
+    maintained d×w matrix must equal the one-shot batch sketch
+    BIT-FOR-BIT, and artifact estimates must match the batch probe's
+    cms_n for every probe token."""
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        cms_sketch,
+        cms_token_counts,
+    )
+    from healthkit_to_sqlite_spark.sinks.manifest import ManifestTable
+    from healthkit_to_sqlite_spark.streaming.sketch import (
+        cms_writer,
+        read_estimates,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src_dir = str(tmp_path / "cms_src")
+    n = docs.count()
+    step = (n + 3) // 4
+    for i in range(4):
+        (docs.filter((F.col("doc_id") >= i * step)
+                     & (F.col("doc_id") < (i + 1) * step))
+         .select("doc_id", "text")
+         .coalesce(1).write.mode("append").parquet(src_dir))
+
+    tbl = ManifestTable(str(tmp_path / "cms_tbl"))
+    ckpt = str(tmp_path / "cms_ckpt")
+    schema = spark.read.parquet(src_dir).schema
+
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src_dir))
+
+    real = cms_writer(spark, tbl)
+    died = {"done": False}
+
+    def dying(batch_df, batch_id):
+        real(batch_df, batch_id)
+        if batch_id == 1 and not died["done"]:
+            died["done"] = True
+            raise RuntimeError("killed after publish, before ckpt commit")
+
+    q = (stream().writeStream.foreachBatch(dying)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    assert died["done"]
+    v_crash = tbl.current_version()
+
+    q2 = (stream().writeStream.foreachBatch(real)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert tbl.current_version() == v_crash + 2  # replay no-opped
+
+    streamed = sorted(map(tuple, tbl.read(spark).collect()))
+    batch = sorted(map(tuple, cms_sketch(docs).collect()))
+    assert streamed == batch                      # bit-identical matrix
+
+    probe = {r.token: r.cms_n for r in cms_token_counts(docs).collect()}
+    est = {r.token: r.cms_n
+           for r in read_estimates(spark, tbl, sorted(probe)).collect()}
+    assert est == probe
