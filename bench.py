@@ -256,6 +256,9 @@ HEADLINE = [
     # round 7: Count-Min sketch frequency estimates (oracle-exact
     # salted-md5 cells; ≤ d·w = 1024 shuffle rows at any corpus size)
     "q_cms_counts",
+    # round 7: tokenizer fertility monitoring artifact (committed-model
+    # encode rolled up per lang×source; vocab-rebalance signal)
+    "q_bpe_fertility",
 ]
 
 

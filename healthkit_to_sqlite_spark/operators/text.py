@@ -1120,6 +1120,73 @@ def bpe_apply(documents: DataFrame,
                  F.sum("np").cast("bigint").alias("n_pieces")))
 
 
+def bpe_fertility(spark: SparkSession, sf_dir: str,
+                  merges: int = BPE_MERGES) -> DataFrame:
+    """Tokenizer fertility report per (lang, source) — the monitoring
+    artifact behind tokenizer-rollout decisions (the lexical analog of
+    `q_quality_classifier_eval` and `q_ann_recall_report`): encode
+    with the COMMITTED merge table (same bounded-model serve as
+    `bpe_encode_from_model`, zero training in the plan) and aggregate
+    pieces-per-word and pieces-per-char by corpus segment.  A segment
+    whose fertility runs hot (many pieces per char) is one the
+    tokenizer serves badly — the signal that drives per-language
+    vocab rebalancing before a training run burns sequence length on
+    fragmented text.
+
+    Everything is integer-exact until the two final divisions, whose
+    operands are exactly-representable integer-valued doubles — both
+    engines divide the same numbers, so ROUND(·, 6) matches."""
+    cat = build_bpe_model(spark, sf_dir, merges)
+    model = sorted(cat.read(spark, "merges").collect(),
+                   key=lambda r: r.merge_rank)       # ≤ merges rows
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = bpe_apply(docs, [(m.lhs, m.rhs) for m in model])
+    return (per_doc
+            .join(docs.select("doc_id", "lang", "source", "n_chars"),
+                  "doc_id")
+            .groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").cast("bigint").alias("n_words"),
+                 F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+                 F.sum("n_chars").cast("bigint").alias("n_chars"))
+            .select("lang", "source", "n_docs", "n_words", "n_pieces",
+                    F.round(F.col("n_pieces") / F.col("n_words"), 6)
+                    .alias("pieces_per_word"),
+                    F.round(F.col("n_pieces") / F.col("n_chars"), 6)
+                    .alias("pieces_per_char"))
+            .orderBy("lang", "source"))
+
+
+def _bpe_fertility_oracle_sql(merges: int = BPE_MERGES) -> str:
+    """Self-encode oracle (the `_bpe_encode_oracle_sql` chain) rolled
+    up by (lang, source) with the same exact-integer statistics."""
+    return ("WITH " + ",\n".join(_bpe_states_sql(merges,
+                                                 final_state=True)) + """
+    , docw AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+      WHERE tok <> ''),
+    per_doc AS (
+      SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(len(string_split(trim(f.s), ' '))) AS BIGINT)
+               AS n_pieces
+      FROM docw d JOIN state_final f ON d.tok = f.word
+      GROUP BY d.doc_id)
+    SELECT m.lang, m.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(p.n_pieces) AS BIGINT) AS n_pieces,
+           ROUND(CAST(SUM(p.n_pieces) AS DOUBLE)
+                 / CAST(SUM(p.n_words) AS DOUBLE), 6) AS pieces_per_word,
+           ROUND(CAST(SUM(p.n_pieces) AS DOUBLE)
+                 / CAST(SUM(m.n_chars) AS DOUBLE), 6) AS pieces_per_char
+    FROM per_doc p JOIN documents m USING (doc_id)
+    GROUP BY m.lang, m.source
+    ORDER BY m.lang, m.source
+    """)
+
+
 def _bpe_states_sql(merges: int = BPE_MERGES,
                     final_state: bool = False) -> list[str]:
     """Shared CTE chain for the unrolled BPE training rounds (fixed
@@ -1624,6 +1691,12 @@ SPECS: dict[str, Spec] = {
         "literal replaces (map-only), one exchange, zero training in "
         "the plan; oracle retrains and self-encodes, so a hash match "
         "proves train-time and apply-time segmentations agree"),
+    "q_bpe_fertility": Spec(
+        lambda spark, sf: bpe_fertility(spark, sf),
+        _bpe_fertility_oracle_sql(),
+        "tokenizer fertility report per (lang, source) with the "
+        "committed merge table — pieces/word + pieces/char, the "
+        "monitoring artifact behind vocab-rebalance decisions"),
     "q_bpe_pairs": Spec(
         lambda spark, sf: bpe_merge_pairs(load_table(spark, sf,
                                                      "documents")),

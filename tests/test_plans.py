@@ -639,3 +639,15 @@ def test_quality_classifier_eval_single_pass(spark, specs):
     assert shuffle_count(df) == 1
     assert plan.count("Scan parquet") == 2   # tree + detail, one scan
     assert "Join" not in plan
+
+
+def test_cms_sketch_map_side_combines_and_broadcasts(spark, specs):
+    """Count-Min's scale contract: the build must PARTIAL-aggregate
+    before its exchange (≤ d·w rows per partition through the
+    shuffle, whatever the token volume) and the bounded sketch must
+    broadcast to the probe side — never the reverse."""
+    df = specs["q_cms_counts"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert has_broadcast_join(df)

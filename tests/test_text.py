@@ -577,3 +577,23 @@ def test_quality_classifier_eval_counts_exact(spark):
     assert sum(v[0] for v in got.values()) == len(rows)
     for v in got.values():
         assert v[1] + v[2] + v[3] + v[4] == v[0]
+
+
+def test_bpe_fertility_conserves_encode_totals(spark):
+    """The fertility rollup must be a pure regrouping of the per-doc
+    encode: segment n_words/n_pieces sum to exactly the q_bpe_encode
+    totals, n_docs sums to the number of encoded documents, and every
+    fertility ratio ≥ 1 piece per word (a word is at least one
+    piece)."""
+    from healthkit_to_sqlite_spark.operators.text import (
+        bpe_encode_from_model,
+        bpe_fertility,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    per_doc = bpe_encode_from_model(spark, sf).collect()
+    seg = bpe_fertility(spark, sf).collect()
+    assert sum(r.n_docs for r in seg) == len(per_doc)
+    assert sum(r.n_words for r in seg) == sum(r.n_words for r in per_doc)
+    assert sum(r.n_pieces for r in seg) == sum(r.n_pieces for r in per_doc)
+    assert all(r.pieces_per_word >= 1.0 for r in seg)
