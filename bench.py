@@ -259,6 +259,9 @@ HEADLINE = [
     # round 7: tokenizer fertility monitoring artifact (committed-model
     # encode rolled up per lang×source; vocab-rebalance signal)
     "q_bpe_fertility",
+    # round 7: winnowing fingerprint selection (MOSS — windowed
+    # struct-min, positional density-guaranteed fingerprints)
+    "q_winnowing",
 ]
 
 

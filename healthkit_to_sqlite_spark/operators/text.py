@@ -157,6 +157,122 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint").alias("fp60"))
 
 
+WINNOW_K = 3   # k-gram length (word grams)
+WINNOW_W = 4   # winnowing window (guarantee: any ≥ w+k-1-token match
+               # shares ≥1 fingerprint; expected density 2/(w+1))
+
+
+def winnowing_fingerprints(documents: DataFrame, k: int = WINNOW_K,
+                           w: int = WINNOW_W) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every word k-gram, slide a
+    w-gram window, and in each window select the MINIMUM hash
+    (rightmost on ties).  Unlike min-hashing a whole document, the
+    selected set is POSITIONAL and density-guaranteed: any two
+    documents sharing a run of ≥ w+k-1 tokens share at least one
+    fingerprint, and the expected fraction of grams kept is 2/(w+1)
+    — the local-similarity detector behind plagiarism/boilerplate
+    mining, complementing `fingerprints` (whole-doc identity) and
+    MinHash (set resemblance).
+
+    Plan shape: in-row gram construction (transform over an index
+    sequence — no token self-join), one hash per gram, and the
+    window pass is a per-doc ROWS BETWEEN frame computing
+    ``min(struct(h, -pos))`` — min hash with rightmost tie-break in
+    ONE windowed aggregate, no per-window join.  Everything after the
+    gram explode is integer-exact (32-bit md5-prefix hashes), so the
+    per-doc fingerprint count, checksum, and density match the oracle
+    bit-for-bit; the oracle computes the same selection via an
+    explicit w-row window join, pinning the window semantics rather
+    than the implementation.  Docs with fewer than w full windows
+    yield no row (both engines).  At 100 TB: map-only until one
+    per-doc window sort — the same shape as `q_pack_sequences`."""
+    from pyspark.sql import Window
+
+    toked = (documents
+             .select("doc_id",
+                     F.filter(ws_tokens("text"),
+                              lambda x: x != "").alias("toks"))
+             .filter(F.size("toks") >= k))
+    gram_expr = F.expr(
+        f"transform(sequence(0, size(toks) - {k}), "
+        f"i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))")
+    grams = (toked
+             .select("doc_id", (F.size("toks") - F.lit(k - 1))
+                     .cast("bigint").alias("n_grams"),
+                     F.posexplode(gram_expr).alias("pos", "gram")))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("winnow:"), F.col("gram"))), 1, 8),
+        16, 10).cast("bigint")
+    hashed = grams.select("doc_id", "n_grams", "pos", h.alias("h"))
+    frame = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.currentRow, w - 1))
+    sel = F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))) \
+        .over(frame)
+    cnt = F.count(F.lit(1)).over(frame)
+    picked = (hashed
+              .select("doc_id", "n_grams", sel.alias("s"), cnt.alias("c"))
+              .filter(F.col("c") == w)
+              .select("doc_id", "n_grams", F.col("s.h").alias("h"),
+                      (-F.col("s.np")).alias("fpos"))
+              .distinct())
+    return (picked.groupBy("doc_id", "n_grams")
+            .agg(F.count(F.lit(1)).alias("n_fp"),
+                 F.sum("h").cast("bigint").alias("fp_sum"))
+            .select("doc_id", "n_grams", "n_fp", "fp_sum",
+                    F.round(F.col("n_fp") / F.col("n_grams"), 6)
+                    .alias("density"))
+            .orderBy("doc_id"))
+
+
+def _winnowing_oracle_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """DuckDB twin of `winnowing_fingerprints`: the same selection via
+    an explicit w-row window JOIN (min hash per full window, rightmost
+    position of that min) — an independent spelling of the window
+    semantics, so a frame/tie-break bug in either engine breaks the
+    hash gate."""
+    return f"""
+    WITH toked AS MATERIALIZED (
+      SELECT doc_id, list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS toks
+      FROM documents),
+    grams AS MATERIALIZED (
+      SELECT doc_id, CAST(len(toks) - {k - 1} AS BIGINT) AS n_grams,
+             g.p - 1 AS pos,
+             CAST('0x' || substr(md5('winnow:' || toks[CAST(g.p AS INT)]
+                    || ' ' || toks[CAST(g.p AS INT) + 1]
+                    || ' ' || toks[CAST(g.p AS INT) + 2]), 1, 8)
+                  AS BIGINT) AS h
+      FROM toked, UNNEST(generate_series(1, len(toks) - {k - 1}))
+             AS g(p)
+      WHERE len(toks) >= {k}),
+    win AS MATERIALIZED (
+      SELECT g1.doc_id, g1.pos AS p, MIN(g2.h) AS mh,
+             COUNT(*) AS c
+      FROM grams g1 JOIN grams g2
+        ON g2.doc_id = g1.doc_id
+       AND g2.pos BETWEEN g1.pos AND g1.pos + {w - 1}
+      GROUP BY g1.doc_id, g1.pos),
+    rightmost AS (
+      SELECT w_.doc_id, w_.p, w_.mh, MAX(g2.pos) AS fpos
+      FROM win w_ JOIN grams g2
+        ON g2.doc_id = w_.doc_id
+       AND g2.pos BETWEEN w_.p AND w_.p + {w - 1}
+       AND g2.h = w_.mh
+      WHERE w_.c = {w}
+      GROUP BY w_.doc_id, w_.p, w_.mh),
+    fp AS (SELECT DISTINCT doc_id, fpos, mh AS h FROM rightmost),
+    meta AS (SELECT DISTINCT doc_id, n_grams FROM grams)
+    SELECT f.doc_id, m.n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_fp,
+           CAST(SUM(f.h) AS BIGINT) AS fp_sum,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / m.n_grams, 6) AS density
+    FROM fp f JOIN meta m USING (doc_id)
+    GROUP BY f.doc_id, m.n_grams
+    ORDER BY f.doc_id
+    """
+
+
 def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     """Per-document top-k distinctive terms by TF-IDF.
 
@@ -1870,6 +1986,14 @@ SPECS: dict[str, Spec] = {
         FROM documents
         """,
         "document fingerprinting (normalized md5 + 60-bit)"),
+    "q_winnowing": Spec(
+        lambda spark, sf: winnowing_fingerprints(
+            load_table(spark, sf, "documents")),
+        _winnowing_oracle_sql(),
+        "winnowing fingerprint selection (MOSS): min-hash-per-window "
+        "with rightmost tie-break via ONE windowed struct-min — "
+        "density-guaranteed positional fingerprints; oracle re-derives "
+        "the selection through an explicit window join"),
     "q_fuzzy_join": Spec(
         lambda spark, sf: fuzzy_name_pairs(load_table(spark, sf, "part")),
         f"""

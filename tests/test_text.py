@@ -597,3 +597,59 @@ def test_bpe_fertility_conserves_encode_totals(spark):
     assert sum(r.n_words for r in seg) == sum(r.n_words for r in per_doc)
     assert sum(r.n_pieces for r in seg) == sum(r.n_pieces for r in per_doc)
     assert all(r.pieces_per_word >= 1.0 for r in seg)
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The two published winnowing properties (Schleimer 2003):
+    (1) GUARANTEE — two documents sharing a token run of length
+    ≥ w+k-1 (here 6) select at least one identical (gram-hash)
+    fingerprint from inside the shared run, whatever their differing
+    context, because every full window inside the run is common to
+    both; (2) DENSITY — the fraction of grams selected sits near the
+    expected 2/(w+1) = 0.4 on the real corpus (measured 0.384 at
+    sf0.001)."""
+    from healthkit_to_sqlite_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    run = "alpha beta gamma delta epsilon zeta"  # w+k-1 = 6 tokens
+    docs = spark.createDataFrame(
+        [(0, "x1 y1 " + run + " z1 w1 v1 u1"),
+         (1, "completely different prefix words " + run)],
+        "doc_id long, text string")
+
+    def fp_set(doc_id):
+        # row-level re-derivation of the selected hash set (the
+        # contract query only exposes per-doc aggregates)
+        from pyspark.sql import Window, functions as F2
+        toked = docs.filter(F2.col("doc_id") == doc_id).select(
+            "doc_id", F2.split("text", " ").alias("toks"))
+        grams = toked.select(
+            "doc_id",
+            F2.posexplode(F2.expr(
+                "transform(sequence(0, size(toks) - 3), "
+                "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+            .alias("pos", "gram"))
+        h = F2.conv(F2.substring(
+            F2.md5(F2.concat(F2.lit("winnow:"), F2.col("gram"))), 1, 8),
+            16, 10).cast("bigint")
+        hashed = grams.select("pos", h.alias("h"))
+        frame = (Window.partitionBy(F2.lit(1)).orderBy("pos")
+                 .rowsBetween(Window.currentRow, WINNOW_W - 1))
+        sel = F2.min(F2.struct("h", (-F2.col("pos")).alias("np"))).over(frame)
+        cnt = F2.count(F2.lit(1)).over(frame)
+        return {r["s"]["h"] for r in hashed
+                .select(sel.alias("s"), cnt.alias("c"))
+                .filter(F2.col("c") == WINNOW_W).collect()}
+
+    assert WINNOW_W + WINNOW_K - 1 == 6
+    assert fp_set(0) & fp_set(1)  # the guarantee
+
+    from healthkit_to_sqlite_spark.catalog import load_table
+
+    out = winnowing_fingerprints(
+        load_table(spark, "/root/testdata/sf0.001", "documents")).collect()
+    density = sum(r.n_fp for r in out) / sum(r.n_grams for r in out)
+    assert 0.3 <= density <= 0.5  # ~2/(w+1)
