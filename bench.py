@@ -262,6 +262,9 @@ HEADLINE = [
     # round 7: winnowing fingerprint selection (MOSS — windowed
     # struct-min, positional density-guaranteed fingerprints)
     "q_winnowing",
+    # round 7: the MOSS match step (pair mining over the winnowed
+    # fingerprints — the shingle pair join at 2/(w+1) the rows)
+    "q_winnowing_pairs",
 ]
 
 

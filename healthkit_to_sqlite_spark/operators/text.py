@@ -162,6 +162,43 @@ WINNOW_W = 4   # winnowing window (guarantee: any ≥ w+k-1-token match
                # shares ≥1 fingerprint; expected density 2/(w+1))
 
 
+def _winnow_select(documents: DataFrame, k: int = WINNOW_K,
+                   w: int = WINNOW_W) -> DataFrame:
+    """The winnowing selection itself: distinct (doc_id, n_grams, h,
+    fpos) fingerprints — min gram-hash per w-gram window, rightmost
+    on ties, full windows only.  Shared by the per-doc report
+    (`winnowing_fingerprints`) and the pair miner (`winnowing_pairs`)."""
+    from pyspark.sql import Window
+
+    toked = (documents
+             .select("doc_id",
+                     F.filter(ws_tokens("text"),
+                              lambda x: x != "").alias("toks"))
+             .filter(F.size("toks") >= k))
+    gram_expr = F.expr(
+        f"transform(sequence(0, size(toks) - {k}), "
+        f"i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))")
+    grams = (toked
+             .select("doc_id", (F.size("toks") - F.lit(k - 1))
+                     .cast("bigint").alias("n_grams"),
+                     F.posexplode(gram_expr).alias("pos", "gram")))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("winnow:"), F.col("gram"))), 1, 8),
+        16, 10).cast("bigint")
+    hashed = grams.select("doc_id", "n_grams", "pos", h.alias("h"))
+    frame = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.currentRow, w - 1))
+    sel = F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))) \
+        .over(frame)
+    cnt = F.count(F.lit(1)).over(frame)
+    return (hashed
+            .select("doc_id", "n_grams", sel.alias("s"), cnt.alias("c"))
+            .filter(F.col("c") == w)
+            .select("doc_id", "n_grams", F.col("s.h").alias("h"),
+                    (-F.col("s.np")).alias("fpos"))
+            .distinct())
+
+
 def winnowing_fingerprints(documents: DataFrame, k: int = WINNOW_K,
                            w: int = WINNOW_W) -> DataFrame:
     """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
@@ -189,33 +226,7 @@ def winnowing_fingerprints(documents: DataFrame, k: int = WINNOW_K,
     per-doc window sort — the same shape as `q_pack_sequences`."""
     from pyspark.sql import Window
 
-    toked = (documents
-             .select("doc_id",
-                     F.filter(ws_tokens("text"),
-                              lambda x: x != "").alias("toks"))
-             .filter(F.size("toks") >= k))
-    gram_expr = F.expr(
-        f"transform(sequence(0, size(toks) - {k}), "
-        f"i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))")
-    grams = (toked
-             .select("doc_id", (F.size("toks") - F.lit(k - 1))
-                     .cast("bigint").alias("n_grams"),
-                     F.posexplode(gram_expr).alias("pos", "gram")))
-    h = F.conv(F.substring(
-        F.md5(F.concat(F.lit("winnow:"), F.col("gram"))), 1, 8),
-        16, 10).cast("bigint")
-    hashed = grams.select("doc_id", "n_grams", "pos", h.alias("h"))
-    frame = (Window.partitionBy("doc_id").orderBy("pos")
-             .rowsBetween(Window.currentRow, w - 1))
-    sel = F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))) \
-        .over(frame)
-    cnt = F.count(F.lit(1)).over(frame)
-    picked = (hashed
-              .select("doc_id", "n_grams", sel.alias("s"), cnt.alias("c"))
-              .filter(F.col("c") == w)
-              .select("doc_id", "n_grams", F.col("s.h").alias("h"),
-                      (-F.col("s.np")).alias("fpos"))
-              .distinct())
+    picked = _winnow_select(documents, k, w)
     return (picked.groupBy("doc_id", "n_grams")
             .agg(F.count(F.lit(1)).alias("n_fp"),
                  F.sum("h").cast("bigint").alias("fp_sum"))
@@ -225,14 +236,13 @@ def winnowing_fingerprints(documents: DataFrame, k: int = WINNOW_K,
             .orderBy("doc_id"))
 
 
-def _winnowing_oracle_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
-    """DuckDB twin of `winnowing_fingerprints`: the same selection via
-    an explicit w-row window JOIN (min hash per full window, rightmost
-    position of that min) — an independent spelling of the window
-    semantics, so a frame/tie-break bug in either engine breaks the
-    hash gate."""
-    return f"""
-    WITH toked AS MATERIALIZED (
+def _winnow_fp_cte_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """The fingerprint-selection CTE chain (through ``fp`` + ``meta``)
+    shared by the report and pair-miner oracles: the same selection as
+    `_winnow_select` via an explicit w-row window JOIN — an
+    independent spelling of the window semantics, so a frame or
+    tie-break bug in either engine breaks the hash gate."""
+    return f"""toked AS MATERIALIZED (
       SELECT doc_id, list_filter(string_split(text, ' '),
                                  x -> x <> '') AS toks
       FROM documents),
@@ -262,7 +272,68 @@ def _winnowing_oracle_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
       WHERE w_.c = {w}
       GROUP BY w_.doc_id, w_.p, w_.mh),
     fp AS (SELECT DISTINCT doc_id, fpos, mh AS h FROM rightmost),
-    meta AS (SELECT DISTINCT doc_id, n_grams FROM grams)
+    meta AS (SELECT DISTINCT doc_id, n_grams FROM grams)"""
+
+
+WINNOW_MIN_SHARED = 2   # fingerprints two docs must share to pair
+WINNOW_MAX_DF = 50      # hot-fingerprint document-frequency cap
+
+
+def winnowing_pairs(documents: DataFrame,
+                    min_shared: int = WINNOW_MIN_SHARED,
+                    max_df: int = WINNOW_MAX_DF,
+                    k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """The MOSS match step: candidate document pairs by shared
+    winnowed fingerprints — an equi-join on the SELECTED hashes only,
+    so the join volume is the 2/(w+1)-density fingerprint table, not
+    the full shingle table (`ngram_jaccard_pairs`' candidate join at
+    ~0.4× the rows for w=4, with the positional run-guarantee intact:
+    any pair sharing a ≥ w+k−1-token run still collides).
+
+    Same Σ|bucket|² discipline as every pair miner here: fingerprints
+    in more than ``max_df`` documents are boilerplate-universal and
+    are dropped BEFORE the self-join (the hot-shingle df cap), so
+    bucket sizes — and the pair blow-up — stay bounded under skew."""
+    fph = (_winnow_select(documents, k, w)
+           .select("doc_id", "h").distinct())
+    hot = (fph.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") > max_df).select("h"))
+    cold = fph.join(hot, "h", "left_anti")
+    a = cold.select(F.col("doc_id").alias("doc_a"), "h")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "h")
+    return (a.join(b, "h")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+            .orderBy(F.col("n_shared").desc(), "doc_a", "doc_b"))
+
+
+def _winnowing_pairs_oracle_sql(min_shared: int = WINNOW_MIN_SHARED,
+                                max_df: int = WINNOW_MAX_DF,
+                                k: int = WINNOW_K,
+                                w: int = WINNOW_W) -> str:
+    return f"""
+    WITH {_winnow_fp_cte_sql(k, w)},
+    fph AS (SELECT DISTINCT doc_id, h FROM fp),
+    hot AS (SELECT h FROM fph GROUP BY h HAVING COUNT(*) > {max_df}),
+    cold AS (SELECT * FROM fph
+             WHERE h NOT IN (SELECT h FROM hot))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM cold a JOIN cold b
+      ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {min_shared}
+    ORDER BY n_shared DESC, doc_a, doc_b
+    """
+
+
+def _winnowing_oracle_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """DuckDB twin of `winnowing_fingerprints` over the shared
+    fingerprint-selection chain."""
+    return f"""
+    WITH {_winnow_fp_cte_sql(k, w)}
     SELECT f.doc_id, m.n_grams,
            CAST(COUNT(*) AS BIGINT) AS n_fp,
            CAST(SUM(f.h) AS BIGINT) AS fp_sum,
@@ -1994,6 +2065,13 @@ SPECS: dict[str, Spec] = {
         "with rightmost tie-break via ONE windowed struct-min — "
         "density-guaranteed positional fingerprints; oracle re-derives "
         "the selection through an explicit window join"),
+    "q_winnowing_pairs": Spec(
+        lambda spark, sf: winnowing_pairs(
+            load_table(spark, sf, "documents")),
+        _winnowing_pairs_oracle_sql(),
+        "MOSS match step: pair candidates by shared winnowed "
+        "fingerprints — the shingle pair join at 2/(w+1) the rows, "
+        "run-guarantee intact, hot-fingerprint df cap bounds buckets"),
     "q_fuzzy_join": Spec(
         lambda spark, sf: fuzzy_name_pairs(load_table(spark, sf, "part")),
         f"""

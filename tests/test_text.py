@@ -653,3 +653,40 @@ def test_winnowing_guarantee_and_density(spark):
         load_table(spark, "/root/testdata/sf0.001", "documents")).collect()
     density = sum(r.n_fp for r in out) / sum(r.n_grams for r in out)
     assert 0.3 <= density <= 0.5  # ~2/(w+1)
+
+
+def test_winnowing_pairs_subset_of_full_gram_pairs(spark):
+    """Soundness of the compression: every winnowed fingerprint IS a
+    gram hash, so any pair sharing ≥2 winnowed fingerprints must
+    share ≥2 gram hashes — the pair set is a SUBSET of the uncapped
+    full-gram pair join at the same threshold (winnowing only drops
+    candidates, never invents them), while joining ~2/(w+1) of the
+    rows.  Non-empty on this corpus (its built-in near-dups survive:
+    the run guarantee keeps ≥1 shared fingerprint per shared run)."""
+    from pyspark.sql import functions as F
+
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.text import (
+        WINNOW_MIN_SHARED,
+        _winnow_select,
+        winnowing_pairs,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {(r.doc_a, r.doc_b): r.n_shared
+           for r in winnowing_pairs(docs).collect()}
+    assert got
+
+    # the uncapped full-gram pair universe at the same threshold:
+    # reuse the selection's own gram hashing by winnowing with w=1
+    # (every full window is a single gram -> every gram is selected)
+    allg = (_winnow_select(docs, w=1).select("doc_id", "h").distinct())
+    a = allg.select(F.col("doc_id").alias("doc_a"), "h")
+    b = allg.select(F.col("doc_id").alias("doc_b"), "h")
+    full = {(r.doc_a, r.doc_b): r.n_shared for r in
+            (a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)).collect()}
+    assert set(got) <= set(full)
+    assert all(got[p] <= full[p] for p in got)
