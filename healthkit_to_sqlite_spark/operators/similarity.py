@@ -1864,7 +1864,11 @@ def mmr_rerank(embeddings: DataFrame, query_vec_id: int = 0,
             .filter(F.col("vec_id") != query_vec_id)
             .select("vec_id", "embedding", rel_col.alias("rel"))
             .orderBy(F.col("rel").desc(), "vec_id")
-            .limit(shortlist))
+            .limit(shortlist)
+            # ≤ shortlist rows; truncating here keeps the full-corpus
+            # relevance scan to ONE execution (cand feeds the pair
+            # self-join and two collects)
+            .localCheckpoint(eager=True))
     a = cand.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
     b = cand.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
     pairs = (a.crossJoin(F.broadcast(b))
