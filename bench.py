@@ -265,6 +265,9 @@ HEADLINE = [
     # round 7: the MOSS match step (pair mining over the winnowed
     # fingerprints — the shingle pair join at 2/(w+1) the rows)
     "q_winnowing_pairs",
+    # round 7: synchronous label-propagation communities (mode-of-
+    # neighbors with self-vote stabilizer; splits bridged CC blobs)
+    "q_communities_lpa",
 ]
 
 

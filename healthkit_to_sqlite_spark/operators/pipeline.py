@@ -337,6 +337,91 @@ def pagerank(documents: DataFrame, iters: int = PR_ITERS,
     return state.select("doc_id", F.round("pr", 6).alias("pagerank"))
 
 
+LPA_ROUNDS = 4
+
+
+def communities_lpa(documents: DataFrame,
+                    rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Community detection via SYNCHRONOUS label propagation (Raghavan
+    et al. 2007) over the MinHash-LSH near-dup graph — the
+    template-family detector that differs from connected components
+    (`dedup_clusters`) exactly where it matters: CC merges everything
+    reachable, LPA splits a weakly-bridged blob into its dense
+    sub-communities, because each node adopts the label MOST FREQUENT
+    among its neighbors, not the minimum reachable label.
+
+    Determinism (the published LPA is randomized; this one is not):
+    synchronous rounds with a FIXED count (unrolled oracle, the
+    pagerank/Lloyd discipline), every node starts labeled with its own
+    id, each node ALSO votes for its own current label (the standard
+    stabilizer — without it a synchronous pair component oscillates
+    a↔b forever and even round counts silently undo every merge), and
+    frequency ties break to the smallest label — expressed as ONE
+    aggregate per round, ``min(struct(-n, lbl))``, so the update is a
+    join + two map-side-combined groupBys, never a per-node sort.
+    Like the CC kernels, only edge-touching nodes iterate; isolated
+    docs aren't communities.  At 100 TB each round shuffles ≤|E| label
+    rows — the LPA shape GraphX/Pregel runs, without driver state."""
+    pairs = minhash_lsh_pairs(documents).select("doc_a", "doc_b")
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionAll(pairs.select(F.col("doc_b").alias("src"),
+                                    F.col("doc_a").alias("dst")))
+             .localCheckpoint(eager=True))   # feeds every round
+    return _lpa_propagate(edges, rounds)
+
+
+def _lpa_propagate(edges: DataFrame, rounds: int) -> DataFrame:
+    """The propagation loop over a symmetric (src, dst) edge table —
+    factored so tests can drive it with hand graphs (the barbell
+    differentiator in test_pipeline)."""
+    labels = (edges.select("src").distinct()
+              .select(F.col("src").alias("doc_id"),
+                      F.col("src").alias("lbl")))
+    for _ in range(rounds):
+        neigh = (edges.join(labels, edges.dst == labels.doc_id)
+                 .select("src", "lbl")
+                 .unionAll(labels.select(F.col("doc_id").alias("src"),
+                                         "lbl")))
+        counts = (neigh.groupBy("src", "lbl")
+                  .agg(F.count(F.lit(1)).alias("n")))
+        labels = (counts.groupBy("src")
+                  .agg(F.min(F.struct((-F.col("n")).alias("nn"),
+                                      F.col("lbl"))).alias("w"))
+                  .select(F.col("src").alias("doc_id"),
+                          F.col("w.lbl").alias("lbl")))
+    return labels.select("doc_id", F.col("lbl").alias("community"))
+
+
+def _lpa_oracle_sql(rounds: int = LPA_ROUNDS) -> str:
+    """Synchronous LPA unrolled to a CTE chain; the mode-with-min-tie
+    winner is an independent spelling (ROW_NUMBER over (n DESC, lbl))
+    of the engine's min(struct(-n, lbl))."""
+    parts, prev = [], "lbl0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""lbl{r} AS (
+          SELECT src AS doc_id, lbl FROM (
+            SELECT v.src, v.lbl,
+                   ROW_NUMBER() OVER (PARTITION BY v.src
+                                      ORDER BY COUNT(*) DESC, v.lbl)
+                     AS rn
+            FROM (SELECT e.src, p.lbl
+                  FROM edges e JOIN {prev} p ON e.dst = p.doc_id
+                  UNION ALL
+                  SELECT doc_id, lbl FROM {prev}) v
+            GROUP BY v.src, v.lbl)
+          WHERE rn = 1)""")
+        prev = f"lbl{r}"
+    return f"""
+    WITH {_LSH_PAIRS_SQL},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    lbl0 AS (SELECT DISTINCT src AS doc_id, src AS lbl FROM edges),
+    {", ".join(parts)}
+    SELECT doc_id, lbl AS community FROM {prev}
+    """
+
+
 # --- multi-dimensional data layout (Z-order) --------------------------------
 
 ZORDER_BITS = 4   # bits per dimension → 256 z-cells
@@ -2864,6 +2949,13 @@ SPECS: dict[str, Spec] = {
         "heavy hitters: per-partition Misra–Gries summaries + exact "
         "candidate verify — bounded-memory, partitioning-independent "
         "EXACT result above the N/(k+1) threshold"),
+    "q_communities_lpa": Spec(
+        lambda spark, sf: communities_lpa(load_table(spark, sf,
+                                                     "documents")),
+        _lpa_oracle_sql(),
+        "synchronous label-propagation communities over the LSH "
+        "near-dup graph (mode-of-neighbors, min tie-break, fixed "
+        "rounds) — splits weakly-bridged CC blobs into dense families"),
     "q_cms_counts": Spec(
         lambda spark, sf: cms_token_counts(load_table(spark, sf, "documents")),
         _cms_oracle_sql(),

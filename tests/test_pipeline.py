@@ -1408,3 +1408,45 @@ def test_cms_never_underestimates_and_small_w_overestimates(spark):
     tiny = cms_token_counts(docs, w=4).collect()
     assert all(r.cms_n >= r.exact_n for r in tiny)
     assert any(r.over > 0 for r in tiny)
+
+
+def test_lpa_splits_barbell_where_cc_merges(spark):
+    """The LPA-vs-CC differentiator on the canonical hand graph: two
+    triangles {1,2,3} and {4,5,6} joined by ONE bridge edge 3-4.
+    Connected components merge everything into one cluster; label
+    propagation (self-vote, min tie-break, 4 synchronous rounds)
+    keeps the two dense triangles as separate communities — traced by
+    hand: after round 1 labels are (1,1,1,3,4,4), round 2 the bridge
+    vote loses to the triangle majority on both sides, stable from
+    round 3 as {1,2,3}→1, {4,5,6}→4."""
+    from healthkit_to_sqlite_spark.operators.pipeline import _lpa_propagate
+
+    pairs = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long")
+    got = {r.doc_id: r.community
+           for r in _lpa_propagate(edges, rounds=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_lpa_communities_refine_cc_components(spark):
+    """Labels only travel along edges, so an LPA community can never
+    straddle two connected components: on the real corpus every LPA
+    community must be a (possibly strict) refinement of the CC
+    clustering, over exactly the same node set."""
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        communities_lpa,
+        dedup_clusters,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    lpa = {r.doc_id: r.community for r in communities_lpa(docs).collect()}
+    cc = {r.doc_id: r.cluster_id for r in dedup_clusters(docs).collect()}
+    # LPA covers edge-touching nodes only; CC also emits singletons
+    assert set(lpa) <= set(cc) and lpa
+    # same LPA community => same CC component
+    by_comm = {}
+    for d, c in lpa.items():
+        by_comm.setdefault(c, set()).add(cc[d])
+    assert all(len(v) == 1 for v in by_comm.values())
