@@ -268,6 +268,9 @@ HEADLINE = [
     # round 7: synchronous label-propagation communities (mode-of-
     # neighbors with self-vote stabilizer; splits bridged CC blobs)
     "q_communities_lpa",
+    # round 7: ANALYZE-style per-column statistics in one scan (the
+    # CBO statistics artifact)
+    "q_analyze_stats",
 ]
 
 

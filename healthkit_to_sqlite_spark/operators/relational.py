@@ -768,6 +768,62 @@ def skyline_parts(part: DataFrame) -> DataFrame:
 # Specs
 # ---------------------------------------------------------------------------
 
+ANALYZE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def analyze_column_stats(lineitem: DataFrame,
+                         cols: tuple = ANALYZE_COLS) -> DataFrame:
+    """ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS, as a contract
+    query: per-column row count, null count, exact NDV, min and max —
+    the statistics artifact a cost-based optimizer prunes, reorders,
+    and broadcast-decides with (Spark persists exactly these in the
+    catalog; the manifest layer's file-level min/max in `q_zorder`
+    and `q_bloom_prune` are the same idea at file grain).
+
+    ONE scan: all per-column aggregates compute in a single global
+    aggregation (the multi-distinct Expand costs ×|cols| map rows but
+    no extra scan), then the 1-row wide result unpivots in-row to the
+    per-column layout.  Exact NDV keeps the oracle bit-exact; at
+    100 TB production ANALYZE swaps countDistinct for the
+    `approx_count_distinct` HLL (the q_approx_distinct path) with the
+    identical plan shape.  Values round to 6 dp in double — these
+    columns carry ≤2-dp decimals, so the cast is exact."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.countDistinct(F.col(c)).alias(f"{c}__ndv"),
+            F.round(F.min(F.col(c)).cast("double"), 6).alias(f"{c}__mn"),
+            F.round(F.max(F.col(c)).cast("double"), 6).alias(f"{c}__mx"),
+        ]
+    wide = lineitem.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    per_col = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 (F.col("n_rows") - F.col(f"{c}__nn")).cast("bigint")
+                 .alias("n_nulls"),
+                 F.col(f"{c}__ndv").cast("bigint").alias("ndv"),
+                 F.col(f"{c}__mn").alias("min_val"),
+                 F.col(f"{c}__mx").alias("max_val"))
+        for c in cols])
+    return (wide.select("n_rows", F.explode(per_col).alias("s"))
+            .select(F.col("s.column").alias("column"),
+                    F.col("n_rows").cast("bigint").alias("n_rows"),
+                    "s.n_nulls", "s.ndv", "s.min_val", "s.max_val")
+            .orderBy("column"))
+
+
+def _analyze_oracle_sql(cols: tuple = ANALYZE_COLS) -> str:
+    parts = [f"""
+    SELECT '{c}' AS "column",
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+           ROUND(CAST(MIN({c}) AS DOUBLE), 6) AS min_val,
+           ROUND(CAST(MAX({c}) AS DOUBLE), 6) AS max_val
+    FROM lineitem""" for c in cols]
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
 def _q(table_names, op):
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
         return op(*[load_table(spark, sf_dir, t) for t in table_names])
@@ -775,6 +831,13 @@ def _q(table_names, op):
 
 
 SPECS: dict[str, Spec] = {
+    "q_analyze_stats": Spec(
+        lambda spark, sf: analyze_column_stats(
+            load_table(spark, sf, "lineitem")),
+        _analyze_oracle_sql(),
+        "ANALYZE-style per-column statistics (count/nulls/exact "
+        "NDV/min/max) in ONE scan — the CBO statistics artifact; "
+        "multi-distinct Expand, no second pass"),
     "q_flagship": Spec(
         _q(("orders", "lineitem"), flagship), FLAGSHIP_ORACLE,
         "Milestone-0 flagship: README.md:33-46 shape (B1-B6 + B10)"),
