@@ -37,9 +37,11 @@ from .spec import Spec
 #: tests/test_registry.py).  (200 queries as of round 7.)
 PRIORITY: tuple[str, ...] = (
     # ---- round-7 window (slots 1-50) ------------------------------
-    # (1a) new in round 7 (never driver-checked): the two append-
-    # maintenance serves (VERDICT r6 item 2), then the round-7
-    # session-2 additions
+    # (1a) new in round 7 (never driver-checked): the session-2
+    # additions (binary ANN, MMR, Count-Min, tokenizer fertility,
+    # LPA communities, ANALYZE stats, winnowing select+pairs), then
+    # the two append-maintenance serves (VERDICT r6 item 2) and the
+    # session-1 serving/classifier queries
     "q_ann_binary", "q_mmr_rerank", "q_cms_counts", "q_bpe_fertility",
     "q_communities_lpa", "q_analyze_stats",
     "q_winnowing", "q_winnowing_pairs",
