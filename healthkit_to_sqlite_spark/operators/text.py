@@ -175,9 +175,10 @@ def _winnow_select(documents: DataFrame, k: int = WINNOW_K,
                      F.filter(ws_tokens("text"),
                               lambda x: x != "").alias("toks"))
              .filter(F.size("toks") >= k))
+    gram_terms = ", ".join(f"toks[i + {j}]" for j in range(k))
     gram_expr = F.expr(
         f"transform(sequence(0, size(toks) - {k}), "
-        f"i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))")
+        f"i -> concat_ws(' ', {gram_terms}))")
     grams = (toked
              .select("doc_id", (F.size("toks") - F.lit(k - 1))
                      .cast("bigint").alias("n_grams"),
@@ -242,6 +243,8 @@ def _winnow_fp_cte_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
     `_winnow_select` via an explicit w-row window JOIN — an
     independent spelling of the window semantics, so a frame or
     tie-break bug in either engine breaks the hash gate."""
+    gram = " || ' ' || ".join(f"toks[CAST(g.p AS INT) + {j}]"
+                              for j in range(k))
     return f"""toked AS MATERIALIZED (
       SELECT doc_id, list_filter(string_split(text, ' '),
                                  x -> x <> '') AS toks
@@ -249,9 +252,7 @@ def _winnow_fp_cte_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
     grams AS MATERIALIZED (
       SELECT doc_id, CAST(len(toks) - {k - 1} AS BIGINT) AS n_grams,
              g.p - 1 AS pos,
-             CAST('0x' || substr(md5('winnow:' || toks[CAST(g.p AS INT)]
-                    || ' ' || toks[CAST(g.p AS INT) + 1]
-                    || ' ' || toks[CAST(g.p AS INT) + 2]), 1, 8)
+             CAST('0x' || substr(md5('winnow:' || {gram}), 1, 8)
                   AS BIGINT) AS h
       FROM toked, UNNEST(generate_series(1, len(toks) - {k - 1}))
              AS g(p)
