@@ -271,6 +271,9 @@ HEADLINE = [
     # round 7: ANALYZE-style per-column statistics in one scan (the
     # CBO statistics artifact)
     "q_analyze_stats",
+    # round 7: serve-split hybrid retrieval (committed inverted index
+    # + committed IVFADC index, RRF-fused — the RAG serving query)
+    "q_hybrid_from_index",
 ]
 
 

@@ -1534,6 +1534,46 @@ def rrf_fusion(documents: DataFrame, embeddings: DataFrame,
             .orderBy(F.col("rrf").desc(), "id").limit(k))
 
 
+def hybrid_from_index(spark: SparkSession, sf_dir: str,
+                      k: int = 10, rrf_k: int = RRF_K) -> DataFrame:
+    """Serve-split HYBRID retrieval — the production RAG serving
+    query, composing two committed indexes in one plan: lexical
+    candidates from the inverted-index serve (`bm25_from_index`,
+    corpus text never read) and vector candidates from the
+    residual-IVFADC serve (`ann_query_from_index`, zero Lloyd
+    iterations), fused by Reciprocal Rank Fusion exactly as the
+    in-query `rrf_fusion`.  Training lives entirely in the two
+    build-once artifacts; every per-query cost is a pruned artifact
+    scan + bounded windows over ≤15/≤5 candidate rows — the
+    query-node work of a deployed hybrid retriever, at any corpus
+    size.  The oracle recomputes BOTH legs from raw data (q_bm25's
+    corpus scoring + the full retrained residual-IVFADC chain) and
+    fuses identically, so the hash gate proves index-serving hybrid ≡
+    from-scratch hybrid end to end."""
+    from pyspark.sql import Window
+
+    from .text import bm25_from_index
+
+    bm = bm25_from_index(spark, sf_dir)          # (doc_id, bm25), ≤15
+    vec = ann_query_from_index(spark, sf_dir)    # (…, exact_dist), ≤5
+    wb = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    bm_r = bm.select(F.col("doc_id").alias("id"),
+                     F.row_number().over(wb).cast("int")
+                     .alias("bm25_rank"))
+    wv = Window.orderBy("exact_dist", "vec_id")
+    vec_r = vec.select(F.col("vec_id").alias("id"),
+                       F.row_number().over(wv).cast("int")
+                       .alias("vec_rank"))
+    fused = bm_r.join(vec_r, "id", "full_outer")
+    rrf = (F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("bm25_rank")),
+                      F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rank")),
+                        F.lit(0.0)))
+    return (fused.select("id", "bm25_rank", "vec_rank",
+                         F.round(rrf, 6).alias("rrf"))
+            .orderBy(F.col("rrf").desc(), "id").limit(k))
+
+
 SEMANTIC_COS = 0.4  # intra-cluster near-duplicate threshold
 
 
@@ -2682,6 +2722,29 @@ SPECS: dict[str, Spec] = {
         "hybrid retrieval: reciprocal-rank fusion of the BM25 lexical "
         "list and the cosine vector list (score-free fusion; ranks from "
         "the two pinned contract lists)"),
+    "q_hybrid_from_index": Spec(
+        lambda spark, sf: hybrid_from_index(spark, sf),
+        f"""
+        WITH bm AS ({{bm25}}),
+        vec AS ({_ivfpq_residual_oracle_sql()}),
+        bmr AS (SELECT doc_id AS id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                            AS INT) AS bm25_rank
+                FROM bm),
+        vr AS (SELECT vec_id AS id,
+                      CAST(ROW_NUMBER() OVER (ORDER BY exact_dist,
+                                              vec_id) AS INT) AS vec_rank
+               FROM vec)
+        SELECT COALESCE(bmr.id, vr.id) AS id, bm25_rank, vec_rank,
+               ROUND(COALESCE(1.0 / ({RRF_K} + bm25_rank), 0.0)
+                     + COALESCE(1.0 / ({RRF_K} + vec_rank), 0.0), 6) AS rrf
+        FROM bmr FULL OUTER JOIN vr ON bmr.id = vr.id
+        ORDER BY rrf DESC, id LIMIT 10
+        """.replace("{bm25}", _TEXT_SPECS["q_bm25"].oracle),
+        "serve-split hybrid retrieval (the production RAG serving "
+        "query): committed inverted index + committed residual-IVFADC "
+        "index, RRF-fused — training lives in the artifacts; oracle "
+        "recomputes both legs from raw data"),
     "q_embed_norms": Spec(
         lambda spark, sf: embedding_norms(load_table(spark, sf, "embeddings")),
         f"""

@@ -11,7 +11,7 @@ leaving timeseries/multimodal/pipeline/udx unverified).  ``PRIORITY``
 pins the verification window each round: queries whose semantics
 changed this round plus queries with no driver row yet come first,
 then the reference §2.A/§2.B parity surface, then the long-green
-remainder.  Everything (200 queries as of round 7) still runs in
+remainder.  Everything (201 queries as of round 7) still runs in
 tests/parity.py, whose committed PARITY_r{N}.json covers the overflow.
 
 The window contract is self-tested: tests/test_registry.py asserts
@@ -34,7 +34,7 @@ from .spec import Spec
 #: surface.  Names not listed (or not registered) follow in module
 #: order; unknown names here are ignored, so the list is safe to
 #: curate ahead of the code — but the FIRST 50 are contract (see
-#: tests/test_registry.py).  (200 queries as of round 7.)
+#: tests/test_registry.py).  (201 queries as of round 7.)
 PRIORITY: tuple[str, ...] = (
     # ---- round-7 window (slots 1-50) ------------------------------
     # (1a) new in round 7 (never driver-checked): the session-2
@@ -43,6 +43,7 @@ PRIORITY: tuple[str, ...] = (
     # the two append-maintenance serves (VERDICT r6 item 2) and the
     # session-1 serving/classifier queries
     "q_ann_binary", "q_mmr_rerank", "q_cms_counts", "q_bpe_fertility",
+    "q_hybrid_from_index",
     "q_communities_lpa", "q_analyze_stats",
     "q_winnowing", "q_winnowing_pairs",
     "q_bm25_index_append", "q_dedup_index_append",

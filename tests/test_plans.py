@@ -651,3 +651,17 @@ def test_cms_sketch_map_side_combines_and_broadcasts(spark, specs):
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
     assert has_broadcast_join(df)
+
+
+def test_hybrid_serve_reads_only_committed_indexes(spark, specs):
+    """The hybrid serve's contract: BOTH legs come from committed
+    artifacts — the lexical leg's postings (corpus text never read)
+    and the vector leg's index tables (zero Lloyd training
+    aggregates on that leg; the only aggregates in the plan are the
+    BM25 scorer's bounded candidate sums)."""
+    df = specs["q_hybrid_from_index"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "text_index_" in plan          # committed postings artifact
+    assert "ann_index_" in plan           # committed ANN artifacts
+    assert "documents.parquet" not in plan  # corpus text never read
+    assert "CartesianProduct" not in plan
