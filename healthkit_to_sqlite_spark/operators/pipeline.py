@@ -399,7 +399,7 @@ def _lpa_oracle_sql(rounds: int = LPA_ROUNDS) -> str:
     of the engine's min(struct(-n, lbl))."""
     parts, prev = [], "lbl0"
     for r in range(1, rounds + 1):
-        parts.append(f"""lbl{r} AS (
+        parts.append(f"""lbl{r} AS MATERIALIZED (
           SELECT src AS doc_id, lbl FROM (
             SELECT v.src, v.lbl,
                    ROW_NUMBER() OVER (PARTITION BY v.src
@@ -414,9 +414,11 @@ def _lpa_oracle_sql(rounds: int = LPA_ROUNDS) -> str:
         prev = f"lbl{r}"
     return f"""
     WITH {_LSH_PAIRS_SQL},
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-              UNION ALL SELECT doc_b, doc_a FROM pairs),
-    lbl0 AS (SELECT DISTINCT src AS doc_id, src AS lbl FROM edges),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    lbl0 AS MATERIALIZED (
+      SELECT DISTINCT src AS doc_id, src AS lbl FROM edges),
     {", ".join(parts)}
     SELECT doc_id, lbl AS community FROM {prev}
     """

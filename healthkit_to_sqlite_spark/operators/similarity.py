@@ -1496,6 +1496,23 @@ def negative_pairs(embeddings: DataFrame, k: int = NEG_K,
 RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
 
 
+def _rrf_fuse(left_ranked: DataFrame, right_ranked: DataFrame,
+              left_rank: str, right_rank: str,
+              k: int, rrf_k: int) -> DataFrame:
+    """The one fusion definition both hybrid queries share: full-outer
+    join two (id, rank) lists and score Σ 1/(rrf_k + rank), a missing
+    list contributing 0 — two IEEE divisions added in fixed written
+    order, identical in both engines."""
+    fused = left_ranked.join(right_ranked, "id", "full_outer")
+    rrf = (F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col(left_rank)),
+                      F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col(right_rank)),
+                        F.lit(0.0)))
+    return (fused.select("id", left_rank, right_rank,
+                         F.round(rrf, 6).alias("rrf"))
+            .orderBy(F.col("rrf").desc(), "id").limit(k))
+
+
 def rrf_fusion(documents: DataFrame, embeddings: DataFrame,
                k: int = 10, rrf_k: int = RRF_K) -> DataFrame:
     """Hybrid retrieval: fuse the BM25 lexical top-15 (text.bm25_topk
@@ -1524,14 +1541,7 @@ def rrf_fusion(documents: DataFrame, embeddings: DataFrame,
     wc = Window.orderBy(F.col("cosine_sim").desc(), "vec_id")
     cos_r = cos.select(F.col("vec_id").alias("id"),
                        F.row_number().over(wc).cast("int").alias("cos_rank"))
-    fused = bm_r.join(cos_r, "id", "full_outer")
-    rrf = (F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("bm25_rank")),
-                      F.lit(0.0))
-           + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("cos_rank")),
-                        F.lit(0.0)))
-    return (fused.select("id", "bm25_rank", "cos_rank",
-                         F.round(rrf, 6).alias("rrf"))
-            .orderBy(F.col("rrf").desc(), "id").limit(k))
+    return _rrf_fuse(bm_r, cos_r, "bm25_rank", "cos_rank", k, rrf_k)
 
 
 def hybrid_from_index(spark: SparkSession, sf_dir: str,
@@ -1564,14 +1574,7 @@ def hybrid_from_index(spark: SparkSession, sf_dir: str,
     vec_r = vec.select(F.col("vec_id").alias("id"),
                        F.row_number().over(wv).cast("int")
                        .alias("vec_rank"))
-    fused = bm_r.join(vec_r, "id", "full_outer")
-    rrf = (F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("bm25_rank")),
-                      F.lit(0.0))
-           + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rank")),
-                        F.lit(0.0)))
-    return (fused.select("id", "bm25_rank", "vec_rank",
-                         F.round(rrf, 6).alias("rrf"))
-            .orderBy(F.col("rrf").desc(), "id").limit(k))
+    return _rrf_fuse(bm_r, vec_r, "bm25_rank", "vec_rank", k, rrf_k)
 
 
 SEMANTIC_COS = 0.4  # intra-cluster near-duplicate threshold
@@ -1922,7 +1925,9 @@ def mmr_rerank(embeddings: DataFrame, query_vec_id: int = 0,
     selected: list[int] = []
     remaining = set(rel)
     rows = []
-    for step in range(1, k + 1):
+    # a corpus smaller than k stops at the candidate count, exactly
+    # like the oracle's winnerless sel{t} steps emit no row
+    for step in range(1, min(k, len(remaining)) + 1):
         best_v, best_score = None, None
         for v in sorted(remaining):
             penalty = max((sim[(v, u)] for u in selected), default=0.0)

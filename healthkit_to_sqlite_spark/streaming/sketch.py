@@ -53,14 +53,19 @@ def read_estimates(spark: SparkSession, table: ManifestTable,
     """Point-frequency estimates for ``tokens`` from the maintained
     artifact: same cells, same min-over-rows as the batch probe —
     missing cells read as 0 (a token never streamed past estimates
-    to exactly zero, CMS's one-sided-error floor)."""
+    to exactly zero, CMS's one-sided-error floor) — including the
+    never-folded artifact, whose zero-column read short-circuits to
+    all-zero estimates."""
     probes = spark.createDataFrame([(t,) for t in tokens], "token string")
+    art = table.read(spark)
+    if not art.columns:
+        return (probes.select("token", F.lit(0).cast("bigint")
+                              .alias("cms_n")).orderBy("token"))
     pr = probes.select(
         "token",
         F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"))
     cells = pr.select("token", "r",
                       _cms_cell(F.col("r"), F.col("token"), w).alias("c"))
-    art = table.read(spark)
     return (cells.join(F.broadcast(art), ["r", "c"], "left")
             .groupBy("token")
             .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_n"))

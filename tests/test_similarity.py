@@ -627,3 +627,20 @@ def test_mmr_rerank_diversifies_vs_plain_topk(spark):
 
     scores = [r.mmr_score for r in sorted(out, key=lambda r: r.step)]
     assert all(a >= b for a, b in zip(scores, scores[1:]))
+
+
+def test_mmr_rerank_small_corpus_stops_at_candidate_count(spark):
+    """Fewer than k candidates: the greedy stops at the candidate
+    count (no NULL-filled steps), mirroring the oracle's winnerless
+    steps emitting no row."""
+    import random
+
+    from healthkit_to_sqlite_spark.operators.similarity import mmr_rerank
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mmr_rerank(emb, k=10).collect()
+    assert len(out) == 5
+    assert all(r.vec_id is not None and r.mmr_score is not None
+               for r in out)

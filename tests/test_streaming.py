@@ -779,3 +779,15 @@ def test_streaming_cms_kill_resume_equals_batch_sketch(spark, tmp_path):
     est = {r.token: r.cms_n
            for r in read_estimates(spark, tbl, sorted(probe)).collect()}
     assert est == probe
+
+
+def test_cms_read_estimates_zero_before_first_fold(spark, tmp_path):
+    """The never-folded artifact reads as all-zero estimates (CMS's
+    one-sided floor), not an unresolved-column error."""
+    from healthkit_to_sqlite_spark.sinks.manifest import ManifestTable
+    from healthkit_to_sqlite_spark.streaming.sketch import read_estimates
+
+    tbl = ManifestTable(str(tmp_path / "cms_empty"))
+    out = {r.token: r.cms_n
+           for r in read_estimates(spark, tbl, ["alpha", "beta"]).collect()}
+    assert out == {"alpha": 0, "beta": 0}
