@@ -518,11 +518,12 @@ def _prev_committed() -> dict[str, float]:
         return {}
 
 
-def _fresh_jvm_medians(names: list[str]) -> dict[str, float]:
+def _fresh_jvm_medians(names: list[str]) -> dict[str, list[float]]:
     """Re-time ``names`` in a FRESH JVM: subprocess re-invokes this
     file with --only (runs after the parent session stops, so the two
-    Spark processes never overlap).  Returns {} on any failure — a
-    broken rerun must not sink the bench."""
+    Spark processes never overlap).  Returns {name: [median, min,
+    max]} so a substituted headline median carries its own spread;
+    {} on any failure — a broken rerun must not sink the bench."""
     import subprocess
 
     try:
@@ -549,8 +550,13 @@ def run_only(names: list[str]) -> None:
 
     spark = get_spark("bench_only", cpus=cpus, shuffle_partitions=cpus)
     qs = queries()
-    timings = {n: round(statistics.median(_time_runs(spark, qs[n], sf_dir)), 4)
-               for n in names if n in qs}
+    timings = {}
+    for n in names:
+        if n not in qs:
+            continue
+        runs = _time_runs(spark, qs[n], sf_dir)
+        timings[n] = [round(statistics.median(runs), 4),
+                      round(min(runs), 4), round(max(runs), 4)]
     print("ONLY " + json.dumps(timings))
     spark.stop()
 
@@ -652,9 +658,14 @@ def main() -> None:
         reruns = {}
         for n in outliers:
             if n in fresh:
-                reruns[n] = {"in_loop": timings[n], "fresh": fresh[n],
+                med, lo, hi = fresh[n]
+                reruns[n] = {"in_loop": timings[n], "fresh": med,
                              "prev": prev[n]}
-                timings[n] = fresh[n]
+                timings[n] = med
+                # keep the committed median inside its own committed
+                # spread: substitution also substitutes the spread
+                # (the fresh runs' min/max) — r7 ADVICE
+                spread[n] = [lo, hi]
         out["fresh_reruns"] = reruns
         out["queries"] = timings
         out["value"] = round(sum(timings.values()), 4)

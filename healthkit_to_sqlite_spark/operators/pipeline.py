@@ -385,11 +385,18 @@ def _lpa_propagate(edges: DataFrame, rounds: int) -> DataFrame:
                                          "lbl")))
         counts = (neigh.groupBy("src", "lbl")
                   .agg(F.count(F.lit(1)).alias("n")))
+        # Each round references `labels` TWICE (neighbor join +
+        # self-vote union), so without truncation the logical plan
+        # doubles the prior round's subtree per round (2^rounds
+        # growth).  Lazy localCheckpoint per round keeps lineage
+        # one-round deep, matching the Lloyd/pagerank/CC kernels
+        # (r7 ADVICE).
         labels = (counts.groupBy("src")
                   .agg(F.min(F.struct((-F.col("n")).alias("nn"),
                                       F.col("lbl"))).alias("w"))
                   .select(F.col("src").alias("doc_id"),
-                          F.col("w.lbl").alias("lbl")))
+                          F.col("w.lbl").alias("lbl"))
+                  .localCheckpoint(eager=False))
     return labels.select("doc_id", F.col("lbl").alias("community"))
 
 

@@ -414,8 +414,17 @@ def _assign_sub(staged: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 #: Per-process memo of passed seed-count guards, keyed on
-#: (corpus semanticHash, seed_stride, k) — see pq_codes.
-_SEED_GUARD_OK: set[tuple[int, int, int]] = set()
+#: (corpus semanticHash, sorted inputFiles, seed_stride, k) — see
+#: pq_codes.  semanticHash identifies the LOGICAL PLAN only (and is
+#: an unstable 32-bit developer API), so the key also carries the
+#: relation's source files: regenerating the data behind the same
+#: path set in-process (or a hash collision) no longer silently
+#: skips the fail-loud guard (r7 ADVICE).  Staleness window: an
+#: in-place rewrite that keeps the exact same file NAMES within one
+#: process is still memoized — our sinks always publish new
+#: part-file names via the manifest layer, so that window is empty
+#: in practice.
+_SEED_GUARD_OK: set[tuple] = set()
 
 
 def pq_codes(embeddings: DataFrame, m: int = PQ_M, sub_dim: int = PQ_SUB_DIM,
@@ -469,7 +478,9 @@ def pq_codes(embeddings: DataFrame, m: int = PQ_M, sub_dim: int = PQ_SUB_DIM,
         # is cached per (corpus plan semantics, stride, k): Catalyst's
         # ``semanticHash`` identifies the corpus relation without
         # executing it, and same-corpus rebuilds skip the job.
-        guard_key = (embeddings.semanticHash(), seed_stride, k)
+        guard_key = (embeddings.semanticHash(),
+                     tuple(sorted(embeddings.inputFiles())),
+                     seed_stride, k)
         if guard_key not in _SEED_GUARD_OK:
             n_seeds = cent.select(F.countDistinct("cid")).first()[0]
             if n_seeds < k:
@@ -860,7 +871,8 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
              .select("d1", "x1",
                      F.posexplode(F.slice(F.col("embedding"),
                                           F.col("d1") + 1,
-                                          F.lit(DIM) - F.col("d1")))
+                                          F.size("embedding")
+                                          - F.col("d1")))
                      .alias("off", "x2"))
              .select("d1", (F.col("d1") + F.col("off")).alias("d2"),
                      (F.col("x1").cast("double")
