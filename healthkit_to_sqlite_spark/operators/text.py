@@ -708,8 +708,6 @@ def build_pruned_text_index(spark: SparkSession, sf_dir: str,
     sort.  Version-guarded and cached per (op, m, sf_dir)."""
     import os
 
-    from pyspark.sql import Window
-
     from ..sinks.manifest import ManifestCatalog
     from .pipeline import _work_dir
 
@@ -719,12 +717,8 @@ def build_pruned_text_index(spark: SparkSession, sf_dir: str,
         full = build_text_index(spark, sf_dir)
         post = full.read(spark, "postings")
         doclen = full.read(spark, "doclen")
-        w = Window.partitionBy("term").orderBy(
-            F.col("tf").desc(), F.col("dl").asc(), F.col("doc_id").asc())
-        pruned = (post.join(doclen, "doc_id")
-                  .withColumn("rn", F.row_number().over(w))
-                  .filter(F.col("rn") <= m)
-                  .select("term", "doc_id", "tf", "dl"))
+        pruned = _prune_top_m(post.join(doclen, "doc_id")
+                              .select("term", "doc_id", "tf", "dl"), m)
         termdf = post.groupBy("term").agg(
             F.count(F.lit(1)).alias("df"))
         cat.publish_pass({"pruned": pruned, "termdf": termdf,
@@ -749,14 +743,28 @@ def bm25_pruned_topk(spark: SparkSession, sf_dir: str,
     lexicographic rank, and scores the same fixed-order expression —
     pruning is part of the query's declared semantics, so the hash
     gate proves both engines keep and score the same m rows."""
-    cat = build_pruned_text_index(spark, sf_dir, m)
+    return _bm25_pruned_serve(spark, build_pruned_text_index(
+        spark, sf_dir, m), terms, k)
+
+
+def _bm25_pruned_serve(spark: SparkSession, cat,
+                       terms: tuple[str, ...], k: int) -> DataFrame:
+    """Shared serve kernel of the pruned split — one body for the
+    single-pass pruned index and the prune-on-append index, so both
+    provably score identically.  Like ``_bm25_serve``, corpus stats
+    AND per-term df are treated as MERGEABLE statistics: the serve
+    SUMs the (term, df) delta rows each publish pass contributed
+    (≤ |passes|·|terms| rows collected; a single-pass catalog has one
+    row per term and the SUM is the identity)."""
     st = (cat.read(spark, "stats")
           .agg(F.sum("n_docs").alias("n_docs"),
                F.sum("sum_dl").alias("sum_dl")).first())
     n_docs, sum_dl = int(st.n_docs), int(st.sum_dl)
     dfs = {r.term: int(r.df) for r in
            cat.read(spark, "termdf")
-           .filter(F.col("term").isin(*terms)).collect()}  # ≤ |terms|
+           .filter(F.col("term").isin(*terms))
+           .groupBy("term").agg(F.sum("df").alias("df"))
+           .collect()}                               # ≤ |terms| rows
     avgdl = sum_dl / n_docs
     wide = (cat.read(spark, "pruned")
             .filter(F.col("term").isin(*terms))
@@ -778,6 +786,110 @@ def bm25_pruned_topk(spark: SparkSession, sf_dir: str,
             .filter(F.col("bm25") > 0)
             .orderBy(F.col("bm25").desc(), "doc_id")
             .limit(k))
+
+
+def _prune_top_m(candidates: DataFrame, m: int) -> DataFrame:
+    """Top-m postings per term under the shared integer impact proxy
+    (tf DESC, dl ASC, doc_id ASC) — the one ranking both the build
+    and the append merge apply, so append ≡ rebuild is a theorem
+    (top-m is monotone: top_m(A ∪ B) ⊆ top_m(A) ∪ B), not a test
+    coincidence.  WindowGroupLimit per term, never a global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("dl").asc(), F.col("doc_id").asc())
+    return (candidates
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= m)
+            .select("term", "doc_id", "tf", "dl"))
+
+
+def build_pruned_text_index_appended(spark: SparkSession, sf_dir: str,
+                                     m: int = BM25_PRUNE_M,
+                                     split: int = BM25_APPEND_SPLIT):
+    """Prune-on-append: incremental maintenance for the PRUNED serving
+    index (VERDICT r7 item 3 — the one serving surface where append
+    is NOT pure row growth).  Version 1 prunes the committed BASE
+    inverted index to top-``m`` postings per term; version 2 merges a
+    new batch's postings into the committed artifact — per term, an
+    ordered merge of the ≤ m committed rows with the batch rows under
+    the SAME integer impact proxy, keeping top-``m`` of the union.
+
+    Because top-m is monotone (a full-corpus top-m posting from the
+    base must already be in the base's top-m), the merged artifact
+    equals a from-scratch prune of the full corpus EXACTLY — above
+    the prune threshold, append ≡ rebuild (m-subadditivity, pinned in
+    test_text) — so `q_bm25_pruned_append` shares `q_bm25_pruned`'s
+    oracle verbatim.
+
+    Publish mechanics: the merge DISPLACES committed rows, so the
+    ``pruned`` table is published with ``replace`` semantics (the
+    overwrite transaction, sinks/manifest.py) while ``termdf`` and
+    ``stats`` append mergeable DELTA rows the serve kernel SUMs —
+    full-corpus df must see the batch (pruning must not shift idf).
+    Version 1 stays time-travelable as the pre-append index (its
+    files are immutable and still manifest-referenced; byte-identity
+    pinned in test_text).
+
+    100 TB shape: inputs are ONLY committed artifacts — the batch
+    postings come off the appended full index with a ``doc_id >=
+    split`` pushed filter (parquet row-group stats skip every base
+    file; corpus text is never re-read), and the merge's window reads
+    ≤ m·|terms| committed rows + |batch| posting rows.  Cost is
+    ∝ |batch| + |affected terms|·m, not corpus size.  Reference
+    anchor: the incremental second pass over a committed schema
+    (reference core.rs:63-73) at the pruned-artifact grain."""
+    import os
+
+    from ..sinks.manifest import ManifestCatalog
+    from .pipeline import _work_dir
+
+    full_cat = build_text_index_appended(spark, sf_dir, split)
+    cat = ManifestCatalog(os.path.join(
+        _work_dir(f"text_index_pruned_append_{m}_{split}", sf_dir), "cat"))
+    if cat.current_version() < 1:
+        post = full_cat.read(spark, "postings", version=1)
+        doclen = full_cat.read(spark, "doclen", version=1)
+        cat.publish_pass({
+            "pruned": _prune_top_m(post.join(doclen, "doc_id")
+                                   .select("term", "doc_id", "tf", "dl"), m),
+            "termdf": post.groupBy("term")
+                          .agg(F.count(F.lit(1)).alias("df")),
+            "stats": full_cat.read(spark, "stats", version=1),
+        })
+    if cat.current_version() < 2:
+        batch_post = (full_cat.read(spark, "postings")
+                      .filter(F.col("doc_id") >= split))
+        batch_doclen = (full_cat.read(spark, "doclen")
+                        .filter(F.col("doc_id") >= split))
+        committed = cat.read(spark, "pruned", version=1)
+        merged = _prune_top_m(
+            committed.unionByName(
+                batch_post.join(batch_doclen, "doc_id")
+                .select("term", "doc_id", "tf", "dl")), m)
+        cat.publish_pass({
+            "pruned": merged,
+            "termdf": batch_post.groupBy("term")
+                                .agg(F.count(F.lit(1)).alias("df")),
+            "stats": batch_doclen.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("sum_dl")),
+        }, replace={"pruned"})
+    return cat
+
+
+def bm25_pruned_appended_topk(spark: SparkSession, sf_dir: str,
+                              terms: tuple[str, ...] = BM25_TERMS,
+                              k: int = 15,
+                              m: int = BM25_PRUNE_M) -> DataFrame:
+    """Serve BM25 from the prune-on-append index head — the same
+    serve kernel as `bm25_pruned_topk` over an artifact maintained
+    incrementally, with df/stats as summed deltas.  Shares
+    q_bm25_pruned's oracle verbatim (from-scratch rebuild + prune of
+    the FULL corpus), so a hash match proves the ordered merge keeps
+    and scores exactly the rows a full rebuild would."""
+    return _bm25_pruned_serve(
+        spark, build_pruned_text_index_appended(spark, sf_dir, m), terms, k)
 
 
 def _bm25_pruned_oracle_sql(terms: tuple[str, ...] = BM25_TERMS,
@@ -2398,3 +2510,17 @@ SPECS["q_bm25_pruned"] = Spec(
     "(tf desc, dl asc, doc_id) impact proxy with dl denormalized in "
     "and FULL-corpus df preserved; serve scans ≤ m·|terms| rows — "
     "lexical serving cost flat in corpus size (sf1 slope set)")
+
+#: Prune-on-append shares the pruned oracle verbatim: above the prune
+#: threshold, the ordered merge equals a full rebuild (top-m is
+#: monotone), so incremental maintenance must be invisible to scoring.
+SPECS["q_bm25_pruned_append"] = Spec(
+    lambda spark, sf: bm25_pruned_appended_topk(spark, sf),
+    _bm25_pruned_oracle_sql(),
+    "prune-on-append maintenance for the pruned serving index (r7 "
+    "VERDICT item 3 — the one index where append is an ordered MERGE, "
+    "not row growth): v1 prunes the committed base index to top-m per "
+    "term, v2 merges the batch's postings under the same integer "
+    "impact proxy and REPLACES the artifact atomically (termdf/stats "
+    "ride as mergeable deltas); same oracle as q_bm25_pruned, so the "
+    "hash match proves append == rebuild above the prune threshold")

@@ -476,7 +476,13 @@ class ManifestCatalog(_ManifestLog):
     Manifest shape: ``{"tables": {name: {"schema": ..., "files":
     [...]}}, "parent": v}``.  A pass APPENDS to the tables it names
     and carries every other table forward unchanged, so independent
-    passes over disjoint table sets serialize without interference."""
+    passes over disjoint table sets serialize without interference.
+    Tables named in ``replace`` instead get the new file set ONLY —
+    the overwrite transaction every table format pairs with append
+    (needed when maintenance is an ordered merge that DISPLACES
+    committed rows, e.g. prune-on-append for a top-m postings
+    artifact).  Replaced files stay referenced by older manifests, so
+    time travel and vacuum safety are unchanged."""
 
     @staticmethod
     def _manifest_files(manifest: dict) -> list[str]:
@@ -484,7 +490,9 @@ class ManifestCatalog(_ManifestLog):
                 for f in t["files"]]
 
     def publish_pass(self, tables: dict[str, DataFrame],
-                     max_retries: int = 10) -> int:
+                     max_retries: int = 10,
+                     replace: frozenset[str] | set[str] = frozenset(),
+                     ) -> int:
         """Stage EVERY table's files first (all invisible), then CAS
         one manifest naming them all.  Any failure before the publish
         leaves only unreferenced staging garbage — readers never see
@@ -495,7 +503,8 @@ class ManifestCatalog(_ManifestLog):
             prev = self._load(head).get("tables", {}) if head else {}
             merged = dict(prev)
             for name, (files, schema) in staged.items():
-                old = prev.get(name, {}).get("files", [])
+                old = ([] if name in replace
+                       else prev.get(name, {}).get("files", []))
                 merged[name] = {"schema": schema, "files": old + files}
             try:
                 self._publish({"tables": merged, "parent": head}, head + 1)

@@ -286,6 +286,31 @@ def test_catalog_second_pass_appends_and_carries_forward(spark, cat):
         cat.read(spark, "missing")
 
 
+def test_catalog_replace_overwrites_one_table_only(spark, cat):
+    """The overwrite transaction (prune-on-append's publish shape):
+    a table named in ``replace`` carries ONLY the new pass's files,
+    sibling tables in the same pass still append, untouched tables
+    carry forward, and the replaced table's old version stays
+    time-travelable (old files remain manifest-referenced, so vacuum
+    must not collect them)."""
+    cat.publish_pass({"a": _batch(spark, 0, 10), "b": _batch(spark, 0, 5),
+                      "c": _batch(spark, 0, 3)})
+    v = cat.publish_pass({"a": _batch(spark, 100, 104),
+                          "b": _batch(spark, 5, 7)}, replace={"a"})
+    assert v == 2
+    assert cat.read(spark, "a").count() == 4        # replaced
+    assert cat.read(spark, "b").count() == 7        # appended
+    assert cat.read(spark, "c").count() == 3        # carried forward
+    # time travel: the pre-replace content is intact and vacuum-safe
+    assert cat.read(spark, "a", version=1).count() == 10
+    assert cat.vacuum(min_age_seconds=0) == []
+    assert cat.read(spark, "a", version=1).count() == 10
+    # file-level: v2's 'a' files are disjoint from v1's (true replace)
+    f1 = set(cat._load(1)["tables"]["a"]["files"])
+    f2 = set(cat._load(2)["tables"]["a"]["files"])
+    assert f1 and f2 and not (f1 & f2)
+
+
 def test_ingest_fanout_atomic_publish(spark, hk_zip, tmp_path):
     """The real A4 composition: archive → record_tables fan-out →
     write_tables_atomic = one commit for the whole per-type table

@@ -472,6 +472,79 @@ def test_bm25_pruned_static_index_properties(spark):
     assert got == want
 
 
+def test_bm25_prune_on_append_merge_equals_rebuild(spark):
+    """Prune-on-append invariants (r7 VERDICT item 3): (1)
+    m-subadditivity — the ordered merge of (committed base top-m ∪
+    batch) equals a from-scratch prune of the FULL corpus exactly,
+    row for row, because top-m is monotone; (2) per-term bound ≤ m
+    holds post-merge; (3) time travel — version 1 (the pre-append
+    pruned artifact) is byte-identical after the append (same
+    manifest file list, same rows) and the replaced table's v2 files
+    are disjoint from v1's; (4) termdf/stats ride as mergeable
+    DELTAS (two rows summing to full-corpus truth); (5) the served
+    top-k equals the single-pass pruned serve row-for-row."""
+    from pyspark.sql import functions as F
+
+    from healthkit_to_sqlite_spark.operators.text import (
+        BM25_PRUNE_M,
+        bm25_pruned_appended_topk,
+        bm25_pruned_topk,
+        build_pruned_text_index,
+        build_pruned_text_index_appended,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cat = build_pruned_text_index_appended(spark, sf)
+    assert cat.current_version() == 2
+    files_v1_before = cat._load(1)["tables"]["pruned"]["files"]
+
+    # (1) merge == rebuild: the from-scratch pruned index over the
+    # full corpus (the committed q_bm25_pruned artifact)
+    rebuild = sorted(map(tuple, build_pruned_text_index(spark, sf)
+                         .read(spark, "pruned").collect()))
+    merged = sorted(map(tuple, cat.read(spark, "pruned").collect()))
+    assert merged == rebuild
+
+    # (2) per-term bound survives the merge
+    over = (cat.read(spark, "pruned").groupBy("term").count()
+            .filter(F.col("count") > BM25_PRUNE_M).count())
+    assert over == 0
+
+    # (3) time travel: v1 untouched by the replace publish
+    assert cat._load(1)["tables"]["pruned"]["files"] == files_v1_before
+    f1 = set(files_v1_before)
+    f2 = set(cat._load(2)["tables"]["pruned"]["files"])
+    assert f1 and f2 and not (f1 & f2)
+    base_top = cat.read(spark, "pruned", version=1)
+    assert base_top.groupBy("term").count() \
+                   .filter(F.col("count") > BM25_PRUNE_M).count() == 0
+
+    # (4) df/stats deltas sum to full-corpus truth
+    docs = load_table(spark, sf, "documents")
+    st = cat.read(spark, "stats")
+    assert st.count() == 2
+    s = st.agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("d")).first()
+    truth = docs.select(F.count(F.lit(1)).alias("n"),
+                        F.sum(F.size(F.split("text", " "))).alias("d")
+                        ).first()
+    assert (s.n, s.d) == (truth.n, truth.d)
+    merged_df = {r.term: r.s for r in
+                 cat.read(spark, "termdf").groupBy("term")
+                 .agg(F.sum("df").alias("s")).collect()}
+    true_df = {r.term: r.c for r in
+               docs.select("doc_id", F.explode(F.split("text", " "))
+                           .alias("term"))
+               .filter(F.col("term") != "").distinct()
+               .groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+               .collect()}
+    assert merged_df == true_df
+
+    # (5) serve equality vs the single-pass pruned serve
+    got = sorted(map(tuple, bm25_pruned_appended_topk(spark, sf).collect()))
+    want = sorted(map(tuple, bm25_pruned_topk(spark, sf).collect()))
+    assert got == want
+
+
 def test_quality_classifier_exact_solve_and_distillation(spark):
     """Classifier-split pins: (1) the distributed integer normal
     equations reproduce a pure-Python X/y build EXACTLY, so the
