@@ -1151,26 +1151,63 @@ def ann_batch_query_from_index(spark: SparkSession, sf_dir: str,
     why vector serving batches queries: scan cost amortizes 1/Q per
     query while broadcast state stays tiny.  Zero Lloyd work —
     aggregate-free plan like the single-query serve (pinned)."""
-    from pyspark.sql import Window
-
     cat = build_ann_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = cat.read(spark, "centroids")
-    cells = cat.read(spark, "cells")
-    codes = cat.read(spark, "codes")
-    book = cat.read(spark, "codebook")
+    return _batch_adc_serve(
+        emb,
+        cat.read(spark, "centroids"),
+        cat.read(spark, "cells"),
+        cat.read(spark, "codes"),
+        cat.read(spark, "codebook"),
+        n_queries, k, nprobe, rerank_factor)
+
+
+def _batch_adc_serve(emb: DataFrame, cent: DataFrame, cells: DataFrame,
+                     codes: DataFrame, book: DataFrame,
+                     n_queries: int, k: int, nprobe: int,
+                     rerank_factor: int,
+                     probe_budget: int | None = None) -> DataFrame:
+    """The amortized batch residual-ADC serve kernel, parameterized by
+    the four index artifacts — one body for the committed index, the
+    appended index, and the rebalanced index, so serve behavior is
+    provably shared across maintenance paths.
+
+    ``probe_budget`` switches probing from a fixed CELL count to a
+    VECTOR scan budget: cells are taken in query-distance order until
+    the cumulative member count reaches the budget (the last admitted
+    cell may overshoot).  This is how a serving layer keeps scan cost
+    constant when cell sizes change under it — after a rebalance
+    splits hot cells, fixed-nprobe would silently scan half the
+    vectors and recall would drop for a reason that has nothing to do
+    with index quality."""
+    from pyspark.sql import Window
+
     qs = (emb.filter(F.col("vec_id") < n_queries)
           .select(F.col("vec_id").alias("q_id"),
                   F.col("embedding").alias("q_emb")))
     w_probe = Window.partitionBy("q_id").orderBy("qdist", "q_cell")
-    probe = (cent.crossJoin(F.broadcast(qs))
-             .select("q_id", F.col("cid").alias("q_cell"),
-                     F.round(_l2sq(F.transform("q_emb",
-                                               lambda x: x.cast("double")),
-                                   F.col("cemb")), 9).alias("qdist"))
-             .withColumn("rn", F.row_number().over(w_probe))
-             .filter(F.col("rn") <= nprobe)
-             .select("q_id", "q_cell"))
+    ranked = (cent.crossJoin(F.broadcast(qs))
+              .select("q_id", F.col("cid").alias("q_cell"),
+                      F.round(_l2sq(F.transform("q_emb",
+                                                lambda x: x.cast("double")),
+                                    F.col("cemb")), 9).alias("qdist")))
+    if probe_budget is None:
+        probe = (ranked
+                 .withColumn("rn", F.row_number().over(w_probe))
+                 .filter(F.col("rn") <= nprobe)
+                 .select("q_id", "q_cell"))
+    else:
+        occ = (cells.groupBy("cell")
+               .agg(F.count(F.lit(1)).alias("cn")))
+        w_prior = (Window.partitionBy("q_id").orderBy("qdist", "q_cell")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+        probe = (ranked
+                 .join(F.broadcast(occ), F.col("q_cell") == F.col("cell"))
+                 .withColumn("prior",
+                             F.coalesce(F.sum("cn").over(w_prior),
+                                        F.lit(0)))
+                 .filter(F.col("prior") < probe_budget)
+                 .select("q_id", "q_cell"))
     qres = (cent.join(F.broadcast(probe), F.col("cid") == F.col("q_cell"))
             .join(F.broadcast(qs), "q_id")
             .select("q_id", "q_cell",
@@ -1228,12 +1265,20 @@ def ann_recall_report(spark: SparkSession, sf_dir: str,
     (the audit cost — at 100 TB it runs on a sampled probe set, which
     is exactly what ``n_queries`` models).  Integer hit counts divide
     once at the end, so both engines agree bit-exactly."""
-    from pyspark.sql import Window
-
     approx = (ann_batch_query_from_index(spark, sf_dir, n_queries, k,
                                          nprobe, rerank_factor)
               .select("q_id", "vec_id"))
     emb = load_table(spark, sf_dir, "embeddings")
+    return _recall_vs_exact(emb, approx, n_queries, k)
+
+
+def _recall_vs_exact(emb: DataFrame, approx: DataFrame,
+                     n_queries: int, k: int) -> DataFrame:
+    """Per-query recall@k of an approximate (q_id, vec_id) result set
+    against the exact L2 ground truth — shared by the committed-index
+    recall report and the rebalance before/after comparison."""
+    from pyspark.sql import Window
+
     qs = (emb.filter(F.col("vec_id") < n_queries)
           .select(F.col("vec_id").alias("q_id"),
                   F.col("embedding").alias("q_emb")))
@@ -1367,6 +1412,370 @@ def ann_query_from_appended_index(spark: SparkSession, sf_dir: str,
         cat.read(spark, "codes"),
         cat.read(spark, "codebook"),
         query_vec_id, k, nprobe, rerank_factor)
+
+
+IVF_SPLIT_PCT = 103  # split when n·K·100 > SPLIT_PCT·total (3% over mean)
+IVF_MERGE_PCT = 97   # merge when n·K·100 < MERGE_PCT·total (3% under mean)
+IVF_SPLIT_ITERS = 2  # local 2-means refinement rounds per hot cell
+
+
+def rebalance_ann_index(spark: SparkSession, sf_dir: str,
+                        split_pct: int = IVF_SPLIT_PCT,
+                        merge_pct: int = IVF_MERGE_PCT,
+                        iters: int = IVF_SPLIT_ITERS):
+    """IVF cell rebalancing — acting on the signals `q_ivf_postings`
+    (occupancy) and `q_ann_recall_report` (recall) emit (VERDICT r7
+    item 4): SPLIT every cell above the occupancy bound via a local
+    2-means on that cell's members only, MERGE every starved cell's
+    members into their nearest surviving centroid, re-encode ONLY the
+    moved vectors with the FROZEN PQ codebook, and publish the result
+    as a new atomic version.
+
+    Thresholds are exact-integer relative bounds (``n·K·100 ≷
+    pct·total`` — no float mean, so Spark and the oracle classify
+    identically).  The 103/97 defaults are tuned so the synthetic
+    near-uniform test corpus exercises BOTH paths at every test
+    scale; a production deployment sets the production values (e.g.
+    200/25) — the machinery is threshold-independent.
+
+    Publish mechanics (the at-scale story): version 1 is a SHALLOW
+    CLONE of the live committed index (zero copy — the manifest
+    references the source files); version 2 writes ``centroids``
+    with replace semantics (K±few rows, tiny at any scale) plus
+    ``cells_delta`` / ``codes_delta`` holding ONLY the moved vectors
+    — merge-on-read overlay resolution at serve (`_rebal_artifacts`),
+    the deletion-vector shape, so rebalance write cost is
+    ∝ |moved| + K, never corpus size.  Untouched cells' rows ride the
+    SAME immutable files as version 1 (byte-identical by
+    construction; pinned file-level in test_similarity).
+
+    Determinism: 2-means seeds per hot cell are the min-vec_id member
+    and the member farthest from it (tie → lowest vec_id); fixed
+    ``iters`` rounds; decimal-exact means; all distances rounded to
+    9 dp with (dist, id) tie-breaks — the house Lloyd discipline, so
+    the unrolled SQL oracle reproduces the assignment bit-for-bit.
+
+    At 100 TB: the per-cell 2-means touches one cell's members (the
+    hot cells train in PARALLEL as one grouped plan, not a driver
+    loop); re-encode is a frozen nearest-code assignment over moved
+    rows only; the occupancy collect is ≤K rows.  This is FAISS's
+    add-with-split / IVF re-list maintenance re-expressed as a
+    catalog transaction."""
+    import os
+
+    from ..sinks.manifest import ManifestCatalog
+    from .pipeline import _work_dir
+
+    base = build_ann_index(spark, sf_dir)
+    cat = ManifestCatalog(os.path.join(
+        _work_dir(f"ann_index_rebal_{split_pct}_{merge_pct}", sf_dir),
+        "cat"))
+    if cat.current_version() < 1:
+        cat.clone_pass(base)
+    if cat.current_version() < 2:
+        _rebalance_pass(spark, load_table(spark, sf_dir, "embeddings"),
+                        cat, split_pct, merge_pct, iters)
+    return cat
+
+
+def _rebalance_pass(spark: SparkSession, emb: DataFrame, cat,
+                    split_pct: int, merge_pct: int,
+                    iters: int = IVF_SPLIT_ITERS) -> None:
+    """The split/merge/re-encode pass over a catalog whose version 1
+    holds the four index artifacts — factored from
+    :func:`rebalance_ann_index` so tests can drive it with a SKEWED
+    fixture corpus (the production case where splitting is warranted;
+    the near-uniform contract corpus demos the machinery but is
+    recall-negative by construction — see the recall pins in
+    test_similarity)."""
+    from pyspark.sql import Window
+
+    cent = cat.read(spark, "centroids", version=1)
+    cells = cat.read(spark, "cells", version=1)
+    book = cat.read(spark, "codebook", version=1)
+
+    occ = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    rows = occ.collect()                       # ≤ K rows (bounded)
+    total = sum(r.n for r in rows)
+    kc = len(rows)
+    hot_ids = sorted(r.cell for r in rows
+                     if r.n * kc * 100 > split_pct * total)
+    cold_ids = sorted(r.cell for r in rows
+                      if r.n * kc * 100 < merge_pct * total)
+    base_cid = cent.agg(F.max("cid")).first()[0] + 1  # 1 row
+
+    # ---- SPLIT: parallel per-cell 2-means over hot members ----
+    members = (cells.filter(F.col("cell").isin(hot_ids))
+               .join(emb.select("vec_id", "embedding"), "vec_id")
+               .select("cell", "vec_id",
+                       F.transform("embedding",
+                                   lambda x: x.cast("double"))
+                       .alias("emb"))
+               .localCheckpoint(eager=True))   # feeds every round
+    s0 = (members.groupBy("cell").agg(F.min("vec_id").alias("v"))
+          .join(members, ["cell"])
+          .filter(F.col("vec_id") == F.col("v"))
+          .select("cell", F.col("emb").alias("semb")))
+    w_far = Window.partitionBy("cell").orderBy(F.col("d").desc(),
+                                               "vec_id")
+    s1 = (members.join(F.broadcast(s0), "cell")
+          .select("cell", "vec_id", "emb",
+                  F.round(_l2sq(F.col("emb"), F.col("semb")), 9)
+                  .alias("d"))
+          .withColumn("rn", F.row_number().over(w_far))
+          .filter(F.col("rn") == 1)
+          .select("cell", F.col("emb").alias("semb")))
+    subcent = (s0.select("cell", F.lit(0).alias("sub"),
+                         F.col("semb").alias("cemb"))
+               .unionByName(s1.select("cell", F.lit(1).alias("sub"),
+                                      F.col("semb").alias("cemb"))))
+
+    def _sub_assign(sc: DataFrame) -> DataFrame:
+        d = (members.join(F.broadcast(sc), "cell")
+             .select("cell", "vec_id", "sub",
+                     F.round(_l2sq(F.col("emb"), F.col("cemb")), 9)
+                     .alias("d")))
+        return (d.groupBy("cell", "vec_id")
+                .agg(F.min(F.struct("d", "sub")).alias("m"))
+                .select("cell", "vec_id", F.col("m.sub").alias("sub")))
+
+    for _ in range(iters):
+        assign = _sub_assign(subcent)
+        means = (members.join(assign, ["cell", "vec_id"])
+                 .select("cell", "sub",
+                         F.posexplode("emb").alias("pos", "val"))
+                 .groupBy("cell", "sub", "pos")
+                 .agg((F.sum(F.col("val").cast("decimal(30,10)"))
+                       .cast("double") / F.count(F.lit(1))).alias("m")))
+        subcent = (means.groupBy("cell", "sub")
+                   .agg(F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("pos", "m"))),
+                       lambda s: s.m).alias("cemb"))
+                   .localCheckpoint(eager=True))
+    final = _sub_assign(subcent)
+    child_map = spark.createDataFrame(
+        [(c, s, base_cid + 2 * i + s)
+         for i, c in enumerate(hot_ids) for s in (0, 1)],
+        "cell int, sub int, new_cid int")
+    split_cells = (final.join(F.broadcast(child_map), ["cell", "sub"])
+                   .select("vec_id", F.col("new_cid").alias("cell")))
+    child_cent = (subcent.join(F.broadcast(child_map), ["cell", "sub"])
+                  .select(F.col("new_cid").alias("cid"), "cemb"))
+
+    # ---- MERGE: starved members to nearest surviving centroid --
+    surv = (cent.filter(~F.col("cid").isin(hot_ids + cold_ids))
+            .select("cid", "cemb")
+            .unionByName(child_cent)
+            .localCheckpoint(eager=True))      # K±few rows
+    cold_members = (cells.filter(F.col("cell").isin(cold_ids))
+                    .join(emb.select("vec_id", "embedding"), "vec_id")
+                    .select("vec_id",
+                            F.transform("embedding",
+                                        lambda x: x.cast("double"))
+                            .alias("emb")))
+    merged_cells = (cold_members.crossJoin(F.broadcast(surv))
+                    .select("vec_id", "cid",
+                            F.round(_l2sq(F.col("emb"), F.col("cemb")),
+                                    9).alias("d"))
+                    .groupBy("vec_id")
+                    .agg(F.min(F.struct("d", "cid")).alias("m"))
+                    .select("vec_id", F.col("m.cid").alias("cell")))
+
+    # ---- RE-ENCODE moved vectors with the frozen codebook ------
+    moved = (split_cells.unionByName(merged_cells)
+             .select("vec_id", F.col("cell").cast("int").alias("cell"))
+             .localCheckpoint(eager=True))
+    res = (moved.join(emb.select("vec_id", "embedding"), "vec_id")
+           .join(F.broadcast(surv), F.col("cell") == F.col("cid"))
+           .select("vec_id",
+                   F.zip_with("embedding", "cemb",
+                              lambda x, c: x.cast("double") - c)
+                   .alias("embedding")))
+    staged = (res.select("vec_id", F.explode(_pq_subspaces()).alias("s"))
+              .select("vec_id", "s.j", "s.sub"))
+    codes_delta = _codes_wide(_assign_sub(staged, book))
+    cat.publish_pass({"centroids": surv, "cells_delta": moved,
+                      "codes_delta": codes_delta},
+                     replace={"centroids"})
+
+
+def _rebal_artifacts(spark: SparkSession, cat):
+    """Merge-on-read resolution of the rebalanced index head: moved
+    vectors read from the delta tables, untouched vectors from the
+    version-1 base files (which the head still references — the
+    overlay never rewrites them)."""
+    cells_delta = cat.read(spark, "cells_delta")
+    codes_delta = cat.read(spark, "codes_delta")
+    moved_ids = cells_delta.select("vec_id")
+    cells = (cat.read(spark, "cells", version=1)
+             .join(moved_ids, "vec_id", "left_anti")
+             .unionByName(cells_delta))
+    codes = (cat.read(spark, "codes", version=1)
+             .join(moved_ids, "vec_id", "left_anti")
+             .unionByName(codes_delta))
+    return (cat.read(spark, "centroids"), cells, codes,
+            cat.read(spark, "codebook"))
+
+
+def ann_batch_query_from_rebalanced_index(
+        spark: SparkSession, sf_dir: str, n_queries: int = ANN_BATCH_Q,
+        k: int = 5, nprobe: int = 2,
+        rerank_factor: int = PQ_RERANK) -> DataFrame:
+    """Batch serve over the REBALANCED index via merge-on-read overlay
+    resolution — the same `_batch_adc_serve` kernel as the committed
+    and appended indexes, probing by VECTOR BUDGET: the budget is the
+    pre-rebalance serve's expected scan (nprobe · mean pre cell
+    size), so the recall non-degradation pin in test_similarity
+    compares equal scanned-vector cost — the comparison a serving
+    layer actually cares about (post-split cells are smaller, so
+    fixed-nprobe would scan less and conflate scan budget with index
+    quality)."""
+    import math
+
+    cat = rebalance_ann_index(spark, sf_dir)
+    cent, cells, codes, book = _rebal_artifacts(spark, cat)
+    pre_cells = cat.read(spark, "cells", version=1)
+    n_total = pre_cells.count()                    # 1-row aggregates
+    k_pre = cat.read(spark, "centroids", version=1).count()
+    budget = nprobe * math.ceil(n_total / k_pre)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _batch_adc_serve(emb, cent, cells, codes, book,
+                            n_queries, k, nprobe, rerank_factor,
+                            probe_budget=budget)
+
+
+def ivf_rebalance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query over the REBALANCED index: post-rebalance
+    occupancy per cell with each cell's provenance (``kept`` = a
+    surviving original cell, possibly a merge target; ``split_child``
+    = a fresh cell minted by a split).  Read back THROUGH the
+    catalog's overlay resolution, so the oracle — which replays base
+    Lloyd training, threshold classification, the per-hot-cell
+    2-means, and the merge reassignment in unrolled SQL — only
+    hash-matches if the committed delta artifacts equal the
+    from-scratch rebalance bit-for-bit."""
+    cat = rebalance_ann_index(spark, sf_dir)
+    _, cells, _, _ = _rebal_artifacts(spark, cat)
+    base_cid = (cat.read(spark, "centroids", version=1)
+                .agg(F.max("cid")).first()[0] + 1)
+    return (cells.groupBy("cell")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+            .select(F.col("cell").cast("int").alias("cell"), "n_vecs",
+                    F.when(F.col("cell") >= base_cid,
+                           F.lit("split_child"))
+                    .otherwise(F.lit("kept")).alias("status"))
+            .orderBy("cell"))
+
+
+def _ivf_rebalance_oracle_sql(split_pct: int = IVF_SPLIT_PCT,
+                              merge_pct: int = IVF_MERGE_PCT,
+                              iters: int = IVF_SPLIT_ITERS) -> str:
+    """The full rebalance replayed in DuckDB: base coarse Lloyd chain
+    (c_), exact-integer threshold classification, per-hot-cell 2-means
+    unrolled (seeds = min-vec_id member + farthest member), merge
+    reassignment to surviving centroids, post occupancy + provenance.
+    CTEs referenced per iteration are MATERIALIZED (default inlining
+    re-instantiates the training chain combinatorially)."""
+    parts = [f"""occ AS MATERIALIZED (
+      SELECT cell, COUNT(*) AS n FROM c_cells GROUP BY cell),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS kc FROM occ),
+    hot AS MATERIALIZED (
+      SELECT cell FROM occ, tot
+      WHERE n * kc * 100 > {split_pct} * total),
+    cold AS MATERIALIZED (
+      SELECT cell FROM occ, tot
+      WHERE n * kc * 100 < {merge_pct} * total),
+    basecid AS (SELECT MAX(cid) + 1 AS b FROM c_cent{IVF_ITERS}),
+    members AS MATERIALIZED (
+      SELECT c.cell, e.vec_id,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM c_cells c JOIN embeddings e USING (vec_id)
+      WHERE c.cell IN (SELECT cell FROM hot)),
+    s0 AS MATERIALIZED (
+      SELECT m.cell, m.emb AS semb FROM members m
+      JOIN (SELECT cell, MIN(vec_id) AS v FROM members GROUP BY cell) t
+        ON m.cell = t.cell AND m.vec_id = t.v),
+    s1 AS MATERIALIZED (
+      SELECT cell, emb AS semb FROM (
+        SELECT m.cell, m.vec_id, m.emb,
+               ROW_NUMBER() OVER (PARTITION BY m.cell
+                 ORDER BY {_L2_SQL.format(e='(m.emb)', c='s.semb')} DESC,
+                          m.vec_id) AS rn
+        FROM members m JOIN s0 s ON m.cell = s.cell) WHERE rn = 1),
+    subcent0 AS MATERIALIZED (
+      SELECT cell, 0 AS sub, semb AS cemb FROM s0
+      UNION ALL SELECT cell, 1, semb FROM s1)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""sassign{i} AS MATERIALIZED (
+      SELECT cell, vec_id, sub FROM (
+        SELECT m.cell, m.vec_id, c.sub,
+               ROW_NUMBER() OVER (PARTITION BY m.cell, m.vec_id
+                 ORDER BY {_L2_SQL.format(e='(m.emb)', c='c.cemb')},
+                          c.sub) AS rn
+        FROM members m JOIN subcent{i - 1} c ON m.cell = c.cell)
+      WHERE rn = 1),
+    subcent{i} AS MATERIALIZED (
+      SELECT cell, sub, list(mn ORDER BY d) AS cemb FROM (
+        SELECT a.cell, a.sub, d.d,
+               CAST(SUM(CAST(m.emb[d.d + 1] AS DECIMAL(30,10)))
+                    AS DOUBLE) / COUNT(*) AS mn
+        FROM members m
+        JOIN sassign{i} a ON m.cell = a.cell AND m.vec_id = a.vec_id,
+             (SELECT unnest(range({DIM})) AS d) d
+        GROUP BY a.cell, a.sub, d.d) GROUP BY cell, sub)""")
+    parts.append(f"""sfinal AS MATERIALIZED (
+      SELECT cell, vec_id, sub FROM (
+        SELECT m.cell, m.vec_id, c.sub,
+               ROW_NUMBER() OVER (PARTITION BY m.cell, m.vec_id
+                 ORDER BY {_L2_SQL.format(e='(m.emb)', c='c.cemb')},
+                          c.sub) AS rn
+        FROM members m JOIN subcent{iters} c ON m.cell = c.cell)
+      WHERE rn = 1),
+    childmap AS MATERIALIZED (
+      SELECT h.cell, s.sub,
+             (SELECT b FROM basecid)
+               + 2 * (DENSE_RANK() OVER (ORDER BY h.cell) - 1) + s.sub
+               AS new_cid
+      FROM hot h, (SELECT 0 AS sub UNION ALL SELECT 1) s),
+    surv AS MATERIALIZED (
+      SELECT cid, cemb FROM c_cent{IVF_ITERS}
+      WHERE cid NOT IN (SELECT cell FROM hot)
+        AND cid NOT IN (SELECT cell FROM cold)
+      UNION ALL
+      SELECT cm.new_cid AS cid, sc.cemb
+      FROM subcent{iters} sc
+      JOIN childmap cm ON sc.cell = cm.cell AND sc.sub = cm.sub),
+    coldm AS MATERIALIZED (
+      SELECT e.vec_id,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM c_cells c JOIN embeddings e USING (vec_id)
+      WHERE c.cell IN (SELECT cell FROM cold)),
+    massign AS MATERIALIZED (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT cm.vec_id, s.cid,
+               ROW_NUMBER() OVER (PARTITION BY cm.vec_id
+                 ORDER BY {_L2_SQL.format(e='(cm.emb)', c='s.cemb')},
+                          s.cid) AS rn
+        FROM coldm cm, surv s) WHERE rn = 1),
+    post AS MATERIALIZED (
+      SELECT vec_id, cell FROM c_cells
+      WHERE cell NOT IN (SELECT cell FROM hot)
+        AND cell NOT IN (SELECT cell FROM cold)
+      UNION ALL
+      SELECT f.vec_id, cm.new_cid AS cell
+      FROM sfinal f JOIN childmap cm ON f.cell = cm.cell AND f.sub = cm.sub
+      UNION ALL SELECT vec_id, cell FROM massign)""")
+    return f"""
+    WITH {_kmeans_cells_sql(IVF_ITERS, N_CENTROIDS, DIM, prefix="c_")},
+    {",".join(parts)}
+    SELECT CAST(cell AS INT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CASE WHEN cell >= (SELECT b FROM basecid)
+                THEN 'split_child' ELSE 'kept' END AS status
+    FROM post GROUP BY cell ORDER BY cell
+    """
 
 
 KNN_K = 5          # neighbors per node
@@ -2833,6 +3242,18 @@ SPECS: dict[str, Spec] = {
         """,
         "IVF index build: per-cell posting lists + occupancy (the ANN "
         "serving artifact; occupancy doubles as the rebalance signal)"),
+    "q_ivf_rebalance": Spec(
+        lambda spark, sf: ivf_rebalance_report(spark, sf),
+        _ivf_rebalance_oracle_sql(),
+        "IVF maintenance acting on the occupancy/recall signals (r7 "
+        "VERDICT item 4): split over-occupied cells via parallel "
+        "per-cell 2-means, merge starved cells into nearest surviving "
+        "centroids, re-encode ONLY moved vectors with the frozen "
+        "codebook; published as shallow-clone v1 + overlay v2 "
+        "(centroids replace + cells/codes deltas — write cost "
+        "∝ |moved|+K).  Oracle replays the full rebalance in unrolled "
+        "SQL; recall non-degradation + time-travel pins in "
+        "test_similarity"),
     "q_topk_cosine_incremental": Spec(
         incremental_topk_query,
         f"""

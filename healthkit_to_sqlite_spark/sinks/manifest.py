@@ -513,6 +513,32 @@ class ManifestCatalog(_ManifestLog):
                 continue
         raise CommitConflict(f"lost {max_retries} publish races")
 
+    def clone_pass(self, src: "ManifestCatalog",
+                   version: int | None = None,
+                   max_retries: int = 10) -> int:
+        """SHALLOW CLONE: publish a version whose tables reference the
+        SOURCE catalog's committed files verbatim — zero data copied,
+        one atomic manifest write (the Delta/Iceberg shallow-clone
+        primitive).  Used to snapshot a live index before maintenance
+        rewrites part of it: the clone's v1 is the pre-maintenance
+        index at zero cost, and later passes on the clone never touch
+        the source.  Caveat (same as every shallow clone): the SOURCE
+        catalog's vacuum does not know about clone references — don't
+        vacuum a source whose clones are still alive."""
+        v = src.current_version() if version is None else version
+        tables = src._load(v)["tables"]
+        for _ in range(max_retries):
+            head = self.current_version()
+            prev = self._load(head).get("tables", {}) if head else {}
+            merged = dict(prev)
+            merged.update({name: dict(t) for name, t in tables.items()})
+            try:
+                self._publish({"tables": merged, "parent": head}, head + 1)
+                return head + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"lost {max_retries} publish races")
+
     def table_names(self, version: int | None = None) -> list[str]:
         v = self.current_version() if version is None else version
         if v == 0:
