@@ -1181,8 +1181,6 @@ def build_quality_classifier(spark: SparkSession, sf_dir: str,
     cached per (op, dim, sf_dir)."""
     import os
 
-    import numpy as np
-
     from ..sinks.manifest import ManifestCatalog
     from .pipeline import _work_dir
 
@@ -1192,33 +1190,54 @@ def build_quality_classifier(spark: SparkSession, sf_dir: str,
         _work_dir(f"qc_model_{dim}_r{ridge:g}", sf_dir), "cat"))
     if cat.current_version() < 1:
         docs = load_table(spark, sf_dir, "documents")
-        feats = hash_embed(docs, dim).union(
-            docs.select("doc_id", F.lit(dim).alias("d"),
-                        F.lit(1).cast("bigint").alias("val")))
-        labels = docs.select(
-            "doc_id", gopher_keep_expr().cast("long").alias("y"))
-        f1 = feats.select("doc_id", F.col("d").alias("d1"),
-                          F.col("val").alias("v1"))
-        f2 = feats.select("doc_id", F.col("d").alias("d2"),
-                          F.col("val").alias("v2"))
-        gram = (f1.join(f2, "doc_id")
-                .filter(F.col("d2") >= F.col("d1"))
-                .groupBy("d1", "d2")
-                .agg(F.sum(F.col("v1") * F.col("v2")).alias("a")))
-        xty = (feats.join(labels, "doc_id")
-               .groupBy("d")
-               .agg(F.sum(F.col("val") * F.col("y")).alias("b")))
-        A = np.zeros((dim + 1, dim + 1))
-        for r in gram.collect():        # ≤ (dim+1)(dim+2)/2 rows
-            A[r.d1, r.d2] = A[r.d2, r.d1] = float(r.a)
-        b = np.zeros(dim + 1)
-        for r in xty.collect():         # ≤ dim+1 rows
-            b[r.d] = float(r.b)
-        w = np.linalg.solve(A + ridge * np.eye(dim + 1), b)
-        cat.publish_pass({"weights": spark.createDataFrame(
-            [(int(d), float(w[d])) for d in range(dim + 1)],
-            "d int, w double")})
+        cat.publish_pass(
+            {"weights": _fit_ridge_weights(spark, docs, dim, ridge)})
     return cat
+
+
+def _fit_ridge_weights(spark: SparkSession, docs: DataFrame, dim: int,
+                       ridge: float,
+                       doc_weights: DataFrame | None = None) -> DataFrame:
+    """The distillation fit, factored so RETRAIN can reuse it with
+    per-document importance weights (drift remedy: upweight the
+    sources the monitor flagged).  ``doc_weights`` is an optional
+    (doc_id, wt) INTEGER weight table — the sufficient statistics
+    become A = XᵀWX and b = XᵀWy, still exact integer distributed
+    aggregations (wt multiplies both sums), so the weighted refit
+    keeps the engine-exactness contract of the unweighted fit."""
+    import numpy as np
+
+    feats = hash_embed(docs, dim).union(
+        docs.select("doc_id", F.lit(dim).alias("d"),
+                    F.lit(1).cast("bigint").alias("val")))
+    labels = docs.select(
+        "doc_id", gopher_keep_expr().cast("long").alias("y"))
+    if doc_weights is None:
+        doc_weights = docs.select(
+            "doc_id", F.lit(1).cast("bigint").alias("wt"))
+    f1 = feats.select("doc_id", F.col("d").alias("d1"),
+                      F.col("val").alias("v1"))
+    f2 = feats.select("doc_id", F.col("d").alias("d2"),
+                      F.col("val").alias("v2"))
+    gram = (f1.join(f2, "doc_id").join(doc_weights, "doc_id")
+            .filter(F.col("d2") >= F.col("d1"))
+            .groupBy("d1", "d2")
+            .agg(F.sum(F.col("wt") * F.col("v1") * F.col("v2"))
+                 .alias("a")))
+    xty = (feats.join(labels, "doc_id").join(doc_weights, "doc_id")
+           .groupBy("d")
+           .agg(F.sum(F.col("wt") * F.col("val") * F.col("y"))
+                .alias("b")))
+    A = np.zeros((dim + 1, dim + 1))
+    for r in gram.collect():        # ≤ (dim+1)(dim+2)/2 rows
+        A[r.d1, r.d2] = A[r.d2, r.d1] = float(r.a)
+    b = np.zeros(dim + 1)
+    for r in xty.collect():         # ≤ dim+1 rows
+        b[r.d] = float(r.b)
+    w = np.linalg.solve(A + ridge * np.eye(dim + 1), b)
+    return spark.createDataFrame(
+        [(int(d), float(w[d])) for d in range(dim + 1)],
+        "d int, w double")
 
 
 def qc_score_col(w: dict[int, float],
@@ -1293,11 +1312,21 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str,
     are not SQL-derivable); exact pure-python-recompute pin in
     test_text."""
     cat = build_quality_classifier(spark, sf_dir, dim)
-    score = qc_score_col(read_qc_weights(spark, cat, dim), dim)
+    return _qc_confusion(load_table(spark, sf_dir, "documents"),
+                         read_qc_weights(spark, cat, dim), dim)
+
+
+def _qc_confusion(docs: DataFrame, w: dict[int, float],
+                  dim: int) -> DataFrame:
+    """Per-source confusion counts of a weight vector vs the teacher
+    labels — shared by the monitoring artifact and the retrain
+    decision (one body, so the decision sees exactly what the monitor
+    reports)."""
+    score = qc_score_col(w, dim)
     pred = score > 0.5
     label = gopher_keep_expr()
     one = lambda c: c.cast("long")  # noqa: E731
-    return (load_table(spark, sf_dir, "documents")
+    return (docs
             .select("source", pred.alias("p"), label.alias("y"))
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -1305,6 +1334,102 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str,
                  F.sum(one(F.col("p") & ~F.col("y"))).alias("fp"),
                  F.sum(one(~F.col("p") & F.col("y"))).alias("fn"),
                  F.sum(one(~F.col("p") & ~F.col("y"))).alias("tn")))
+
+
+QC_RETRAIN_F1_PCT = 87  # retrain when a source's F1 drops below 87%
+QC_RETRAIN_BOOST = 2    # importance weight for flagged sources' docs
+
+
+def retrain_quality_classifier(spark: SparkSession, sf_dir: str,
+                               dim: int = HASH_EMBED_DIM,
+                               ridge: float = QC_RIDGE,
+                               f1_pct: int = QC_RETRAIN_F1_PCT,
+                               boost: int = QC_RETRAIN_BOOST):
+    """Drift-loop closure (VERDICT r7 item 7): act on the per-source
+    confusion `q_quality_classifier_eval` emits.  Sources whose F1
+    falls below the threshold (exact-integer test: ``2·tp·100 <
+    pct·(2tp+fp+fn)`` — no float F1 anywhere in the decision) trigger
+    a re-distilled v2: the SAME normal-equation fit with the flagged
+    sources' documents importance-upweighted (×``boost`` in XᵀWX and
+    XᵀWy — the standard covariate-shift remedy, still exact integer
+    sufficient statistics).  Published onto a SHALLOW CLONE of the
+    live model catalog: clone v1 = the serving model untouched (the
+    rebalance-pass isolation discipline — consumers of the live
+    catalog never see a surprise version bump), v2 = the retrained
+    weights with replace semantics, v1 time-travelable.  The
+    streaming quality filter picks v2 up by reading the retrain
+    catalog head (exactly-once equivalence pinned in
+    test_streaming).  If no source fails, no v2 is published — the
+    decision is part of the artifact.  At 100 TB: the refit is the
+    same bounded-Gram shuffle as training (Σ|nnz|² pairs), the
+    decision reads ≤|sources| confusion rows."""
+    import os
+
+    from ..sinks.manifest import ManifestCatalog
+    from .pipeline import _work_dir
+
+    base = build_quality_classifier(spark, sf_dir, dim, ridge)
+    cat = ManifestCatalog(os.path.join(
+        _work_dir(f"qc_model_retrain_{dim}_r{ridge:g}_{f1_pct}_{boost}",
+                  sf_dir), "cat"))
+    if cat.current_version() < 1:
+        cat.clone_pass(base)
+    if cat.current_version() < 2:
+        docs = load_table(spark, sf_dir, "documents")
+        w1 = read_qc_weights(spark, cat, dim)
+        conf = _qc_confusion(docs, w1, dim).collect()  # ≤ |sources|
+        failing = sorted(r.source for r in conf
+                         if 2 * r.tp * 100 < f1_pct
+                         * (2 * r.tp + r.fp + r.fn))
+        if failing:
+            wt = docs.select(
+                "doc_id",
+                F.when(F.col("source").isin(failing),
+                       F.lit(boost)).otherwise(F.lit(1))
+                .cast("bigint").alias("wt"))
+            cat.publish_pass(
+                {"weights": _fit_ridge_weights(spark, docs, dim, ridge,
+                                               doc_weights=wt)},
+                replace={"weights"})
+    return cat
+
+
+def quality_retrain_report(spark: SparkSession, sf_dir: str,
+                           dim: int = HASH_EMBED_DIM,
+                           f1_pct: int = QC_RETRAIN_F1_PCT) -> DataFrame:
+    """Contract query closing the monitor→decision→retrain loop in
+    one artifact: per source, the v1 F1, the retrain flag the exact
+    integer decision produced, and the v2 F1 after the upweighted
+    refit — the drift audit a FineWeb-class pipeline publishes per
+    snapshot.  Rows-only (committed weights are not SQL-derivable);
+    decision/version/equivalence pins in test_text and
+    test_streaming."""
+    cat = retrain_quality_classifier(spark, sf_dir, dim, f1_pct=f1_pct)
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = _qc_confusion(docs, read_qc_weights_at(spark, cat, 1, dim), dim)
+    v2 = _qc_confusion(docs, read_qc_weights(spark, cat, dim), dim)
+
+    def f1x(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            "source", "n_docs",
+            F.round(2 * F.col("tp")
+                    / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 6)
+            .alias(name),
+            (2 * F.col("tp") * 100
+             < f1_pct * (2 * F.col("tp") + F.col("fp") + F.col("fn")))
+            .alias("flagged"))
+
+    return (f1x(v1, "f1_v1")
+            .join(f1x(v2, "f1_v2").select("source", "f1_v2"), "source")
+            .select("source", "n_docs", "f1_v1", "flagged", "f1_v2")
+            .orderBy("source"))
+
+
+def read_qc_weights_at(spark: SparkSession, cat, version: int,
+                       dim: int = HASH_EMBED_DIM) -> dict[int, float]:
+    """Time-travel twin of :func:`read_qc_weights`."""
+    return {r.d: r.w
+            for r in cat.read(spark, "weights", version=version).collect()}
 
 
 BPE_MERGES = 6  # training rounds for the full BPE loop
@@ -2501,6 +2626,18 @@ SPECS["q_quality_classifier_eval"] = Spec(
     "labels — integer-exact tp/fp/fn/tn sums in one scan + one "
     "exchange; the per-domain audit that drives retrain/threshold "
     "decisions at snapshot cadence")
+
+SPECS["q_quality_retrain"] = Spec(
+    lambda spark, sf: quality_retrain_report(spark, sf),
+    None,  # committed weights + driver solve not SQL-derivable:
+    #        rows-only; decision-fires/version-bump/time-travel/
+    #        stream-pickup pins in test_text + test_streaming
+    "drift-loop closure (r7 VERDICT item 7): per-source F1 of the "
+    "committed model, the exact-integer retrain decision (2·tp·100 < "
+    "pct·(2tp+fp+fn)), and the post-retrain F1 of the v2 weights — "
+    "re-distilled with flagged sources importance-upweighted in the "
+    "integer normal equations, published as replace onto a shallow "
+    "clone (v1 time-travelable, live catalog untouched)")
 
 SPECS["q_bm25_pruned"] = Spec(
     lambda spark, sf: bm25_pruned_topk(spark, sf),

@@ -40,18 +40,27 @@ def streaming_quality_scores(stream: DataFrame,
 
 
 def run_streaming_quality(spark: SparkSession, sf_dir: str,
-                          work_dir: str, n_chunks: int = 4) -> DataFrame:
+                          work_dir: str, n_chunks: int = 4,
+                          cat=None) -> DataFrame:
     """Batch-bounded end-to-end run (availableNow): build/load the
     committed model, re-chunk the documents table so several
     micro-batches flow through the scorer, sink scores to parquet via
     the exactly-once file sink, and return the scored relation.  The
     result must equal the batch serve row-for-row — pinned in
-    test_streaming."""
+    test_streaming.
+
+    ``cat`` overrides the model catalog — pass the RETRAIN catalog
+    (operators.text.retrain_quality_classifier) and the stream scores
+    with its head weights, i.e. the v2 model the drift loop published:
+    model rollout to the streaming path is just pointing the reader
+    at the catalog head (pinned row-identical to the v2 batch serve
+    in test_streaming)."""
     from ..catalog import load_table
     from ..operators.text import (HASH_EMBED_DIM, build_quality_classifier,
                                   read_qc_weights)
 
-    cat = build_quality_classifier(spark, sf_dir)
+    if cat is None:
+        cat = build_quality_classifier(spark, sf_dir)
     w = read_qc_weights(spark, cat)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     chunks_dir = os.path.join(work_dir, "chunks")

@@ -711,6 +711,48 @@ def test_streaming_quality_scores_match_batch(spark, tmp_path):
     assert len(got) == len({r[0] for r in got})  # exactly-once per doc
 
 
+def test_streaming_quality_picks_up_retrained_v2(spark, tmp_path):
+    """Drift-loop rollout (r7 VERDICT item 7): after the retrain pass
+    publishes v2 weights, pointing the streaming filter at the retrain
+    catalog head must score arriving documents row-identical to the
+    v2 BATCH serve — model rollout is just a catalog-head read, with
+    exactly-once delivery unchanged.  Also pins that v2 is genuinely
+    a different model from the one the v1-pinned streaming test above
+    exercised."""
+    from pyspark.sql import functions as F
+
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.text import (
+        HASH_EMBED_DIM,
+        qc_score_col,
+        read_qc_weights,
+        read_qc_weights_at,
+        retrain_quality_classifier,
+    )
+    from healthkit_to_sqlite_spark.streaming.quality import (
+        run_streaming_quality,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cat = retrain_quality_classifier(spark, sf)
+    assert cat.current_version() == 2
+    w2 = read_qc_weights(spark, cat)
+    assert w2 != read_qc_weights_at(spark, cat, 1)  # a real new model
+
+    got = sorted(map(tuple,
+                     run_streaming_quality(spark, sf, str(tmp_path),
+                                           cat=cat).collect()))
+    score = qc_score_col(w2, HASH_EMBED_DIM)
+    want = sorted(map(tuple,
+                      load_table(spark, sf, "documents")
+                      .select("doc_id",
+                              F.round(score, 6).alias("qc_score"),
+                              (score > 0.5).alias("pred_keep"))
+                      .collect()))
+    assert got == want
+    assert len(got) == len({r[0] for r in got})  # exactly-once per doc
+
+
 def test_streaming_cms_kill_resume_equals_batch_sketch(spark, tmp_path):
     """Streaming Count-Min maintenance: documents arrive in 4
     micro-batches, per-batch sketches fold exactly-once (integer cell
