@@ -274,6 +274,15 @@ HEADLINE = [
     # round 7: serve-split hybrid retrieval (committed inverted index
     # + committed IVFADC index, RRF-fused — the RAG serving query)
     "q_hybrid_from_index",
+    # round 8: prune-on-append for the pruned lexical index (ordered
+    # top-m merge published with replace semantics; append == rebuild)
+    "q_bm25_pruned_append",
+    # round 8: IVF cell split/merge maintenance (shallow clone +
+    # overlay deltas; oracle replays the 2-means rebalance in SQL)
+    "q_ivf_rebalance",
+    # round 8: classifier drift-loop closure (per-source F1 decision +
+    # upweighted v2 refit onto a cloned catalog)
+    "q_quality_retrain",
 ]
 
 
@@ -322,6 +331,13 @@ SF1_QUERIES = [
     # corpus size — the ratio should sit at ~1.0 where
     # q_bm25_from_index grows with each term's full postings list
     "q_bm25_pruned",
+    # (r8, VERDICT r7 item 6) the heavy r7 newcomers: CMS shuffles a
+    # CONSTANT ≤ d·w rows (expected ~1.0 aside from the scan), LPA is
+    # ≤|E| label rows/round (expected ~linear in pair growth),
+    # keep-best and winnowing pair mining track the df-capped pair
+    # join (expected ~2×, the minhash/ngram band)
+    "q_communities_lpa", "q_winnowing_pairs", "q_dedup_keep_best",
+    "q_cms_counts",
 ]
 
 
