@@ -306,10 +306,14 @@ def winnowing_pairs(documents: DataFrame,
         text.py @ HEAD    (confirmation run)        2.36  [2.09, 2.56]
 
     The 0f6f62e code change is exonerated — both states sit in the
-    same ~2.0–2.4 s band with overlapping spreads.  The true cost of
-    this query is ~2.0–2.5 s with high run-to-run variance (the
-    self-join's shuffle is page-cache/GC sensitive); the mid-round
-    1.48 s was the unrepresentative sample, not the 2.49."""
+    same ~2.0–2.4 s band with overlapping spreads.  The r8 closing
+    bench then measured 1.50 [1.48, 1.72] IN-LOOP — i.e. the query's
+    justified band is ~1.5–2.5 s with ±60 % context sensitivity (the
+    self-join is page-cache/JIT sensitive; fresh-JVM runs land at the
+    top of the band, warm in-loop runs at the bottom).  The r7
+    1.48 → 2.49 "shift" was therefore a PROTOCOL difference — the
+    closing number was a fresh-JVM substitution while the mid-round
+    number was in-loop — not a code regression."""
     fph = (_winnow_select(documents, k, w)
            .select("doc_id", "h").distinct())
     hot = (fph.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
