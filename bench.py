@@ -338,6 +338,12 @@ SF1_QUERIES = [
     # join (expected ~2×, the minhash/ngram band)
     "q_communities_lpa", "q_winnowing_pairs", "q_dedup_keep_best",
     "q_cms_counts",
+    # (r8) the two new maintenance serves: the pruned-append serve
+    # reads the same ≤ m·|terms| artifact rows as q_bm25_pruned
+    # (expected ~1.0) and the rebalance report reads ≤ K+|moved|
+    # overlay rows (expected ~1.0; the split/merge ran in the
+    # untimed warm-up build)
+    "q_bm25_pruned_append", "q_ivf_rebalance",
 ]
 
 

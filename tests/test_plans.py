@@ -665,3 +665,41 @@ def test_hybrid_serve_reads_only_committed_indexes(spark, specs):
     assert "ann_index_" in plan           # committed ANN artifacts
     assert "documents.parquet" not in plan  # corpus text never read
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_pruned_append_serve_plan_matches_single_pass(spark, specs):
+    """Prune-on-append serve (r8): same bounded-artifact-scan shape as
+    the single-pass pruned serve — committed pruned artifact in, term
+    IN pushed to the scan, ONE exchange, TakeOrdered heap, corpus
+    text never read at serve."""
+    df = specs["q_bm25_pruned_append"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "text_index_pruned_append_" in plan
+    assert "documents.parquet" not in plan
+    assert shuffle_count(df) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "In(term" in plan              # pushed term filter
+
+
+def test_ivf_rebalance_report_reads_only_catalog_artifacts(spark, specs):
+    """The rebalance report (r8): occupancy + provenance come from the
+    catalog's overlay resolution — committed cells/deltas in, ZERO
+    Lloyd training aggregates in the plan (the split 2-means ran in
+    the version-guarded build), raw embeddings never read."""
+    df = specs["q_ivf_rebalance"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "ann_index_rebal_" in plan     # committed overlay artifacts
+    assert "embeddings.parquet" not in plan
+    assert "decimal(30,10)" not in plan   # no training aggregates
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_retrain_report_single_scan_both_models(spark, specs):
+    """The drift-loop report (r8): BOTH model versions score in ONE
+    corpus scan (champion/challenger audit) — a single parquet scan
+    of the documents table, one groupBy(source) exchange, no join
+    between the v1 and v2 sides."""
+    df = specs["q_quality_retrain"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("Scan parquet") == 2   # tree + detail, one scan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
