@@ -497,3 +497,37 @@ def test_ingest_pass_failure_injection_then_exactly_once(
     assert removed
     for name, want in expected.items():
         assert cat.read(spark, name).count() == want, name
+
+
+def test_catalog_crash_mid_replace_keeps_serving_head(spark, cat,
+                                                      monkeypatch):
+    """Crash drill for the maintenance passes (rebalance / retrain /
+    prune-on-append all publish with replace semantics): a writer that
+    dies after staging part of a replace pass publishes NOTHING — the
+    head keeps serving the pre-maintenance content, vacuum clears the
+    orphaned staging, and a clean retry completes the replace."""
+    cat.publish_pass({"a": _batch(spark, 0, 10), "b": _batch(spark, 0, 5)})
+    real_stage = cat._stage
+    calls = {"n": 0}
+
+    def dying_stage(df):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("executor lost mid-replace")
+        return real_stage(df)
+
+    monkeypatch.setattr(cat, "_stage", dying_stage)
+    with pytest.raises(RuntimeError):
+        cat.publish_pass({"a": _batch(spark, 100, 104),
+                          "b": _batch(spark, 5, 7)}, replace={"a"})
+    assert cat.current_version() == 1
+    assert cat.read(spark, "a").count() == 10   # head still serves v1
+    assert len(cat.vacuum(min_age_seconds=0)) > 0
+
+    monkeypatch.setattr(cat, "_stage", real_stage)
+    v = cat.publish_pass({"a": _batch(spark, 100, 104),
+                          "b": _batch(spark, 5, 7)}, replace={"a"})
+    assert v == 2
+    assert cat.read(spark, "a").count() == 4
+    assert cat.read(spark, "b").count() == 7
+    assert cat.read(spark, "a", version=1).count() == 10
