@@ -283,6 +283,9 @@ HEADLINE = [
     # round 8: classifier drift-loop closure (per-source F1 decision +
     # upweighted v2 refit onto a cloned catalog)
     "q_quality_retrain",
+    # round 8: fertility-driven vocab extension (append-only merge
+    # rounds trained on the flagged languages; oracle-replayed)
+    "q_bpe_extend",
 ]
 
 

@@ -1502,15 +1502,33 @@ def bpe_train(documents: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
     the straggler symbol waits for a later round, a deterministic and
     engine-mirrorable variant of the canonical refold (which differs
     only on those runs)."""
-    words = (documents
-             .select(F.explode(ws_tokens("text")).alias("word"))
-             .filter(F.col("word") != "")
-             .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-             .withColumn("s", F.concat(
-                 F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")))
-             .localCheckpoint(eager=True))
+    words = _bpe_word_table(documents)
+    learned = _bpe_rounds(words, start_rank=0, n_rounds=merges)
+    return documents.sparkSession.createDataFrame(
+        learned,
+        "merge_rank int, lhs string, rhs string, merged string, n bigint")
+
+
+def _bpe_word_table(documents: DataFrame) -> DataFrame:
+    """(word, freq, s) working set: corpus word frequencies with the
+    space-delimited char-split start state."""
+    return (documents
+            .select(F.explode(ws_tokens("text")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+            .withColumn("s", F.concat(
+                F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")))
+            .localCheckpoint(eager=True))
+
+
+def _bpe_rounds(words: DataFrame, start_rank: int,
+                n_rounds: int) -> list[tuple]:
+    """The BPE merge-round loop over a prepared (word, freq, s) table
+    — factored so vocabulary EXTENSION (`extend_bpe_model`) can
+    continue training from a committed model's segmentation with
+    ranks numbered after the base's."""
     learned: list[tuple] = []
-    for r in range(1, merges + 1):
+    for r in range(start_rank + 1, start_rank + n_rounds + 1):
         arr = F.split(F.trim(F.col("s")), " ")
         pairs = (words.filter(F.size(arr) >= 2)
                  .select("freq", F.explode(F.transform(
@@ -1530,9 +1548,7 @@ def bpe_train(documents: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
             "s", F.replace(F.col("s"), F.lit(f" {a} {b} "),
                            F.lit(f" {a}{b} ")))
             .localCheckpoint(eager=True))
-    return documents.sparkSession.createDataFrame(
-        learned,
-        "merge_rank int, lhs string, rhs string, merged string, n bigint")
+    return learned
 
 
 def build_bpe_model(spark: SparkSession, sf_dir: str,
@@ -1670,6 +1686,213 @@ def _bpe_fertility_oracle_sql(merges: int = BPE_MERGES) -> str:
     GROUP BY m.lang, m.source
     ORDER BY m.lang, m.source
     """)
+
+
+BPE_EXTEND_ROUNDS = 3  # extra merges trained on the flagged languages
+
+
+def extend_bpe_model(spark: SparkSession, sf_dir: str,
+                     merges: int = BPE_MERGES,
+                     extra: int = BPE_EXTEND_ROUNDS):
+    """Fertility-driven vocabulary EXTENSION — the actuator behind
+    `q_bpe_fertility`, closing the third monitor→decision→maintenance
+    loop (ANN recall → `q_ivf_rebalance`; classifier F1 →
+    `q_quality_retrain`; tokenizer fertility → here): languages whose
+    pieces-per-char rate runs above the corpus rate (exact-integer
+    cross-multiplication — ``lang_pieces · tot_chars > tot_pieces ·
+    lang_chars``, no float rates in the decision) get ``extra``
+    additional merge rounds trained ON THEIR DOCUMENTS ONLY, starting
+    from the committed model's segmentation, with ranks numbered
+    after the base's.
+
+    The merge table is append-only by rank, so the publish is a pure
+    APPEND onto a shallow clone of the live model catalog (v1 file
+    list carried forward byte-identically; no replace needed — the
+    one maintenance pass this round where the artifact's own
+    structure makes append sufficient).  Monotonicity gives the
+    quality guarantee for free: a merge only ever REDUCES piece
+    counts, so v2 encodes every segment at most as fragmented as v1,
+    and strictly better on the flagged languages it trained on
+    (pinned in test_text).
+
+    At 100 TB: the decision reads ≤|langs| rollup rows; extension
+    cost is the same bounded |vocab|-row loop as base training,
+    restricted to the flagged languages' word table."""
+    import os
+
+    from ..sinks.manifest import ManifestCatalog
+    from .pipeline import _work_dir
+
+    base = build_bpe_model(spark, sf_dir, merges)
+    cat = ManifestCatalog(os.path.join(
+        _work_dir(f"bpe_model_extend_{merges}_{extra}", sf_dir), "cat"))
+    if cat.current_version() < 1:
+        cat.clone_pass(base)
+    if cat.current_version() < 2:
+        docs = load_table(spark, sf_dir, "documents")
+        model = sorted(cat.read(spark, "merges", version=1).collect(),
+                       key=lambda r: r.merge_rank)    # ≤ merges rows
+        base_list = [(m.lhs, m.rhs) for m in model]
+        stats = _bpe_lang_stats(docs, base_list).collect()  # ≤ |langs|
+        tot_p = sum(r.n_pieces for r in stats)
+        tot_c = sum(r.n_chars for r in stats)
+        flagged = sorted(r.lang for r in stats
+                         if r.n_pieces * tot_c > tot_p * r.n_chars)
+        new_rows: list[tuple] = []
+        if flagged:
+            words = _bpe_word_table(docs.filter(F.col("lang")
+                                                .isin(flagged)))
+            for a, b in base_list:      # start from the committed
+                words = words.withColumn(   # model's segmentation
+                    "s", F.replace(F.col("s"), F.lit(f" {a} {b} "),
+                                   F.lit(f" {a}{b} ")))
+            new_rows = _bpe_rounds(words.localCheckpoint(eager=True),
+                                   start_rank=len(base_list),
+                                   n_rounds=extra)
+        cat.publish_pass({
+            "merges": spark.createDataFrame(
+                new_rows,
+                "merge_rank int, lhs string, rhs string, "
+                "merged string, n bigint"),
+            "decision": spark.createDataFrame(
+                [(lg,) for lg in flagged], "lang string"),
+        })
+    return cat
+
+
+def _bpe_lang_stats(docs: DataFrame,
+                    merge_list: list[tuple[str, str]]) -> DataFrame:
+    """Per-language exact fertility statistics under a merge list —
+    shared by the extension decision and the report."""
+    per_doc = bpe_apply(docs, merge_list)
+    return (per_doc
+            .join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").cast("bigint").alias("n_words"),
+                 F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+                 F.sum("n_chars").cast("bigint").alias("n_chars")))
+
+
+def bpe_extend_report(spark: SparkSession, sf_dir: str,
+                      merges: int = BPE_MERGES,
+                      extra: int = BPE_EXTEND_ROUNDS) -> DataFrame:
+    """Contract query for the vocabulary-extension loop: per language,
+    the committed model's piece counts, the extension decision the
+    exact-integer rate comparison produced, and the piece counts
+    under the extended v2 vocabulary — fertility improvement as a
+    first-class audit artifact.  The oracle replays base training,
+    the flag decision, the extension rounds on the flagged languages'
+    words, and the v2 re-encode in unrolled SQL, so the hash gate
+    proves the committed extension equals from-scratch maintenance."""
+    cat = extend_bpe_model(spark, sf_dir, merges, extra)
+    docs = load_table(spark, sf_dir, "documents")
+    model1 = sorted(cat.read(spark, "merges", version=1).collect(),
+                    key=lambda r: r.merge_rank)
+    model2 = sorted(cat.read(spark, "merges").collect(),
+                    key=lambda r: r.merge_rank)
+    v1 = _bpe_lang_stats(docs, [(m.lhs, m.rhs) for m in model1])
+    v2 = _bpe_lang_stats(docs, [(m.lhs, m.rhs) for m in model2])
+    tot = v1.agg(F.sum("n_pieces").alias("tp"),
+                 F.sum("n_chars").alias("tc")).first()
+    return (v1.select(
+        "lang", "n_words",
+        F.col("n_pieces").alias("n_pieces_v1"),
+        (F.col("n_pieces") * F.lit(int(tot.tc))
+         > F.lit(int(tot.tp)) * F.col("n_chars")).alias("flagged"),
+        F.round(F.col("n_pieces") / F.col("n_words"), 6).alias("ppw_v1"))
+        .join(v2.select("lang", F.col("n_pieces").alias("n_pieces_v2"),
+                        F.round(F.col("n_pieces") / F.col("n_words"), 6)
+                        .alias("ppw_v2")), "lang")
+        .select("lang", "n_words", "n_pieces_v1", "n_pieces_v2",
+                "flagged", "ppw_v1", "ppw_v2")
+        .orderBy("lang"))
+
+
+def _bpe_extend_oracle_sql(merges: int = BPE_MERGES,
+                           extra: int = BPE_EXTEND_ROUNDS) -> str:
+    """The full extension loop in DuckDB: base unrolled training
+    (shared `_bpe_states_sql` chain), per-language v1 rollup, the
+    integer flag decision, ``extra`` unrolled extension rounds over
+    the flagged languages' word table (frequencies from their docs,
+    start state = the committed model's segmentation), v2 corpus
+    states by replaying the new merges, and the side-by-side
+    rollup."""
+    parts = _bpe_states_sql(merges, final_state=True)
+    parts.append("""docw AS MATERIALIZED (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+      WHERE tok <> ''),
+    lang1 AS MATERIALIZED (
+      SELECT m.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(len(string_split(trim(f.s), ' '))) AS BIGINT)
+               AS n_pieces
+      FROM docw d
+      JOIN state_final f ON d.tok = f.word
+      JOIN documents m USING (doc_id)
+      GROUP BY m.lang),
+    langchars AS MATERIALIZED (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(l.n_pieces) AS BIGINT) AS tp,
+                   CAST(SUM(c.n_chars) AS BIGINT) AS tc
+            FROM lang1 l JOIN langchars c USING (lang)),
+    flag AS MATERIALIZED (
+      SELECT l.lang FROM lang1 l JOIN langchars c USING (lang), tot
+      WHERE l.n_pieces * tot.tc > tot.tp * c.n_chars),
+    ext_0 AS MATERIALIZED (
+      SELECT f.word, hw.freq, f.s
+      FROM (SELECT d.tok AS word, COUNT(*) AS freq
+            FROM docw d JOIN documents m USING (doc_id)
+            WHERE m.lang IN (SELECT lang FROM flag)
+            GROUP BY d.tok) hw
+      JOIN state_final f ON hw.word = f.word),
+    v_0 AS (SELECT word, s FROM state_final)""")
+    for j in range(1, extra + 1):
+        parts.append(f"""epairs_{j} AS (
+      SELECT a, b, SUM(freq) AS n FROM (
+        SELECT freq, l[CAST(t.i AS INT)] AS a,
+               l[CAST(t.i AS INT) + 1] AS b
+        FROM (SELECT freq, string_split(trim(s), ' ') AS l
+              FROM ext_{j - 1}),
+             UNNEST(generate_series(1, len(l) - 1)) AS t(i))
+      GROUP BY a, b),
+    ebest_{j} AS (
+      SELECT a, b, n FROM epairs_{j} ORDER BY n DESC, a, b LIMIT 1),
+    ext_{j} AS MATERIALIZED (
+      SELECT word, freq,
+             replace(s, ' ' || bb.a || ' ' || bb.b || ' ',
+                     ' ' || bb.a || bb.b || ' ') AS s
+      FROM ext_{j - 1}, ebest_{j} bb),
+    v_{j} AS MATERIALIZED (
+      SELECT word,
+             replace(s, ' ' || bb.a || ' ' || bb.b || ' ',
+                     ' ' || bb.a || bb.b || ' ') AS s
+      FROM v_{j - 1}, ebest_{j} bb)""")
+    return "WITH " + ",\n".join(parts) + f"""
+    , lang2 AS (
+      SELECT m.lang,
+             CAST(SUM(len(string_split(trim(v.s), ' '))) AS BIGINT)
+               AS n_pieces
+      FROM docw d
+      JOIN v_{extra} v ON d.tok = v.word
+      JOIN documents m USING (doc_id)
+      GROUP BY m.lang)
+    SELECT l1.lang, l1.n_words,
+           l1.n_pieces AS n_pieces_v1,
+           l2.n_pieces AS n_pieces_v2,
+           (l1.n_pieces * tot.tc > tot.tp * c.n_chars) AS flagged,
+           ROUND(CAST(l1.n_pieces AS DOUBLE)
+                 / CAST(l1.n_words AS DOUBLE), 6) AS ppw_v1,
+           ROUND(CAST(l2.n_pieces AS DOUBLE)
+                 / CAST(l1.n_words AS DOUBLE), 6) AS ppw_v2
+    FROM lang1 l1
+    JOIN lang2 l2 USING (lang)
+    JOIN langchars c USING (lang), tot
+    ORDER BY l1.lang
+    """
 
 
 def _bpe_states_sql(merges: int = BPE_MERGES,
@@ -2671,6 +2894,20 @@ SPECS["q_quality_classifier_eval"] = Spec(
     "labels — integer-exact tp/fp/fn/tn sums in one scan + one "
     "exchange; the per-domain audit that drives retrain/threshold "
     "decisions at snapshot cadence")
+
+SPECS["q_bpe_extend"] = Spec(
+    lambda spark, sf: bpe_extend_report(spark, sf),
+    _bpe_extend_oracle_sql(),
+    "fertility-driven vocabulary extension (r8 — the third "
+    "monitor→actuator loop, after IVF rebalance and classifier "
+    "retrain): languages above the corpus pieces-per-char rate "
+    "(exact-integer cross-multiplication decision) get extra merge "
+    "rounds trained on THEIR documents from the committed model's "
+    "segmentation, appended rank-continuously onto a shallow clone "
+    "(merge tables are append-only by rank — no replace needed); "
+    "merge monotonicity guarantees v2 never fragments any segment "
+    "more than v1; oracle replays base training + decision + "
+    "extension + v2 re-encode in unrolled SQL")
 
 SPECS["q_quality_retrain"] = Spec(
     lambda spark, sf: quality_retrain_report(spark, sf),

@@ -821,3 +821,60 @@ def test_quality_retrain_decision_versioning_and_improvement(spark):
     assert len(rep) == 20
     assert all(0.0 <= r.f1_v1 <= 1.0 and 0.0 <= r.f1_v2 <= 1.0
                for r in rep.values())
+
+
+def test_bpe_extend_monotone_improvement_and_append_only(spark):
+    """Vocabulary-extension pins (r8, the third monitor→actuator
+    loop): (1) the clone's v1 merge files are the live model's
+    (shallow clone) and v2's file list EXTENDS v1's (append-only by
+    rank — the replaced-nothing publish); (2) new merges are
+    rank-continuous after the base and were learned on the flagged
+    languages; (3) merge monotonicity holds corpus-wide — NO
+    language's piece count increases under v2; (4) every flagged
+    language strictly improves (the merges trained on its text must
+    fire there); (5) the decision matches the exact-integer recompute
+    and the report carries it."""
+    from healthkit_to_sqlite_spark.operators.text import (
+        BPE_EXTEND_ROUNDS,
+        BPE_MERGES,
+        bpe_extend_report,
+        build_bpe_model,
+        extend_bpe_model,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = build_bpe_model(spark, sf)
+    cat = extend_bpe_model(spark, sf)
+    assert cat.current_version() == 2
+
+    # (1) shallow clone + append-only files
+    base_files = base._load(base.current_version())["tables"]["merges"]["files"]
+    v1_files = cat._load(1)["tables"]["merges"]["files"]
+    v2_files = cat._load(2)["tables"]["merges"]["files"]
+    assert v1_files == base_files
+    assert v2_files[:len(v1_files)] == v1_files and len(v2_files) > len(v1_files)
+
+    # (2) rank continuity
+    ranks = sorted(r.merge_rank for r in cat.read(spark, "merges").collect())
+    assert ranks == list(range(1, BPE_MERGES + BPE_EXTEND_ROUNDS + 1))
+
+    rep = {r.lang: r for r in bpe_extend_report(spark, sf).collect()}
+    flagged = sorted(lg for lg, r in rep.items() if r.flagged)
+    assert flagged  # the corpus trips the decision
+    # (5) decision artifact == report flags == integer recompute
+    assert sorted(r.lang for r in
+                  cat.read(spark, "decision").collect()) == flagged
+    tot_p = sum(r.n_pieces_v1 for r in rep.values())
+    # n_chars recompute from the corpus
+    from pyspark.sql import functions as F
+    chars = {r.lang: r.c for r in
+             load_table(spark, sf, "documents").groupBy("lang")
+             .agg(F.sum("n_chars").alias("c")).collect()}
+    tot_c = sum(chars.values())
+    assert flagged == sorted(lg for lg, r in rep.items()
+                             if r.n_pieces_v1 * tot_c > tot_p * chars[lg])
+
+    # (3) monotone: no language fragments more under v2
+    assert all(r.n_pieces_v2 <= r.n_pieces_v1 for r in rep.values())
+    # (4) strict improvement on every flagged language
+    assert all(rep[lg].n_pieces_v2 < rep[lg].n_pieces_v1 for lg in flagged)
