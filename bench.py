@@ -286,6 +286,9 @@ HEADLINE = [
     # round 8: fertility-driven vocab extension (append-only merge
     # rounds trained on the flagged languages; oracle-replayed)
     "q_bpe_extend",
+    # round 8: differential salting from the committed skew artifact
+    # (hot-branch/cold-branch union; answer-neutral vs the plain join)
+    "q_skew_join_adaptive",
 ]
 
 

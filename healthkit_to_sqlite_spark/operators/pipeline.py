@@ -771,6 +771,90 @@ def salted_agg(events: DataFrame, n_salt: int = 16) -> DataFrame:
     return totals.join(distinct_users, "event_type")
 
 
+SKEW_HOT_PCT = 120  # a key is hot when cnt·n_keys·100 > PCT·n_rows
+
+
+def build_skew_stats(spark: SparkSession, sf_dir: str,
+                     key: str = "user_id",
+                     pct: int = SKEW_HOT_PCT):
+    """Committed per-key statistics + the hot-key list they imply —
+    the ANALYZE-grain artifact that lets every downstream join/agg
+    choose its shuffle strategy per key instead of blanket-salting
+    (the CBO-statistics analog of `q_analyze_stats`, at key grain).
+    The hot-key decision is the usual exact-integer relative bound
+    (``cnt·n_keys·100 > pct·n_rows`` — no float mean), computed once
+    and published atomically; at 100 TB this is the same pass that
+    writes partition statistics, and it runs per snapshot, not per
+    query."""
+    import os
+
+    from ..sinks.manifest import ManifestCatalog
+
+    cat = ManifestCatalog(os.path.join(
+        _work_dir(f"skew_stats_{key}_{pct}", sf_dir), "cat"))
+    if cat.current_version() < 1:
+        events = load_table(spark, sf_dir, "events")
+        counts = (events.groupBy(F.col(key))
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+        tot = counts.agg(F.sum("cnt").alias("n_rows"),
+                         F.count(F.lit(1)).alias("n_keys")).first()
+        hot = (counts
+               .filter(F.col("cnt") * F.lit(int(tot.n_keys)) * 100
+                       > F.lit(pct) * F.lit(int(tot.n_rows)))
+               .select(key))
+        cat.publish_pass({"keystats": counts, "hotkeys": hot})
+    return cat
+
+
+def skew_adaptive_join(spark: SparkSession, sf_dir: str,
+                       n_salt: int = 8,
+                       pct: int = SKEW_HOT_PCT) -> DataFrame:
+    """Acting on the skew report (the fourth monitor→actuator loop:
+    occupancy→rebalance, F1→retrain, fertility→vocab-extend, and now
+    skew→differential salting): the same fact⋈dim join as
+    `salted_join`, but ONLY the keys the committed skew artifact
+    flags take the salted path — cold keys join plain, hot keys join
+    on (key, salt) with the dim row replicated ×``n_salt``, and the
+    two branches union.
+
+    Why differential beats blanket at 100 TB: blanket salting
+    replicates the ENTIRE dim ×n_salt (n_salt× the shuffle and build
+    side for the 99% of keys that never needed it); the adaptive form
+    replicates |hot|·n_salt dim rows — a broadcast-size set by
+    construction — while hot keys still spread across n_salt reducers.
+    This is AQE's skew-join decision made with COMMITTED statistics
+    before the shuffle materializes, instead of after.  The hot-key
+    list rides two broadcast semi/anti probes on the fact side
+    (map-side, no extra shuffle).
+
+    The salt provably never changes the answer: shares q_salted_join's
+    oracle (the PLAIN join) verbatim.  Branch shape + dim-replication
+    locality pinned in test_plans; hot/cold partition and integer
+    decision pinned in test_pipeline."""
+    cat = build_skew_stats(spark, sf_dir, "user_id", pct)
+    hot = cat.read(spark, "hotkeys")              # bounded: ≤ n_keys/γ
+    events = load_table(spark, sf_dir, "events")
+    dim = (events.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_events_user")))
+    out_cols = ["event_id", "user_id", "event_type", "n_events_user"]
+
+    cold = (events.join(F.broadcast(hot), "user_id", "left_anti")
+            .join(dim.join(F.broadcast(hot), "user_id", "left_anti"),
+                  "user_id")
+            .select(*out_cols))
+    # NULL event_id guard: same constant-salt reasoning as salted_join
+    fact_hot = (events.join(F.broadcast(hot), "user_id", "left_semi")
+                .withColumn("_salt",
+                            F.pmod(F.coalesce(F.col("event_id"),
+                                              F.lit(0)), F.lit(n_salt))))
+    dim_hot = (dim.join(F.broadcast(hot), "user_id", "left_semi")
+               .withColumn("_salt", F.explode(
+                   F.array(*[F.lit(i) for i in range(n_salt)]))))
+    hot_join = (fact_hot.join(dim_hot, ["user_id", "_salt"])
+                .select(*out_cols))
+    return cold.unionByName(hot_join)
+
+
 def salted_join(events: DataFrame, n_salt: int = 8) -> DataFrame:
     """Skew-resistant fact⋈dim equi-join: the fact side adds a salt
     column, the dim side replicates ×``n_salt``, and the join key
@@ -2747,6 +2831,23 @@ SPECS: dict[str, Spec] = {
         """,
         "salted skew-resistant equi-join (salt provably answer-neutral: "
         "oracle is the plain join)"),
+    "q_skew_join_adaptive": Spec(
+        lambda spark, sf: skew_adaptive_join(spark, sf),
+        """
+        SELECT e.event_id, e.user_id, e.event_type, u.n_events_user
+        FROM events e
+        JOIN (SELECT user_id, COUNT(*) AS n_events_user
+              FROM events GROUP BY user_id) u USING (user_id)
+        """,
+        "differential salting driven by the COMMITTED skew artifact "
+        "(r8 — the fourth monitor→actuator loop, acting on "
+        "q_skew_report): only keys flagged by the exact-integer "
+        "cnt·n_keys·100 > pct·n_rows bound take the salted (key, salt) "
+        "path with dim replicated ×n_salt; cold keys join plain and "
+        "the branches union — |hot|·n_salt replication instead of "
+        "|dim|·n_salt, AQE's skew decision made from committed stats "
+        "BEFORE the shuffle materializes; same oracle as q_salted_join "
+        "(the plain join), so the hash gate proves answer-neutrality"),
     "q_merge_upsert": Spec(
         lambda spark, sf: merge_upsert(
             load_table(spark, sf, "orders").select(

@@ -11,7 +11,7 @@ leaving timeseries/multimodal/pipeline/udx unverified).  ``PRIORITY``
 pins the verification window each round: queries whose semantics
 changed this round plus queries with no driver row yet come first,
 then the reference §2.A/§2.B parity surface, then the long-green
-remainder.  Everything (205 queries as of round 8) still runs in
+remainder.  Everything (206 queries as of round 8) still runs in
 tests/parity.py, whose committed PARITY_r{N}.json covers the overflow.
 
 The window contract is self-tested: tests/test_registry.py asserts
@@ -34,17 +34,18 @@ from .spec import Spec
 #: surface.  Names not listed (or not registered) follow in module
 #: order; unknown names here are ignored, so the list is safe to
 #: curate ahead of the code — but the FIRST 50 are contract (see
-#: tests/test_registry.py).  (205 queries as of round 8.)
+#: tests/test_registry.py).  (206 queries as of round 8.)
 PRIORITY: tuple[str, ...] = (
     # ---- round-8 window (slots 1-50) ------------------------------
     # (1a) new in round 8 (never driver-checked): prune-on-append for
     # the lexical serving index (VERDICT r7 item 3), IVF cell
     # split/merge maintenance acting on the occupancy/recall signals
     # (item 4), the classifier drift-loop retrain report (item 7),
-    # and the fertility-driven tokenizer vocabulary extension (the
-    # third monitor→actuator loop)
+    # the fertility-driven tokenizer vocabulary extension (third
+    # monitor→actuator loop), and differential salting driven by the
+    # committed skew artifact (fourth loop)
     "q_bm25_pruned_append", "q_ivf_rebalance", "q_quality_retrain",
-    "q_bpe_extend",
+    "q_bpe_extend", "q_skew_join_adaptive",
     # (1b) kernels touched in round 8 — embedding_covariance's
     # dim-agnostic slice (r7 ADVICE), the LPA per-round
     # localCheckpoint, the _batch_adc_serve extraction (+ the
@@ -66,12 +67,12 @@ PRIORITY: tuple[str, ...] = (
     "q_resample_ffill", "q_rollup", "q_semi_anti", "q_session_window",
     "q_set_ops", "q_skew_report", "q_stateful_counts",
     "q_topk_cosine_incremental", "q_train_split", "q_triangles",
-    "q_unpivot", "q_variant_extract", "q_vocab_topk", "q_window_rank",
+    "q_unpivot", "q_variant_extract", "q_vocab_topk",
     # ---- overflow (covered by PARITY_r08.json) ----------------
-    # (3) window overflow by one (q_zorder, r03-green, leads the
-    # round-9 rotation) + touched-adjacent (share refactored kernels,
-    # locally re-verified)
-    "q_zorder",
+    # (3) window overflow (q_window_rank/q_zorder, r03-green, lead
+    # the round-9 rotation) + touched-adjacent (share refactored
+    # kernels, locally re-verified)
+    "q_window_rank", "q_zorder",
     "q_ann_recall_report", "q_quality_classifier",
     "q_quality_classifier_eval",
     # (4) the r04-green block — heads the round-9 rotation

@@ -1450,3 +1450,55 @@ def test_lpa_communities_refine_cc_components(spark):
     for d, c in lpa.items():
         by_comm.setdefault(c, set()).add(cc[d])
     assert all(len(v) == 1 for v in by_comm.values())
+
+
+def test_skew_adaptive_join_decision_and_partition(spark):
+    """Adaptive-salting pins (r8, the skew actuator): (1) the
+    committed hot-key set equals the exact-integer recompute from the
+    per-key counts artifact; (2) the threshold actually bites on this
+    corpus (some keys hot, most cold); (3) the hot and cold branches
+    PARTITION the plain-join output exactly — together they equal it
+    row-for-row (the oracle pins this too, but here per-branch); (4)
+    every hot key's fact rows spread across >1 salt value (the whole
+    point of the salted path)."""
+    from pyspark.sql import functions as F
+
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        SKEW_HOT_PCT,
+        build_skew_stats,
+        skew_adaptive_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cat = build_skew_stats(spark, sf)
+    counts = {r.user_id: r.cnt for r in
+              cat.read(spark, "keystats").collect()}
+    n_rows, n_keys = sum(counts.values()), len(counts)
+    expect_hot = {u for u, c in counts.items()
+                  if c * n_keys * 100 > SKEW_HOT_PCT * n_rows}
+    got_hot = {r.user_id for r in cat.read(spark, "hotkeys").collect()}
+    assert got_hot == expect_hot
+    assert 0 < len(got_hot) < n_keys          # bites, but not blanket
+
+    events = load_table(spark, sf, "events")
+    dim = (events.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_events_user")))
+    plain = sorted(map(tuple, events.join(dim, "user_id")
+                       .select("event_id", "user_id", "event_type",
+                               "n_events_user").collect()))
+    got = sorted(map(tuple, skew_adaptive_join(spark, sf).collect()))
+    assert got == plain
+    # branch partition: hot keys' rows all present, as are cold's
+    hot_rows = [t for t in got if t[1] in got_hot]
+    assert len(hot_rows) == sum(counts[u] for u in got_hot)
+
+    # the salted path spreads each hot key across >1 reducer key
+    n_salt = 8
+    spread = (events.filter(F.col("user_id").isin(list(got_hot)))
+              .select("user_id",
+                      F.pmod(F.coalesce(F.col("event_id"), F.lit(0)),
+                             F.lit(n_salt)).alias("s"))
+              .groupBy("user_id")
+              .agg(F.countDistinct("s").alias("ns")).collect())
+    assert all(r.ns > 1 for r in spread)

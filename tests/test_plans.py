@@ -703,3 +703,39 @@ def test_quality_retrain_report_single_scan_both_models(spark, specs):
     plan = formatted_plan(df)
     assert plan.count("Scan parquet") == 2   # tree + detail, one scan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_skew_adaptive_join_branch_shapes(spark, specs):
+    """Differential salting (r8): the plan must be a UNION of two join
+    branches — the hot branch keyed on (user_id, _salt) with the dim
+    replication (explode of the salt range) local to it, the cold
+    branch keyed on user_id alone — with the committed hot-key
+    artifact probed via broadcast semi/anti joins (never a shuffle for
+    the key-list probes)."""
+    import re
+
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")   # dim too big to broadcast regime
+        df = specs["q_skew_join_adaptive"].build(spark, SF)
+        plan = formatted_plan(df)
+        assert "Union" in plan
+        assert "skew_stats_" in plan          # committed artifact scan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # exactly one branch joins on the salt
+        salted_joins = [m.group(1) for m in
+                        re.finditer(r"Left keys \[\d+\]: \[([^\]]*)\]",
+                                    plan) if "_salt" in m.group(1)]
+        assert len(salted_joins) == 1, plan[:2000]
+        # the hot-key probes stay broadcast even with the dim-join
+        # broadcast regime off (they are tiny by construction)
+        assert "BroadcastHashJoin" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
