@@ -822,6 +822,10 @@ def skew_adaptive_join(spark: SparkSession, sf_dir: str,
     side for the 99% of keys that never needed it); the adaptive form
     replicates |hot|·n_salt dim rows — a broadcast-size set by
     construction — while hot keys still spread across n_salt reducers.
+    Exactly, on this corpus at sf0.1: 1500 dim keys, 83 hot at the
+    120% bound → 664 replicated dim rows instead of 12,000 (×18 less
+    build-side state), with the ratio improving as keys grow
+    (|hot| ≤ 100·n_keys/pct by the pigeonhole on the threshold).
     This is AQE's skew-join decision made with COMMITTED statistics
     before the shuffle materializes, instead of after.  The hot-key
     list rides two broadcast semi/anti probes on the fact side
