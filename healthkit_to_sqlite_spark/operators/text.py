@@ -1279,6 +1279,18 @@ def qc_score_col(w: dict[int, float],
 #: guard's plan-keyed memo, this key IS the data identity.  Saves a
 #: driver-side Spark job per scorer construction (measured 2.97 →
 #: ~1.3 s on q_quality_retrain, which builds two scorers per call).
+#:
+#: Known staleness window (same shape the pq seed guard documents):
+#: if a catalog ROOT is deleted and rebuilt within one process, the
+#: rebuilt root reuses (root, version) keys and this memo would serve
+#: the old weights.  All builders here derive the root from a
+#: _work_dir name that encodes every training parameter (sf_dir, dim,
+#: merges, …) and never delete-and-rebuild in-process, so the window
+#: is unreachable through the public surface; anyone adding an
+#: in-process regeneration path must either bust this memo or add a
+#: manifest identity (e.g. the version file's uuid) to the key.  The
+#: key omits ``dim`` deliberately — today the work-dir name encodes
+#: it; if roots ever stop encoding dim, add it here.
 _QC_W_CACHE: dict[tuple[str, int], dict[int, float]] = {}
 
 
@@ -1453,7 +1465,16 @@ def quality_retrain_report(spark: SparkSession, sf_dir: str,
                  F.sum(one(~F.col("p2") & F.col("y"))).alias("fn2")))
 
     def f1(tp, fp, fn):
-        return F.round(2 * tp / (2 * tp + fp + fn), 6)
+        # Degenerate denominator (a source with zero positive labels
+        # AND zero positive predictions): define F1 = 1.0 — the model
+        # is in perfect agreement with the teacher on that source, and
+        # this is coherent with the flag decision below, whose integer
+        # test degenerates to 0 < 0 = false (never flagged).  Without
+        # the F.when this row would carry a NULL with no stated
+        # convention (round-9 ADVICE).
+        denom = 2 * tp + fp + fn
+        return F.when(denom == 0, F.lit(1.0)) \
+                .otherwise(F.round(2 * tp / denom, 6))
 
     return (conf.select(
         "source", "n_docs",
@@ -1817,7 +1838,16 @@ def _bpe_extend_oracle_sql(merges: int = BPE_MERGES,
     the flagged languages' word table (frequencies from their docs,
     start state = the committed model's segmentation), v2 corpus
     states by replaying the new merges, and the side-by-side
-    rollup."""
+    rollup.
+
+    Each extension round joins ``ebest_j`` (the LIMIT-1 best pair)
+    via LEFT JOIN ON TRUE with ``COALESCE(replace(..), s)`` rather
+    than a cross join: when a round finds no pairs (flagged set
+    empty -- e.g. a single-language corpus where the exact-integer
+    rate comparison is an identity -- or pair exhaustion before
+    ``extra`` rounds), the round is a no-op instead of emptying
+    every downstream CTE, mirroring the Spark side's early break in
+    ``_bpe_rounds`` / empty-``flagged`` handling (round-9 ADVICE)."""
     parts = _bpe_states_sql(merges, final_state=True)
     parts.append("""docw AS MATERIALIZED (
       SELECT doc_id, tok FROM (
@@ -1863,14 +1893,14 @@ def _bpe_extend_oracle_sql(merges: int = BPE_MERGES,
       SELECT a, b, n FROM epairs_{j} ORDER BY n DESC, a, b LIMIT 1),
     ext_{j} AS MATERIALIZED (
       SELECT word, freq,
-             replace(s, ' ' || bb.a || ' ' || bb.b || ' ',
-                     ' ' || bb.a || bb.b || ' ') AS s
-      FROM ext_{j - 1}, ebest_{j} bb),
+             COALESCE(replace(s, ' ' || bb.a || ' ' || bb.b || ' ',
+                              ' ' || bb.a || bb.b || ' '), s) AS s
+      FROM ext_{j - 1} LEFT JOIN ebest_{j} bb ON TRUE),
     v_{j} AS MATERIALIZED (
       SELECT word,
-             replace(s, ' ' || bb.a || ' ' || bb.b || ' ',
-                     ' ' || bb.a || bb.b || ' ') AS s
-      FROM v_{j - 1}, ebest_{j} bb)""")
+             COALESCE(replace(s, ' ' || bb.a || ' ' || bb.b || ' ',
+                              ' ' || bb.a || bb.b || ' '), s) AS s
+      FROM v_{j - 1} LEFT JOIN ebest_{j} bb ON TRUE)""")
     return "WITH " + ",\n".join(parts) + f"""
     , lang2 AS (
       SELECT m.lang,

@@ -526,6 +526,14 @@ class ManifestCatalog(_ManifestLog):
         catalog's vacuum does not know about clone references — don't
         vacuum a source whose clones are still alive."""
         v = src.current_version() if version is None else version
+        if v == 0:
+            # A never-published source has no manifest file at all;
+            # without this guard the _load(0) below surfaces as a
+            # bare FileNotFoundError for a path that never existed
+            # (round-9 ADVICE — the primitive is public).
+            raise ValueError(
+                f"cannot clone an empty catalog: {src.root!r} has no "
+                "published version")
         tables = src._load(v)["tables"]
         for _ in range(max_retries):
             head = self.current_version()
