@@ -289,6 +289,10 @@ HEADLINE = [
     # round 8: differential salting from the committed skew artifact
     # (hot-branch/cold-branch union; answer-neutral vs the plain join)
     "q_skew_join_adaptive",
+    # round 9: prune-on-append for the impact-ordered inverted index
+    # (ordered top-cap merge, REPLACE publish, df/total_tf deltas;
+    # shares q_inverted_index's rebuild oracle)
+    "q_inverted_index_append",
 ]
 
 

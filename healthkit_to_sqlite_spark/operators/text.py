@@ -1047,8 +1047,6 @@ def inverted_index(documents: DataFrame,
     WindowGroupLimit (hot terms — stopwords with millions of postings
     — keep only per-partition top-cap heaps in flight; the exact df
     and total_tf still come from the untruncated aggregate)."""
-    from pyspark.sql import Window
-
     tf = (documents
           .select("doc_id", F.explode(ws_tokens("text")).alias("token"))
           .groupBy("token", "doc_id")
@@ -1056,20 +1054,131 @@ def inverted_index(documents: DataFrame,
     stats = (tf.groupBy("token")
              .agg(F.count(F.lit(1)).alias("df"),
                   F.sum("tf").alias("total_tf")))
-    w = Window.partitionBy("token").orderBy(F.col("tf").desc(), "doc_id")
-    top = (tf.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") <= cap))
-    postings = (top.groupBy("token")
-                .agg(F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(
-                            F.struct("rn", "doc_id", "tf"))),
-                        lambda s: F.concat_ws(
-                            ":", s.doc_id.cast("string"),
-                            s.tf.cast("string"))),
-                    ",").alias("postings")))
-    return stats.join(postings, "token").select(
+    top = _top_cap_rank(tf, cap)
+    return stats.join(_postings_str(top), "token").select(
         "token", "df", "total_tf", "postings")
+
+
+def _top_cap_rank(tf_rows: DataFrame, cap: int) -> DataFrame:
+    """Top-``cap`` (token, doc_id, tf) rows per token under the
+    impact order (tf DESC, doc_id ASC), rank kept — the dl-free
+    sibling of :func:`_prune_top_m`, and like it the ONE ranking both
+    the from-scratch build and the append merge apply, so append ≡
+    rebuild above the cap is the same monotonicity theorem
+    (top_cap(A ∪ B) ⊆ top_cap(A) ∪ B when A and B hold disjoint
+    doc_ids).  WindowGroupLimit per token, never a global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("token").orderBy(F.col("tf").desc(), "doc_id")
+    return (tf_rows
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= cap)
+            .select("token", "rn", "doc_id", "tf"))
+
+
+def _postings_str(top: DataFrame) -> DataFrame:
+    """Render ranked posting rows to the ``doc:tf,doc:tf`` artifact
+    string — shared by the one-shot build and the appended serve so
+    the two emit byte-identical strings for identical row sets."""
+    return (top.groupBy("token")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("rn", "doc_id", "tf"))),
+                    lambda s: F.concat_ws(
+                        ":", s.doc_id.cast("string"),
+                        s.tf.cast("string"))),
+                ",").alias("postings")))
+
+
+def build_inverted_index_appended(spark: SparkSession, sf_dir: str,
+                                  cap: int = INV_POSTINGS_CAP,
+                                  split: int = BM25_APPEND_SPLIT):
+    """Prune-on-append for the impact-ordered inverted index — the
+    last build-only serving artifact gets its maintenance pass
+    (VERDICT r8 item 4), reusing the ordered-merge structure
+    `q_bm25_pruned_append` proved out (`_prune_top_m` /
+    `_top_cap_rank` are the same monotone top-m kernel; this artifact
+    orders by (tf DESC, doc_id) with no dl term).
+
+    Version 1 ranks the committed BASE full index (postings v1 of
+    `build_text_index_appended`) to top-``cap`` rows per token and
+    publishes them WITH their rank, plus per-token (df, total_tf)
+    stats; version 2 merges the new batch's postings (read off the
+    appended full index head with a ``doc_id >= split`` pushed filter
+    — parquet row-group stats skip every base file; corpus text is
+    never re-read) into the committed rows under the SAME ranking,
+    REPLACE-publishing the displaced ``top`` table while the per-token
+    stats append as mergeable DELTA rows the serve SUMs (df/total_tf
+    are full-corpus statistics — truncation must not shift them).
+
+    Because base and batch hold disjoint doc_ids, top-cap monotonicity
+    makes the merged artifact EXACTLY a from-scratch prune of the full
+    corpus, so the serve shares `q_inverted_index`'s oracle verbatim —
+    the hash gate proves merge ≡ rebuild.  Version 1 stays
+    time-travelable byte-identically (pinned in test_text).
+
+    Cost is ∝ |batch| postings + |affected tokens|·cap committed rows;
+    at 100 TB this turns the per-ingest full rebuild of the serving
+    index into a bounded ordered merge — same daily-ingest shape as
+    the BM25 twin.  Reference anchor: the incremental second pass
+    over a committed schema (reference core.rs:63-73).  Note the
+    committed full index filters empty tokens (``term != ''``) while
+    the one-shot `inverted_index` tokenizer does not; the corpus
+    fixtures contain none (asserted in test_text), so the two token
+    streams are identical here — revisit if a corpus with repeated
+    whitespace ever feeds this artifact."""
+    import os
+
+    from ..sinks.manifest import ManifestCatalog
+    from .pipeline import _work_dir
+
+    full_cat = build_text_index_appended(spark, sf_dir, split)
+    cat = ManifestCatalog(os.path.join(
+        _work_dir(f"inverted_index_append_{cap}_{split}", sf_dir), "cat"))
+    if cat.current_version() < 1:
+        base = (full_cat.read(spark, "postings", version=1)
+                .select(F.col("term").alias("token"), "doc_id", "tf"))
+        cat.publish_pass({
+            "top": _top_cap_rank(base, cap),
+            "stats": base.groupBy("token")
+                         .agg(F.count(F.lit(1)).alias("df"),
+                              F.sum("tf").alias("total_tf")),
+        })
+    if cat.current_version() < 2:
+        batch = (full_cat.read(spark, "postings")
+                 .filter(F.col("doc_id") >= split)
+                 .select(F.col("term").alias("token"), "doc_id", "tf"))
+        committed = cat.read(spark, "top", version=1)
+        merged = _top_cap_rank(
+            committed.select("token", "doc_id", "tf")
+                     .unionByName(batch), cap)
+        cat.publish_pass({
+            "top": merged,
+            "stats": batch.groupBy("token")
+                          .agg(F.count(F.lit(1)).alias("df"),
+                               F.sum("tf").alias("total_tf")),
+        }, replace={"top"})
+    return cat
+
+
+def inverted_index_appended(spark: SparkSession, sf_dir: str,
+                            cap: int = INV_POSTINGS_CAP,
+                            split: int = BM25_APPEND_SPLIT) -> DataFrame:
+    """Serve the appended inverted index head: one bounded artifact
+    scan reassembles (token, df, total_tf, postings) — df/total_tf as
+    per-token SUMs of the pass deltas, the postings string rendered by
+    the shared :func:`_postings_str` kernel over the committed ranked
+    rows.  Output shape and oracle are `q_inverted_index`'s verbatim:
+    a hash match proves the incremental merge reproduces the
+    from-scratch artifact exactly."""
+    cat = build_inverted_index_appended(spark, sf_dir, cap, split)
+    stats = (cat.read(spark, "stats")
+             .groupBy("token")
+             .agg(F.sum("df").alias("df"),
+                  F.sum("total_tf").alias("total_tf")))
+    return (stats.join(_postings_str(cat.read(spark, "top")), "token")
+            .select("token", "df", "total_tf", "postings"))
 
 
 BPE_TOP = 50  # merge candidates to surface per round
@@ -2405,6 +2514,37 @@ FUZZY_PAIRS_CTE_SQL = """names AS (
             ON a.g = b.g AND a.name < b.name
            AND abs(a.pos - b.pos) <= 4)"""
 
+#: Rebuild-from-scratch oracle for the impact-ordered inverted index.
+#: Shared VERBATIM by `q_inverted_index` (one-shot build) and
+#: `q_inverted_index_append` (prune-on-append maintenance): the append
+#: path claims merge ≡ rebuild above the cap, so both queries must
+#: hash against the identical from-scratch artifact.
+_INVERTED_INDEX_ORACLE = f"""
+    WITH tf AS (
+      SELECT token, doc_id, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      GROUP BY token, doc_id),
+    stats AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS total_tf
+      FROM tf GROUP BY token),
+    top AS (
+      SELECT token, doc_id, tf,
+             ROW_NUMBER() OVER (PARTITION BY token
+                                ORDER BY tf DESC, doc_id) AS rn
+      FROM tf),
+    postings AS (
+      SELECT token,
+             STRING_AGG(CAST(doc_id AS VARCHAR) || ':' ||
+                        CAST(tf AS VARCHAR), ',' ORDER BY rn)
+               AS postings
+      FROM top WHERE rn <= {INV_POSTINGS_CAP}
+      GROUP BY token)
+    SELECT token, df, total_tf, postings
+    FROM stats JOIN postings USING (token)
+    """
+
 SPECS: dict[str, Spec] = {
     "q_hash_embed": Spec(
         lambda spark, sf: hash_embed(load_table(spark, sf, "documents")),
@@ -2696,34 +2836,18 @@ SPECS: dict[str, Spec] = {
         "stats broadcast; exact rational idf)"),
     "q_inverted_index": Spec(
         lambda spark, sf: inverted_index(load_table(spark, sf, "documents")),
-        f"""
-        WITH tf AS (
-          SELECT token, doc_id, COUNT(*) AS tf
-          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-                FROM documents)
-          GROUP BY token, doc_id),
-        stats AS (
-          SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
-                 CAST(SUM(tf) AS BIGINT) AS total_tf
-          FROM tf GROUP BY token),
-        top AS (
-          SELECT token, doc_id, tf,
-                 ROW_NUMBER() OVER (PARTITION BY token
-                                    ORDER BY tf DESC, doc_id) AS rn
-          FROM tf),
-        postings AS (
-          SELECT token,
-                 STRING_AGG(CAST(doc_id AS VARCHAR) || ':' ||
-                            CAST(tf AS VARCHAR), ',' ORDER BY rn)
-                   AS postings
-          FROM top WHERE rn <= {INV_POSTINGS_CAP}
-          GROUP BY token)
-        SELECT token, df, total_tf, postings
-        FROM stats JOIN postings USING (token)
-        """,
+        _INVERTED_INDEX_ORACLE,
         "impact-ordered inverted index: per-term df/total_tf + top-cap "
         "(tf desc) truncated postings — the BM25 serving artifact "
         "(WindowGroupLimit bounds hot-term postings in flight)"),
+    "q_inverted_index_append": Spec(
+        lambda spark, sf: inverted_index_appended(spark, sf),
+        _INVERTED_INDEX_ORACLE,
+        "prune-on-append maintenance for the impact-ordered inverted "
+        "index: ordered merge of batch postings into the committed "
+        "top-cap artifact (REPLACE publish; df/total_tf as mergeable "
+        "deltas) — shares q_inverted_index's oracle verbatim, so the "
+        "hash gate proves merge ≡ from-scratch rebuild"),
     "q_rare_trigram_rate": Spec(
         lambda spark, sf: rare_trigram_rate(load_table(spark, sf, "documents")),
         f"""

@@ -11,7 +11,7 @@ leaving timeseries/multimodal/pipeline/udx unverified).  ``PRIORITY``
 pins the verification window each round: queries whose semantics
 changed this round plus queries with no driver row yet come first,
 then the reference §2.A/§2.B parity surface, then the long-green
-remainder.  Everything (206 queries as of round 8) still runs in
+remainder.  Everything (207 queries as of round 9) still runs in
 tests/parity.py, whose committed PARITY_r{N}.json covers the overflow.
 
 The window contract is self-tested: tests/test_registry.py asserts
@@ -28,77 +28,99 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .spec import Spec
 
+#: Queries whose kernels/oracles CHANGED this round — the one input
+#: to the window derivation that cannot be recomputed from committed
+#: artifacts (the other inputs — never-checked queries and per-query
+#: newest driver rows — come from CORRECTNESS_r0*.json).  Curated per
+#: round; tests/test_registry.py derives the mandatory window from
+#: (new ∪ TOUCHED) + oldest-rows backfill and fails naming any
+#: dropped query.
+TOUCHED_THIS_ROUND: tuple[str, ...] = (
+    "q_inverted_index",     # shares the extracted _top_cap_rank /
+                            # _postings_str kernels with the new
+                            # append path
+    "q_bpe_extend",         # oracle: empty-merge-round LEFT JOIN
+                            # guard (ADVICE r8)
+    "q_quality_retrain",    # degenerate-F1 = 1.0 convention
+                            # (ADVICE r8; rows-only)
+)
+
 #: Names the driver must re-verify this round, in order: (1) queries
 #: fixed/changed since their last green row, (2) queries that have
 #: never had a CORRECTNESS row, (3) the reference-parity §2.A/§2.B
 #: surface.  Names not listed (or not registered) follow in module
 #: order; unknown names here are ignored, so the list is safe to
 #: curate ahead of the code — but the FIRST 50 are contract (see
-#: tests/test_registry.py).  (206 queries as of round 8.)
+#: tests/test_registry.py).  (207 queries as of round 9.)
 PRIORITY: tuple[str, ...] = (
-    # ---- round-8 window (slots 1-50) ------------------------------
-    # (1a) new in round 8 (never driver-checked): prune-on-append for
-    # the lexical serving index (VERDICT r7 item 3), IVF cell
-    # split/merge maintenance acting on the occupancy/recall signals
-    # (item 4), the classifier drift-loop retrain report (item 7),
-    # the fertility-driven tokenizer vocabulary extension (third
-    # monitor→actuator loop), and differential salting driven by the
-    # committed skew artifact (fourth loop)
-    "q_bm25_pruned_append", "q_ivf_rebalance", "q_quality_retrain",
-    "q_bpe_extend", "q_skew_join_adaptive",
-    # (1b) kernels touched in round 8 — embedding_covariance's
-    # dim-agnostic slice (r7 ADVICE), the LPA per-round
-    # localCheckpoint, the _batch_adc_serve extraction (+ the
-    # vector-budget probe path), and the shared _bm25_pruned_serve
-    # refactor; outputs proven identical locally, re-verify anyway
+    # ---- round-9 window (slots 1-50) ------------------------------
+    # The window is DERIVED, not hand-curated: new queries (no
+    # CORRECTNESS row yet) + TOUCHED_THIS_ROUND, then the globally
+    # oldest driver rows sorted by (newest round, name) until the 50
+    # slots fill.  tests/test_registry.py recomputes that derivation
+    # from the committed CORRECTNESS_r0*.json artifacts and fails
+    # naming any dropped query (VERDICT r8 item 2 — the r7->r8
+    # 65-vs-50 overflow becomes a test failure, not a judge finding).
+    # (1a) new in round 9: prune-on-append for the impact-ordered
+    # inverted index (VERDICT r8 item 4 — the last build-only
+    # serving artifact)
+    # (1b) kernels touched in round 9: q_inverted_index shares the
+    # extracted _top_cap_rank/_postings_str kernels; q_bpe_extend's
+    # oracle gained the empty-round LEFT JOIN guard; q_quality_retrain
+    # gained the degenerate-F1 convention (all ADVICE r8)
+    # (2) the r03 block (q_window_rank/q_zorder) + the full 22-query
+    # r04 block (VERDICT r8 item 1), then r05 backfill by name --
+    # after this round no query's newest driver row is older than r05
+    "q_inverted_index_append", "q_inverted_index", "q_bpe_extend",
+    "q_quality_retrain", "q_window_rank", "q_zorder", "q_bm25",
+    "q_chunk_overlap", "q_cusum", "q_dsir_resample", "q_dsir_weights",
+    "q_exact_substring", "q_funnel_ordered", "q_heavy_hitters",
+    "q_hll_sliding", "q_kcore", "q_khop_reach", "q_knn_graph",
+    "q_lm_perplexity", "q_manifest_multi", "q_media_dedup",
+    "q_quantize_int8", "q_quarantine", "q_rare_trigram_rate",
+    "q_retention_cohort", "q_rrf_fusion", "q_seasonal_profile",
+    "q_source_cap", "q_abtest", "q_agg_sum", "q_ann_lsh_buckets",
+    "q_collect_events", "q_collect_stats_map", "q_conditional_agg",
+    "q_date_parse", "q_dedup_exact", "q_dedup_near", "q_dedup_simhash",
+    "q_embed_norms", "q_exists_in", "q_filter_between",
+    "q_filter_or_isin", "q_fingerprint", "q_flagship", "q_group_agg",
+    "q_group_ols", "q_json_extract", "q_kv_pivot", "q_lang_id",
+    "q_linestring",
+    # ---- overflow (covered by PARITY_r09.json) ---------------------
+    # remaining r05 rows lead the round-10 rotation, then r06/r07/r08
+    # in their prior order
+    "q_bm25_pruned_append", "q_ivf_rebalance", "q_skew_join_adaptive",
     "q_embed_covariance", "q_communities_lpa", "q_ann_batch_queries",
-    "q_bm25_pruned",
-    # (2) oldest surviving driver rows — the FULL r03-green block
-    # (VERDICT r7 item 1: max row age is the only quality number that
-    # can silently rot; 43 queries, newest row r03)
-    "q_anomaly_zscore", "q_approx_distinct", "q_bloom_prune",
-    "q_cogroup_asof", "q_containment", "q_correlated_scalar", "q_cube",
-    "q_dedup_audit", "q_dedup_clusters", "q_dedup_clusters_star",
-    "q_expectations", "q_full_outer", "q_funnel_join", "q_funnel_left",
-    "q_gapfill", "q_global_shuffle", "q_grouping_sets", "q_histogram",
+    "q_bm25_pruned", "q_anomaly_zscore", "q_approx_distinct",
+    "q_bloom_prune", "q_cogroup_asof", "q_containment",
+    "q_correlated_scalar", "q_cube", "q_dedup_audit",
+    "q_dedup_clusters", "q_dedup_clusters_star", "q_expectations",
+    "q_full_outer", "q_funnel_join", "q_funnel_left", "q_gapfill",
+    "q_global_shuffle", "q_grouping_sets", "q_histogram",
     "q_hll_merge", "q_mixture_rebalance", "q_moving_avg",
     "q_multimodal_embed", "q_multimodal_frames", "q_multimodal_resize",
-    "q_ngram_counts", "q_pagerank", "q_percentiles", "q_quality_funnel",
-    "q_resample_ffill", "q_rollup", "q_semi_anti", "q_session_window",
-    "q_set_ops", "q_skew_report", "q_stateful_counts",
-    "q_topk_cosine_incremental", "q_train_split", "q_triangles",
-    "q_unpivot", "q_variant_extract", "q_vocab_topk",
-    # ---- overflow (covered by PARITY_r08.json) ----------------
-    # (3) window overflow (q_window_rank/q_zorder, r03-green, lead
-    # the round-9 rotation) + touched-adjacent (share refactored
-    # kernels, locally re-verified)
-    "q_window_rank", "q_zorder",
+    "q_ngram_counts", "q_pagerank", "q_percentiles",
+    "q_quality_funnel", "q_resample_ffill", "q_rollup", "q_semi_anti",
+    "q_session_window", "q_set_ops", "q_skew_report",
+    "q_stateful_counts", "q_topk_cosine_incremental", "q_train_split",
+    "q_triangles", "q_unpivot", "q_variant_extract", "q_vocab_topk",
     "q_ann_recall_report", "q_quality_classifier",
-    "q_quality_classifier_eval",
-    # (4) the r04-green block — heads the round-9 rotation
-    "q_bm25", "q_chunk_overlap", "q_cusum", "q_dsir_resample",
-    "q_dsir_weights", "q_exact_substring", "q_funnel_ordered",
-    "q_heavy_hitters", "q_hll_sliding", "q_kcore", "q_khop_reach",
-    "q_knn_graph", "q_lm_perplexity", "q_manifest_multi",
-    "q_media_dedup", "q_quantize_int8", "q_quarantine",
-    "q_rare_trigram_rate", "q_retention_cohort", "q_rrf_fusion",
-    "q_seasonal_profile", "q_source_cap",
-    # (5) r05-r07-window rows (newest driver green, lowest urgency)
-    "q_ann_binary", "q_mmr_rerank", "q_cms_counts", "q_bpe_fertility",
-    "q_hybrid_from_index", "q_analyze_stats", "q_winnowing",
-    "q_winnowing_pairs", "q_bm25_index_append", "q_dedup_index_append",
-    "q_dedup_keep_best", "q_quality_quantile", "q_bpe_encode",
-    "q_dedup_semantic", "q_ivf_postings", "q_ann_ivf", "q_ann_pq",
-    "q_ann_ivfpq", "q_ann_ivfpq_residual", "q_bm25_from_index",
-    "q_dedup_from_index", "q_dedup_embedding", "q_scd2", "q_ewma",
-    "q_first_touch", "q_span_scrub", "q_incremental_agg",
-    "q_snapshot_diff", "q_bpe_pairs", "q_mrl_rerank",
-    "q_entity_resolution", "q_graph_jaccard", "q_pivot",
-    "q_range_frame", "q_window_analytics", "q_kll_merge",
-    "q_theta_sets", "q_temporal_join", "q_skyline", "q_manifest_merge",
-    "q_autocorr", "q_snowflake_join", "q_corpus_profile",
-    "q_nation_trade", "q_returned_customers", "q_big_orders",
-    "q_pipeline_e2e", "q_ann_index_build", "q_ann_query_from_index",
+    "q_quality_classifier_eval", "q_ann_binary", "q_mmr_rerank",
+    "q_cms_counts", "q_bpe_fertility", "q_hybrid_from_index",
+    "q_analyze_stats", "q_winnowing", "q_winnowing_pairs",
+    "q_bm25_index_append", "q_dedup_index_append", "q_dedup_keep_best",
+    "q_quality_quantile", "q_bpe_encode", "q_dedup_semantic",
+    "q_ivf_postings", "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq",
+    "q_ann_ivfpq_residual", "q_bm25_from_index", "q_dedup_from_index",
+    "q_dedup_embedding", "q_scd2", "q_ewma", "q_first_touch",
+    "q_span_scrub", "q_incremental_agg", "q_snapshot_diff",
+    "q_bpe_pairs", "q_mrl_rerank", "q_entity_resolution",
+    "q_graph_jaccard", "q_pivot", "q_range_frame",
+    "q_window_analytics", "q_kll_merge", "q_theta_sets",
+    "q_temporal_join", "q_skyline", "q_manifest_merge", "q_autocorr",
+    "q_snowflake_join", "q_corpus_profile", "q_nation_trade",
+    "q_returned_customers", "q_big_orders", "q_pipeline_e2e",
+    "q_ann_index_build", "q_ann_query_from_index",
     "q_ann_index_append", "q_pca_project", "q_gopher_lines",
     "q_dedup_paragraph", "q_dedup_paragraph_apply", "q_bpe_train",
     "q_hash_embed", "q_mahalanobis", "q_gopher_rules",
@@ -110,20 +132,13 @@ PRIORITY: tuple[str, ...] = (
     "q_pack_sequences", "q_interval_join", "q_salted_join",
     "q_merge_upsert", "q_salted_agg", "q_ann_brp", "q_fuzzy_join",
     "q_ann_lsh_pairs", "q_dedup_incremental", "q_manifest_roundtrip",
-    "q_topk_cosine_pandas", "q_udaf_median", "q_inverted_index",
-    "q_temperature_sample", "q_negative_pairs", "q_abtest",
-    "q_token_budget_mix", "q_simhash_near", "q_group_ols",
+    "q_topk_cosine_pandas", "q_udaf_median", "q_temperature_sample",
+    "q_negative_pairs", "q_token_budget_mix", "q_simhash_near",
     "q_udtf_poly", "q_udtf_chunks", "q_udtf_chunks_arrow",
-    "q_exists_in", "q_conditional_agg", "q_string_funcs", "q_ntile",
-    "q_dedup_exact", "q_topk_cosine", "q_embed_norms",
-    "q_ann_lsh_buckets", "q_lang_id", "q_token_counts",
-    "q_quality_score", "q_token_count_bpe", "q_flagship",
-    "q_json_extract", "q_dedup_simhash", "q_schema_infer",
-    "q_schema_unify", "q_kv_pivot", "q_collect_events", "q_path_join",
-    "q_linestring", "q_partition_by_type", "q_filter_between",
-    "q_filter_or_isin", "q_project_arith", "q_agg_sum", "q_group_agg",
-    "q_date_parse", "q_topk", "q_collect_stats_map", "q_ngram_jaccard",
-    "q_fingerprint", "q_tfidf", "q_dedup_near",
+    "q_string_funcs", "q_ntile", "q_topk_cosine", "q_token_counts",
+    "q_quality_score", "q_token_count_bpe", "q_schema_infer",
+    "q_schema_unify", "q_path_join", "q_partition_by_type",
+    "q_project_arith", "q_topk", "q_ngram_jaccard", "q_tfidf",
 )
 
 

@@ -34,3 +34,54 @@ def test_registry_counts_match_docstring():
     n = len(reg.queries())
     assert f"({n} queries" in reg.__doc__, (
         f"registry docstring count stale: {n} registered")
+
+
+def test_window_derivation_from_correctness_union():
+    """VERDICT r8 item 2: the stale block of the verification window
+    is DERIVED from the committed CORRECTNESS artifacts, not
+    hand-curated.  Recompute 'newest driver row per query' from
+    CORRECTNESS_r0*.json (the judge's union), then assert the window
+    equals (never-checked ∪ TOUCHED_THIS_ROUND) + the globally oldest
+    rows by (newest round, name) until the 50 slots fill.  A curation
+    slip (like the r7→r8 65-vs-50 overflow) fails here naming the
+    dropped queries instead of surfacing as a judge finding."""
+    import glob
+    import json
+    import os
+    import re
+
+    from healthkit_to_sqlite_spark.registry import (PRIORITY,
+                                                    TOUCHED_THIS_ROUND,
+                                                    queries)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+        rnd = int(re.search(r"r0*(\d+)", os.path.basename(path)).group(1))
+        with open(path) as fh:
+            for q in json.load(fh):
+                newest[q] = max(newest.get(q, 0), rnd)
+
+    registered = list(queries())
+    never_checked = [q for q in registered if q not in newest]
+    must = set(never_checked) | set(TOUCHED_THIS_ROUND)
+    assert len(must) <= 50, (
+        f"{len(must)} mandatory entries exceed the 50-slot window; "
+        "split across rounds explicitly")
+    stale_fill = sorted(
+        (q for q in registered if q in newest and q not in must),
+        key=lambda q: (newest[q], q))[:50 - len(must)]
+    required = must | set(stale_fill)
+    window = set(PRIORITY[:50])
+    dropped = sorted(required - window)
+    assert not dropped, (
+        "verification window drops mandatory queries "
+        f"(new/touched/oldest-row): {dropped}")
+
+
+def test_touched_names_are_registered():
+    from healthkit_to_sqlite_spark.registry import (TOUCHED_THIS_ROUND,
+                                                    queries)
+
+    unknown = [n for n in TOUCHED_THIS_ROUND if n not in queries()]
+    assert unknown == [], f"TOUCHED_THIS_ROUND names not registered: {unknown}"

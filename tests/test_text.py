@@ -878,3 +878,65 @@ def test_bpe_extend_monotone_improvement_and_append_only(spark):
     assert all(r.n_pieces_v2 <= r.n_pieces_v1 for r in rep.values())
     # (4) strict improvement on every flagged language
     assert all(rep[lg].n_pieces_v2 < rep[lg].n_pieces_v1 for lg in flagged)
+
+
+def test_inverted_index_append_merge_equals_rebuild(spark):
+    """Prune-on-append invariants for the impact-ordered inverted
+    index (r8 VERDICT item 4 — the last build-only serving artifact):
+    (1) the served appended head equals the one-shot
+    `inverted_index` artifact row-for-row, postings strings included
+    (cap-subadditivity under the shared `_top_cap_rank` order); (2)
+    the per-token bound ≤ cap survives the merge; (3) version 1 (the
+    pre-append ranked artifact) is byte-identical after the REPLACE
+    publish and v2's files are disjoint from v1's; (4) per-token
+    df/total_tf ride as mergeable deltas summing to full-corpus
+    truth; (5) the corpus fixture holds no empty tokens — the
+    invariant that lets the append feed off the term≠''-filtered
+    committed full index while sharing the unfiltered oracle."""
+    from pyspark.sql import functions as F
+
+    from healthkit_to_sqlite_spark.operators.text import (
+        INV_POSTINGS_CAP,
+        build_inverted_index_appended,
+        inverted_index,
+        inverted_index_appended,
+        ws_tokens,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    cat = build_inverted_index_appended(spark, sf)
+    assert cat.current_version() == 2
+    files_v1_before = cat._load(1)["tables"]["top"]["files"]
+
+    # (1) merge == rebuild, through the full serve (strings included)
+    got = sorted(map(tuple, inverted_index_appended(spark, sf).collect()))
+    want = sorted(map(tuple, inverted_index(docs).collect()))
+    assert got == want
+
+    # (2) per-token bound survives the merge
+    assert (cat.read(spark, "top").groupBy("token").count()
+            .filter(F.col("count") > INV_POSTINGS_CAP).count()) == 0
+
+    # (3) time travel: v1 untouched by the replace publish
+    assert cat._load(1)["tables"]["top"]["files"] == files_v1_before
+    f1 = set(files_v1_before)
+    f2 = set(cat._load(2)["tables"]["top"]["files"])
+    assert f1 and f2 and not (f1 & f2)
+
+    # (4) stats deltas sum to full-corpus truth
+    merged = {r.token: (r.df, r.tf) for r in
+              cat.read(spark, "stats").groupBy("token")
+              .agg(F.sum("df").alias("df"),
+                   F.sum("total_tf").alias("tf")).collect()}
+    truth = {r.token: (r.df, r.tf) for r in
+             docs.select("doc_id", F.explode(ws_tokens("text"))
+                         .alias("token"))
+             .groupBy("token")
+             .agg(F.count_distinct("doc_id").alias("df"),
+                  F.count(F.lit(1)).alias("tf")).collect()}
+    assert merged == truth
+
+    # (5) the no-empty-token invariant the docstring declares
+    assert (docs.select(F.explode(ws_tokens("text")).alias("t"))
+            .filter(F.col("t") == "").count()) == 0
