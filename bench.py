@@ -418,10 +418,15 @@ def ensure_sf1(spark, src_dir: str, out_dir: str,
 
 
 def bench_sf1(spark, qs, sf01_timings: dict[str, float]) -> dict:
-    """Time the heavy set at the 10× point: one untimed warm-up + min
-    of 2 (min is robust to GC hiccups and the fair basis for a scaling
-    RATIO; the absolute numbers live in the sf0.1 section).  A query
-    that fails records its error instead of aborting the bench."""
+    """Time the heavy set at the 10× point: one untimed warm-up +
+    MEDIAN of 3 with per-query [min, max] spread — the same protocol
+    as the headline section (VERDICT r8 item 3: the sf1 runs were the
+    one single-timed surface, so a slope shift like q_dedup_semantic's
+    3.34-vs-2.76 couldn't be told apart from box noise by the artifact
+    alone; now every sf1 number carries its own band).  Ratios use the
+    median — comparisons against pre-r9 sf1 numbers (min-of-2) are
+    protocol-crossing and should read the spread first.  A query that
+    fails records its error instead of aborting the bench."""
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.environ.get(
         "SPARK_GRAFT_SF1_DIR",
@@ -433,6 +438,7 @@ def bench_sf1(spark, qs, sf01_timings: dict[str, float]) -> dict:
 
     overrides = _sf1_overrides()
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in SF1_QUERIES:
         build = overrides.get(name) or qs.get(name)
@@ -441,17 +447,19 @@ def bench_sf1(spark, qs, sf01_timings: dict[str, float]) -> dict:
         try:
             force(build(spark, out_dir))     # warm-up (untimed)
             runs = []
-            for _ in range(2):
+            for _ in range(3):
                 r0 = time.perf_counter()
                 force(build(spark, out_dir))
                 runs.append(time.perf_counter() - r0)
-            timings[name] = round(min(runs), 4)
+            timings[name] = round(statistics.median(runs), 4)
+            spread[name] = [round(min(runs), 4), round(max(runs), 4)]
         except Exception as e:  # noqa: BLE001 — record, don't abort
             errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
     ratios = {n: round(timings[n] / sf01_timings[n], 2)
               for n in timings if sf01_timings.get(n)}
     out = {"sf": 1.0, "copies": SF1_COPIES, "gen_sec": gen_sec,
            "queries": timings,
+           "spread": spread,
            "ratio_vs_sf0.1": ratios,
            "linear_budget": float(SF1_COPIES)}
     if errors:

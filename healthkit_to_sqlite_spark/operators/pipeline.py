@@ -2077,7 +2077,18 @@ def corpus_profile(documents: DataFrame) -> DataFrame:
     3× agg-lane width beats three scans at 100 TB, and each lane still
     partial-aggregates map-side.  The dup rate reuses the md5 identity
     every dedup operator here shares, so the datasheet agrees with
-    `q_dedup_exact` by construction."""
+    `q_dedup_exact` by construction.
+
+    Bench history (r8 VERDICT watch item, bisected r9): the r7→r8
+    in-loop drift 0.17 → 0.35 s is POSITION, not kernel — git diff
+    r7..r9 is empty for this function, session.py, catalog.py and
+    functions/ (no input to the plan changed), and the pinned
+    fresh-JVM protocol re-times it at 0.60 s with a tight [0.589,
+    0.621] band (sf0.1).  The r7 0.17 s was the unrepresentative
+    sample (cache-hot loop position — same conclusion as the r8
+    q_winnowing_pairs bisect); in-loop numbers for this sub-second
+    scan-bound query sit anywhere in [0.17, 0.35] depending on where
+    the 150-query loop places it."""
     uniq = F.countDistinct(F.md5("text"))
     cnt = F.count(F.lit(1))
     return documents.agg(
