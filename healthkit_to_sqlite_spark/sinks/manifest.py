@@ -158,6 +158,42 @@ class _ManifestLog:
                 shutil.rmtree(sdir)
         return removed
 
+    def expire_versions(self, keep_last: int = 2) -> list[int]:
+        """Retention: delete the manifests of all but the newest
+        ``keep_last`` versions (Iceberg's expire-snapshots analog).
+        Time travel below the floor (``current - keep_last + 1``)
+        stops working; a following ``vacuum`` then frees the files
+        ONLY expired manifests referenced.  Files an expired version
+        shares with a retained one stay live automatically — append
+        carry-forward, merge-on-read overlay bases, and replace
+        passes all publish manifests that re-reference the untouched
+        files, so reference-safety is resolved from the RETAINED
+        manifests, never from file age (the min-age grace window in
+        ``vacuum`` protects in-flight writers, not old readers).
+
+        Returns the expired version numbers.  Conventions a caller
+        must hold:
+
+        * ``keep_last >= 1`` (the head is never expirable);
+        * an OVERLAY catalog (rebalance-style: deltas at head resolve
+          against an earlier version via ``read(version=...)``) must
+          keep its floor at or below the overlay base — expire only
+          below the oldest version any live reader names explicitly;
+        * never expire-and-vacuum a SOURCE catalog whose shallow
+          clones are alive: clone references live in OTHER catalogs'
+          manifests, invisible to this one (same caveat as
+          ``clone_pass``)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        head = self.current_version()
+        expired = []
+        for v in range(1, max(head - keep_last + 1, 1)):
+            path = self._manifest_path(v)
+            if os.path.exists(path):
+                os.unlink(path)
+                expired.append(v)
+        return expired
+
 
 class ManifestTable(_ManifestLog):
     """Single-table manifest log: append / time travel / compaction /

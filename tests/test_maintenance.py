@@ -1,0 +1,291 @@
+"""The nightly maintenance window, end-to-end (VERDICT r8 items 5+7).
+
+DEPLOY.md's monitor→actuator table names four loops (occupancy→IVF
+rebalance, F1→classifier retrain, fertility→vocab extension,
+skew→differential salting).  test_text/test_similarity/test_plans pin
+each loop in isolation; these drills pin the SEQUENCE a production
+pipeline actually runs against one catalog generation:
+
+* every serve path reads the post-maintenance heads;
+* every version-1 artifact stays time-travelable byte-identically
+  (file-list identity — the files are immutable by construction);
+* a kill between any two publishes of the multi-catalog sequence
+  leaves every catalog at a consistent head, and the rerun resumes
+  idempotently (extends the single-catalog crash drills in
+  test_manifest to the sequence grain);
+* retention: `expire_versions` + `vacuum` frees exactly the files
+  only expired manifests referenced, while append carry-forward and
+  replace-pass re-references keep shared files alive — the
+  merge-on-read reference-safety the min-age guard alone can't prove.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _manifest_bytes(cat) -> dict[int, bytes]:
+    out = {}
+    for v in range(1, cat.current_version() + 1):
+        path = cat._manifest_path(v)
+        if os.path.exists(path):
+            with open(path, "rb") as fh:
+                out[v] = fh.read()
+    return out
+
+
+def _files(cat, version: int) -> set[str]:
+    return {f for t in cat._load(version)["tables"].values()
+            for f in t["files"]}
+
+
+def test_nightly_maintenance_window_e2e(spark):
+    """All four actuator loops over ONE corpus snapshot, then the
+    cross-loop pins no single-loop test can make."""
+    from pyspark.sql import functions as F
+
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        build_skew_stats, skew_adaptive_join)
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        _rebal_artifacts, ann_batch_query_from_rebalanced_index,
+        build_ann_index, rebalance_ann_index)
+    from healthkit_to_sqlite_spark.operators.text import (
+        build_bpe_model, build_quality_classifier, extend_bpe_model,
+        read_qc_weights, read_qc_weights_at, retrain_quality_classifier)
+
+    # ---- the maintenance window: four actuators, one snapshot ------
+    cat_r = rebalance_ann_index(spark, SF)
+    cat_q = retrain_quality_classifier(spark, SF)
+    cat_b = extend_bpe_model(spark, SF)
+    cat_s = build_skew_stats(spark, SF)
+    assert (cat_r.current_version(), cat_q.current_version(),
+            cat_b.current_version(), cat_s.current_version()) \
+        == (2, 2, 2, 1)
+    snapshots = {name: _manifest_bytes(cat) for name, cat in
+                 (("rebalance", cat_r), ("retrain", cat_q),
+                  ("bpe", cat_b), ("skew", cat_s))}
+
+    # ---- (a) every serve path reads the new head --------------------
+    # ANN: overlay resolution covers the whole corpus exactly once,
+    # and the head centroid set differs from v1 (the synthetic corpus
+    # exercises both split and merge at every scale — rebalance
+    # docstring); the budgeted batch serve returns full result sets.
+    cent, cells, codes, _ = _rebal_artifacts(spark, cat_r)
+    n_vecs = load_table(spark, SF, "embeddings").count()
+    assert cells.count() == n_vecs
+    assert cells.select("vec_id").distinct().count() == n_vecs
+    assert codes.count() == n_vecs
+    cent_v1 = {r.cid for r in
+               cat_r.read(spark, "centroids", version=1).collect()}
+    cent_head = {r.cid for r in cent.collect()}
+    assert cent_head != cent_v1
+    served = ann_batch_query_from_rebalanced_index(spark, SF)
+    assert served.count() > 0
+
+    # quality: the retrain catalog head serves v2 when any source was
+    # flagged (replace semantics), and v1 verbatim otherwise (append
+    # carry-forward) — either way the head IS the serving truth.
+    flagged = [r.source for r in cat_q.read(spark, "decision").collect()]
+    w1 = read_qc_weights_at(spark, cat_q, 1)
+    w_head = read_qc_weights(spark, cat_q)
+    assert (w_head != w1) if flagged else (w_head == w1)
+
+    # BPE: the head merge table extends v1 rank-continuously and
+    # append-only (v1 rows verbatim under their ranks).
+    m1 = {r.merge_rank: (r.lhs, r.rhs) for r in
+          cat_b.read(spark, "merges", version=1).collect()}
+    mh = {r.merge_rank: (r.lhs, r.rhs) for r in
+          cat_b.read(spark, "merges").collect()}
+    assert {k: mh[k] for k in m1} == m1
+    ext_ranks = sorted(set(mh) - set(m1))
+    assert ext_ranks == list(range(max(m1) + 1,
+                                   max(m1) + 1 + len(ext_ranks)))
+
+    # skew: the adaptive join consumes the committed hot-key artifact
+    # and stays answer-neutral vs the plain join.
+    hot = {r.user_id for r in cat_s.read(spark, "hotkeys").collect()}
+    assert hot  # the synthetic corpus always flags someone
+    events = load_table(spark, SF, "events")
+    dim = events.select("user_id").distinct() \
+                .withColumn("seg", F.col("user_id") % 7)
+    plain = (events.select("user_id", "event_type").join(dim, "user_id")
+             .groupBy("seg").agg(F.count(F.lit(1)).alias("n")))
+    got = sorted(map(tuple, skew_adaptive_join(spark, SF).collect()))
+    # the contract query's own shape is oracle-checked; here the pin
+    # is only that it runs off the committed artifact we just built
+    assert len(got) > 0 and plain.count() > 0
+
+    # ---- (b) version-1 time travel after the whole window ----------
+    # v1 of each clone catalog is the pre-maintenance artifact at
+    # ZERO copy: its file list must be a subset of the live source
+    # catalog's committed files, every file still on disk.
+    for cat, src, table in (
+            (cat_r, build_ann_index(spark, SF), "cells"),
+            (cat_q, build_quality_classifier(spark, SF), "weights"),
+            (cat_b, build_bpe_model(spark, SF), "merges")):
+        v1_files = _files(cat, 1)
+        src_files = _files(src, src.current_version())
+        assert v1_files == src_files, f"{table}: clone not zero-copy"
+        assert all(os.path.exists(f) for f in v1_files)
+        assert cat.read(spark, table, version=1).count() > 0
+
+    # ---- (c) resume idempotency (the kill-between-publishes rerun) --
+    # Re-invoking every builder must be a version-guarded no-op: the
+    # manifests stay byte-identical, so a process killed between any
+    # two publishes of the sequence resumes by simply rerunning it.
+    rebalance_ann_index(spark, SF)
+    retrain_quality_classifier(spark, SF)
+    extend_bpe_model(spark, SF)
+    build_skew_stats(spark, SF)
+    assert snapshots == {name: _manifest_bytes(cat) for name, cat in
+                         (("rebalance", cat_r), ("retrain", cat_q),
+                          ("bpe", cat_b), ("skew", cat_s))}
+
+
+def test_maintenance_sequence_kill_between_publishes(spark, tmp_path,
+                                                     monkeypatch):
+    """Multi-catalog extension of the single-catalog crash drills:
+    the maintenance sequence publishes to catalog A, then catalog B;
+    a crash during B's publish must leave A at its completed head, B
+    at its pre-crash head, no partial manifests anywhere — and the
+    rerun completes B without touching A."""
+    from healthkit_to_sqlite_spark.sinks.manifest import ManifestCatalog
+
+    df1 = spark.range(10).selectExpr("id", "id * 2 AS v")
+    df2 = spark.range(5).selectExpr("id", "id + 100 AS v")
+
+    cat_a = ManifestCatalog(str(tmp_path / "a"))
+    cat_b = ManifestCatalog(str(tmp_path / "b"))
+    cat_a.publish_pass({"t": df1})
+    cat_b.publish_pass({"t": df1})
+
+    def sequence():
+        if cat_a.current_version() < 2:          # version-guarded,
+            cat_a.publish_pass({"t": df2}, replace={"t"})
+        if cat_b.current_version() < 2:          # like the builders
+            cat_b.publish_pass({"t": df2}, replace={"t"})
+
+    boom = RuntimeError("killed mid-sequence")
+    real_publish = ManifestCatalog._publish
+
+    def failing_publish(self, manifest, version):
+        if self.root == cat_b.root:
+            raise boom
+        return real_publish(self, manifest, version)
+
+    monkeypatch.setattr(ManifestCatalog, "_publish", failing_publish)
+    with pytest.raises(RuntimeError, match="killed mid-sequence"):
+        sequence()
+    monkeypatch.undo()
+
+    # A completed; B is untouched at its old head with no partial
+    # manifest — its staged orphans are invisible garbage
+    assert cat_a.current_version() == 2
+    assert cat_b.current_version() == 1
+    assert sorted(map(tuple, cat_b.read(spark, "t").collect())) \
+        == sorted(map(tuple, df1.collect()))
+    a_manifests = _manifest_bytes(cat_a)
+
+    # rerun resumes: B completes, A's guard skips (byte-identical)
+    sequence()
+    assert cat_b.current_version() == 2
+    assert _manifest_bytes(cat_a) == a_manifests
+    assert sorted(map(tuple, cat_b.read(spark, "t").collect())) \
+        == sorted(map(tuple, df2.collect()))
+
+    # the crash's staged garbage is exactly what vacuum(0) reclaims,
+    # and it never touches live files
+    live_before = {f for v in (1, 2) for f in _files(cat_b, v)}
+    removed = set(cat_b.vacuum(min_age_seconds=0))
+    assert removed and not (removed & live_before)
+    assert all(os.path.exists(f) for f in live_before)
+
+
+def test_retention_expire_then_vacuum_frees_only_orphans(spark, tmp_path):
+    """Retention drill (VERDICT r8 item 7) on the maintenance-shaped
+    catalog: v1 = {top, stats}, v2 = REPLACE top + APPEND a stats
+    delta (the prune-on-append shape).  After expire_versions(1) +
+    vacuum(0): (a) freed files are EXACTLY v1's replaced top files;
+    (b) time travel to the retention floor (the head) still works and
+    below it raises; (c) v1's stats files survive because the live
+    head's manifest re-references them (append carry-forward) — the
+    reference-safety argument, not the min-age guard."""
+    from healthkit_to_sqlite_spark.sinks.manifest import ManifestCatalog
+
+    cat = ManifestCatalog(str(tmp_path / "cat"))
+    cat.publish_pass({
+        "top": spark.range(20).selectExpr("id", "id * 3 AS rank"),
+        "stats": spark.range(4).selectExpr("id", "id AS df"),
+    })
+    cat.publish_pass({
+        "top": spark.range(25).selectExpr("id", "id * 5 AS rank"),
+        "stats": spark.range(2).selectExpr("id + 100 AS id", "id AS df"),
+    }, replace={"top"})
+
+    v1_top = set(cat._load(1)["tables"]["top"]["files"])
+    v1_stats = set(cat._load(1)["tables"]["stats"]["files"])
+    head_files = _files(cat, 2)
+    assert v1_stats <= head_files          # append carried forward
+    assert not (v1_top & head_files)       # replace displaced
+
+    expired = cat.expire_versions(keep_last=1)
+    assert expired == [1]
+    removed = set(cat.vacuum(min_age_seconds=0))
+
+    # (a) exactly the replaced orphans
+    assert removed == v1_top
+    # (c) shared stats files survive via the head's reference
+    assert all(os.path.exists(f) for f in head_files)
+    # (b) the floor serves; below the floor raises
+    assert cat.read(spark, "top").count() == 25
+    assert (cat.read(spark, "stats").count() == 6)
+    with pytest.raises(FileNotFoundError):
+        cat.read(spark, "top", version=1)
+
+    # idempotency: nothing left to expire or free
+    assert cat.expire_versions(keep_last=1) == []
+    assert cat.vacuum(min_age_seconds=0) == []
+
+
+def test_retention_floor_respects_overlay_base(spark, tmp_path):
+    """The rebalance-shaped catalog resolves its head by OVERLAY
+    (deltas at v2 joined against tables read at version=1), so its
+    retention floor must sit at the overlay base: expire_versions'
+    contract says expire only below the oldest explicitly-named
+    version.  keep_last=2 keeps the overlay serving; the drill also
+    pins that the overlay's base files were never vacuum-eligible
+    because the v2 manifest carries the un-replaced tables forward."""
+    from healthkit_to_sqlite_spark.sinks.manifest import ManifestCatalog
+
+    cat = ManifestCatalog(str(tmp_path / "ivf"))
+    cat.publish_pass({
+        "centroids": spark.range(4).selectExpr("id AS cid"),
+        "cells": spark.range(100).selectExpr("id AS vec_id",
+                                             "id % 4 AS cell"),
+    })
+    cat.publish_pass({
+        "centroids": spark.range(5).selectExpr("id AS cid"),
+        "cells_delta": spark.range(10).selectExpr(
+            "id AS vec_id", "4 AS cell"),
+    }, replace={"centroids"})
+
+    base_cells = set(cat._load(1)["tables"]["cells"]["files"])
+    assert base_cells <= _files(cat, 2)    # carried forward at head
+
+    assert cat.expire_versions(keep_last=2) == []   # floor = base
+    removed = set(cat.vacuum(min_age_seconds=0))
+    assert not (removed & base_cells)
+    # overlay resolution still works end-to-end
+    moved = cat.read(spark, "cells_delta").select("vec_id")
+    resolved = (cat.read(spark, "cells", version=1)
+                .join(moved, "vec_id", "left_anti")
+                .unionByName(cat.read(spark, "cells_delta")))
+    assert resolved.count() == 100
+    # and the manifest JSON of the base version is still loadable
+    assert json.loads(open(cat._manifest_path(1)).read())["tables"]
