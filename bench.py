@@ -293,6 +293,12 @@ HEADLINE = [
     # (ordered top-cap merge, REPLACE publish, df/total_tf deltas;
     # shares q_inverted_index's rebuild oracle)
     "q_inverted_index_append",
+    # round 9: metadata-filtered ANN — label predicate PRE-filters
+    # candidates inside the probed cells (pushed to the parquet scan)
+    "q_ann_filtered",
+    # round 9: its committed-index serve twin (zero training in plan;
+    # the production per-query-predicate path)
+    "q_ann_filtered_from_index",
 ]
 
 

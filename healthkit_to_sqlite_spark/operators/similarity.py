@@ -383,6 +383,89 @@ def ann_ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 5,
             .limit(k))
 
 
+ANN_FILTER_LABELS = (3, 7)  # contract predicate for the filtered serve
+ANN_FILTER_NPROBE = 2       # probe budget under ~20% selectivity
+
+
+def _filtered_cosine_serve(embeddings: DataFrame, cent: DataFrame,
+                           cells: DataFrame, query_vec_id: int, k: int,
+                           nprobe: int,
+                           labels: tuple[int, ...]) -> DataFrame:
+    """Shared serve kernel of the filtered-ANN split — one body for
+    the in-query variant and the committed-index serve, so both
+    provably score identically.  PRE-filters candidates inside the
+    probed cells (see `ann_ivf_filtered_topk` for why), then exact
+    cosine + TakeOrdered."""
+    cand = (embeddings.filter(F.col("label").isin(*labels))
+            .select("vec_id", "label", "embedding"))
+    withv = cells.join(cand, "vec_id")
+    qvec = (embeddings.filter(F.col("vec_id") == query_vec_id)
+            .select(F.col("embedding").alias("q_emb")))
+    probe = (cent.crossJoin(F.broadcast(qvec))
+             .select(F.col("cid").alias("q_cell"),
+                     F.round(_l2sq(F.transform("q_emb",
+                                               lambda x: x.cast("double")),
+                                   F.col("cemb")), 9).alias("qdist"))
+             .orderBy("qdist", "q_cell").limit(nprobe)
+             .select("q_cell"))
+    sim = cosine_similarity(F.col("embedding"), F.col("q_emb"))
+    return (withv.join(F.broadcast(probe), withv.cell == probe.q_cell)
+            .crossJoin(F.broadcast(qvec))
+            .filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", "cell", "label",
+                    F.round(sim, 6).alias("cosine_sim"))
+            .orderBy(F.col("cosine_sim").desc(), "vec_id")
+            .limit(k))
+
+
+def ann_ivf_filtered_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                          k: int = 5, nprobe: int = ANN_FILTER_NPROBE,
+                          labels: tuple[int, ...] = ANN_FILTER_LABELS
+                          ) -> DataFrame:
+    """Metadata-filtered ANN (the FAISS ``IDSelector`` / filtered-
+    search shape every production vector store serves): top-k by
+    cosine among vectors satisfying a label predicate, searched
+    IVF-style within the ``nprobe`` nearest cells.
+
+    The load-bearing semantics is PRE-filtering: the predicate
+    applies to candidates inside the probed cells BEFORE scoring.
+    Post-filtering an unfiltered top-k under-fills k whenever the
+    filter is selective (selectivity s leaves E[s·k] survivors —
+    pinned against this corpus in test_similarity, where
+    post-filtering the unfiltered top-5 keeps <5 rows).  Spark-first:
+    the predicate is a plain column filter, so Catalyst pushes it
+    into the candidates' parquet scan (PushedFilters pinned in
+    test_plans) — at 100 TB the candidate scan reads s·nprobe·n/K
+    vectors, never the corpus.  The probe budget is the compensation
+    knob: a fixed nprobe scans s× fewer candidates than the
+    unfiltered query, so production serving raises nprobe toward
+    ~1/s of the unfiltered budget for equal recall; the contract
+    fixes nprobe so the oracle replays the identical plan."""
+    cent = kmeans_centroids(embeddings)
+    cells = _assign_cells(embeddings, cent)
+    return _filtered_cosine_serve(embeddings, cent, cells,
+                                  query_vec_id, k, nprobe, labels)
+
+
+def ann_filtered_from_index(spark: SparkSession, sf_dir: str,
+                            query_vec_id: int = 0, k: int = 5,
+                            nprobe: int = ANN_FILTER_NPROBE,
+                            labels: tuple[int, ...] = ANN_FILTER_LABELS
+                            ) -> DataFrame:
+    """Serve twin of `ann_ivf_filtered_topk` over the COMMITTED index:
+    centroids + cell assignments read from the catalog, ZERO Lloyd
+    iterations in the query plan — the production path, since the
+    filter predicate arrives per query while the index is built per
+    snapshot.  Shares the in-query oracle verbatim (the committed
+    artifacts equal from-scratch training bit-for-bit — the same
+    argument as `q_ann_query_from_index`)."""
+    cat = build_ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _filtered_cosine_serve(
+        emb, cat.read(spark, "centroids"), cat.read(spark, "cells"),
+        query_vec_id, k, nprobe, labels)
+
+
 PQ_M = 4                    # subspaces
 PQ_SUB_DIM = DIM // PQ_M    # dims per subspace
 PQ_K = N_CENTROIDS          # codes per subspace (k≤256 ⇒ 1 byte/code)
@@ -2919,6 +3002,33 @@ _TOPK_COS_ORACLE = f"""
         ORDER BY cosine_sim DESC, vec_id LIMIT 10
         """
 
+#: Shared VERBATIM by `q_ann_filtered` (in-query) and
+#: `q_ann_filtered_from_index` (committed-index serve): probe the
+#: nprobe nearest cells by the same rounded L2 / lowest-cid order as
+#: the Spark kernel, then exact cosine over the label-filtered
+#: candidates within them.
+_ANN_FILTERED_ORACLE = f"""
+    WITH {_kmeans_cells_sql()},
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cid AS q_cell
+      FROM cent{IVF_ITERS} c, q
+      ORDER BY {_L2_SQL.format(e='q.q_emb', c='c.cemb')}, c.cid
+      LIMIT {ANN_FILTER_NPROBE})
+    SELECT e.vec_id, cells.cell, e.label,
+           ROUND(list_aggregate(list_transform(list_zip(e.embedding, q.q_emb),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+                 ({_NORM_SQL.format(c='e.embedding')} * {_NORM_SQL.format(c='q.q_emb')}),
+                 6) AS cosine_sim
+    FROM embeddings e
+    JOIN cells ON e.vec_id = cells.vec_id
+    JOIN probe ON cells.cell = probe.q_cell
+    CROSS JOIN q
+    WHERE e.vec_id <> 0
+      AND e.label IN {ANN_FILTER_LABELS}
+    ORDER BY cosine_sim DESC, e.vec_id LIMIT 5
+    """
+
 SPECS: dict[str, Spec] = {
     "q_topk_cosine": Spec(
         lambda spark, sf: topk_cosine(load_table(spark, sf, "embeddings")),
@@ -3192,6 +3302,22 @@ SPECS: dict[str, Spec] = {
         "4 bands) + exact verify — APPROXIMATE contract: measured recall "
         "~52% on near-threshold cos≈0.4 pairs (sf0.001, vs exact audit), "
         "→1 for true duplicates (cos→1); zero false positives"),
+    "q_ann_filtered": Spec(
+        lambda spark, sf: ann_ivf_filtered_topk(
+            load_table(spark, sf, "embeddings")),
+        _ANN_FILTERED_ORACLE,
+        "metadata-filtered ANN (FAISS IDSelector / filtered search): "
+        "label predicate PRE-filters candidates inside the probed "
+        "cells before scoring (post-filtering under-fills k); the "
+        "predicate pushes into the parquet scan"),
+    "q_ann_filtered_from_index": Spec(
+        ann_filtered_from_index,
+        _ANN_FILTERED_ORACLE,
+        "filtered-ANN serve over the COMMITTED index (centroids + "
+        "cells read from the catalog, zero training in the plan) — "
+        "shares q_ann_filtered's oracle verbatim: per-query "
+        "predicates over a per-snapshot index is the production "
+        "serving shape"),
     "q_ann_ivf": Spec(
         lambda spark, sf: ann_ivf_topk(load_table(spark, sf, "embeddings")),
         f"""

@@ -739,3 +739,12 @@ def test_skew_adaptive_join_branch_shapes(spark, specs):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_filtered_ann_pushes_label_predicate(spark, specs):
+    """The filtered-ANN serve's candidate scan carries the label
+    predicate as a pushed parquet filter — the plan property that
+    makes the filtered scan read s·nprobe·n/K vectors at 100 TB
+    instead of filtering after the read."""
+    df = specs["q_ann_filtered_from_index"].build(spark, SF)
+    assert any("In(label" in f for f in pushed_filters(df))

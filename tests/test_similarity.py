@@ -821,3 +821,41 @@ def test_ivf_rebalance_recall_not_degraded_on_skewed_corpus(spark):
     over1 = sum(n * k1 * 100 > 150 * t1 for n in occ1.values())
     over2 = sum(n * k2 * 100 > 150 * t2 for n in occ2.values())
     assert over2 <= over1
+
+
+def test_filtered_ann_prefilters_and_recalls(spark, emb):
+    """Filtered ANN (r9): (1) every result satisfies the predicate
+    and k fills — while POST-filtering the unfiltered exact top-k
+    keeps only 1 row on this corpus (the under-fill the pre-filter
+    design exists to avoid); (2) recall@5 vs the exact FILTERED
+    brute-force top-5 ≥ 0.8 at the contract probe budget
+    (deterministic corpus → tight floor); (3) the committed-index
+    serve equals the in-query variant row-for-row."""
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        ANN_FILTER_LABELS, ann_filtered_from_index, ann_ivf_filtered_topk,
+        cosine_similarity)
+
+    got = ann_ivf_filtered_topk(emb).collect()
+    assert len(got) == 5
+    assert all(r.label in ANN_FILTER_LABELS for r in got)
+
+    qv = (emb.filter(F.col("vec_id") == 0)
+          .select(F.col("embedding").alias("q_emb")))
+    exact = (emb.crossJoin(F.broadcast(qv))
+             .filter(F.col("vec_id") != 0)
+             .select("vec_id", "label",
+                     F.round(cosine_similarity(F.col("embedding"),
+                                               F.col("q_emb")), 6)
+                     .alias("s"))
+             .orderBy(F.col("s").desc(), "vec_id"))
+    survivors = sum(1 for r in exact.limit(5).collect()
+                    if r.label in ANN_FILTER_LABELS)
+    assert survivors < 5          # post-filter under-fills k
+
+    exact_ids = {r.vec_id for r in
+                 exact.filter(F.col("label").isin(*ANN_FILTER_LABELS))
+                 .limit(5).collect()}
+    assert len({r.vec_id for r in got} & exact_ids) >= 4  # recall ≥ 0.8
+
+    serve = ann_filtered_from_index(spark, SF).collect()
+    assert sorted(map(tuple, serve)) == sorted(map(tuple, got))
