@@ -833,3 +833,87 @@ def test_cms_read_estimates_zero_before_first_fold(spark, tmp_path):
     out = {r.token: r.cms_n
            for r in read_estimates(spark, tbl, ["alpha", "beta"]).collect()}
     assert out == {"alpha": 0, "beta": 0}
+
+
+def test_streaming_pruned_index_kill_resume_equals_batch_prune(
+        spark, tmp_path):
+    """Streaming lexical index maintenance (r9 — the lexical sibling
+    of the ANN index_append drill): documents arrive in 4 micro-
+    batches; the writer folds each into the pruned serving artifact
+    under the shared `_prune_top_m` order and appends df deltas.  The
+    query is killed after batch 1 (post-publish, pre-checkpoint-
+    commit) and restarted; the replayed batch must no-op at the
+    manifest layer.  Final pins: the maintained artifact equals a
+    from-scratch prune of the full corpus row-for-row (streamed ≡
+    batch ≡ rebuild), the summed df deltas equal full-corpus df, and
+    per-term rows stay ≤ m."""
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.text import (
+        BM25_PRUNE_M, _prune_top_m, ws_tokens)
+    from healthkit_to_sqlite_spark.sinks.manifest import ManifestTable
+    from healthkit_to_sqlite_spark.streaming.index_maintenance import (
+        batch_postings, pruned_index_writer)
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src_dir = str(tmp_path / "doc_src")
+    for i in range(4):
+        (docs.filter((F.col("doc_id") >= i * 125)
+                     & (F.col("doc_id") < (i + 1) * 125))
+         .coalesce(1).write.mode("append").parquet(src_dir))
+
+    pruned_tbl = ManifestTable(str(tmp_path / "pruned"))
+    termdf_tbl = ManifestTable(str(tmp_path / "termdf"))
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(src_dir).schema
+
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src_dir))
+
+    real = pruned_index_writer(spark, pruned_tbl, termdf_tbl)
+    died = {"done": False}
+
+    def dying(batch_df, batch_id):
+        real(batch_df, batch_id)
+        if batch_id == 1 and not died["done"]:
+            died["done"] = True
+            raise RuntimeError("killed after publish, before ckpt commit")
+
+    q = (stream().writeStream.foreachBatch(dying)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    assert died["done"]
+    v_pruned, v_df = pruned_tbl.current_version(), termdf_tbl.current_version()
+
+    q2 = (stream().writeStream.foreachBatch(real)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+
+    # the replayed batch no-oped on both tables: exactly one more
+    # version per remaining batch, none for the replay
+    assert pruned_tbl.current_version() == v_pruned + 2
+    assert termdf_tbl.current_version() == v_df + 2
+
+    # streamed ≡ from-scratch prune of the full corpus
+    want = sorted(map(tuple, _prune_top_m(
+        batch_postings(docs), BM25_PRUNE_M).collect()))
+    got = sorted(map(tuple, pruned_tbl.read(spark).collect()))
+    assert got == want
+
+    # df deltas sum to full-corpus df; per-term bound holds
+    merged_df = {r.term: r.s for r in
+                 termdf_tbl.read(spark).groupBy("term")
+                 .agg(F.sum("df").alias("s")).collect()}
+    true_df = {r.term: r.c for r in
+               docs.select("doc_id", F.explode(ws_tokens("text"))
+                           .alias("term"))
+               .filter(F.col("term") != "").distinct()
+               .groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+               .collect()}
+    assert merged_df == true_df
+    over = (pruned_tbl.read(spark).groupBy("term").count()
+            .filter(F.col("count") > BM25_PRUNE_M).count())
+    assert over == 0
