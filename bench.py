@@ -299,6 +299,10 @@ HEADLINE = [
     # round 9: its committed-index serve twin (zero training in plan;
     # the production per-query-predicate path)
     "q_ann_filtered_from_index",
+    # round 9: the erasure actuators — lexical copy-on-write rewrite
+    # with a negative stats delta, and ANN deletion vectors
+    "q_bm25_forget",
+    "q_ann_forget",
 ]
 
 

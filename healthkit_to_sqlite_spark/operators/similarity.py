@@ -898,6 +898,71 @@ def ann_index_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cell.join(F.broadcast(cent_norm), "cell")
 
 
+FORGET_VEC_IDS = (17, 51, 260, 444)  # erasure tombstone fixture
+#   (17/260 sit in the unerased top-5, so erasure provably changes
+#   the served answer; 51/444 exercise the no-rank-change path)
+
+
+def forget_from_ann_index(spark: SparkSession, sf_dir: str,
+                          vec_ids: tuple[int, ...] = FORGET_VEC_IDS):
+    """Right-to-be-forgotten for the ANN index via DELETION VECTORS —
+    the Delta Lake DV shape, and the only affordable erasure when
+    codes ride immutable 100 TB files: version 1 shallow-clones the
+    live index, version 2 publishes ONE tiny ``deleted`` table of
+    tombstoned vec_ids (write cost O(|tombstones|); cells/codes/
+    centroids files untouched, byte-identical).  Erasure is LOGICAL
+    at serve time (`ann_query_after_forget` anti-joins the DV at the
+    candidate stage) and becomes PHYSICAL on the next maintenance
+    rewrite of the affected artifacts (rebalance/compact) followed by
+    retention expiry — the standard two-phase erasure contract.
+
+    The quantizers are frozen artifacts the tombstones don't retrain
+    (training saw the erased vectors; their influence on centroids is
+    the documented residue until the next drift-triggered rebuild —
+    same trade every production DV system makes).  The lexical twin
+    (`forget_from_text_index`) rewrites its artifact instead because
+    postings rows are tiny; here rewrite cost would be ∝ corpus."""
+    import os
+
+    from ..sinks.manifest import ManifestCatalog
+    from .pipeline import _work_dir
+
+    base = build_ann_index(spark, sf_dir)
+    cat = ManifestCatalog(os.path.join(
+        _work_dir(f"ann_index_forget_{len(vec_ids)}", sf_dir), "cat"))
+    if cat.current_version() < 1:
+        cat.clone_pass(base)
+    if cat.current_version() < 2:
+        cat.publish_pass({"deleted": spark.createDataFrame(
+            [(int(i),) for i in vec_ids], "vec_id bigint")})
+    return cat
+
+
+def ann_query_after_forget(spark: SparkSession, sf_dir: str,
+                           query_vec_id: int = 0, k: int = 5,
+                           nprobe: int = 2,
+                           rerank_factor: int = PQ_RERANK) -> DataFrame:
+    """Serve-only residual IVFADC over the ERASED index head: the
+    unchanged `_residual_adc_serve` kernel with the deletion vector
+    anti-joined out of cells and codes at candidate time (a broadcast
+    against the tombstone table — the DV read path).  The oracle is
+    the residual-IVFADC rebuild with the same NOT IN at its shortlist
+    stage, so the hash gate proves the logical erasure is
+    candidate-exact: no tombstoned vector can surface, and the
+    shortlist refills from live vectors exactly as a rebuild-minus-
+    tombstones would."""
+    cat = forget_from_ann_index(spark, sf_dir)
+    dv = F.broadcast(cat.read(spark, "deleted").select("vec_id"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _residual_adc_serve(
+        emb,
+        cat.read(spark, "centroids"),
+        cat.read(spark, "cells").join(dv, "vec_id", "left_anti"),
+        cat.read(spark, "codes").join(dv, "vec_id", "left_anti"),
+        cat.read(spark, "codebook"),
+        query_vec_id, k, nprobe, rerank_factor)
+
+
 def ann_query_from_index(spark: SparkSession, sf_dir: str,
                          query_vec_id: int = 0, k: int = 5,
                          nprobe: int = 2,
@@ -2678,12 +2743,20 @@ def _ivfpq_oracle_sql(k: int = 5, nprobe: int = 2,
 
 
 def _ivfpq_residual_oracle_sql(k: int = 5, nprobe: int = 2,
-                               rerank_factor: int = PQ_RERANK) -> str:
+                               rerank_factor: int = PQ_RERANK,
+                               deleted: tuple[int, ...] | None = None
+                               ) -> str:
     """Residual-encoded IVFADC in DuckDB: the coarse chain (c_),
     a ``res`` CTE of double-precision residuals r = x − c(cell(x)),
     the m subspace Lloyd chains trained ON ``res`` (src= parameter),
     per-probed-cell query-residual LUTs, cell+code ADC joins, exact
-    re-rank.  Mirrors ann_ivfpq_residual_topk argmin-for-argmin."""
+    re-rank.  Mirrors ann_ivfpq_residual_topk argmin-for-argmin.
+
+    ``deleted`` adds a NOT IN over the candidate vec_ids at the
+    shortlist stage — the oracle twin of the deletion-vector
+    anti-join in `ann_query_after_forget` (training still runs over
+    the FULL corpus: erasure is logical, the quantizers are frozen
+    artifacts the tombstones don't retrain)."""
     sub = "list_transform(list_zip({a}, {b}), " \
           "x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
     chains, luts, join_luts = [], [], ""
@@ -2706,6 +2779,7 @@ def _ivfpq_residual_oracle_sql(k: int = 5, nprobe: int = 2,
     froms = "s0_cells" + "".join(
         f" JOIN s{j}_cells USING (vec_id)" for j in range(1, PQ_M))
     dist = " + ".join(f"d{j}" for j in range(PQ_M))
+    del_sql = f" AND codes.vec_id NOT IN {deleted}" if deleted else ""
     return f"""
     WITH {_kmeans_cells_sql(IVF_ITERS, N_CENTROIDS, DIM, prefix="c_")},
     probe AS (
@@ -2736,7 +2810,7 @@ def _ivfpq_residual_oracle_sql(k: int = 5, nprobe: int = 2,
       FROM codes
       JOIN c_cells USING (vec_id)
       JOIN probe ON c_cells.cell = probe.q_cell{join_luts}
-      WHERE codes.vec_id <> 0
+      WHERE codes.vec_id <> 0{del_sql}
       ORDER BY approx_dist, codes.vec_id LIMIT {rerank_factor * k})
     SELECT s.vec_id, s.cell, s.approx_dist,
            ROUND({_L2_SQL.format(e='e.embedding', c='q.q_emb')}, 9)
@@ -3088,6 +3162,14 @@ SPECS: dict[str, Spec] = {
         "through the manifest (oracle retrains from scratch — hash "
         "match proves the committed artifacts equal training "
         "bit-for-bit)"),
+    "q_ann_forget": Spec(
+        ann_query_after_forget,
+        _ivfpq_residual_oracle_sql(deleted=FORGET_VEC_IDS),
+        "right-to-be-forgotten for the ANN index via deletion "
+        "vectors (Delta DV shape): one tiny tombstone table, "
+        "cells/codes files untouched; serve anti-joins the DV at "
+        "candidate time — oracle replays the residual-IVFADC rebuild "
+        "with the same NOT IN, so logical erasure is candidate-exact"),
     "q_ann_query_from_index": Spec(
         ann_query_from_index,
         _ivfpq_residual_oracle_sql(),

@@ -896,6 +896,108 @@ def bm25_pruned_appended_topk(spark: SparkSession, sf_dir: str,
         spark, build_pruned_text_index_appended(spark, sf_dir, m), terms, k)
 
 
+FORGET_DOC_IDS = (16, 77, 205, 326, 369)  # erasure tombstone fixture
+#   (16/326/369 sit in the unerased top-15, so the drill provably
+#   changes the served answer; 77/205 exercise the no-rank-change path)
+
+
+def forget_from_text_index(spark: SparkSession, sf_dir: str,
+                           doc_ids: tuple[int, ...] = FORGET_DOC_IDS):
+    """Right-to-be-forgotten for the lexical serving index — the
+    erasure actuator the maintenance table lacked (rebalance/retrain/
+    extend/salt all ADD information; GDPR deletion REMOVES it, and at
+    100 TB it must happen at ARTIFACT grain, not via corpus rebuild).
+
+    Version 1 shallow-clones the live index; version 2 REPLACEs
+    postings and doclen with the tombstoned docs anti-joined out (the
+    tombstone list broadcasts; corpus text is never re-read) and
+    appends ONE NEGATIVE stats delta row (−k docs, −Σdl of the erased
+    docs) — the mergeable-delta discipline gives decrement for free:
+    `_bm25_serve` SUMs stats rows unchanged, and per-term df
+    self-heals because the serve recomputes it from the REPLACED
+    postings.  Erasure is therefore EXACT: the serve hash-matches
+    from-scratch BM25 over the erased corpus, idf shift included
+    (`q_bm25_forget` shares q_bm25's oracle with the tombstones
+    filtered out).
+
+    The pre-erasure version stays time-travelable until retention
+    expires it — `expire_versions` + `vacuum` is the step that makes
+    the erasure PHYSICAL (the copy-on-write files holding the erased
+    rows become orphans once v1's manifest is expired; drilled in
+    test_maintenance).  Cost: ∝ index rows rewritten; at 100 TB the
+    anti-join prunes to the row groups whose doc_id ranges intersect
+    the tombstones."""
+    import os
+
+    from ..sinks.manifest import ManifestCatalog
+    from .pipeline import _work_dir
+
+    base = build_text_index(spark, sf_dir)
+    cat = ManifestCatalog(os.path.join(
+        _work_dir(f"text_index_forget_{len(doc_ids)}", sf_dir), "cat"))
+    if cat.current_version() < 1:
+        cat.clone_pass(base)
+    if cat.current_version() < 2:
+        tomb = F.broadcast(spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id bigint"))
+        doclen = cat.read(spark, "doclen", version=1)
+        removed = doclen.join(tomb, "doc_id", "left_semi")
+        cat.publish_pass({
+            "postings": cat.read(spark, "postings", version=1)
+                           .join(tomb, "doc_id", "left_anti"),
+            "doclen": doclen.join(tomb, "doc_id", "left_anti"),
+            "stats": removed.agg(
+                (-F.count(F.lit(1))).alias("n_docs"),
+                (-F.coalesce(F.sum("dl"), F.lit(0))).alias("sum_dl")),
+        }, replace={"postings", "doclen"})
+    return cat
+
+
+def bm25_after_forget(spark: SparkSession, sf_dir: str,
+                      terms: tuple[str, ...] = BM25_TERMS,
+                      k: int = 15) -> DataFrame:
+    """Serve BM25 from the ERASED index head — the unchanged
+    `_bm25_serve` kernel; a hash match against from-scratch BM25 over
+    the erased corpus proves the anti-join + negative delta implement
+    exact erasure."""
+    return _bm25_serve(spark, forget_from_text_index(spark, sf_dir),
+                       terms, k)
+
+
+def _bm25_corpus_oracle_sql(doc_filter: str = "",
+                            terms: tuple[str, ...] = BM25_TERMS,
+                            k: int = 15) -> str:
+    """From-scratch BM25 over ``documents`` (optionally filtered —
+    the erasure twin passes a NOT IN over the tombstones): shared by
+    `q_bm25`, the index serves that claim index ≡ corpus scoring, and
+    `q_bm25_forget`."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             {', '.join(
+                 f"len(list_filter(string_split(text, ' '), "
+                 f"t -> t = '{w}')) AS tf_{w}" for w in terms)}
+      FROM documents {doc_filter}),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl,
+             {', '.join(
+                 f"CAST(SUM(CASE WHEN tf_{w} > 0 THEN 1 ELSE 0 END) "
+                 f"AS BIGINT) AS df_{w}" for w in terms)}
+      FROM base)
+    SELECT doc_id, CAST(dl AS INT) AS n_tokens,
+           ROUND({' + '.join(
+               f"((n_docs - df_{w} + 0.5) / (df_{w} + 0.5))"
+               f" * CAST(tf_{w} AS DOUBLE) * {BM25_K1 + 1}"
+               f" / (CAST(tf_{w} AS DOUBLE) + {BM25_K1} * ({1 - BM25_B}"
+               f" + {BM25_B} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+               for w in terms)}, 6) AS bm25
+    FROM base, stats
+    WHERE {' + '.join(f'tf_{w}' for w in terms)} > 0
+    ORDER BY bm25 DESC, doc_id LIMIT {k}
+    """
+
+
 def _bm25_pruned_oracle_sql(terms: tuple[str, ...] = BM25_TERMS,
                             k: int = 15, m: int = BM25_PRUNE_M) -> str:
     """Rebuild + prune + score in DuckDB with the same integer
@@ -2807,33 +2909,18 @@ SPECS: dict[str, Spec] = {
         "LATERAL explode with ordinality → (doc, pos, token) long form"),
     "q_bm25": Spec(
         lambda spark, sf: bm25_topk(load_table(spark, sf, "documents")),
-        f"""
-        WITH base AS (
-          SELECT doc_id, len(string_split(text, ' ')) AS dl,
-                 {', '.join(
-                     f"len(list_filter(string_split(text, ' '), "
-                     f"t -> t = '{w}')) AS tf_{w}" for w in BM25_TERMS)}
-          FROM documents),
-        stats AS (
-          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                 CAST(SUM(dl) AS BIGINT) AS sum_dl,
-                 {', '.join(
-                     f"CAST(SUM(CASE WHEN tf_{w} > 0 THEN 1 ELSE 0 END) "
-                     f"AS BIGINT) AS df_{w}" for w in BM25_TERMS)}
-          FROM base)
-        SELECT doc_id, CAST(dl AS INT) AS n_tokens,
-               ROUND({' + '.join(
-                   f"((n_docs - df_{w} + 0.5) / (df_{w} + 0.5))"
-                   f" * CAST(tf_{w} AS DOUBLE) * {BM25_K1 + 1}"
-                   f" / (CAST(tf_{w} AS DOUBLE) + {BM25_K1} * ({1 - BM25_B}"
-                   f" + {BM25_B} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
-                   for w in BM25_TERMS)}, 6) AS bm25
-        FROM base, stats
-        WHERE {' + '.join(f'tf_{w}' for w in BM25_TERMS)} > 0
-        ORDER BY bm25 DESC, doc_id LIMIT 15
-        """,
+        _bm25_corpus_oracle_sql(),
         "BM25 retrieval top-k for a fixed term set (one scan + 1-row "
         "stats broadcast; exact rational idf)"),
+    "q_bm25_forget": Spec(
+        lambda spark, sf: bm25_after_forget(spark, sf),
+        _bm25_corpus_oracle_sql(
+            f"WHERE doc_id NOT IN {FORGET_DOC_IDS}"),
+        "right-to-be-forgotten for the lexical serving index: "
+        "tombstoned docs anti-joined out of postings/doclen (REPLACE) "
+        "+ one NEGATIVE mergeable stats delta; serve over the head "
+        "hash-matches from-scratch BM25 over the erased corpus — "
+        "erasure ≡ rebuild, idf shift included"),
     "q_inverted_index": Spec(
         lambda spark, sf: inverted_index(load_table(spark, sf, "documents")),
         _INVERTED_INDEX_ORACLE,

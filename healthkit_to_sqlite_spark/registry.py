@@ -11,7 +11,7 @@ leaving timeseries/multimodal/pipeline/udx unverified).  ``PRIORITY``
 pins the verification window each round: queries whose semantics
 changed this round plus queries with no driver row yet come first,
 then the reference §2.A/§2.B parity surface, then the long-green
-remainder.  Everything (209 queries as of round 9) still runs in
+remainder.  Everything (211 queries as of round 9) still runs in
 tests/parity.py, whose committed PARITY_r{N}.json covers the overflow.
 
 The window contract is self-tested: tests/test_registry.py asserts
@@ -63,10 +63,13 @@ PRIORITY: tuple[str, ...] = (
     # 65-vs-50 overflow becomes a test failure, not a judge finding).
     # (1a) new in round 9: prune-on-append for the impact-ordered
     # inverted index (VERDICT r8 item 4 — the last build-only
-    # serving artifact) and the metadata-filtered ANN pair
-    # (pre-filter semantics + committed-index serve twin); the
-    # two extra slots displace the alphabetical tail of the r05
-    # backfill (q_lang_id/q_linestring lead the overflow)
+    # serving artifact), the metadata-filtered ANN pair
+    # (pre-filter semantics + committed-index serve twin), and the
+    # erasure actuators (right-to-be-forgotten: lexical
+    # copy-on-write rewrite + ANN deletion vectors); the extra
+    # slots displace the alphabetical tail of the r05 backfill
+    # (q_json_extract/q_kv_pivot/q_lang_id/q_linestring lead the
+    # overflow)
     # (1b) kernels touched in round 9: q_inverted_index shares the
     # extracted _top_cap_rank/_postings_str kernels; q_bpe_extend's
     # oracle gained the empty-round LEFT JOIN guard; q_quality_retrain
@@ -75,7 +78,8 @@ PRIORITY: tuple[str, ...] = (
     # r04 block (VERDICT r8 item 1), then r05 backfill by name --
     # after this round no query's newest driver row is older than r05
     "q_inverted_index_append", "q_ann_filtered",
-    "q_ann_filtered_from_index", "q_inverted_index", "q_bpe_extend",
+    "q_ann_filtered_from_index", "q_bm25_forget", "q_ann_forget",
+    "q_inverted_index", "q_bpe_extend",
     "q_quality_retrain", "q_window_rank", "q_zorder", "q_bm25",
     "q_chunk_overlap", "q_cusum", "q_dsir_resample", "q_dsir_weights",
     "q_exact_substring", "q_funnel_ordered", "q_heavy_hitters",

@@ -289,3 +289,75 @@ def test_retention_floor_respects_overlay_base(spark, tmp_path):
     assert resolved.count() == 100
     # and the manifest JSON of the base version is still loadable
     assert json.loads(open(cat._manifest_path(1)).read())["tables"]
+
+
+def test_forget_pass_erases_from_both_serving_indexes(spark):
+    """The erasure actuator (r9 — right-to-be-forgotten at artifact
+    grain): tombstoned documents/vectors must vanish from BOTH
+    serving indexes, k must refill from live entries, and the publish
+    shapes must match their declared costs — the lexical index
+    rewrites its (tiny) rows copy-on-write, the ANN index writes ONE
+    deletion-vector table with cells/codes files byte-identical."""
+    from pyspark.sql import functions as F
+
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        FORGET_VEC_IDS, ann_query_after_forget, ann_query_from_index,
+        forget_from_ann_index)
+    from healthkit_to_sqlite_spark.operators.text import (
+        FORGET_DOC_IDS, bm25_after_forget, bm25_topk,
+        forget_from_text_index)
+
+    sf = SF
+
+    # --- lexical ------------------------------------------------------
+    pre = [r.doc_id for r in
+           bm25_topk(load_table(spark, sf, "documents")).collect()]
+    assert set(pre) & set(FORGET_DOC_IDS)   # the fixture is load-bearing
+    post = bm25_after_forget(spark, sf).collect()
+    assert len(post) == 15                  # k refills from live docs
+    assert not {r.doc_id for r in post} & set(FORGET_DOC_IDS)
+
+    cat_t = forget_from_text_index(spark, sf)
+    # copy-on-write: replaced tables get fresh files, v1 untouched
+    for t in ("postings", "doclen"):
+        f1 = set(cat_t._load(1)["tables"][t]["files"])
+        f2 = set(cat_t._load(2)["tables"][t]["files"])
+        assert f1 and f2 and not (f1 & f2)
+    # the negative stats delta accounts for exactly the erased docs
+    st = cat_t.read(spark, "stats").agg(
+        F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("d")).first()
+    docs = load_table(spark, sf, "documents")
+    live = docs.filter(~F.col("doc_id").isin(*FORGET_DOC_IDS))
+    truth = live.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split("text", " "))).alias("d")).first()
+    assert (st.n, st.d) == (truth.n, truth.d)
+    # no tombstoned row survives in the replaced artifact
+    assert cat_t.read(spark, "postings") \
+        .filter(F.col("doc_id").isin(*FORGET_DOC_IDS)).count() == 0
+
+    # --- ANN (deletion vectors) ---------------------------------------
+    pre_v = [r.vec_id for r in ann_query_from_index(spark, sf).collect()]
+    assert set(pre_v) & set(FORGET_VEC_IDS)
+    post_v = ann_query_after_forget(spark, sf).collect()
+    assert len(post_v) == 5
+    assert not {r.vec_id for r in post_v} & set(FORGET_VEC_IDS)
+
+    cat_a = forget_from_ann_index(spark, sf)
+    # DV publish: cells/codes/centroids file lists IDENTICAL across
+    # versions (zero rewrite — the O(|tombstones|) write-cost claim),
+    # the only new table is the tombstone list itself
+    for t in ("cells", "codes", "centroids", "codebook"):
+        assert cat_a._load(1)["tables"][t]["files"] \
+            == cat_a._load(2)["tables"][t]["files"]
+    assert sorted(r.vec_id for r in
+                  cat_a.read(spark, "deleted").collect()) \
+        == sorted(FORGET_VEC_IDS)
+
+    # --- idempotent rerun (the resume contract) ------------------------
+    m_t = _manifest_bytes(cat_t)
+    m_a = _manifest_bytes(cat_a)
+    forget_from_text_index(spark, sf)
+    forget_from_ann_index(spark, sf)
+    assert _manifest_bytes(cat_t) == m_t and _manifest_bytes(cat_a) == m_a
