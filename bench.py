@@ -303,6 +303,8 @@ HEADLINE = [
     # with a negative stats delta, and ANN deletion vectors
     "q_bm25_forget",
     "q_ann_forget",
+    # round 9: the dedup-index erasure (shared tombstone list)
+    "q_dedup_forget",
 ]
 
 

@@ -596,6 +596,74 @@ def incremental_dedup_from_index(spark: "SparkSession", sf_dir: str,
                  F.count(F.lit(1)).alias("n_collisions")))
 
 
+def forget_from_signature_index(spark: "SparkSession", sf_dir: str,
+                                doc_ids: tuple[int, ...] | None = None,
+                                corpus_max_src: int = 10):
+    """Right-to-be-forgotten for the dedup signature index — the
+    third serving artifact joins the erasure loop (lexical rewrite:
+    `text.forget_from_text_index`; ANN deletion vectors:
+    `similarity.forget_from_ann_index`), sharing the SAME tombstone
+    list so one erasure request propagates to every committed
+    artifact.  Signatures are per-doc with no global statistic (the
+    append path's frozen-hash-family argument, reversed), so erasure
+    is a pure copy-on-write REPLACE: committed signatures anti-joined
+    against the broadcast tombstones, no deltas needed.  Version 1
+    (the un-erased index) stays time-travelable until retention
+    expires it."""
+    import os
+
+    from ..sinks.manifest import ManifestCatalog
+    from .pipeline import _work_dir
+    from .text import FORGET_DOC_IDS
+
+    ids = FORGET_DOC_IDS if doc_ids is None else doc_ids
+    base = build_signature_index(spark, sf_dir, corpus_max_src)
+    cat = ManifestCatalog(os.path.join(
+        _work_dir(f"sig_index_forget_{len(ids)}_{corpus_max_src}",
+                  sf_dir), "cat"))
+    if cat.current_version() < 1:
+        cat.clone_pass(base)
+    if cat.current_version() < 2:
+        tomb = F.broadcast(spark.createDataFrame(
+            [(int(i),) for i in ids], "doc_id bigint"))
+        cat.publish_pass(
+            {"signatures": cat.read(spark, "signatures", version=1)
+                              .join(tomb, "doc_id", "left_anti")},
+            replace={"signatures"})
+    return cat
+
+
+def incremental_dedup_after_forget(spark: "SparkSession", sf_dir: str,
+                                   corpus_max_src: int = 10) -> DataFrame:
+    """Serve incremental dedup from the ERASED signature head: the
+    batch (tombstones dropped there too — an erased document is
+    erased everywhere, arrival queues included) signs itself and
+    joins the erased corpus signatures.  The oracle is the one-shot
+    incremental-dedup SQL with the tombstones filtered from BOTH
+    sides, so the hash gate proves index erasure equals re-signing
+    the erased corpus — a forgotten near-dup source stops flagging
+    its batch twins, exactly as a rebuild would."""
+    from .text import FORGET_DOC_IDS
+
+    cat = forget_from_signature_index(
+        spark, sf_dir, corpus_max_src=corpus_max_src)
+    corpus_sig = cat.read(spark, "signatures")
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"src(\d+)", 1).try_cast("int")
+    batch = (docs.filter(
+        ~F.coalesce(src_num < corpus_max_src, F.lit(False)))
+        .filter(~F.col("doc_id").isin(*FORGET_DOC_IDS)))
+    bsig = _band_signatures(batch)
+    return (bsig.alias("n")
+            .join(corpus_sig.alias("c"),
+                  (F.col("n.band") == F.col("c.band"))
+                  & (F.col("n.band_sig") == F.col("c.band_sig")))
+            .groupBy(F.col("n.doc_id").alias("doc_id"))
+            .agg(F.min(F.col("c.doc_id")).alias("first_corpus_dup"),
+                 F.countDistinct(F.col("c.doc_id")).alias("n_corpus_dups"),
+                 F.count(F.lit(1)).alias("n_collisions")))
+
+
 def dedup_audit(documents: DataFrame) -> DataFrame:
     """Per-source dedup-yield audit — the dashboard a curation team
     watches across snapshots: how many documents each dedup stage
@@ -840,6 +908,40 @@ _SIMHASH_SIG_SQL = f"""tok AS (
                           ELSE 0 END) AS BIGINT) AS simhash
           FROM bits GROUP BY doc_id)"""
 
+def _incremental_dedup_oracle_sql(
+        tombstones: tuple[int, ...] | None = None) -> str:
+    """One-shot batch-vs-corpus LSH dedup in DuckDB — shared by
+    `q_dedup_incremental`, both serve-split queries, and (with
+    ``tombstones``, filtered from BOTH sides) the erasure twin
+    `q_dedup_forget`."""
+    tomb = (f"\n          AND n.doc_id NOT IN {tombstones}"
+            f"\n          AND c.doc_id NOT IN {tombstones}"
+            if tombstones else "")
+    return f"""
+        WITH mh AS ({_MINHASH_SQL}),
+        bands AS (
+          SELECT doc_id, CAST(i // {N_HASHES // N_BANDS} AS INT) AS band,
+                 STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_sig
+          FROM mh GROUP BY 1, 2
+        ),
+        tagged AS (
+          SELECT b.doc_id, b.band, b.band_sig,
+                 COALESCE(TRY_CAST(regexp_extract(d.source, 'src(\\d+)', 1)
+                                   AS INT) < 10, FALSE)
+                   AS in_corpus
+          FROM bands b JOIN documents d USING (doc_id)
+        )
+        SELECT n.doc_id,
+               MIN(c.doc_id) AS first_corpus_dup,
+               CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_corpus_dups,
+               CAST(COUNT(*) AS BIGINT) AS n_collisions
+        FROM tagged n JOIN tagged c
+          ON n.band = c.band AND n.band_sig = c.band_sig
+        WHERE NOT n.in_corpus AND c.in_corpus{tomb}
+        GROUP BY n.doc_id
+        """
+
+
 SPECS: dict[str, Spec] = {
     "q_dedup_exact": Spec(
         lambda spark, sf: exact_dedup(load_table(spark, sf, "documents")),
@@ -1036,29 +1138,7 @@ SPECS: dict[str, Spec] = {
         "exposure in one dashboard row per source)"),
     "q_dedup_incremental": Spec(
         lambda spark, sf: incremental_dedup(load_table(spark, sf, "documents")),
-        f"""
-        WITH mh AS ({_MINHASH_SQL}),
-        bands AS (
-          SELECT doc_id, CAST(i // {N_HASHES // N_BANDS} AS INT) AS band,
-                 STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_sig
-          FROM mh GROUP BY 1, 2
-        ),
-        tagged AS (
-          SELECT b.doc_id, b.band, b.band_sig,
-                 COALESCE(TRY_CAST(regexp_extract(d.source, 'src(\\d+)', 1)
-                                   AS INT) < 10, FALSE)
-                   AS in_corpus
-          FROM bands b JOIN documents d USING (doc_id)
-        )
-        SELECT n.doc_id,
-               MIN(c.doc_id) AS first_corpus_dup,
-               CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_corpus_dups,
-               CAST(COUNT(*) AS BIGINT) AS n_collisions
-        FROM tagged n JOIN tagged c
-          ON n.band = c.band AND n.band_sig = c.band_sig
-        WHERE NOT n.in_corpus AND c.in_corpus
-        GROUP BY n.doc_id
-        """,
+        _incremental_dedup_oracle_sql(),
         "incremental batch-vs-corpus LSH dedup (daily-ingest shape: cost "
         "scales with |batch|, corpus signatures precomputed)"),
     "q_dedup_near": Spec(
@@ -1130,6 +1210,22 @@ SPECS["q_dedup_from_index"] = Spec(
 
 #: Append maintenance shares the same oracle once more: signature
 #: growth day-by-day must equal one-shot corpus signing.
+def _dedup_forget_oracle() -> str:
+    from .text import FORGET_DOC_IDS
+    return _incremental_dedup_oracle_sql(tombstones=FORGET_DOC_IDS)
+
+
+SPECS["q_dedup_forget"] = Spec(
+    lambda spark, sf: incremental_dedup_after_forget(spark, sf),
+    _dedup_forget_oracle(),
+    "right-to-be-forgotten for the dedup signature index (shares the "
+    "lexical/ANN tombstone list — one erasure request propagates to "
+    "every committed artifact): signatures anti-joined out "
+    "copy-on-write, no deltas (per-doc signatures carry no global "
+    "statistic); oracle re-signs the erased corpus with tombstones "
+    "filtered from both sides, so a forgotten near-dup source stops "
+    "flagging its batch twins exactly as a rebuild would")
+
 SPECS["q_dedup_index_append"] = Spec(
     lambda spark, sf: incremental_dedup_from_appended_index(spark, sf),
     SPECS["q_dedup_incremental"].oracle,

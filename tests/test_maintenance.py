@@ -355,9 +355,28 @@ def test_forget_pass_erases_from_both_serving_indexes(spark):
                   cat_a.read(spark, "deleted").collect()) \
         == sorted(FORGET_VEC_IDS)
 
+    # --- dedup signature index (same tombstone list) -------------------
+    from healthkit_to_sqlite_spark.operators.dedup import (
+        forget_from_signature_index, incremental_dedup_after_forget,
+        incremental_dedup_from_index)
+    pre_d = {r.doc_id: r.first_corpus_dup for r in
+             incremental_dedup_from_index(spark, sf).collect()}
+    post_d = {r.doc_id: r.first_corpus_dup for r in
+              incremental_dedup_after_forget(spark, sf).collect()}
+    # a batch doc whose ONLY corpus dup was tombstoned drops out, and
+    # no surviving row names a tombstoned doc as its first dup
+    assert set(post_d) < set(pre_d)
+    assert not set(post_d.values()) & set(FORGET_DOC_IDS)
+    cat_d = forget_from_signature_index(spark, sf)
+    assert cat_d.read(spark, "signatures") \
+        .filter(F.col("doc_id").isin(*FORGET_DOC_IDS)).count() == 0
+
     # --- idempotent rerun (the resume contract) ------------------------
     m_t = _manifest_bytes(cat_t)
     m_a = _manifest_bytes(cat_a)
+    m_d = _manifest_bytes(cat_d)
     forget_from_text_index(spark, sf)
     forget_from_ann_index(spark, sf)
+    forget_from_signature_index(spark, sf)
     assert _manifest_bytes(cat_t) == m_t and _manifest_bytes(cat_a) == m_a
+    assert _manifest_bytes(cat_d) == m_d
