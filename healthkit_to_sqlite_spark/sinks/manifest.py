@@ -108,6 +108,16 @@ class _ManifestLog:
             if n.endswith(".parquet"))
         return files, df.schema.json()
 
+    @staticmethod
+    def _file_rows(files: list[str]) -> int:
+        """Row count from parquet FOOTERS — driver-side pyarrow
+        metadata reads, no Spark job (the commit-time statistics a
+        lakehouse manifest carries so `COUNT(*)`-grade questions never
+        scan data; at 100 TB a count job is real money, a footer read
+        is microseconds per file)."""
+        import pyarrow.parquet as pq
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
     # -- maintenance -------------------------------------------------------
 
     def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
@@ -353,6 +363,15 @@ class ManifestTable(_ManifestLog):
 
     # -- read paths --------------------------------------------------------
 
+    def row_count(self, version: int | None = None) -> int:
+        """Row count from parquet footers (driver-side pyarrow; no
+        Spark job) — see ManifestCatalog.row_count for why this is the
+        at-scale shape for count-grade monitoring."""
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return 0
+        return self._file_rows(self._load(v)["files"])
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Read a table version (default: head).  Files come from the
         manifest, never a directory listing — in-flight writers are
@@ -534,14 +553,24 @@ class ManifestCatalog(_ManifestLog):
         leaves only unreferenced staging garbage — readers never see
         a subset of the pass.  Returns the published version."""
         staged = {name: self._stage(df) for name, df in tables.items()}
+        staged_rows = {name: self._file_rows(files)
+                       for name, (files, _) in staged.items()}
         for _ in range(max_retries):
             head = self.current_version()
             prev = self._load(head).get("tables", {}) if head else {}
             merged = dict(prev)
             for name, (files, schema) in staged.items():
-                old = ([] if name in replace
-                       else prev.get(name, {}).get("files", []))
-                merged[name] = {"schema": schema, "files": old + files}
+                if name in replace:
+                    old, old_rows = [], 0
+                else:
+                    p = prev.get(name, {})
+                    old = p.get("files", [])
+                    # pre-rows manifests lack the key: recompute once
+                    # from footers, after which it sticks
+                    old_rows = p.get("rows", self._file_rows(old)
+                                     if old else 0)
+                merged[name] = {"schema": schema, "files": old + files,
+                                "rows": old_rows + staged_rows[name]}
             try:
                 self._publish({"tables": merged, "parent": head}, head + 1)
                 return head + 1
@@ -588,6 +617,36 @@ class ManifestCatalog(_ManifestLog):
         if v == 0:
             return []
         return sorted(self._load(v)["tables"])
+
+    def row_count(self, table: str, version: int | None = None) -> int:
+        """Commit-time row count — answered from the manifest (or, for
+        manifests published before the statistic existed, one pyarrow
+        footer sweep), NEVER a data scan.  The lakehouse property that
+        makes `COUNT(*)`-grade monitoring free at 100 TB."""
+        v = self.current_version() if version is None else version
+        if v == 0:
+            raise KeyError(f"table {table!r}: catalog is empty")
+        t = self._load(v)["tables"].get(table)
+        if t is None:
+            raise KeyError(f"table {table!r} not in catalog version {v}")
+        rows = t.get("rows")
+        return self._file_rows(t["files"]) if rows is None else int(rows)
+
+    def compact_pass(self, spark: SparkSession, table: str,
+                     target_files: int = 1,
+                     max_retries: int = 10) -> int:
+        """Small-files remedy for catalogs (the ManifestTable.compact
+        analog): appended and streaming-maintained artifacts
+        accumulate one file set per pass; this rewrites ONE table's
+        head content into ``target_files`` files and REPLACE-publishes
+        it — content-invariant (row_count and values pinned in
+        test_manifest), with the superseded files draining through
+        retention + vacuum like any replaced pass.  At 100 TB this is
+        the scheduled OPTIMIZE that keeps per-file sizes at scan-task
+        grain after heavy append churn."""
+        df = self.read(spark, table).coalesce(target_files)
+        return self.publish_pass({table: df}, replace={table},
+                                 max_retries=max_retries)
 
     def read(self, spark: SparkSession, table: str,
              version: int | None = None) -> DataFrame:

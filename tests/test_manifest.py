@@ -531,3 +531,59 @@ def test_catalog_crash_mid_replace_keeps_serving_head(spark, cat,
     assert cat.read(spark, "a").count() == 4
     assert cat.read(spark, "b").count() == 7
     assert cat.read(spark, "a", version=1).count() == 10
+
+
+def test_catalog_row_count_statistic_across_pass_shapes(spark, cat):
+    """Commit-time row counts (r9): exact through append, replace,
+    clone, and compaction — answered from the manifest, never a scan
+    (the count is asserted against df.count() truth here, but the
+    API reads footers/manifest only)."""
+    cat.publish_pass({"a": _batch(spark, 0, 10), "b": _batch(spark, 0, 7)})
+    assert cat.row_count("a") == 10 and cat.row_count("b") == 7
+    cat.publish_pass({"a": _batch(spark, 10, 25)})          # append
+    assert cat.row_count("a") == 25
+    assert cat.row_count("a", version=1) == 10              # time travel
+    cat.publish_pass({"a": _batch(spark, 0, 4)}, replace={"a"})
+    assert cat.row_count("a") == 4 and cat.row_count("b") == 7
+
+    clone = ManifestCatalog(str(os.path.dirname(cat.root) + "/clone"))
+    clone.clone_pass(cat)
+    assert clone.row_count("a") == 4 and clone.row_count("b") == 7
+
+    with pytest.raises(KeyError):
+        cat.row_count("missing")
+
+
+def test_catalog_compact_pass_is_content_invariant(spark, cat):
+    """compact_pass (r9): many-files head → target_files, rows and
+    values identical, superseded files drain through expire+vacuum
+    while the other table's files are untouched."""
+    for i in range(4):                        # 4 appends → ≥4 files
+        cat.publish_pass({"a": _batch(spark, i * 10, i * 10 + 10)})
+    cat.publish_pass({"b": _batch(spark, 0, 5)})
+    before = sorted(map(tuple, cat.read(spark, "a").collect()))
+    files_before = cat._load(cat.current_version())["tables"]["a"]["files"]
+    assert len(files_before) >= 4
+
+    v = cat.compact_pass(spark, "a")
+    entry = cat._load(v)["tables"]["a"]
+    assert len(entry["files"]) == 1
+    assert cat.row_count("a") == 40
+    assert sorted(map(tuple, cat.read(spark, "a").collect())) == before
+    # b rides through untouched (same files, same rows)
+    assert cat.row_count("b") == 5
+
+    # retention turns the compaction physical: expired pre-compact
+    # manifests release exactly the superseded 'a' files
+    cat.expire_versions(keep_last=1)
+    removed = set(cat.vacuum(min_age_seconds=0))
+    assert set(files_before) <= removed
+    assert sorted(map(tuple, cat.read(spark, "a").collect())) == before
+
+
+def test_table_row_count_from_footers(spark, tbl):
+    assert tbl.row_count() == 0
+    tbl.append(_batch(spark, 0, 100))
+    tbl.append(_batch(spark, 100, 150))
+    assert tbl.row_count() == 150
+    assert tbl.row_count(version=1) == 100
