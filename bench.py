@@ -305,6 +305,10 @@ HEADLINE = [
     "q_ann_forget",
     # round 9: the dedup-index erasure (shared tombstone list)
     "q_dedup_forget",
+    # round 9: distributed suffix-array ranking by prefix doubling
+    # (log2(w) integer-pair rank rounds; range-partitioned rank, no
+    # single-partition window)
+    "q_suffix_ranks",
 ]
 
 

@@ -896,6 +896,131 @@ def bm25_pruned_appended_topk(spark: SparkSession, sf_dir: str,
         spark, build_pruned_text_index_appended(spark, sf_dir, m), terms, k)
 
 
+SUFFIX_W = 8            # comparison depth (tokens) of the suffix ranking
+SUFFIX_RANGE_PARTS = 16  # range partitions for the distributed rank
+#   (scale knob: set ~ cluster width in production; offsets collected
+#   per round are ≤ this many rows)
+
+
+def _global_key_ranks(keys: DataFrame, cols: list[str],
+                      parts: int = SUFFIX_RANGE_PARTS) -> DataFrame:
+    """Global DENSE rank of DISTINCT key tuples — and the plain RANK
+    each tuple carries over the full row multiset (via the ``cnt``
+    weight column) — WITHOUT a single-partition window: range-
+    partition the distinct tuples, rank locally per partition, then
+    add per-partition offsets computed from a ≤ ``parts``-row collect
+    (the q_global_shuffle discipline: no global sort ever has one
+    reducer).  Distinct keys mean the range partitioner can never
+    split a tie group across a boundary, so local ranks + offsets
+    compose exactly.  Returns ``cols + [dense, rank]``."""
+    from pyspark.sql import Window
+
+    d = (keys.repartitionByRange(parts, *cols)
+         .select("*", F.spark_partition_id().alias("pid")))
+    w = (Window.partitionBy("pid").orderBy(*cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = d.select("*", F.row_number().over(
+        Window.partitionBy("pid").orderBy(*cols)).alias("lpos"),
+        F.sum("cnt").over(w).alias("lcum")).localCheckpoint(eager=True)
+    tot = sorted(d.groupBy("pid").agg(
+        F.max("lpos").alias("nkeys"),
+        F.sum("cnt").alias("nrows")).collect(),
+        key=lambda r: r.pid)                      # ≤ parts rows
+    key_off, row_off, ks, rs = {}, {}, 0, 0
+    for r in tot:
+        key_off[r.pid], row_off[r.pid] = ks, rs
+        ks, rs = ks + r.nkeys, rs + int(r.nrows)
+    koff = F.coalesce(*[F.when(F.col("pid") == p, F.lit(v))
+                        for p, v in key_off.items()], F.lit(0)) \
+        if key_off else F.lit(0)
+    roff = F.coalesce(*[F.when(F.col("pid") == p, F.lit(v))
+                        for p, v in row_off.items()], F.lit(0)) \
+        if row_off else F.lit(0)
+    return d.select(*cols,
+                    (F.col("lpos") + koff).cast("bigint").alias("dense"),
+                    (F.lit(1) + (F.col("lcum") - F.col("cnt")) + roff)
+                    .cast("bigint").alias("rank"))
+
+
+def suffix_ranks(documents: DataFrame, w: int = SUFFIX_W,
+                 parts: int = SUFFIX_RANGE_PARTS) -> DataFrame:
+    """Distributed suffix-array ranking by PREFIX DOUBLING (Manber &
+    Myers 1990; the distributed formulation of Flick & Aluru 2015) at
+    token grain, bounded to comparison depth ``w``: every (doc_id,
+    pos) suffix receives the RANK of its first ``w`` tokens among all
+    suffixes of all documents — the core primitive under
+    suffix-array-based exact-substring dedup (Lee et al. 2022), where
+    rank-adjacent suffixes are the candidate duplicated spans.
+
+    Algorithm, Spark-first: round 0 dense-ranks single tokens; round
+    k self-joins each suffix with the suffix ``2^k`` positions ahead
+    (missing → rank 0, the shorter-suffix-sorts-first sentinel) and
+    dense-ranks the (r, r_next) pairs — log₂(w) rounds replace
+    w-token string comparisons with integer-pair sorts, and no
+    w-token string is ever materialized.  Every global ordering runs
+    through :func:`_global_key_ranks`' range-partitioned rank (no
+    single-partition window — pinned in test_plans), per-round state
+    is localCheckpointed (the LPA/iterative-kernel lineage
+    discipline), and per-round driver traffic is the ≤ ``parts``-row
+    offset collect.  At 100 TB: each round shuffles the DISTINCT
+    rank-pair set (≤ suffix count, typically shrinking) plus one
+    (doc_id, pos)-keyed join back; the oracle sorts the materialized
+    w-token prefixes directly, so the hash gate proves the integer
+    recursion equals true lexicographic ranking."""
+    toks = documents.select(
+        "doc_id", F.posexplode(ws_tokens("text")).alias("pos", "token"))
+    kr = _global_key_ranks(
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")),
+        ["token"], parts)
+    cur = (toks.join(kr.select("token", F.col("dense").alias("r")),
+                     "token")
+           .select("doc_id", "pos", "r").localCheckpoint(eager=True))
+    width = 1
+    while width < w:
+        nxt = cur.select(F.col("doc_id").alias("d2"),
+                         (F.col("pos") - width).alias("p2"),
+                         F.col("r").alias("rn"))
+        paired = (cur.join(nxt, (F.col("doc_id") == F.col("d2"))
+                           & (F.col("pos") == F.col("p2")), "left")
+                  .select("doc_id", "pos", "r",
+                          F.coalesce("rn", F.lit(0)).alias("r2")))
+        kr = _global_key_ranks(
+            paired.groupBy("r", "r2").agg(F.count(F.lit(1)).alias("cnt")),
+            ["r", "r2"], parts)
+        cur = (paired.join(kr.select("r", "r2",
+                                     F.col("dense").alias("nr")),
+                           ["r", "r2"])
+               .select("doc_id", "pos", F.col("nr").alias("r"))
+               .localCheckpoint(eager=True))
+        width *= 2
+    final = _global_key_ranks(
+        cur.groupBy("r").agg(F.count(F.lit(1)).alias("cnt")), ["r"], parts)
+    return (cur.join(final.select("r", "rank"), "r")
+            .select("doc_id", "pos", F.col("rank").alias("srank")))
+
+
+def _suffix_ranks_oracle_sql(w: int = SUFFIX_W) -> str:
+    """Direct lexicographic ranking of the materialized w-token
+    prefixes — what prefix doubling must reproduce integer-for-
+    integer.  '' pads past the suffix end (tokens are never empty —
+    pinned in test_text — so the pad sorts strictly first, matching
+    the Spark side's rank-0 sentinel)."""
+    prefix_cols = ", ".join(
+        f"COALESCE(l[pos1 + {j}], '')" for j in range(w))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    pos AS (
+      SELECT doc_id, l, CAST(t.i AS INT) AS pos1
+      FROM toks, UNNEST(generate_series(1, n)) AS t(i))
+    SELECT doc_id, pos1 - 1 AS pos,
+           RANK() OVER (ORDER BY {prefix_cols}) AS srank
+    FROM pos
+    """
+
+
 FORGET_DOC_IDS = (16, 77, 205, 326, 369)  # erasure tombstone fixture
 #   (16/326/369 sit in the unerased top-15, so the drill provably
 #   changes the served answer; 77/205 exercise the no-rank-change path)
@@ -2921,6 +3046,16 @@ SPECS: dict[str, Spec] = {
         "+ one NEGATIVE mergeable stats delta; serve over the head "
         "hash-matches from-scratch BM25 over the erased corpus — "
         "erasure ≡ rebuild, idf shift included"),
+    "q_suffix_ranks": Spec(
+        lambda spark, sf: suffix_ranks(load_table(spark, sf, "documents")),
+        _suffix_ranks_oracle_sql(),
+        "distributed suffix-array ranking by prefix doubling (Manber "
+        "& Myers; Flick & Aluru 2015) at token grain, depth-8: log2(w) "
+        "integer-pair rank rounds replace w-token comparisons, every "
+        "global order via range-partitioned rank + offset join (no "
+        "single-partition window); oracle sorts the materialized "
+        "prefixes directly — the primitive under suffix-array "
+        "exact-substring dedup (Lee et al. 2022)"),
     "q_inverted_index": Spec(
         lambda spark, sf: inverted_index(load_table(spark, sf, "documents")),
         _INVERTED_INDEX_ORACLE,

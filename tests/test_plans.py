@@ -748,3 +748,13 @@ def test_filtered_ann_pushes_label_predicate(spark, specs):
     instead of filtering after the read."""
     df = specs["q_ann_filtered_from_index"].build(spark, SF)
     assert any("In(label" in f for f in pushed_filters(df))
+
+
+def test_suffix_ranks_never_single_partition(spark, specs):
+    """Every global ordering in the prefix-doubling kernel runs
+    through the range-partitioned rank + offset join — a
+    single-partition exchange here would serialize the whole corpus
+    through one reducer at 100 TB."""
+    df = specs["q_suffix_ranks"].build(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

@@ -940,3 +940,41 @@ def test_inverted_index_append_merge_equals_rebuild(spark):
     # (5) the no-empty-token invariant the docstring declares
     assert (docs.select(F.explode(ws_tokens("text")).alias("t"))
             .filter(F.col("t") == "").count()) == 0
+
+
+def test_suffix_ranks_match_python_reference(spark):
+    """Prefix doubling ≡ true lexicographic suffix ranking on a
+    constructed corpus exercising every edge: cross-document ties
+    (identical suffixes in different docs share a rank), the
+    shorter-suffix-sorts-first sentinel (a doc-final suffix ranks
+    before a longer suffix with the same leading tokens), and depth
+    truncation (suffixes identical through SUFFIX_W tokens tie even
+    if they diverge later)."""
+    from healthkit_to_sqlite_spark.operators.text import (SUFFIX_W,
+                                                          suffix_ranks)
+
+    deep = "x " * (SUFFIX_W + 2)
+    docs = spark.createDataFrame(
+        [(0, "b a c a b"), (1, "a b"), (2, "a"),
+         (3, deep.strip() + " y"), (4, deep.strip() + " z")],
+        "doc_id bigint, text string")
+    got = {(r.doc_id, r.pos): r.srank
+           for r in suffix_ranks(docs).collect()}
+
+    texts = {0: "b a c a b", 1: "a b", 2: "a",
+             3: deep.strip() + " y", 4: deep.strip() + " z"}
+    suf = []
+    for d, t in texts.items():
+        toks = t.split(" ")
+        for p in range(len(toks)):
+            suf.append((tuple(toks[p:p + SUFFIX_W]), d, p))
+    ordered = sorted(s[0] for s in suf)
+    want = {(d, p): 1 + ordered.index(key) for key, d, p in suf}
+    assert got == want
+    # cross-doc tie: "a b" suffix exists in doc 0 (pos 3) and doc 1
+    # (pos 0) — identical depth-8 prefixes, equal ranks
+    assert got[(0, 3)] == got[(1, 0)]
+    # sentinel: bare "a" (doc 2) sorts before "a b"
+    assert got[(2, 0)] < got[(0, 3)]
+    # truncation: docs 3 and 4 agree through SUFFIX_W tokens at pos 0
+    assert got[(3, 0)] == got[(4, 0)]
