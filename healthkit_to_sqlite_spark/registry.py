@@ -43,6 +43,9 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
                             # guard (ADVICE r8)
     "q_quality_retrain",    # degenerate-F1 = 1.0 convention
                             # (ADVICE r8; rows-only)
+    "q_dedup_incremental",  # oracle extracted into the parameterized
+                            # builder the erasure twin shares
+                            # (whitespace-only; re-verify anyway)
 )
 
 #: Names the driver must re-verify this round, in order: (1) queries
@@ -66,10 +69,11 @@ PRIORITY: tuple[str, ...] = (
     # serving artifact), the metadata-filtered ANN pair
     # (pre-filter semantics + committed-index serve twin), and the
     # erasure actuators (right-to-be-forgotten: lexical
-    # copy-on-write rewrite + ANN deletion vectors); the extra
-    # slots displace the alphabetical tail of the r05 backfill
-    # (q_json_extract/q_kv_pivot/q_lang_id/q_linestring lead the
-    # overflow)
+    # copy-on-write rewrite + ANN deletion vectors + dedup
+    # signature scrub on one shared tombstone list) and the
+    # prefix-doubling suffix ranking; the extra slots displace
+    # the alphabetical tail of the r05 backfill (q_flagship
+    # through q_linestring lead the overflow)
     # (1b) kernels touched in round 9: q_inverted_index shares the
     # extracted _top_cap_rank/_postings_str kernels; q_bpe_extend's
     # oracle gained the empty-round LEFT JOIN guard; q_quality_retrain
@@ -80,7 +84,7 @@ PRIORITY: tuple[str, ...] = (
     "q_inverted_index_append", "q_ann_filtered",
     "q_ann_filtered_from_index", "q_bm25_forget", "q_ann_forget",
     "q_dedup_forget", "q_suffix_ranks",
-    "q_inverted_index", "q_bpe_extend",
+    "q_inverted_index", "q_bpe_extend", "q_dedup_incremental",
     "q_quality_retrain", "q_window_rank", "q_zorder", "q_bm25",
     "q_chunk_overlap", "q_cusum", "q_dsir_resample", "q_dsir_weights",
     "q_exact_substring", "q_funnel_ordered", "q_heavy_hitters",
