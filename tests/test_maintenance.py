@@ -380,3 +380,50 @@ def test_forget_pass_erases_from_both_serving_indexes(spark):
     forget_from_signature_index(spark, sf)
     assert _manifest_bytes(cat_t) == m_t and _manifest_bytes(cat_a) == m_a
     assert _manifest_bytes(cat_d) == m_d
+
+
+def test_forget_composes_with_rebalance_overlay(spark):
+    """Deletion vectors compose with the rebalance overlay — the two
+    merge-on-read mechanisms a production index accumulates between
+    rebuilds: resolve the REBALANCED head (v1 base minus moved rows
+    plus deltas), then anti-join the tombstones.  Pins: (a) resolved
+    coverage is exactly corpus-minus-tombstones with no duplicates;
+    (b) the budgeted batch serve over the composed view returns full
+    result sets containing no tombstoned vec_id; (c) both overlays
+    stay pure metadata — composing them rewrites nothing (the
+    rebalance catalog's manifests are byte-identical before/after)."""
+    from pyspark.sql import functions as F
+
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        FORGET_VEC_IDS, PQ_RERANK, _batch_adc_serve, _rebal_artifacts,
+        forget_from_ann_index, rebalance_ann_index)
+
+    cat_r = rebalance_ann_index(spark, SF)
+    m_before = _manifest_bytes(cat_r)
+    dv = F.broadcast(forget_from_ann_index(spark, SF)
+                     .read(spark, "deleted").select("vec_id"))
+
+    cent, cells, codes, book = _rebal_artifacts(spark, cat_r)
+    cells_f = cells.join(dv, "vec_id", "left_anti")
+    codes_f = codes.join(dv, "vec_id", "left_anti")
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    live = emb.join(dv, "vec_id", "left_anti").count()
+    assert live == n - len(FORGET_VEC_IDS)
+    assert cells_f.count() == live
+    assert cells_f.select("vec_id").distinct().count() == live
+    assert codes_f.count() == live
+
+    import math
+    k_pre = cat_r.read(spark, "centroids", version=1).count()
+    budget = 2 * math.ceil(n / k_pre)
+    served = _batch_adc_serve(emb, cent, cells_f, codes_f, book,
+                              8, 5, 2, PQ_RERANK, probe_budget=budget)
+    rows = served.collect()
+    assert len(rows) > 0
+    assert not {r.vec_id for r in rows} & set(FORGET_VEC_IDS)
+
+    # composing two metadata overlays rewrote nothing
+    assert _manifest_bytes(cat_r) == m_before
