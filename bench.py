@@ -370,6 +370,14 @@ SF1_QUERIES = [
     # overlay rows (expected ~1.0; the split/merge ran in the
     # untimed warm-up build)
     "q_bm25_pruned_append", "q_ivf_rebalance",
+    # (r9) the new family's slopes: suffix ranking is corpus-
+    # proportional with log-round pair sorts (expected ~linear in
+    # token count — the one deliberate corpus-slope query here);
+    # filtered-ANN serve scans s·nprobe·n/K vectors (expected
+    # ~probe-cell growth like the other ANN serves); the lexical
+    # erasure serve reads the rewritten index (flat, ~1.0 — the
+    # rewrite itself runs in the untimed warm-up build)
+    "q_suffix_ranks", "q_ann_filtered_from_index", "q_bm25_forget",
 ]
 
 
