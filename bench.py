@@ -305,6 +305,9 @@ HEADLINE = [
     "q_ann_forget",
     # round 9: the dedup-index erasure (shared tombstone list)
     "q_dedup_forget",
+    # round 9: erasure for the PRUNED serving index (derived-data
+    # rule: erase the full index, re-derive the bounded artifact)
+    "q_bm25_pruned_forget",
     # round 9: distributed suffix-array ranking by prefix doubling
     # (log2(w) integer-pair rank rounds; range-partitioned rank, no
     # single-partition window)
@@ -378,6 +381,9 @@ SF1_QUERIES = [
     # erasure serve reads the rewritten index (flat, ~1.0 — the
     # rewrite itself runs in the untimed warm-up build)
     "q_suffix_ranks", "q_ann_filtered_from_index", "q_bm25_forget",
+    # (r9) the pruned erased serve: <= m·|terms| rows by construction
+    # (expected ~1.0 — the flat twin of q_bm25_forget's 1.9)
+    "q_bm25_pruned_forget",
 ]
 
 

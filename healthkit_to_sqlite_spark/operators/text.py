@@ -1089,6 +1089,59 @@ def bm25_after_forget(spark: SparkSession, sf_dir: str,
                        terms, k)
 
 
+def build_pruned_text_index_after_forget(
+        spark: SparkSession, sf_dir: str, m: int = BM25_PRUNE_M,
+        doc_ids: tuple[int, ...] = FORGET_DOC_IDS):
+    """Erasure for the PRUNED serving index — the derived-data rule:
+    anti-joining tombstones out of the top-m rows alone would be
+    WRONG below the cap (a tombstoned posting's displaced (m+1)-th
+    row was pruned away and cannot be restored from the artifact), so
+    erasure applies to the SOURCE-OF-TRUTH full index (exact —
+    `forget_from_text_index`) and the bounded serving artifact
+    re-derives from the erased head.  Re-derive cost ∝ index rows
+    (committed artifacts only; corpus text never read), and the
+    result equals a from-scratch prune of the erased corpus EXACTLY —
+    displaced postings reappear — so the serve shares the pruned
+    oracle with the tombstones filtered out.  Version 1 keeps the
+    pre-erasure pruned artifact time-travelable until retention
+    expires it, same two-phase story as the other erasure passes."""
+    import os
+
+    from ..sinks.manifest import ManifestCatalog
+    from .pipeline import _work_dir
+
+    fcat = forget_from_text_index(spark, sf_dir, doc_ids)
+    cat = ManifestCatalog(os.path.join(
+        _work_dir(f"text_index_pruned_forget_{m}_{len(doc_ids)}",
+                  sf_dir), "cat"))
+    if cat.current_version() < 1:
+        cat.clone_pass(build_pruned_text_index(spark, sf_dir, m))
+    if cat.current_version() < 2:
+        post = fcat.read(spark, "postings")      # erased head
+        doclen = fcat.read(spark, "doclen")
+        cat.publish_pass({
+            "pruned": _prune_top_m(post.join(doclen, "doc_id")
+                                   .select("term", "doc_id", "tf", "dl"),
+                                   m),
+            "termdf": post.groupBy("term")
+                          .agg(F.count(F.lit(1)).alias("df")),
+            "stats": fcat.read(spark, "stats"),  # signed delta rows,
+        }, replace={"pruned", "termdf", "stats"})  # summed by the serve
+    return cat
+
+
+def bm25_pruned_after_forget(spark: SparkSession, sf_dir: str,
+                             terms: tuple[str, ...] = BM25_TERMS,
+                             k: int = 15,
+                             m: int = BM25_PRUNE_M) -> DataFrame:
+    """Serve BM25 from the ERASED pruned index head — the unchanged
+    `_bm25_pruned_serve` kernel; hash-matches a from-scratch prune +
+    score of the erased corpus (cap backfill included)."""
+    return _bm25_pruned_serve(
+        spark, build_pruned_text_index_after_forget(spark, sf_dir, m),
+        terms, k)
+
+
 def _bm25_corpus_oracle_sql(doc_filter: str = "",
                             terms: tuple[str, ...] = BM25_TERMS,
                             k: int = 15) -> str:
@@ -1124,9 +1177,14 @@ def _bm25_corpus_oracle_sql(doc_filter: str = "",
 
 
 def _bm25_pruned_oracle_sql(terms: tuple[str, ...] = BM25_TERMS,
-                            k: int = 15, m: int = BM25_PRUNE_M) -> str:
+                            k: int = 15, m: int = BM25_PRUNE_M,
+                            doc_filter: str = "") -> str:
     """Rebuild + prune + score in DuckDB with the same integer
-    lexicographic per-term rank and the same fixed-order score sum."""
+    lexicographic per-term rank and the same fixed-order score sum.
+    ``doc_filter`` (the erasure twin passes a NOT IN over the
+    tombstones) applies to BOTH corpus reads — the oracle prunes the
+    ERASED corpus from scratch, so cap-displaced postings reappear
+    exactly as the derived-artifact rebuild restores them."""
     term_list = ", ".join(f"'{w}'" for w in terms)
     tf_cols = ", ".join(
         f"COALESCE(MAX(CASE WHEN term = '{w}' THEN tf END), 0) AS tf_{w}"
@@ -1143,12 +1201,13 @@ def _bm25_pruned_oracle_sql(terms: tuple[str, ...] = BM25_TERMS,
     return f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      FROM documents),
+      FROM documents {doc_filter}),
     tf AS (
       SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
       FROM tok WHERE term <> '' GROUP BY term, doc_id),
     doclen AS (
-      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      SELECT doc_id, len(string_split(text, ' ')) AS dl
+      FROM documents {doc_filter}),
     stats AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(dl) AS BIGINT) AS sum_dl, {dfs}
@@ -3037,6 +3096,16 @@ SPECS: dict[str, Spec] = {
         _bm25_corpus_oracle_sql(),
         "BM25 retrieval top-k for a fixed term set (one scan + 1-row "
         "stats broadcast; exact rational idf)"),
+    "q_bm25_pruned_forget": Spec(
+        lambda spark, sf: bm25_pruned_after_forget(spark, sf),
+        _bm25_pruned_oracle_sql(
+            doc_filter=f"WHERE doc_id NOT IN {FORGET_DOC_IDS}"),
+        "erasure for the PRUNED serving index (the derived-data "
+        "rule): tombstones anti-joined from the source-of-truth full "
+        "index, the bounded artifact re-derived from the erased head "
+        "so cap-displaced postings reappear exactly — shares the "
+        "pruned oracle over the erased corpus; keeps the flat serve "
+        "the unpruned erasure twin gives up"),
     "q_bm25_forget": Spec(
         lambda spark, sf: bm25_after_forget(spark, sf),
         _bm25_corpus_oracle_sql(

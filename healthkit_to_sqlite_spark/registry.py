@@ -11,7 +11,7 @@ leaving timeseries/multimodal/pipeline/udx unverified).  ``PRIORITY``
 pins the verification window each round: queries whose semantics
 changed this round plus queries with no driver row yet come first,
 then the reference §2.A/§2.B parity surface, then the long-green
-remainder.  Everything (213 queries as of round 9) still runs in
+remainder.  Everything (214 queries as of round 9) still runs in
 tests/parity.py, whose committed PARITY_r{N}.json covers the overflow.
 
 The window contract is self-tested: tests/test_registry.py asserts
@@ -83,7 +83,7 @@ PRIORITY: tuple[str, ...] = (
     # after this round no query's newest driver row is older than r05
     "q_inverted_index_append", "q_ann_filtered",
     "q_ann_filtered_from_index", "q_bm25_forget", "q_ann_forget",
-    "q_dedup_forget", "q_suffix_ranks",
+    "q_dedup_forget", "q_bm25_pruned_forget", "q_suffix_ranks",
     "q_inverted_index", "q_bpe_extend", "q_dedup_incremental",
     "q_quality_retrain", "q_window_rank", "q_zorder", "q_bm25",
     "q_chunk_overlap", "q_cusum", "q_dsir_resample", "q_dsir_weights",

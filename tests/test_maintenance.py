@@ -355,6 +355,25 @@ def test_forget_pass_erases_from_both_serving_indexes(spark):
                   cat_a.read(spark, "deleted").collect()) \
         == sorted(FORGET_VEC_IDS)
 
+    # --- PRUNED lexical index (the derived-data rule) ------------------
+    from healthkit_to_sqlite_spark.operators.text import (
+        bm25_pruned_after_forget, build_pruned_text_index,
+        build_pruned_text_index_after_forget)
+    post_p = bm25_pruned_after_forget(spark, sf).collect()
+    assert len(post_p) == 15
+    assert not {r.doc_id for r in post_p} & set(FORGET_DOC_IDS)
+    pre_pruned = build_pruned_text_index(spark, sf).read(spark, "pruned")
+    rederived = build_pruned_text_index_after_forget(spark, sf) \
+        .read(spark, "pruned")
+    assert rederived.filter(
+        F.col("doc_id").isin(*FORGET_DOC_IDS)).count() == 0
+    # the load-bearing pin: the re-derived artifact BACKFILLS
+    # cap-displaced postings a naive anti-join of the pruned rows
+    # could never restore (30 such rows on this fixture)
+    naive = pre_pruned.filter(~F.col("doc_id").isin(*FORGET_DOC_IDS))
+    backfilled = rederived.join(naive, ["term", "doc_id"], "left_anti")
+    assert backfilled.count() > 0
+
     # --- dedup signature index (same tombstone list) -------------------
     from healthkit_to_sqlite_spark.operators.dedup import (
         forget_from_signature_index, incremental_dedup_after_forget,
