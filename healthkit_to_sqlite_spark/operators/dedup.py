@@ -471,6 +471,21 @@ def incremental_dedup(documents: DataFrame,
                  F.count(F.lit(1)).alias("n_collisions")))
 
 
+def _corpus_dup_serve(bsig: DataFrame, corpus_sig: DataFrame) -> DataFrame:
+    """Shared serve kernel of the dedup-index split — one body for
+    the one-shot, appended, and erased index serves (the dedup analog
+    of _bm25_serve / _filtered_cosine_serve), so a semantics change to
+    the collision aggregation lands once."""
+    return (bsig.alias("n")
+            .join(corpus_sig.alias("c"),
+                  (F.col("n.band") == F.col("c.band"))
+                  & (F.col("n.band_sig") == F.col("c.band_sig")))
+            .groupBy(F.col("n.doc_id").alias("doc_id"))
+            .agg(F.min(F.col("c.doc_id")).alias("first_corpus_dup"),
+                 F.countDistinct(F.col("c.doc_id")).alias("n_corpus_dups"),
+                 F.count(F.lit(1)).alias("n_collisions")))
+
+
 def build_signature_index(spark: "SparkSession", sf_dir: str,
                           corpus_max_src: int = 10):
     """Materialize what `incremental_dedup`'s docstring promises the
@@ -561,14 +576,7 @@ def incremental_dedup_from_appended_index(spark: "SparkSession",
     batch = docs.filter(
         ~F.coalesce(src_num < corpus_max_src, F.lit(False)))
     bsig = _band_signatures(batch)
-    return (bsig.alias("n")
-            .join(corpus_sig.alias("c"),
-                  (F.col("n.band") == F.col("c.band"))
-                  & (F.col("n.band_sig") == F.col("c.band_sig")))
-            .groupBy(F.col("n.doc_id").alias("doc_id"))
-            .agg(F.min(F.col("c.doc_id")).alias("first_corpus_dup"),
-                 F.countDistinct(F.col("c.doc_id")).alias("n_corpus_dups"),
-                 F.count(F.lit(1)).alias("n_collisions")))
+    return _corpus_dup_serve(bsig, corpus_sig)
 
 
 def incremental_dedup_from_index(spark: "SparkSession", sf_dir: str,
@@ -586,14 +594,7 @@ def incremental_dedup_from_index(spark: "SparkSession", sf_dir: str,
     batch = docs.filter(
         ~F.coalesce(src_num < corpus_max_src, F.lit(False)))
     bsig = _band_signatures(batch)
-    return (bsig.alias("n")
-            .join(corpus_sig.alias("c"),
-                  (F.col("n.band") == F.col("c.band"))
-                  & (F.col("n.band_sig") == F.col("c.band_sig")))
-            .groupBy(F.col("n.doc_id").alias("doc_id"))
-            .agg(F.min(F.col("c.doc_id")).alias("first_corpus_dup"),
-                 F.countDistinct(F.col("c.doc_id")).alias("n_corpus_dups"),
-                 F.count(F.lit(1)).alias("n_collisions")))
+    return _corpus_dup_serve(bsig, corpus_sig)
 
 
 def forget_from_signature_index(spark: "SparkSession", sf_dir: str,
@@ -618,8 +619,10 @@ def forget_from_signature_index(spark: "SparkSession", sf_dir: str,
 
     ids = FORGET_DOC_IDS if doc_ids is None else doc_ids
     base = build_signature_index(spark, sf_dir, corpus_max_src)
+    # tombstone VALUES in the cache key (r6-ADVICE rule), not the count
+    ids_key = "-".join(map(str, ids))
     cat = ManifestCatalog(os.path.join(
-        _work_dir(f"sig_index_forget_{len(ids)}_{corpus_max_src}",
+        _work_dir(f"sig_index_forget_{ids_key}_{corpus_max_src}",
                   sf_dir), "cat"))
     if cat.current_version() < 1:
         cat.clone_pass(base)
@@ -654,14 +657,7 @@ def incremental_dedup_after_forget(spark: "SparkSession", sf_dir: str,
         ~F.coalesce(src_num < corpus_max_src, F.lit(False)))
         .filter(~F.col("doc_id").isin(*FORGET_DOC_IDS)))
     bsig = _band_signatures(batch)
-    return (bsig.alias("n")
-            .join(corpus_sig.alias("c"),
-                  (F.col("n.band") == F.col("c.band"))
-                  & (F.col("n.band_sig") == F.col("c.band_sig")))
-            .groupBy(F.col("n.doc_id").alias("doc_id"))
-            .agg(F.min(F.col("c.doc_id")).alias("first_corpus_dup"),
-                 F.countDistinct(F.col("c.doc_id")).alias("n_corpus_dups"),
-                 F.count(F.lit(1)).alias("n_collisions")))
+    return _corpus_dup_serve(bsig, corpus_sig)
 
 
 def dedup_audit(documents: DataFrame) -> DataFrame:

@@ -928,8 +928,10 @@ def forget_from_ann_index(spark: SparkSession, sf_dir: str,
     from .pipeline import _work_dir
 
     base = build_ann_index(spark, sf_dir)
+    # tombstone VALUES in the cache key (r6-ADVICE rule), not the count
+    ids_key = "-".join(map(str, vec_ids))
     cat = ManifestCatalog(os.path.join(
-        _work_dir(f"ann_index_forget_{len(vec_ids)}", sf_dir), "cat"))
+        _work_dir(f"ann_index_forget_{ids_key}", sf_dir), "cat"))
     if cat.current_version() < 1:
         cat.clone_pass(base)
     if cat.current_version() < 2:

@@ -967,6 +967,12 @@ def suffix_ranks(documents: DataFrame, w: int = SUFFIX_W,
     (doc_id, pos)-keyed join back; the oracle sorts the materialized
     w-token prefixes directly, so the hash gate proves the integer
     recursion equals true lexicographic ranking."""
+    if w < 1 or (w & (w - 1)) != 0:
+        # the doubling loop reaches exactly the powers of two; a
+        # non-power depth would silently rank at next-pow2(w) while
+        # the oracle compares exactly w tokens — fail loud instead of
+        # diverging (review finding)
+        raise ValueError(f"comparison depth w={w} must be a power of 2")
     toks = documents.select(
         "doc_id", F.posexplode(ws_tokens("text")).alias("pos", "token"))
     kr = _global_key_ranks(
@@ -1046,36 +1052,60 @@ def forget_from_text_index(spark: SparkSession, sf_dir: str,
     filtered out).
 
     The pre-erasure version stays time-travelable until retention
-    expires it — `expire_versions` + `vacuum` is the step that makes
-    the erasure PHYSICAL (the copy-on-write files holding the erased
-    rows become orphans once v1's manifest is expired; drilled in
-    test_maintenance).  Cost: ∝ index rows rewritten; at 100 TB the
-    anti-join prunes to the row groups whose doc_id ranges intersect
-    the tombstones."""
+    expires it.  PHYSICAL reclamation belongs to the catalog that
+    OWNS the files: in production the erasure pass
+    (:func:`text_index_forget_pass`) REPLACE-publishes onto the LIVE
+    index catalog, and `expire_versions` + `vacuum` on that catalog
+    then frees the copy-on-write files holding the erased rows
+    (drilled on a standalone catalog in test_maintenance).  This
+    contract query instead wraps the pass in CLONE isolation so other
+    contract queries keep reading the unerased live index — which
+    means THIS catalog's vacuum frees nothing (its v1 references the
+    source's files; the clone caveat), by design.  Cost: ∝ index rows
+    rewritten; at 100 TB the anti-join prunes to the row groups whose
+    doc_id ranges intersect the tombstones."""
     import os
 
     from ..sinks.manifest import ManifestCatalog
     from .pipeline import _work_dir
 
     base = build_text_index(spark, sf_dir)
+    # the tombstone VALUES are part of the cache key (not just the
+    # count) — a same-length different set must not reuse this
+    # catalog's version guard (the r6-ADVICE cache-key rule)
+    ids_key = "-".join(map(str, doc_ids))
     cat = ManifestCatalog(os.path.join(
-        _work_dir(f"text_index_forget_{len(doc_ids)}", sf_dir), "cat"))
+        _work_dir(f"text_index_forget_{ids_key}", sf_dir), "cat"))
     if cat.current_version() < 1:
         cat.clone_pass(base)
     if cat.current_version() < 2:
-        tomb = F.broadcast(spark.createDataFrame(
-            [(int(i),) for i in doc_ids], "doc_id bigint"))
-        doclen = cat.read(spark, "doclen", version=1)
-        removed = doclen.join(tomb, "doc_id", "left_semi")
-        cat.publish_pass({
-            "postings": cat.read(spark, "postings", version=1)
-                           .join(tomb, "doc_id", "left_anti"),
-            "doclen": doclen.join(tomb, "doc_id", "left_anti"),
-            "stats": removed.agg(
-                (-F.count(F.lit(1))).alias("n_docs"),
-                (-F.coalesce(F.sum("dl"), F.lit(0))).alias("sum_dl")),
-        }, replace={"postings", "doclen"})
+        text_index_forget_pass(spark, cat, doc_ids)
     return cat
+
+
+def text_index_forget_pass(spark: SparkSession, cat,
+                           doc_ids: tuple[int, ...]) -> int:
+    """The erasure REPLACE pass itself, applied to the GIVEN lexical
+    index catalog's head — the form a production pipeline runs on the
+    LIVE catalog (clone isolation is the CONTRACT-QUERY wrapper, not
+    the erasure semantics).  Tombstoned docs anti-join out of
+    postings/doclen copy-on-write; one NEGATIVE stats delta row keeps
+    the mergeable totals exact.  After this pass, retention + vacuum
+    on the SAME catalog make the erasure physical: the replaced files
+    holding the erased rows are exactly the orphans the pre-erasure
+    manifests pinned (pinned in test_maintenance)."""
+    tomb = F.broadcast(spark.createDataFrame(
+        [(int(i),) for i in doc_ids], "doc_id bigint"))
+    doclen = cat.read(spark, "doclen")
+    removed = doclen.join(tomb, "doc_id", "left_semi")
+    return cat.publish_pass({
+        "postings": cat.read(spark, "postings")
+                       .join(tomb, "doc_id", "left_anti"),
+        "doclen": doclen.join(tomb, "doc_id", "left_anti"),
+        "stats": removed.agg(
+            (-F.count(F.lit(1))).alias("n_docs"),
+            (-F.coalesce(F.sum("dl"), F.lit(0))).alias("sum_dl")),
+    }, replace={"postings", "doclen"})
 
 
 def bm25_after_forget(spark: SparkSession, sf_dir: str,
@@ -1111,8 +1141,9 @@ def build_pruned_text_index_after_forget(
     from .pipeline import _work_dir
 
     fcat = forget_from_text_index(spark, sf_dir, doc_ids)
+    ids_key = "-".join(map(str, doc_ids))
     cat = ManifestCatalog(os.path.join(
-        _work_dir(f"text_index_pruned_forget_{m}_{len(doc_ids)}",
+        _work_dir(f"text_index_pruned_forget_{m}_{ids_key}",
                   sf_dir), "cat"))
     if cat.current_version() < 1:
         cat.clone_pass(build_pruned_text_index(spark, sf_dir, m))

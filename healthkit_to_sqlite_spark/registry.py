@@ -54,7 +54,7 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
 #: surface.  Names not listed (or not registered) follow in module
 #: order; unknown names here are ignored, so the list is safe to
 #: curate ahead of the code — but the FIRST 50 are contract (see
-#: tests/test_registry.py).  (212 queries as of round 9.)
+#: tests/test_registry.py).  (214 queries as of round 9.)
 PRIORITY: tuple[str, ...] = (
     # ---- round-9 window (slots 1-50) ------------------------------
     # The window is DERIVED, not hand-curated: new queries (no
@@ -144,7 +144,7 @@ PRIORITY: tuple[str, ...] = (
     "q_pii_scrub", "q_decontaminate", "q_stratified_sample",
     "q_pack_sequences", "q_interval_join", "q_salted_join",
     "q_merge_upsert", "q_salted_agg", "q_ann_brp", "q_fuzzy_join",
-    "q_ann_lsh_pairs", "q_dedup_incremental", "q_manifest_roundtrip",
+    "q_ann_lsh_pairs", "q_manifest_roundtrip",
     "q_topk_cosine_pandas", "q_udaf_median", "q_temperature_sample",
     "q_negative_pairs", "q_token_budget_mix", "q_simhash_near",
     "q_udtf_poly", "q_udtf_chunks", "q_udtf_chunks_arrow",

@@ -566,9 +566,15 @@ class ManifestCatalog(_ManifestLog):
                     p = prev.get(name, {})
                     old = p.get("files", [])
                     # pre-rows manifests lack the key: recompute once
-                    # from footers, after which it sticks
-                    old_rows = p.get("rows", self._file_rows(old)
-                                     if old else 0)
+                    # from footers, after which it sticks.  The key
+                    # test must be explicit — dict.get evaluates its
+                    # default EAGERLY, which would re-read every
+                    # carried-forward footer on every append publish
+                    # (review finding).
+                    if "rows" in p:
+                        old_rows = p["rows"]
+                    else:
+                        old_rows = self._file_rows(old) if old else 0
                 merged[name] = {"schema": schema, "files": old + files,
                                 "rows": old_rows + staged_rows[name]}
             try:

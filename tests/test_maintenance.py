@@ -446,3 +446,52 @@ def test_forget_composes_with_rebalance_overlay(spark):
 
     # composing two metadata overlays rewrote nothing
     assert _manifest_bytes(cat_r) == m_before
+
+
+def test_text_index_erasure_turns_physical_with_retention(spark, tmp_path):
+    """Physical erasure on the catalog that OWNS the files (review
+    finding: the clone-isolated contract catalogs free nothing by
+    design — their v1 references the source's files).  Production
+    shape: the erasure pass REPLACE-publishes onto the live index
+    catalog; expire + vacuum on that catalog then frees exactly the
+    pre-erasure files holding the erased rows."""
+    from pyspark.sql import functions as F
+
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.text import (
+        FORGET_DOC_IDS, text_index_forget_pass, ws_tokens)
+    from healthkit_to_sqlite_spark.sinks.manifest import ManifestCatalog
+
+    docs = load_table(spark, SF, "documents")
+    cat = ManifestCatalog(str(tmp_path / "live_index"))
+    toks = (docs.select("doc_id",
+                        F.explode(ws_tokens("text")).alias("term"))
+            .filter(F.col("term") != ""))
+    cat.publish_pass({
+        "postings": toks.groupBy("term", "doc_id")
+                        .agg(F.count(F.lit(1)).alias("tf")),
+        "doclen": docs.select("doc_id",
+                              F.size(ws_tokens("text")).alias("dl")),
+        "stats": docs.agg(F.count(F.lit(1)).alias("n_docs"),
+                          F.sum(F.size(ws_tokens("text")))
+                          .alias("sum_dl")),
+    })
+    pre_files = {f for t in ("postings", "doclen")
+                 for f in cat._load(1)["tables"][t]["files"]}
+
+    v = text_index_forget_pass(spark, cat, FORGET_DOC_IDS)
+    assert v == 2
+    assert cat.read(spark, "postings") \
+        .filter(F.col("doc_id").isin(*FORGET_DOC_IDS)).count() == 0
+
+    # retention makes it physical: the pre-erasure postings/doclen
+    # files — the bytes holding the erased rows — are freed
+    assert cat.expire_versions(keep_last=1) == [1]
+    removed = set(cat.vacuum(min_age_seconds=0))
+    assert pre_files <= removed
+    # the erased head still serves, and its files survive
+    head_files = {f for t in cat._load(2)["tables"].values()
+                  for f in t["files"]}
+    assert all(os.path.exists(f) for f in head_files)
+    assert cat.read(spark, "doclen").count() == docs.count() - len(
+        set(FORGET_DOC_IDS))
