@@ -72,7 +72,7 @@ PRIORITY: tuple[str, ...] = (
     # copy-on-write rewrite + ANN deletion vectors + dedup
     # signature scrub on one shared tombstone list) and the
     # prefix-doubling suffix ranking; the extra slots displace
-    # the alphabetical tail of the r05 backfill (q_flagship
+    # the alphabetical tail of the r05 backfill (q_fingerprint
     # through q_linestring lead the overflow)
     # (1b) kernels touched in round 9: q_inverted_index shares the
     # extracted _top_cap_rank/_postings_str kernels; q_bpe_extend's

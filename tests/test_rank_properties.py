@@ -1,0 +1,82 @@
+"""Property-based tests for the round-9 distributed-ordering kernels.
+
+`_global_key_ranks` (the range-partitioned rank behind the suffix
+ranking) and `_prune_top_m` (the ordered-merge kernel behind every
+prune-on-append path) each carry an algebraic claim — ranks compose
+across partitions exactly; top-m is monotone under disjoint-key
+union — so the claims are tested AS properties: hypothesis drives
+randomized inputs through Spark once per example against pure-python
+models.  Examples are few and small (each runs Spark jobs); the pure
+models carry the case explosion.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+key_cnt_lists = st.lists(
+    st.tuples(st.integers(min_value=-50, max_value=50),
+              st.integers(min_value=1, max_value=5)),
+    min_size=1, max_size=40)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pairs=key_cnt_lists)
+def test_global_key_ranks_match_local_model(spark, pairs):
+    """dense = 1-based dense rank of the distinct keys; rank = the
+    plain RANK the key carries over the expanded multiset — for any
+    key set, any multiplicities, any partition count (2 forces
+    cross-partition composition on tiny inputs)."""
+    from healthkit_to_sqlite_spark.operators.text import _global_key_ranks
+
+    agg: dict[int, int] = {}
+    for k, c in pairs:
+        agg[k] = agg.get(k, 0) + c
+    keys = spark.createDataFrame(list(agg.items()), "k int, cnt int")
+    got = {r.k: (r.dense, r.rank) for r in
+           _global_key_ranks(keys, ["k"], parts=2).collect()}
+
+    ordered = sorted(agg)
+    want, running = {}, 0
+    for i, k in enumerate(ordered):
+        want[k] = (i + 1, running + 1)
+        running += agg[k]
+    assert got == want
+
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from("ab"), min_size=1, max_size=6),
+    min_size=2, max_size=8)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=docs_strategy, m=st.integers(min_value=1, max_value=4),
+       split=st.integers(min_value=1, max_value=7))
+def test_prune_top_m_merge_monotone(spark, docs, m, split):
+    """The prune-on-append theorem as a property: for ANY corpus,
+    cap, and base/batch split (disjoint doc_ids),
+    top_m(top_m(base) ∪ batch) == top_m(base ∪ batch) row-for-row
+    under the shared (tf DESC, dl ASC, doc_id) impact order."""
+    from healthkit_to_sqlite_spark.operators.text import _prune_top_m
+
+    split = min(split, len(docs) - 1) or 1
+    rows = []
+    for doc_id, toks in enumerate(docs):
+        dl = len(toks)
+        for t in set(toks):
+            rows.append((t, doc_id, toks.count(t), dl))
+    df = spark.createDataFrame(
+        rows, "term string, doc_id bigint, tf bigint, dl int")
+    base = df.filter(F.col("doc_id") < split)
+    batch = df.filter(F.col("doc_id") >= split)
+
+    merged = _prune_top_m(
+        _prune_top_m(base, m).unionByName(batch), m)
+    rebuild = _prune_top_m(df, m)
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, rebuild.collect()))
