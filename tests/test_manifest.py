@@ -587,3 +587,43 @@ def test_table_row_count_from_footers(spark, tbl):
     tbl.append(_batch(spark, 100, 150))
     assert tbl.row_count() == 150
     assert tbl.row_count(version=1) == 100
+
+
+def test_table_expire_then_append_continues(spark, tbl):
+    """Retention on the single-table log composes with the write
+    paths: after expiring old versions, the head still serves, new
+    appends version past the head, and vacuum frees exactly the files
+    only expired manifests referenced."""
+    tbl.append(_batch(spark, 0, 10))
+    v1_files = set(tbl._load(1)["files"])
+    tbl.compact(spark)                       # v2 rewrites into 1 file
+    assert tbl.expire_versions(keep_last=1) == [1]
+    removed = set(tbl.vacuum(min_age_seconds=0))
+    assert v1_files <= removed               # superseded by the compact
+    assert tbl.read(spark).count() == 10
+    tbl.append(_batch(spark, 10, 15))
+    assert tbl.current_version() == 3
+    assert tbl.read(spark).count() == 15
+    assert tbl.row_count() == 15
+
+
+def test_source_expire_vacuum_breaks_live_clones(spark, tmp_path):
+    """The clone caveat is a real hazard, not theory: a shallow
+    clone's manifests reference the SOURCE catalog's files, which the
+    source's own expire+vacuum knows nothing about.  Replace the
+    source's table, expire its pre-replace manifest, vacuum — the
+    clone's head now points at deleted files and its read fails.
+    This is why expire_versions' contract says never expire-and-
+    vacuum a source whose clones are alive."""
+    cat_src = ManifestCatalog(str(tmp_path / "src"))
+    cat_src.publish_pass({"t": _batch(spark, 0, 10)})
+    clone = ManifestCatalog(str(tmp_path / "clone"))
+    clone.clone_pass(cat_src)
+    assert clone.read(spark, "t").count() == 10
+
+    cat_src.publish_pass({"t": _batch(spark, 0, 3)}, replace={"t"})
+    cat_src.expire_versions(keep_last=1)
+    removed = cat_src.vacuum(min_age_seconds=0)
+    assert removed                            # the clone's files died
+    with pytest.raises(Exception):
+        clone.read(spark, "t").collect()
