@@ -28,6 +28,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .spec import Spec
 
+#: The round this PRIORITY window was derived FOR: the derivation in
+#: tests/test_registry.py reads only CORRECTNESS_r{1..N-1}, so the
+#: driver committing round N's artifact at the round boundary does
+#: NOT turn the suite red (VERDICT r9 item 1 / ADVICE r9: the r9 test
+#: globbed ALL artifacts, guaranteeing a red suite at every
+#: boundary).  The test fails with a "rotate me" message only when an
+#: artifact NEWER than this round exists — i.e. a whole rotation was
+#: skipped.  Bump this and re-derive PRIORITY at the start of each
+#: round.
+DERIVED_FOR_ROUND: int = 10
+
 #: Queries whose kernels/oracles CHANGED this round — the one input
 #: to the window derivation that cannot be recomputed from committed
 #: artifacts (the other inputs — never-checked queries and per-query
@@ -35,18 +46,7 @@ from .spec import Spec
 #: round; tests/test_registry.py derives the mandatory window from
 #: (new ∪ TOUCHED) + oldest-rows backfill and fails naming any
 #: dropped query.
-TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    "q_inverted_index",     # shares the extracted _top_cap_rank /
-                            # _postings_str kernels with the new
-                            # append path
-    "q_bpe_extend",         # oracle: empty-merge-round LEFT JOIN
-                            # guard (ADVICE r8)
-    "q_quality_retrain",    # degenerate-F1 = 1.0 convention
-                            # (ADVICE r8; rows-only)
-    "q_dedup_incremental",  # oracle extracted into the parameterized
-                            # builder the erasure twin shares
-                            # (whitespace-only; re-verify anyway)
-)
+TOUCHED_THIS_ROUND: tuple[str, ...] = ()
 
 #: Names the driver must re-verify this round, in order: (1) queries
 #: fixed/changed since their last green row, (2) queries that have
@@ -56,31 +56,33 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
 #: curate ahead of the code — but the FIRST 50 are contract (see
 #: tests/test_registry.py).  (214 queries as of round 9.)
 PRIORITY: tuple[str, ...] = (
-    # ---- round-9 window (slots 1-50) ------------------------------
-    # The window is DERIVED, not hand-curated: new queries (no
-    # CORRECTNESS row yet) + TOUCHED_THIS_ROUND, then the globally
-    # oldest driver rows sorted by (newest round, name) until the 50
-    # slots fill.  tests/test_registry.py recomputes that derivation
-    # from the committed CORRECTNESS_r0*.json artifacts and fails
-    # naming any dropped query (VERDICT r8 item 2 — the r7->r8
-    # 65-vs-50 overflow becomes a test failure, not a judge finding).
-    # (1a) new in round 9: prune-on-append for the impact-ordered
-    # inverted index (VERDICT r8 item 4 — the last build-only
-    # serving artifact), the metadata-filtered ANN pair
-    # (pre-filter semantics + committed-index serve twin), and the
-    # erasure actuators (right-to-be-forgotten: lexical
-    # copy-on-write rewrite + ANN deletion vectors + dedup
-    # signature scrub on one shared tombstone list) and the
-    # prefix-doubling suffix ranking; the extra slots displace
-    # the alphabetical tail of the r05 backfill (q_fingerprint
-    # through q_linestring lead the overflow)
-    # (1b) kernels touched in round 9: q_inverted_index shares the
-    # extracted _top_cap_rank/_postings_str kernels; q_bpe_extend's
-    # oracle gained the empty-round LEFT JOIN guard; q_quality_retrain
-    # gained the degenerate-F1 convention (all ADVICE r8)
-    # (2) the r03 block (q_window_rank/q_zorder) + the full 22-query
-    # r04 block (VERDICT r8 item 1), then r05 backfill by name --
-    # after this round no query's newest driver row is older than r05
+    # ---- round-10 window (slots 1-50) -----------------------------
+    # DERIVED (see DERIVED_FOR_ROUND): new round-10 queries +
+    # TOUCHED_THIS_ROUND first, then the globally oldest driver rows
+    # from the CORRECTNESS_r01-r09 union sorted by (newest round,
+    # name) until the 50 slots fill.  As of the rotation that is the
+    # 29 r05 rows + the oldest 21 r06 rows (the set the r9 derivation
+    # test named); round-10 newcomers displace the alphabetical tail
+    # of the r06 fill.  After this round no query's newest driver row
+    # is older than r06.
+    "q_fingerprint", "q_flagship", "q_group_agg", "q_group_ols",
+    "q_json_extract", "q_kv_pivot", "q_lang_id", "q_linestring",
+    "q_negative_pairs", "q_ngram_jaccard", "q_ntile",
+    "q_partition_by_type", "q_path_join", "q_project_arith",
+    "q_quality_score", "q_schema_infer", "q_schema_unify",
+    "q_simhash_near", "q_string_funcs", "q_temperature_sample", "q_tfidf",
+    "q_token_budget_mix", "q_token_count_bpe", "q_token_counts", "q_topk",
+    "q_topk_cosine", "q_udtf_chunks", "q_udtf_chunks_arrow", "q_udtf_poly",
+    "q_ann_brp", "q_ann_index_append", "q_ann_index_build",
+    "q_ann_lsh_pairs", "q_ann_query_from_index", "q_ann_recall_report",
+    "q_asof_join", "q_bpe_train", "q_decontaminate", "q_dedup_apply",
+    "q_dedup_minhash_lsh", "q_dedup_normalized", "q_dedup_paragraph",
+    "q_dedup_paragraph_apply", "q_fuzzy_join", "q_gopher_lines",
+    "q_gopher_rules", "q_hash_embed", "q_interval_join", "q_lag_lead",
+    "q_mahalanobis",
+    # ---- overflow (covered by PARITY_r10.json) ---------------------
+    # the round-9 window (all 50 re-verified in r09) plus the
+    # remaining r06/r07/r08 rows in their prior order
     "q_inverted_index_append", "q_ann_filtered",
     "q_ann_filtered_from_index", "q_bm25_forget", "q_ann_forget",
     "q_dedup_forget", "q_bm25_pruned_forget", "q_suffix_ranks",
@@ -95,63 +97,41 @@ PRIORITY: tuple[str, ...] = (
     "q_source_cap", "q_abtest", "q_agg_sum", "q_ann_lsh_buckets",
     "q_collect_events", "q_collect_stats_map", "q_conditional_agg",
     "q_date_parse", "q_dedup_exact", "q_dedup_near", "q_dedup_simhash",
-    "q_embed_norms", "q_exists_in", "q_filter_between",
-    "q_filter_or_isin", "q_fingerprint", "q_flagship", "q_group_agg",
-    "q_group_ols", "q_json_extract", "q_kv_pivot", "q_lang_id",
-    "q_linestring",
-    # ---- overflow (covered by PARITY_r09.json) ---------------------
-    # remaining r05 rows lead the round-10 rotation, then r06/r07/r08
-    # in their prior order
+    "q_embed_norms", "q_exists_in", "q_filter_between", "q_filter_or_isin",
     "q_bm25_pruned_append", "q_ivf_rebalance", "q_skew_join_adaptive",
     "q_embed_covariance", "q_communities_lpa", "q_ann_batch_queries",
     "q_bm25_pruned", "q_anomaly_zscore", "q_approx_distinct",
     "q_bloom_prune", "q_cogroup_asof", "q_containment",
-    "q_correlated_scalar", "q_cube", "q_dedup_audit",
-    "q_dedup_clusters", "q_dedup_clusters_star", "q_expectations",
-    "q_full_outer", "q_funnel_join", "q_funnel_left", "q_gapfill",
-    "q_global_shuffle", "q_grouping_sets", "q_histogram",
-    "q_hll_merge", "q_mixture_rebalance", "q_moving_avg",
-    "q_multimodal_embed", "q_multimodal_frames", "q_multimodal_resize",
-    "q_ngram_counts", "q_pagerank", "q_percentiles",
+    "q_correlated_scalar", "q_cube", "q_dedup_audit", "q_dedup_clusters",
+    "q_dedup_clusters_star", "q_expectations", "q_full_outer",
+    "q_funnel_join", "q_funnel_left", "q_gapfill", "q_global_shuffle",
+    "q_grouping_sets", "q_histogram", "q_hll_merge", "q_mixture_rebalance",
+    "q_moving_avg", "q_multimodal_embed", "q_multimodal_frames",
+    "q_multimodal_resize", "q_ngram_counts", "q_pagerank", "q_percentiles",
     "q_quality_funnel", "q_resample_ffill", "q_rollup", "q_semi_anti",
-    "q_session_window", "q_set_ops", "q_skew_report",
-    "q_stateful_counts", "q_topk_cosine_incremental", "q_train_split",
-    "q_triangles", "q_unpivot", "q_variant_extract", "q_vocab_topk",
-    "q_ann_recall_report", "q_quality_classifier",
-    "q_quality_classifier_eval", "q_ann_binary", "q_mmr_rerank",
-    "q_cms_counts", "q_bpe_fertility", "q_hybrid_from_index",
-    "q_analyze_stats", "q_winnowing", "q_winnowing_pairs",
-    "q_bm25_index_append", "q_dedup_index_append", "q_dedup_keep_best",
-    "q_quality_quantile", "q_bpe_encode", "q_dedup_semantic",
-    "q_ivf_postings", "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq",
-    "q_ann_ivfpq_residual", "q_bm25_from_index", "q_dedup_from_index",
-    "q_dedup_embedding", "q_scd2", "q_ewma", "q_first_touch",
-    "q_span_scrub", "q_incremental_agg", "q_snapshot_diff",
-    "q_bpe_pairs", "q_mrl_rerank", "q_entity_resolution",
-    "q_graph_jaccard", "q_pivot", "q_range_frame",
-    "q_window_analytics", "q_kll_merge", "q_theta_sets",
-    "q_temporal_join", "q_skyline", "q_manifest_merge", "q_autocorr",
-    "q_snowflake_join", "q_corpus_profile", "q_nation_trade",
-    "q_returned_customers", "q_big_orders", "q_pipeline_e2e",
-    "q_ann_index_build", "q_ann_query_from_index",
-    "q_ann_index_append", "q_pca_project", "q_gopher_lines",
-    "q_dedup_paragraph", "q_dedup_paragraph_apply", "q_bpe_train",
-    "q_hash_embed", "q_mahalanobis", "q_gopher_rules",
-    "q_dedup_normalized", "q_dedup_minhash_lsh", "q_posexplode",
-    "q_lag_lead", "q_sliding_window", "q_tumbling_window",
-    "q_sessionize", "q_asof_join", "q_multimodal_meta",
-    "q_multimodal_decode", "q_dedup_apply", "q_repetition_signals",
-    "q_pii_scrub", "q_decontaminate", "q_stratified_sample",
-    "q_pack_sequences", "q_interval_join", "q_salted_join",
-    "q_merge_upsert", "q_salted_agg", "q_ann_brp", "q_fuzzy_join",
-    "q_ann_lsh_pairs", "q_manifest_roundtrip",
-    "q_topk_cosine_pandas", "q_udaf_median", "q_temperature_sample",
-    "q_negative_pairs", "q_token_budget_mix", "q_simhash_near",
-    "q_udtf_poly", "q_udtf_chunks", "q_udtf_chunks_arrow",
-    "q_string_funcs", "q_ntile", "q_topk_cosine", "q_token_counts",
-    "q_quality_score", "q_token_count_bpe", "q_schema_infer",
-    "q_schema_unify", "q_path_join", "q_partition_by_type",
-    "q_project_arith", "q_topk", "q_ngram_jaccard", "q_tfidf",
+    "q_session_window", "q_set_ops", "q_skew_report", "q_stateful_counts",
+    "q_topk_cosine_incremental", "q_train_split", "q_triangles",
+    "q_unpivot", "q_variant_extract", "q_vocab_topk",
+    "q_quality_classifier", "q_quality_classifier_eval", "q_ann_binary",
+    "q_mmr_rerank", "q_cms_counts", "q_bpe_fertility",
+    "q_hybrid_from_index", "q_analyze_stats", "q_winnowing",
+    "q_winnowing_pairs", "q_bm25_index_append", "q_dedup_index_append",
+    "q_dedup_keep_best", "q_quality_quantile", "q_bpe_encode",
+    "q_dedup_semantic", "q_ivf_postings", "q_ann_ivf", "q_ann_pq",
+    "q_ann_ivfpq", "q_ann_ivfpq_residual", "q_bm25_from_index",
+    "q_dedup_from_index", "q_dedup_embedding", "q_scd2", "q_ewma",
+    "q_first_touch", "q_span_scrub", "q_incremental_agg",
+    "q_snapshot_diff", "q_bpe_pairs", "q_mrl_rerank",
+    "q_entity_resolution", "q_graph_jaccard", "q_pivot", "q_range_frame",
+    "q_window_analytics", "q_kll_merge", "q_theta_sets", "q_temporal_join",
+    "q_skyline", "q_manifest_merge", "q_autocorr", "q_snowflake_join",
+    "q_corpus_profile", "q_nation_trade", "q_returned_customers",
+    "q_big_orders", "q_pipeline_e2e", "q_pca_project", "q_posexplode",
+    "q_sliding_window", "q_tumbling_window", "q_sessionize",
+    "q_multimodal_meta", "q_multimodal_decode", "q_repetition_signals",
+    "q_pii_scrub", "q_stratified_sample", "q_pack_sequences",
+    "q_salted_join", "q_merge_upsert", "q_salted_agg",
+    "q_manifest_roundtrip", "q_topk_cosine_pandas", "q_udaf_median",
 )
 
 

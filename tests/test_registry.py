@@ -44,23 +44,41 @@ def test_window_derivation_from_correctness_union():
     equals (never-checked ∪ TOUCHED_THIS_ROUND) + the globally oldest
     rows by (newest round, name) until the 50 slots fill.  A curation
     slip (like the r7→r8 65-vs-50 overflow) fails here naming the
-    dropped queries instead of surfacing as a judge finding."""
+    dropped queries instead of surfacing as a judge finding.
+
+    Boundary hygiene (VERDICT r9 item 1 / ADVICE r9): the window for
+    round N is derived from rounds 1..N-1 ONLY, so the driver
+    committing CORRECTNESS_rN at the round-N boundary does not turn
+    the suite red.  A 'rotate me' failure fires only when an artifact
+    NEWER than DERIVED_FOR_ROUND exists — i.e. a whole rotation was
+    skipped."""
     import glob
     import json
     import os
     import re
 
-    from healthkit_to_sqlite_spark.registry import (PRIORITY,
+    from healthkit_to_sqlite_spark.registry import (DERIVED_FOR_ROUND,
+                                                    PRIORITY,
                                                     TOUCHED_THIS_ROUND,
                                                     queries)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     newest: dict[str, int] = {}
+    skipped_rotation: list[str] = []
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
         rnd = int(re.search(r"r0*(\d+)", os.path.basename(path)).group(1))
+        if rnd > DERIVED_FOR_ROUND:
+            skipped_rotation.append(os.path.basename(path))
+        if rnd >= DERIVED_FOR_ROUND:
+            continue
         with open(path) as fh:
             for q in json.load(fh):
                 newest[q] = max(newest.get(q, 0), rnd)
+    assert not skipped_rotation, (
+        "rotate me: driver artifacts newer than DERIVED_FOR_ROUND="
+        f"{DERIVED_FOR_ROUND} exist ({skipped_rotation}); bump "
+        "DERIVED_FOR_ROUND in registry.py and re-derive PRIORITY's "
+        "first 50 slots from the new union")
 
     registered = list(queries())
     never_checked = [q for q in registered if q not in newest]
