@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import ws_tokens
-from ..spec import Spec
+from ..spec import Spec, sql_in_list
 
 P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 N_HASHES = 12      # minhash signature length
@@ -910,8 +910,8 @@ def _incremental_dedup_oracle_sql(
     `q_dedup_incremental`, both serve-split queries, and (with
     ``tombstones``, filtered from BOTH sides) the erasure twin
     `q_dedup_forget`."""
-    tomb = (f"\n          AND n.doc_id NOT IN {tombstones}"
-            f"\n          AND c.doc_id NOT IN {tombstones}"
+    tomb = (f"\n          AND n.doc_id NOT IN {sql_in_list(tombstones)}"
+            f"\n          AND c.doc_id NOT IN {sql_in_list(tombstones)}"
             if tombstones else "")
     return f"""
         WITH mh AS ({_MINHASH_SQL}),

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import dec, ws_tokens
-from ..spec import Spec
+from ..spec import Spec, sql_in_list
 from .dedup import (CANON_MD5_SQL, _MINHASH_SQL, N_BANDS, N_HASHES,
                     _shingles_sql, minhash_lsh_pairs)
 from .text import (FUZZY_PAIRS_CTE_SQL, GOPHER_MAX_MEAN_LEN,
@@ -2945,7 +2945,7 @@ SPECS: dict[str, Spec] = {
           SELECT source, s1,
                  (s1 AND ttr >= {FUNNEL_TTR}) AS s2,
                  (s1 AND ttr >= {FUNNEL_TTR}
-                     AND lang IN {FUNNEL_LANGS!r}) AS s3
+                     AND lang IN {sql_in_list(FUNNEL_LANGS)}) AS s3
           FROM t)
         SELECT source, COUNT(*) AS n_total,
                CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,

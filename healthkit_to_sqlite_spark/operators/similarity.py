@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import cosine_from_norms, cosine_similarity, l2_norm
-from ..spec import Spec
+from ..spec import Spec, sql_in_list
 
 N_PLANES = 8   # LSH signature bits
 DIM = 64       # embedding dimensionality (FIXTURES.md §B)
@@ -2781,7 +2781,8 @@ def _ivfpq_residual_oracle_sql(k: int = 5, nprobe: int = 2,
     froms = "s0_cells" + "".join(
         f" JOIN s{j}_cells USING (vec_id)" for j in range(1, PQ_M))
     dist = " + ".join(f"d{j}" for j in range(PQ_M))
-    del_sql = f" AND codes.vec_id NOT IN {deleted}" if deleted else ""
+    del_sql = (f" AND codes.vec_id NOT IN {sql_in_list(deleted)}"
+               if deleted else "")
     return f"""
     WITH {_kmeans_cells_sql(IVF_ITERS, N_CENTROIDS, DIM, prefix="c_")},
     probe AS (
@@ -3101,7 +3102,7 @@ _ANN_FILTERED_ORACLE = f"""
     JOIN probe ON cells.cell = probe.q_cell
     CROSS JOIN q
     WHERE e.vec_id <> 0
-      AND e.label IN {ANN_FILTER_LABELS}
+      AND e.label IN {sql_in_list(ANN_FILTER_LABELS)}
     ORDER BY cosine_sim DESC, e.vec_id LIMIT 5
     """
 

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import ws_tokens
-from ..spec import Spec
+from ..spec import Spec, sql_in_list
 
 #: Tiny per-language marker lexicons (n-gram-heuristic stand-in; a real
 #: deployment swaps in fastText-style profiles via the same argmax).
@@ -3130,7 +3130,7 @@ SPECS: dict[str, Spec] = {
     "q_bm25_pruned_forget": Spec(
         lambda spark, sf: bm25_pruned_after_forget(spark, sf),
         _bm25_pruned_oracle_sql(
-            doc_filter=f"WHERE doc_id NOT IN {FORGET_DOC_IDS}"),
+            doc_filter=f"WHERE doc_id NOT IN {sql_in_list(FORGET_DOC_IDS)}"),
         "erasure for the PRUNED serving index (the derived-data "
         "rule): tombstones anti-joined from the source-of-truth full "
         "index, the bounded artifact re-derived from the erased head "
@@ -3140,7 +3140,7 @@ SPECS: dict[str, Spec] = {
     "q_bm25_forget": Spec(
         lambda spark, sf: bm25_after_forget(spark, sf),
         _bm25_corpus_oracle_sql(
-            f"WHERE doc_id NOT IN {FORGET_DOC_IDS}"),
+            f"WHERE doc_id NOT IN {sql_in_list(FORGET_DOC_IDS)}"),
         "right-to-be-forgotten for the lexical serving index: "
         "tombstoned docs anti-joined out of postings/doclen (REPLACE) "
         "+ one NEGATIVE mergeable stats delta; serve over the head "

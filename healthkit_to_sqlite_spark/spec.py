@@ -36,6 +36,22 @@ class Spec:
     #: one-line provenance: which SURVEY.md §2 row this implements
     doc: str = ""
 
+def sql_in_list(values) -> str:
+    """Render an iterable as a SQL IN-list body, e.g. ``(16, 77)``.
+
+    Interpolating a Python tuple's repr is a latent trap (ADVICE r9):
+    a single-element tuple renders ``(16,)`` and an empty one ``()``,
+    both malformed for DuckDB.  Strings are single-quoted.  The empty
+    case raises — ``x IN ()`` has no portable SQL meaning, and every
+    current call site guards emptiness by construction (``if ids``)."""
+    vals = list(values)
+    if not vals:
+        raise ValueError("empty SQL IN-list; guard at the call site")
+    return "(" + ", ".join(
+        "'" + v.replace("'", "''") + "'" if isinstance(v, str) else str(v)
+        for v in vals) + ")"
+
+
 # Float-result gotcha (round 6): IEEE NEGATIVE ZERO. DuckDB's ROUND
 # keeps the sign of a tiny negative rounded to zero (-0.0); Spark's
 # does not. -0.0 == 0.0 compares equal, but str()/hash paths diverge,

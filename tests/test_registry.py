@@ -97,6 +97,24 @@ def test_window_derivation_from_correctness_union():
         f"(new/touched/oldest-row): {dropped}")
 
 
+def test_sql_in_list_rendering():
+    """ADVICE r9: tuple-repr interpolation renders '(16,)' for a
+    single element and '()' for empty — both malformed SQL.  All
+    oracle IN-lists now route through sql_in_list; pin its edge
+    cases so a future fixture shrink to one tombstone can't
+    resurrect the trap."""
+    import pytest
+
+    from healthkit_to_sqlite_spark.spec import sql_in_list
+
+    assert sql_in_list((16, 77)) == "(16, 77)"
+    assert sql_in_list((16,)) == "(16)"
+    assert sql_in_list(("en", "de")) == "('en', 'de')"
+    assert sql_in_list(("o'hare",)) == "('o''hare')"
+    with pytest.raises(ValueError):
+        sql_in_list(())
+
+
 def test_touched_names_are_registered():
     from healthkit_to_sqlite_spark.registry import (TOUCHED_THIS_ROUND,
                                                     queries)
