@@ -547,16 +547,27 @@ class ManifestCatalog(_ManifestLog):
     def publish_pass(self, tables: dict[str, DataFrame],
                      max_retries: int = 10,
                      replace: frozenset[str] | set[str] = frozenset(),
-                     ) -> int:
+                     expected_parent: int | None = None) -> int:
         """Stage EVERY table's files first (all invisible), then CAS
         one manifest naming them all.  Any failure before the publish
         leaves only unreferenced staging garbage — readers never see
-        a subset of the pass.  Returns the published version."""
+        a subset of the pass.  Returns the published version.
+
+        ``expected_parent`` pins the CAS to one specific head: if any
+        other writer published first, raise :class:`CommitConflict`
+        immediately instead of retrying on top of the NEW head.  A
+        caller whose staged content DERIVES from what it read at
+        ``expected_parent`` (compact_pass) must use this — the
+        default retry loop would REPLACE-publish the stale read and
+        silently drop the concurrent writer's rows (ADVICE r9; same
+        lost-update shape fold_batch closes by recomputing inside
+        its loop)."""
         staged = {name: self._stage(df) for name, df in tables.items()}
         staged_rows = {name: self._file_rows(files)
                        for name, (files, _) in staged.items()}
-        for _ in range(max_retries):
-            head = self.current_version()
+        for _ in range(1 if expected_parent is not None else max_retries):
+            head = (self.current_version() if expected_parent is None
+                    else expected_parent)
             prev = self._load(head).get("tables", {}) if head else {}
             merged = dict(prev)
             for name, (files, schema) in staged.items():
@@ -649,10 +660,24 @@ class ManifestCatalog(_ManifestLog):
         test_manifest), with the superseded files draining through
         retention + vacuum like any replaced pass.  At 100 TB this is
         the scheduled OPTIMIZE that keeps per-file sizes at scan-task
-        grain after heavy append churn."""
-        df = self.read(spark, table).coalesce(target_files)
-        return self.publish_pass({table: df}, replace={table},
-                                 max_retries=max_retries)
+        grain after heavy append churn.
+
+        The read and the publish are one CAS unit (ADVICE r9): the
+        content staged derives from the head READ HERE, so the
+        publish pins ``expected_parent`` to that head and a lost race
+        re-reads the NEW head instead of REPLACE-publishing the stale
+        pre-append content (which would silently drop concurrent
+        appends — the fold_batch lost-update shape)."""
+        for _ in range(max_retries):
+            head = self.current_version()
+            df = self.read(spark, table, version=head) \
+                     .coalesce(target_files)
+            try:
+                return self.publish_pass({table: df}, replace={table},
+                                         expected_parent=head)
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"lost {max_retries} publish races")
 
     def read(self, spark: SparkSession, table: str,
              version: int | None = None) -> DataFrame:

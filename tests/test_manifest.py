@@ -554,6 +554,36 @@ def test_catalog_row_count_statistic_across_pass_shapes(spark, cat):
         cat.row_count("missing")
 
 
+def test_catalog_compact_pass_survives_concurrent_append(spark, cat,
+                                                         monkeypatch):
+    """ADVICE r9: compact_pass staged the head content BEFORE the CAS
+    retry loop, so a concurrent append winning the race was REPLACE-
+    published away on retry — silent lost update.  The read+publish
+    are now one CAS unit (expected_parent): the lost race surfaces as
+    CommitConflict and the retry re-reads the NEW head, so the
+    appended rows survive compaction."""
+    for i in range(3):
+        cat.publish_pass({"a": _batch(spark, i * 10, i * 10 + 10)})
+    other = ManifestCatalog(cat.root)
+    real_stage = cat._stage
+    raced = {"done": False}
+
+    def racing_stage(df):
+        staged = real_stage(df)
+        if not raced["done"]:          # a writer lands AFTER the
+            raced["done"] = True       # compactor read+staged, but
+            other.publish_pass(        # BEFORE its publish
+                {"a": _batch(spark, 100, 105)})
+        return staged
+
+    monkeypatch.setattr(cat, "_stage", racing_stage)
+    cat.compact_pass(spark, "a")
+    ids = sorted(r["id"] for r in cat.read(spark, "a").collect())
+    assert ids == list(range(30)) + list(range(100, 105)), (
+        "concurrent append lost by compaction")
+    assert cat.row_count("a") == 35
+
+
 def test_catalog_compact_pass_is_content_invariant(spark, cat):
     """compact_pass (r9): many-files head → target_files, rows and
     values identical, superseded files drain through expire+vacuum
