@@ -965,6 +965,160 @@ def ann_query_after_forget(spark: SparkSession, sf_dir: str,
         query_vec_id, k, nprobe, rerank_factor)
 
 
+DV_REWRITE_PCT = 2   # per-cell: physically apply DVs past 2% tombstoned
+#   (between the contract fixture's per-cell fractions at both test
+#   scales — sf0.01: 2/67 ≈ 3.0% due vs 1/56 and 1/70 not; sf0.001:
+#   1/49 ≈ 2.04% due vs 1/65, 1/65, 1/69 not — so BOTH decision
+#   paths are live in the oracle-checked result, and the serve twin
+#   exercises real PARTIAL application.  Production tunes this to
+#   its rewrite-amplification budget; the machinery is
+#   threshold-independent, same convention as IVF_SPLIT_PCT.)
+DV_RETRAIN_PCT = 20  # global: flag quantizer retrain past 20% erased
+#   training data (the frozen-quantizer residue forget_from_ann_index
+#   documents; the flag is recorded in the versioned decision
+#   artifact — the rebuild actuator is a build_ann_index rerun)
+
+
+def dv_fraction_report(spark: SparkSession, sf_dir: str,
+                       vec_ids: tuple[int, ...] = FORGET_VEC_IDS,
+                       rewrite_pct: int = DV_REWRITE_PCT) -> DataFrame:
+    """Erasure MONITOR (VERDICT r9 item 2 — the one maintenance loop
+    still actuator-only): per coarse cell, live vs tombstoned
+    membership and the rewrite decision, computed as a rollup over
+    two committed artifacts (``cells`` + the ``deleted`` DV — never
+    the vector corpus).  The decision is the house exact-integer
+    relative bound (``n_tomb·100 > pct·n_total`` — no float
+    fraction, so Spark and the oracle classify identically, same
+    discipline as the rebalance thresholds).  This is the DV-debt
+    signal that gates `dv_rewrite_ann_index`, closing the
+    monitor→actuator loop the other maintained artifacts already
+    have (occupancy→rebalance, drift→retrain, fertility→extend)."""
+    cat = forget_from_ann_index(spark, sf_dir, vec_ids)
+    cells = cat.read(spark, "cells")
+    dv = F.broadcast(cat.read(spark, "deleted")
+                     .select("vec_id", F.lit(1).alias("is_tomb")))
+    return (cells.join(dv, "vec_id", "left")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(F.coalesce("is_tomb", F.lit(0))).alias("n_tomb"))
+            .select("cell",
+                    (F.col("n_total") - F.col("n_tomb"))
+                    .cast("bigint").alias("n_live"),
+                    F.col("n_tomb").cast("bigint").alias("n_tombstoned"),
+                    (F.col("n_tomb") * 100
+                     > F.lit(int(rewrite_pct)) * F.col("n_total"))
+                    .alias("rewrite_due"))
+            .orderBy("cell"))
+
+
+def _dv_rewrite_pass(spark: SparkSession, cat,
+                     rewrite_pct: int = DV_REWRITE_PCT,
+                     retrain_pct: int = DV_RETRAIN_PCT) -> int:
+    """Erasure ACTUATOR pass over a catalog whose head holds the four
+    index artifacts + a ``deleted`` DV table: re-derive the monitor's
+    per-cell rollup, physically apply the tombstones of rewrite-due
+    cells via :meth:`ManifestCatalog.apply_deletes_pass` (ONLY the
+    files containing an applied vec_id are rewritten; every other
+    file rides forward byte-identical), REPLACE ``deleted`` with the
+    not-due leftover, and publish the per-cell decision (+ the global
+    ``retrain_due`` flag) as a versioned ``dv_decision`` artifact in
+    the SAME atomic pass.  When nothing is due, the decision is still
+    published (version-guard rule: an unpublished "do nothing" would
+    re-run the decision scan on every later call).
+
+    Factored from :func:`dv_rewrite_ann_index` so the physical-
+    erasure drill can drive it on an OWNING catalog (clone kept
+    files belong to the source — the clone-vacuum hazard — so the
+    disk-level free assertion needs self-owned files)."""
+    cells = cat.read(spark, "cells")
+    deleted = cat.read(spark, "deleted").select("vec_id")
+    dv = F.broadcast(deleted.select("vec_id", F.lit(1).alias("is_tomb")))
+    rows = (cells.join(dv, "vec_id", "left")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(F.coalesce("is_tomb", F.lit(0))).alias("n_tomb"))
+            .collect())                        # ≤ K rows (bounded)
+    n_corpus = sum(r.n_total for r in rows)
+    n_tomb_all = sum(r.n_tomb for r in rows)
+    due = sorted(r.cell for r in rows
+                 if r.n_tomb * 100 > rewrite_pct * r.n_total)
+    retrain_due = n_tomb_all * 100 > retrain_pct * n_corpus
+    decision = spark.createDataFrame(
+        [(int(r.cell), int(r.n_total - r.n_tomb), int(r.n_tomb),
+          bool(r.cell in set(due)), bool(retrain_due))
+         for r in sorted(rows, key=lambda r: r.cell)],
+        "cell int, n_live bigint, n_tombstoned bigint, "
+        "rewrite_due boolean, retrain_due boolean")
+    if not due:
+        return cat.publish_pass({"dv_decision": decision})
+    applied = (deleted
+               .join(cells.filter(F.col("cell").isin([int(c) for c in due])),
+                     "vec_id", "left_semi")
+               .localCheckpoint(eager=True))   # ≤ |tombstones| rows
+    leftover = deleted.join(applied, "vec_id", "left_anti")
+    return cat.apply_deletes_pass(
+        spark,
+        {"cells": ("vec_id", applied), "codes": ("vec_id", applied)},
+        tables={"deleted": leftover, "dv_decision": decision},
+        replace={"deleted"})
+
+
+def dv_rewrite_ann_index(spark: SparkSession, sf_dir: str,
+                         vec_ids: tuple[int, ...] = FORGET_VEC_IDS,
+                         rewrite_pct: int = DV_REWRITE_PCT,
+                         retrain_pct: int = DV_RETRAIN_PCT):
+    """Phase two of the two-phase erasure contract for the ANN index:
+    version 1 shallow-clones the DV-erased head (maintenance
+    isolation — `q_ann_forget` keeps serving its own catalog
+    unsurprised), version 2 is `_dv_rewrite_pass` — the monitor
+    rollup, the affected-file rewrite for due cells, the leftover DV,
+    and the versioned decision, one atomic publish.  Write cost is
+    ∝ affected files + |tombstones| + K decision rows; the corpus and
+    the clean files are never rewritten."""
+    import os
+
+    from ..sinks.manifest import ManifestCatalog
+    from .pipeline import _work_dir
+
+    base = forget_from_ann_index(spark, sf_dir, vec_ids)
+    # threshold + tombstone VALUES in the cache key (r6-ADVICE rule)
+    ids_key = "-".join(map(str, vec_ids))
+    cat = ManifestCatalog(os.path.join(
+        _work_dir(f"ann_dv_rw_{ids_key}_p{rewrite_pct}_r{retrain_pct}",
+                  sf_dir), "cat"))
+    if cat.current_version() < 1:
+        cat.clone_pass(base)
+    if cat.current_version() < 2:
+        _dv_rewrite_pass(spark, cat, rewrite_pct, retrain_pct)
+    return cat
+
+
+def ann_query_after_dv_rewrite(spark: SparkSession, sf_dir: str,
+                               query_vec_id: int = 0, k: int = 5,
+                               nprobe: int = 2,
+                               rerank_factor: int = PQ_RERANK
+                               ) -> DataFrame:
+    """Serve over the PHYSICALLY erased head: tombstones of
+    rewrite-due cells are gone from the files themselves, the
+    not-due remainder is still a logical DV anti-joined at candidate
+    time — PARTIAL application is the steady state a threshold-gated
+    rewriter produces, and the serve must compose both erasure
+    phases.  The oracle is the same rebuild-minus-ALL-tombstones SQL
+    as `q_ann_forget`, so the hash gate proves physical + logical
+    composition erases exactly the full tombstone list with no
+    double- or under-deletion at the phase boundary."""
+    cat = dv_rewrite_ann_index(spark, sf_dir)
+    dv = F.broadcast(cat.read(spark, "deleted").select("vec_id"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _residual_adc_serve(
+        emb,
+        cat.read(spark, "centroids"),
+        cat.read(spark, "cells").join(dv, "vec_id", "left_anti"),
+        cat.read(spark, "codes").join(dv, "vec_id", "left_anti"),
+        cat.read(spark, "codebook"),
+        query_vec_id, k, nprobe, rerank_factor)
+
+
 def ann_query_from_index(spark: SparkSession, sf_dir: str,
                          query_vec_id: int = 0, k: int = 5,
                          nprobe: int = 2,
@@ -3106,6 +3260,22 @@ _ANN_FILTERED_ORACLE = f"""
     ORDER BY cosine_sim DESC, e.vec_id LIMIT 5
     """
 
+#: Monitor oracle: retrain the coarse quantizer (the committed cells
+#: equal from-scratch training bit-for-bit — the `q_ann_index_build`
+#: argument), then the same exact-integer per-cell rollup over the
+#: tombstone fixture.
+_DV_FRACTION_ORACLE = f"""
+    WITH {_kmeans_cells_sql()}
+    SELECT cell,
+           CAST(COUNT(*) FILTER (vec_id NOT IN
+                {sql_in_list(FORGET_VEC_IDS)}) AS BIGINT) AS n_live,
+           CAST(COUNT(*) FILTER (vec_id IN
+                {sql_in_list(FORGET_VEC_IDS)}) AS BIGINT) AS n_tombstoned,
+           COUNT(*) FILTER (vec_id IN {sql_in_list(FORGET_VEC_IDS)}) * 100
+             > {DV_REWRITE_PCT} * COUNT(*) AS rewrite_due
+    FROM cells GROUP BY cell ORDER BY cell
+    """
+
 SPECS: dict[str, Spec] = {
     "q_topk_cosine": Spec(
         lambda spark, sf: topk_cosine(load_table(spark, sf, "embeddings")),
@@ -3173,6 +3343,23 @@ SPECS: dict[str, Spec] = {
         "cells/codes files untouched; serve anti-joins the DV at "
         "candidate time — oracle replays the residual-IVFADC rebuild "
         "with the same NOT IN, so logical erasure is candidate-exact"),
+    "q_dv_fraction": Spec(
+        lambda spark, sf: dv_fraction_report(spark, sf),
+        _DV_FRACTION_ORACLE,
+        "erasure MONITOR (VERDICT r9 item 2): per-cell live vs "
+        "tombstoned membership + the exact-integer rewrite decision, "
+        "a rollup over two committed artifacts (cells + DV) — the "
+        "DV-debt signal gating the physical-application actuator; "
+        "both decision values live in the contract fixture"),
+    "q_ann_dv_rewrite": Spec(
+        ann_query_after_dv_rewrite,
+        _ivfpq_residual_oracle_sql(deleted=FORGET_VEC_IDS),
+        "erasure ACTUATOR serve: physical DV application rewrote "
+        "ONLY the files of rewrite-due cells (decision versioned in "
+        "the same atomic pass); the not-due remainder stays a "
+        "logical DV — the serve composes both phases, oracle = "
+        "rebuild minus ALL tombstones, so the phase boundary is "
+        "candidate-exact"),
     "q_ann_query_from_index": Spec(
         ann_query_from_index,
         _ivfpq_residual_oracle_sql(),

@@ -679,6 +679,83 @@ class ManifestCatalog(_ManifestLog):
                 continue
         raise CommitConflict(f"lost {max_retries} publish races")
 
+    def apply_deletes_pass(self, spark: SparkSession,
+                           drops: dict[str, tuple[str, DataFrame]],
+                           tables: dict[str, DataFrame] | None = None,
+                           replace: frozenset[str] | set[str] = frozenset(),
+                           max_retries: int = 10) -> int:
+        """PHYSICAL deletion-vector application — the second phase of
+        the two-phase erasure contract (Delta's REORG TABLE ... APPLY
+        (PURGE) shape): for each table in ``drops`` (name → (key
+        column, DataFrame of keys to drop)), rewrite ONLY the head
+        files that CONTAIN a dropped key and re-reference every other
+        file verbatim.  ``tables``/``replace`` publish extra tables
+        (the emptied tombstone list, the decision artifact) in the
+        SAME atomic manifest, so a crash mid-pass publishes nothing.
+
+        Cost: one scan of each dropped-from table to locate affected
+        files (index grain — cells/codes rows, never the vector
+        corpus) + a rewrite of ONLY the affected files' rows; files
+        without tombstoned rows ride forward byte-identical.  After
+        ``expire_versions`` + ``vacuum`` on this (owning) catalog the
+        superseded pre-rewrite files — the last physical copies of
+        the tombstoned rows — are freed from disk (drilled in
+        test_maintenance).
+
+        Like compact_pass, the staged content derives from the head
+        read inside the loop, so the whole locate+rewrite re-runs on
+        a lost publish race instead of clobbering a concurrent
+        writer."""
+        from urllib.parse import urlparse
+
+        tables = tables or {}
+        for _ in range(max_retries):
+            head = self.current_version()
+            prev = self._load(head).get("tables", {}) if head else {}
+            merged = dict(prev)
+            for name, (key, drop_df) in drops.items():
+                t = prev.get(name)
+                if t is None:
+                    raise KeyError(f"table {name!r} not in catalog "
+                                   f"version {head}")
+                schema = T.StructType.fromJson(json.loads(t["schema"]))
+                drop_b = F.broadcast(drop_df.select(key))
+                scan = (spark.read.schema(schema).parquet(*t["files"])
+                        .withColumn("_file", F.input_file_name()))
+                # ≤ len(files) rows (bounded): the distinct files
+                # holding at least one dropped key
+                affected = {urlparse(r._file).path for r in
+                            scan.join(drop_b, key, "left_semi")
+                                .select("_file").distinct().collect()}
+                if not affected:
+                    continue            # table carries no dropped keys
+                kept = [f for f in t["files"] if f not in affected]
+                rewritten = (spark.read.schema(schema)
+                             .parquet(*sorted(affected))
+                             .join(drop_b, key, "left_anti"))
+                new_files, _ = self._stage(rewritten)
+                files = kept + new_files
+                merged[name] = {"schema": t["schema"], "files": files,
+                                "rows": self._file_rows(files)}
+            for name, df in tables.items():
+                files, schema_json = self._stage(df)
+                if name in replace or name not in prev:
+                    old, old_rows = [], 0
+                else:
+                    p = prev[name]
+                    old = p.get("files", [])
+                    old_rows = (p["rows"] if "rows" in p
+                                else self._file_rows(old) if old else 0)
+                merged[name] = {"schema": schema_json,
+                                "files": old + files,
+                                "rows": old_rows + self._file_rows(files)}
+            try:
+                self._publish({"tables": merged, "parent": head}, head + 1)
+                return head + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"lost {max_retries} publish races")
+
     def read(self, spark: SparkSession, table: str,
              version: int | None = None) -> DataFrame:
         """Read one table at a catalog version (default: head)."""

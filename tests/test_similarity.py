@@ -859,3 +859,68 @@ def test_filtered_ann_prefilters_and_recalls(spark, emb):
 
     serve = ann_filtered_from_index(spark, SF).collect()
     assert sorted(map(tuple, serve)) == sorted(map(tuple, got))
+
+
+def test_dv_rewrite_partial_application(spark):
+    """Erasure monitor→actuator at the contract threshold (VERDICT r9
+    item 2): the fixture puts SOME tombstoned cells over
+    DV_REWRITE_PCT and others under, so the pass must apply exactly
+    the due cells' tombstones physically, keep the rest as a logical
+    DV, version the per-cell decision, and serve the composition
+    identically to the all-logical erased serve."""
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        FORGET_VEC_IDS, ann_query_after_dv_rewrite, ann_query_after_forget,
+        dv_fraction_report, dv_rewrite_ann_index)
+
+    cat = dv_rewrite_ann_index(spark, SF)
+    assert cat.current_version() == 2
+    dec = sorted(cat.read(spark, "dv_decision").collect(),
+                 key=lambda r: r.cell)
+    assert any(r.rewrite_due for r in dec)
+    assert not all(r.rewrite_due for r in dec)          # both paths live
+    assert not any(r.retrain_due for r in dec)          # 4/500 << 20%
+
+    leftover = {r.vec_id for r in cat.read(spark, "deleted").collect()}
+    assert leftover and leftover < set(FORGET_VEC_IDS)  # PARTIAL
+    for t in ("cells", "codes"):
+        present = {r.vec_id for r in cat.read(spark, t)
+                   .filter(F.col("vec_id").isin(*FORGET_VEC_IDS))
+                   .collect()}
+        assert present == leftover, (
+            f"{t}: due-cell tombstones must be physically gone, "
+            "not-due ones must remain")
+
+    # the monitor's rollup IS the versioned decision (modulo the flag)
+    mon = sorted(dv_fraction_report(spark, SF).collect(),
+                 key=lambda r: r.cell)
+    assert ([(r.cell, r.n_live, r.n_tombstoned, r.rewrite_due)
+             for r in mon]
+            == [(r.cell, r.n_live, r.n_tombstoned, r.rewrite_due)
+                for r in dec])
+
+    # phase composition serves exactly like the all-logical DV serve
+    assert (ann_query_after_dv_rewrite(spark, SF).collect()
+            == ann_query_after_forget(spark, SF).collect())
+
+
+def test_dv_rewrite_nothing_due_still_publishes_decision(spark):
+    """Version-guard rule on BOTH outcomes: a threshold no tombstoned
+    cell crosses must still publish the decision artifact (otherwise
+    every later call re-runs the decision scan), while cells/codes
+    ride forward file-identical and the DV stays fully logical."""
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        FORGET_VEC_IDS, dv_rewrite_ann_index)
+
+    cat = dv_rewrite_ann_index(spark, SF, rewrite_pct=100)
+    assert cat.current_version() == 2
+    t1 = cat._load(1)["tables"]
+    t2 = cat._load(2)["tables"]
+    for t in ("cells", "codes", "centroids", "codebook", "deleted"):
+        assert t2[t]["files"] == t1[t]["files"], f"{t} rewritten"
+    dec = cat.read(spark, "dv_decision").collect()
+    assert dec and not any(r.rewrite_due for r in dec)
+    assert (cat.read(spark, "deleted").count()
+            == len(set(FORGET_VEC_IDS)))
+    # idempotent: the published decision is the version guard
+    again = dv_rewrite_ann_index(spark, SF, rewrite_pct=100)
+    assert again.current_version() == 2
