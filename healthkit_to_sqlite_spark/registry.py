@@ -11,7 +11,7 @@ leaving timeseries/multimodal/pipeline/udx unverified).  ``PRIORITY``
 pins the verification window each round: queries whose semantics
 changed this round plus queries with no driver row yet come first,
 then the reference §2.A/§2.B parity surface, then the long-green
-remainder.  Everything (214 queries as of round 9) still runs in
+remainder.  Everything (216 queries as of round 11) still runs in
 tests/parity.py, whose committed PARITY_r{N}.json covers the overflow.
 
 The window contract is self-tested: tests/test_registry.py asserts
@@ -37,12 +37,12 @@ from .spec import Spec
 #: artifact NEWER than this round exists — i.e. a whole rotation was
 #: skipped.  Bump this and re-derive PRIORITY at the start of each
 #: round.
-DERIVED_FOR_ROUND: int = 10
+DERIVED_FOR_ROUND: int = 11
 
 #: Queries whose kernels/oracles CHANGED this round — the one input
 #: to the window derivation that cannot be recomputed from committed
 #: artifacts (the other inputs — never-checked queries and per-query
-#: newest driver rows — come from CORRECTNESS_r0*.json).  Curated per
+#: newest driver rows — come from CORRECTNESS_r*.json).  Curated per
 #: round; tests/test_registry.py derives the mandatory window from
 #: (new ∪ TOUCHED) + oldest-rows backfill and fails naming any
 #: dropped query.
@@ -54,44 +54,57 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = ()
 #: surface.  Names not listed (or not registered) follow in module
 #: order; unknown names here are ignored, so the list is safe to
 #: curate ahead of the code — but the FIRST 50 are contract (see
-#: tests/test_registry.py).  (214 queries as of round 9.)
+#: tests/test_registry.py).  (216 queries as of round 11.)
 PRIORITY: tuple[str, ...] = (
-    # ---- round-10 window (slots 1-50) -----------------------------
-    # DERIVED (see DERIVED_FOR_ROUND): new round-10 queries +
+    # ---- round-11 window (slots 1-50) -----------------------------
+    # DERIVED (see DERIVED_FOR_ROUND): never-driver-checked queries +
     # TOUCHED_THIS_ROUND first, then the globally oldest driver rows
-    # from the CORRECTNESS_r01-r09 union sorted by (newest round,
-    # name) until the 50 slots fill.  As of the rotation that is the
-    # 29 r05 rows + the oldest 21 r06 rows (the set the r9 derivation
-    # test named); round-10 newcomers displace the alphabetical tail
-    # of the r06 fill.  After this round no query's newest driver row
-    # is older than r06.
+    # from the CORRECTNESS_r01-r10 union sorted by (newest round,
+    # name) until the 50 slots fill.  As of this rotation that is the
+    # two round-10 erasure queries (q_dv_fraction / q_ann_dv_rewrite,
+    # registered after the r10 rotation commit — VERDICT r10 item 1),
+    # then the 18 remaining r06 rows and the oldest 30 r07 rows.
+    # After this round no query's newest driver row is older than r07.
+    "q_dv_fraction", "q_ann_dv_rewrite", "q_manifest_roundtrip",
+    "q_merge_upsert", "q_multimodal_decode", "q_multimodal_meta",
+    "q_pack_sequences", "q_pca_project", "q_pii_scrub", "q_pipeline_e2e",
+    "q_posexplode", "q_repetition_signals", "q_salted_agg", "q_salted_join",
+    "q_sessionize", "q_sliding_window", "q_stratified_sample",
+    "q_topk_cosine_pandas", "q_tumbling_window", "q_udaf_median",
+    "q_analyze_stats", "q_ann_binary", "q_ann_ivf", "q_ann_ivfpq",
+    "q_ann_ivfpq_residual", "q_ann_pq", "q_autocorr", "q_big_orders",
+    "q_bm25_from_index", "q_bm25_index_append", "q_bpe_encode",
+    "q_bpe_fertility", "q_bpe_pairs", "q_cms_counts", "q_corpus_profile",
+    "q_dedup_embedding", "q_dedup_from_index", "q_dedup_index_append",
+    "q_dedup_keep_best", "q_dedup_semantic", "q_entity_resolution", "q_ewma",
+    "q_first_touch", "q_graph_jaccard", "q_hybrid_from_index",
+    "q_incremental_agg", "q_ivf_postings", "q_kll_merge", "q_manifest_merge",
+    "q_mmr_rerank",
+    # ---- overflow (covered by PARITY_r11.json) ---------------------
+    # the round-10 window, then the round-9 window, then the remaining
+    # r07/r08 rows in their prior order
     "q_fingerprint", "q_flagship", "q_group_agg", "q_group_ols",
     "q_json_extract", "q_kv_pivot", "q_lang_id", "q_linestring",
-    "q_negative_pairs", "q_ngram_jaccard", "q_ntile",
-    "q_partition_by_type", "q_path_join", "q_project_arith",
-    "q_quality_score", "q_schema_infer", "q_schema_unify",
-    "q_simhash_near", "q_string_funcs", "q_temperature_sample", "q_tfidf",
-    "q_token_budget_mix", "q_token_count_bpe", "q_token_counts", "q_topk",
-    "q_topk_cosine", "q_udtf_chunks", "q_udtf_chunks_arrow", "q_udtf_poly",
-    "q_ann_brp", "q_ann_index_append", "q_ann_index_build",
-    "q_ann_lsh_pairs", "q_ann_query_from_index", "q_ann_recall_report",
-    "q_asof_join", "q_bpe_train", "q_decontaminate", "q_dedup_apply",
-    "q_dedup_minhash_lsh", "q_dedup_normalized", "q_dedup_paragraph",
-    "q_dedup_paragraph_apply", "q_fuzzy_join", "q_gopher_lines",
-    "q_gopher_rules", "q_hash_embed", "q_interval_join", "q_lag_lead",
-    "q_mahalanobis",
-    # ---- overflow (covered by PARITY_r10.json) ---------------------
-    # the round-9 window (all 50 re-verified in r09) plus the
-    # remaining r06/r07/r08 rows in their prior order
-    "q_inverted_index_append", "q_ann_filtered",
-    "q_ann_filtered_from_index", "q_bm25_forget", "q_ann_forget",
-    "q_dedup_forget", "q_bm25_pruned_forget", "q_suffix_ranks",
-    "q_inverted_index", "q_bpe_extend", "q_dedup_incremental",
-    "q_quality_retrain", "q_window_rank", "q_zorder", "q_bm25",
-    "q_chunk_overlap", "q_cusum", "q_dsir_resample", "q_dsir_weights",
-    "q_exact_substring", "q_funnel_ordered", "q_heavy_hitters",
-    "q_hll_sliding", "q_kcore", "q_khop_reach", "q_knn_graph",
-    "q_lm_perplexity", "q_manifest_multi", "q_media_dedup",
+    "q_negative_pairs", "q_ngram_jaccard", "q_ntile", "q_partition_by_type",
+    "q_path_join", "q_project_arith", "q_quality_score", "q_schema_infer",
+    "q_schema_unify", "q_simhash_near", "q_string_funcs",
+    "q_temperature_sample", "q_tfidf", "q_token_budget_mix",
+    "q_token_count_bpe", "q_token_counts", "q_topk", "q_topk_cosine",
+    "q_udtf_chunks", "q_udtf_chunks_arrow", "q_udtf_poly", "q_ann_brp",
+    "q_ann_index_append", "q_ann_index_build", "q_ann_lsh_pairs",
+    "q_ann_query_from_index", "q_ann_recall_report", "q_asof_join",
+    "q_bpe_train", "q_decontaminate", "q_dedup_apply", "q_dedup_minhash_lsh",
+    "q_dedup_normalized", "q_dedup_paragraph", "q_dedup_paragraph_apply",
+    "q_fuzzy_join", "q_gopher_lines", "q_gopher_rules", "q_hash_embed",
+    "q_interval_join", "q_lag_lead", "q_mahalanobis",
+    "q_inverted_index_append", "q_ann_filtered", "q_ann_filtered_from_index",
+    "q_bm25_forget", "q_ann_forget", "q_dedup_forget", "q_bm25_pruned_forget",
+    "q_suffix_ranks", "q_inverted_index", "q_bpe_extend",
+    "q_dedup_incremental", "q_quality_retrain", "q_window_rank", "q_zorder",
+    "q_bm25", "q_chunk_overlap", "q_cusum", "q_dsir_resample",
+    "q_dsir_weights", "q_exact_substring", "q_funnel_ordered",
+    "q_heavy_hitters", "q_hll_sliding", "q_kcore", "q_khop_reach",
+    "q_knn_graph", "q_lm_perplexity", "q_manifest_multi", "q_media_dedup",
     "q_quantize_int8", "q_quarantine", "q_rare_trigram_rate",
     "q_retention_cohort", "q_rrf_fusion", "q_seasonal_profile",
     "q_source_cap", "q_abtest", "q_agg_sum", "q_ann_lsh_buckets",
@@ -100,38 +113,23 @@ PRIORITY: tuple[str, ...] = (
     "q_embed_norms", "q_exists_in", "q_filter_between", "q_filter_or_isin",
     "q_bm25_pruned_append", "q_ivf_rebalance", "q_skew_join_adaptive",
     "q_embed_covariance", "q_communities_lpa", "q_ann_batch_queries",
-    "q_bm25_pruned", "q_anomaly_zscore", "q_approx_distinct",
-    "q_bloom_prune", "q_cogroup_asof", "q_containment",
-    "q_correlated_scalar", "q_cube", "q_dedup_audit", "q_dedup_clusters",
-    "q_dedup_clusters_star", "q_expectations", "q_full_outer",
-    "q_funnel_join", "q_funnel_left", "q_gapfill", "q_global_shuffle",
-    "q_grouping_sets", "q_histogram", "q_hll_merge", "q_mixture_rebalance",
-    "q_moving_avg", "q_multimodal_embed", "q_multimodal_frames",
-    "q_multimodal_resize", "q_ngram_counts", "q_pagerank", "q_percentiles",
-    "q_quality_funnel", "q_resample_ffill", "q_rollup", "q_semi_anti",
-    "q_session_window", "q_set_ops", "q_skew_report", "q_stateful_counts",
-    "q_topk_cosine_incremental", "q_train_split", "q_triangles",
-    "q_unpivot", "q_variant_extract", "q_vocab_topk",
-    "q_quality_classifier", "q_quality_classifier_eval", "q_ann_binary",
-    "q_mmr_rerank", "q_cms_counts", "q_bpe_fertility",
-    "q_hybrid_from_index", "q_analyze_stats", "q_winnowing",
-    "q_winnowing_pairs", "q_bm25_index_append", "q_dedup_index_append",
-    "q_dedup_keep_best", "q_quality_quantile", "q_bpe_encode",
-    "q_dedup_semantic", "q_ivf_postings", "q_ann_ivf", "q_ann_pq",
-    "q_ann_ivfpq", "q_ann_ivfpq_residual", "q_bm25_from_index",
-    "q_dedup_from_index", "q_dedup_embedding", "q_scd2", "q_ewma",
-    "q_first_touch", "q_span_scrub", "q_incremental_agg",
-    "q_snapshot_diff", "q_bpe_pairs", "q_mrl_rerank",
-    "q_entity_resolution", "q_graph_jaccard", "q_pivot", "q_range_frame",
-    "q_window_analytics", "q_kll_merge", "q_theta_sets", "q_temporal_join",
-    "q_skyline", "q_manifest_merge", "q_autocorr", "q_snowflake_join",
-    "q_corpus_profile", "q_nation_trade", "q_returned_customers",
-    "q_big_orders", "q_pipeline_e2e", "q_pca_project", "q_posexplode",
-    "q_sliding_window", "q_tumbling_window", "q_sessionize",
-    "q_multimodal_meta", "q_multimodal_decode", "q_repetition_signals",
-    "q_pii_scrub", "q_stratified_sample", "q_pack_sequences",
-    "q_salted_join", "q_merge_upsert", "q_salted_agg",
-    "q_manifest_roundtrip", "q_topk_cosine_pandas", "q_udaf_median",
+    "q_bm25_pruned", "q_anomaly_zscore", "q_approx_distinct", "q_bloom_prune",
+    "q_cogroup_asof", "q_containment", "q_correlated_scalar", "q_cube",
+    "q_dedup_audit", "q_dedup_clusters", "q_dedup_clusters_star",
+    "q_expectations", "q_full_outer", "q_funnel_join", "q_funnel_left",
+    "q_gapfill", "q_global_shuffle", "q_grouping_sets", "q_histogram",
+    "q_hll_merge", "q_mixture_rebalance", "q_moving_avg",
+    "q_multimodal_embed", "q_multimodal_frames", "q_multimodal_resize",
+    "q_ngram_counts", "q_pagerank", "q_percentiles", "q_quality_funnel",
+    "q_resample_ffill", "q_rollup", "q_semi_anti", "q_session_window",
+    "q_set_ops", "q_skew_report", "q_stateful_counts",
+    "q_topk_cosine_incremental", "q_train_split", "q_triangles", "q_unpivot",
+    "q_variant_extract", "q_vocab_topk", "q_quality_classifier",
+    "q_quality_classifier_eval", "q_winnowing", "q_winnowing_pairs",
+    "q_quality_quantile", "q_scd2", "q_span_scrub", "q_snapshot_diff",
+    "q_mrl_rerank", "q_pivot", "q_range_frame", "q_window_analytics",
+    "q_theta_sets", "q_temporal_join", "q_skyline", "q_snowflake_join",
+    "q_nation_trade", "q_returned_customers",
 )
 
 

@@ -40,7 +40,7 @@ def test_window_derivation_from_correctness_union():
     """VERDICT r8 item 2: the stale block of the verification window
     is DERIVED from the committed CORRECTNESS artifacts, not
     hand-curated.  Recompute 'newest driver row per query' from
-    CORRECTNESS_r0*.json (the judge's union), then assert the window
+    CORRECTNESS_r*.json (the judge's union), then assert the window
     equals (never-checked ∪ TOUCHED_THIS_ROUND) + the globally oldest
     rows by (newest round, name) until the 50 slots fill.  A curation
     slip (like the r7→r8 65-vs-50 overflow) fails here naming the
@@ -65,7 +65,10 @@ def test_window_derivation_from_correctness_union():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     newest: dict[str, int] = {}
     skipped_rotation: list[str] = []
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+    # ADVICE r10: glob r* not r0* — CORRECTNESS_r10.json and later
+    # two-digit rounds never match r0*, which would silently exclude
+    # r10+ rows from the union and let the 'rotate me' guard sleep.
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r0*(\d+)", os.path.basename(path)).group(1))
         if rnd > DERIVED_FOR_ROUND:
             skipped_rotation.append(os.path.basename(path))
