@@ -1013,7 +1013,8 @@ def dv_fraction_report(spark: SparkSession, sf_dir: str,
 
 def _dv_rewrite_pass(spark: SparkSession, cat,
                      rewrite_pct: int = DV_REWRITE_PCT,
-                     retrain_pct: int = DV_RETRAIN_PCT) -> int:
+                     retrain_pct: int = DV_RETRAIN_PCT,
+                     max_retries: int = 10) -> int:
     """Erasure ACTUATOR pass over a catalog whose head holds the four
     index artifacts + a ``deleted`` DV table: re-derive the monitor's
     per-cell rollup, physically apply the tombstones of rewrite-due
@@ -1026,41 +1027,62 @@ def _dv_rewrite_pass(spark: SparkSession, cat,
     published (version-guard rule: an unpublished "do nothing" would
     re-run the decision scan on every later call).
 
+    The whole derive runs INSIDE the commit-retry loop against a
+    PINNED head (ADVICE r10): the leftover DV and the decision are
+    computed from the ``deleted`` table read at ``head``, so the
+    publish pins ``expected_parent=head`` and a lost race re-derives
+    everything from the NEW head — a tombstone appended concurrently
+    by another eraser is re-counted, never silently dropped by a
+    REPLACE of the stale leftover (the fold_batch lost-update shape).
+
     Factored from :func:`dv_rewrite_ann_index` so the physical-
     erasure drill can drive it on an OWNING catalog (clone kept
     files belong to the source — the clone-vacuum hazard — so the
     disk-level free assertion needs self-owned files)."""
-    cells = cat.read(spark, "cells")
-    deleted = cat.read(spark, "deleted").select("vec_id")
-    dv = F.broadcast(deleted.select("vec_id", F.lit(1).alias("is_tomb")))
-    rows = (cells.join(dv, "vec_id", "left")
-            .groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n_total"),
-                 F.sum(F.coalesce("is_tomb", F.lit(0))).alias("n_tomb"))
-            .collect())                        # ≤ K rows (bounded)
-    n_corpus = sum(r.n_total for r in rows)
-    n_tomb_all = sum(r.n_tomb for r in rows)
-    due = sorted(r.cell for r in rows
-                 if r.n_tomb * 100 > rewrite_pct * r.n_total)
-    retrain_due = n_tomb_all * 100 > retrain_pct * n_corpus
-    decision = spark.createDataFrame(
-        [(int(r.cell), int(r.n_total - r.n_tomb), int(r.n_tomb),
-          bool(r.cell in set(due)), bool(retrain_due))
-         for r in sorted(rows, key=lambda r: r.cell)],
-        "cell int, n_live bigint, n_tombstoned bigint, "
-        "rewrite_due boolean, retrain_due boolean")
-    if not due:
-        return cat.publish_pass({"dv_decision": decision})
-    applied = (deleted
-               .join(cells.filter(F.col("cell").isin([int(c) for c in due])),
-                     "vec_id", "left_semi")
-               .localCheckpoint(eager=True))   # ≤ |tombstones| rows
-    leftover = deleted.join(applied, "vec_id", "left_anti")
-    return cat.apply_deletes_pass(
-        spark,
-        {"cells": ("vec_id", applied), "codes": ("vec_id", applied)},
-        tables={"deleted": leftover, "dv_decision": decision},
-        replace={"deleted"})
+    from ..sinks.manifest import CommitConflict
+
+    for _ in range(max_retries):
+        head = cat.current_version()
+        cells = cat.read(spark, "cells", version=head)
+        deleted = cat.read(spark, "deleted", version=head).select("vec_id")
+        dv = F.broadcast(deleted.select("vec_id",
+                                        F.lit(1).alias("is_tomb")))
+        rows = (cells.join(dv, "vec_id", "left")
+                .groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n_total"),
+                     F.sum(F.coalesce("is_tomb", F.lit(0))).alias("n_tomb"))
+                .collect())                    # ≤ K rows (bounded)
+        n_corpus = sum(r.n_total for r in rows)
+        n_tomb_all = sum(r.n_tomb for r in rows)
+        due = sorted(r.cell for r in rows
+                     if r.n_tomb * 100 > rewrite_pct * r.n_total)
+        retrain_due = n_tomb_all * 100 > retrain_pct * n_corpus
+        decision = spark.createDataFrame(
+            [(int(r.cell), int(r.n_total - r.n_tomb), int(r.n_tomb),
+              bool(r.cell in set(due)), bool(retrain_due))
+             for r in sorted(rows, key=lambda r: r.cell)],
+            "cell int, n_live bigint, n_tombstoned bigint, "
+            "rewrite_due boolean, retrain_due boolean")
+        try:
+            if not due:
+                return cat.publish_pass({"dv_decision": decision},
+                                        expected_parent=head)
+            applied = (deleted
+                       .join(cells.filter(
+                           F.col("cell").isin([int(c) for c in due])),
+                           "vec_id", "left_semi")
+                       .localCheckpoint(eager=True))  # ≤ |tombstones| rows
+            leftover = deleted.join(applied, "vec_id", "left_anti")
+            return cat.apply_deletes_pass(
+                spark,
+                {"cells": ("vec_id", applied),
+                 "codes": ("vec_id", applied)},
+                tables={"deleted": leftover, "dv_decision": decision},
+                replace={"deleted"},
+                expected_parent=head)
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"lost {max_retries} publish races")
 
 
 def dv_rewrite_ann_index(spark: SparkSession, sf_dir: str,
@@ -1117,6 +1139,50 @@ def ann_query_after_dv_rewrite(spark: SparkSession, sf_dir: str,
         cat.read(spark, "codes").join(dv, "vec_id", "left_anti"),
         cat.read(spark, "codebook"),
         query_vec_id, k, nprobe, rerank_factor)
+
+
+def retrain_ann_index(spark: SparkSession, sf_dir: str,
+                      vec_ids: tuple[int, ...] = FORGET_VEC_IDS):
+    """Global-retrain actuator for the DV decision's ``retrain_due``
+    flag (the `build_ann_index` rerun `_dv_rewrite_pass`'s decision
+    artifact promises): rerun the coarse Lloyd + residual-PQ training
+    with the tombstoned ids anti-joined out of the TRAINING SCAN
+    itself, so the quantizers are functions of live vectors only and
+    the frozen-quantizer residue the DV contract documents decays to
+    zero in this snapshot.  Publishes the four serving artifacts + an
+    EMPTY ``deleted`` DV (every tombstone is applied by construction)
+    in one atomic pass; idempotent via the version guard like
+    `build_ann_index`.  Cost is a full rebuild — which is exactly why
+    it is gated on `DV_RETRAIN_PCT`, not run per erasure batch."""
+    import os
+
+    from ..sinks.manifest import ManifestCatalog
+    from .pipeline import _work_dir
+
+    ids_key = "-".join(map(str, vec_ids))
+    cat = ManifestCatalog(os.path.join(
+        _work_dir(f"ann_retrain_{ids_key}", sf_dir), "cat"))
+    if cat.current_version() < 1:
+        tomb = F.broadcast(spark.createDataFrame(
+            [(int(i),) for i in vec_ids], "vec_id bigint"))
+        emb = (load_table(spark, sf_dir, "embeddings")
+               .join(tomb, "vec_id", "left_anti"))
+        cent = kmeans_centroids(emb)
+        cells = _assign_cells(emb, cent).localCheckpoint(eager=True)
+        res = (emb.select("vec_id", "embedding")
+               .join(cells, "vec_id")
+               .join(F.broadcast(cent), F.col("cell") == F.col("cid"))
+               .select("vec_id",
+                       F.zip_with("embedding", "cemb",
+                                  lambda x, c: x.cast("double") - c)
+                       .alias("embedding"))
+               .localCheckpoint(eager=True))
+        codes, book = pq_codes(res, seed_stride=RES_SEED_STRIDE)
+        cat.publish_pass({"centroids": cent, "cells": cells,
+                          "codes": codes, "codebook": book,
+                          "deleted": spark.createDataFrame(
+                              [], "vec_id bigint")})
+    return cat
 
 
 def ann_query_from_index(spark: SparkSession, sf_dir: str,

@@ -593,6 +593,13 @@ class ManifestCatalog(_ManifestLog):
                 return head + 1
             except CommitConflict:
                 continue
+        if expected_parent is not None:
+            # one pinned attempt, not a retry loop — a generic "lost
+            # N races" here would misreport the CAS contract (ADVICE
+            # r10): the caller must re-derive from the new head.
+            raise CommitConflict(
+                f"head moved past expected_parent={expected_parent}: "
+                "re-derive staged content from the new head and retry")
         raise CommitConflict(f"lost {max_retries} publish races")
 
     def clone_pass(self, src: "ManifestCatalog",
@@ -683,7 +690,8 @@ class ManifestCatalog(_ManifestLog):
                            drops: dict[str, tuple[str, DataFrame]],
                            tables: dict[str, DataFrame] | None = None,
                            replace: frozenset[str] | set[str] = frozenset(),
-                           max_retries: int = 10) -> int:
+                           max_retries: int = 10,
+                           expected_parent: int | None = None) -> int:
         """PHYSICAL deletion-vector application — the second phase of
         the two-phase erasure contract (Delta's REORG TABLE ... APPLY
         (PURGE) shape): for each table in ``drops`` (name → (key
@@ -700,17 +708,23 @@ class ManifestCatalog(_ManifestLog):
         ``expire_versions`` + ``vacuum`` on this (owning) catalog the
         superseded pre-rewrite files — the last physical copies of
         the tombstoned rows — are freed from disk (drilled in
-        test_maintenance).
+        test_maintenance.py::test_dv_physical_erasure_frees_disk).
 
-        Like compact_pass, the staged content derives from the head
-        read inside the loop, so the whole locate+rewrite re-runs on
-        a lost publish race instead of clobbering a concurrent
-        writer."""
+        Race contract (ADVICE r10): only the ``drops`` locate+rewrite
+        re-derives from the head inside the retry loop — the
+        caller-supplied ``tables`` DataFrames do NOT, so a caller
+        whose extra tables derive from a head read (the leftover
+        tombstone list, the decision) must pin ``expected_parent`` to
+        that head and re-derive EVERYTHING on :class:`CommitConflict`
+        (the compact_pass pattern; `_dv_rewrite_pass` does exactly
+        this).  The default retry loop is only safe when ``tables``
+        is head-independent."""
         from urllib.parse import urlparse
 
         tables = tables or {}
-        for _ in range(max_retries):
-            head = self.current_version()
+        for _ in range(1 if expected_parent is not None else max_retries):
+            head = (self.current_version() if expected_parent is None
+                    else expected_parent)
             prev = self._load(head).get("tables", {}) if head else {}
             merged = dict(prev)
             for name, (key, drop_df) in drops.items():
@@ -754,6 +768,10 @@ class ManifestCatalog(_ManifestLog):
                 return head + 1
             except CommitConflict:
                 continue
+        if expected_parent is not None:
+            raise CommitConflict(
+                f"head moved past expected_parent={expected_parent}: "
+                "re-derive drops/tables from the new head and retry")
         raise CommitConflict(f"lost {max_retries} publish races")
 
     def read(self, spark: SparkSession, table: str,

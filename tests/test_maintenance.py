@@ -495,3 +495,162 @@ def test_text_index_erasure_turns_physical_with_retention(spark, tmp_path):
     assert all(os.path.exists(f) for f in head_files)
     assert cat.read(spark, "doclen").count() == docs.count() - len(
         set(FORGET_DOC_IDS))
+
+
+def test_dv_physical_erasure_frees_disk(spark, tmp_path):
+    """The DV twin of the lexical drill above (VERDICT r9 item 4 /
+    r10 item 3): on the catalog that OWNS the index files,
+    `_dv_rewrite_pass` physically applies the due cells' tombstones,
+    and `expire_versions` + `vacuum` then frees exactly the
+    pre-rewrite files that held the applied rows — while untouched
+    files ride forward byte-identically and the head keeps serving
+    the same answer as the all-logical DV serve."""
+    from pyspark.sql import functions as F
+
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        FORGET_VEC_IDS, PQ_RERANK, _dv_rewrite_pass, _residual_adc_serve,
+        ann_query_after_forget, build_ann_index)
+    from healthkit_to_sqlite_spark.sinks.manifest import ManifestCatalog
+
+    base = build_ann_index(spark, SF)
+    cat = ManifestCatalog(str(tmp_path / "live_ann"))
+    # own the files: re-stage the artifacts (a clone would reference
+    # the source's files — the clone-vacuum hazard); cells/codes in
+    # several files so the rewrite's file selectivity is observable
+    cat.publish_pass({
+        "centroids": base.read(spark, "centroids"),
+        "cells": base.read(spark, "cells").repartition(8, "vec_id"),
+        "codes": base.read(spark, "codes").repartition(8, "vec_id"),
+        "codebook": base.read(spark, "codebook"),
+    })
+    cat.publish_pass({"deleted": spark.createDataFrame(
+        [(int(i),) for i in FORGET_VEC_IDS], "vec_id bigint")})
+
+    assert _dv_rewrite_pass(spark, cat) == 3
+    dec = cat.read(spark, "dv_decision").collect()
+    assert any(r.rewrite_due for r in dec)          # something applied
+    assert not all(r.rewrite_due for r in dec)      # something logical
+
+    pre, head = _files(cat, 2), _files(cat, 3)
+    superseded = pre - head          # affected cells/codes + old DV
+    assert superseded, "physical rewrite must supersede files"
+    assert pre & head, "unaffected files must ride forward"
+
+    # retention makes the erasure physical ON DISK: the superseded
+    # pre-rewrite files — the last copies of the applied tombstones'
+    # rows — are freed
+    assert set(cat.expire_versions(keep_last=1)) == {1, 2}
+    removed = set(cat.vacuum(min_age_seconds=0))
+    assert superseded <= removed
+    assert all(not os.path.exists(f) for f in superseded)
+    assert all(os.path.exists(f) for f in head)
+
+    # the head still serves: physical (due cells) + logical (leftover
+    # DV) composition equals the all-logical erased serve, so recall
+    # on live vectors is unchanged
+    dv = cat.read(spark, "deleted").select("vec_id")
+    emb = load_table(spark, SF, "embeddings")
+    served = _residual_adc_serve(
+        emb,
+        cat.read(spark, "centroids"),
+        cat.read(spark, "cells").join(F.broadcast(dv), "vec_id",
+                                      "left_anti"),
+        cat.read(spark, "codes").join(F.broadcast(dv), "vec_id",
+                                      "left_anti"),
+        cat.read(spark, "codebook"), 0, 5, 2, PQ_RERANK).collect()
+    assert served == ann_query_after_forget(spark, SF).collect()
+
+
+def test_dv_rewrite_pass_survives_concurrent_tombstone_append(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r10: apply_deletes_pass re-derived only the drops inside
+    its retry loop — the caller-supplied tables (leftover DV, decision)
+    were computed against the pre-race head, so a tombstone appended
+    between derive and publish was REPLACE-published away (the
+    fold_batch lost-update shape).  The pass now pins expected_parent
+    and `_dv_rewrite_pass` re-derives EVERYTHING on CommitConflict:
+    the late tombstone must be re-counted, never dropped."""
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        FORGET_VEC_IDS, _dv_rewrite_pass, build_ann_index)
+    from healthkit_to_sqlite_spark.sinks.manifest import ManifestCatalog
+
+    base = build_ann_index(spark, SF)
+    cat = ManifestCatalog(str(tmp_path / "raced_ann"))
+    cat.publish_pass({t: base.read(spark, t)
+                      for t in ("centroids", "cells", "codes",
+                                "codebook")})
+    cat.publish_pass({"deleted": spark.createDataFrame(
+        [(int(i),) for i in FORGET_VEC_IDS], "vec_id bigint")})
+
+    other = ManifestCatalog(cat.root)
+    real_stage = cat._stage
+    raced = {"done": False}
+    extra = 333                       # a live vec_id at sf0.001
+
+    def racing_stage(df):
+        staged = real_stage(df)
+        if not raced["done"]:         # an eraser lands AFTER the pass
+            raced["done"] = True      # derived, BEFORE its publish
+            other.publish_pass({"deleted": spark.createDataFrame(
+                [(extra,)], "vec_id bigint")})
+        return staged
+
+    monkeypatch.setattr(cat, "_stage", racing_stage)
+    _dv_rewrite_pass(spark, cat)
+    assert raced["done"], "race was never injected"
+
+    # every tombstone ever appended is accounted for: either still
+    # logical in the leftover DV or physically gone from the files
+    leftover = {r.vec_id for r in cat.read(spark, "deleted").collect()}
+    present = {r.vec_id for r in cat.read(spark, "cells").collect()}
+    lost = [t for t in set(FORGET_VEC_IDS) | {extra}
+            if t not in leftover and t in present]
+    assert not lost, f"tombstones dropped by the publish race: {lost}"
+
+    # and the decision was derived from the POST-race head
+    dec = cat.read(spark, "dv_decision").collect()
+    assert (sum(r.n_tombstoned for r in dec)
+            == len(set(FORGET_VEC_IDS)) + 1)
+
+
+def test_dv_retrain_due_fires_and_rebuild_drops_residue(spark):
+    """VERDICT r10 item 7: both decision-flag paths must be live in
+    tests.  At a retrain threshold low enough to trip, the global
+    retrain_due flag lands in the versioned decision, and the
+    actuator the docstring names — a build_ann_index-shaped rerun —
+    produces quantizers trained WITHOUT the erased vectors (the
+    frozen-quantizer residue decays to zero)."""
+    from pyspark.sql import functions as F
+
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        FORGET_VEC_IDS, build_ann_index, dv_rewrite_ann_index,
+        retrain_ann_index)
+
+    cat = dv_rewrite_ann_index(spark, SF, retrain_pct=0)
+    dec = cat.read(spark, "dv_decision").collect()
+    assert dec and all(r.retrain_due for r in dec), (
+        "global retrain flag must land on every decision row")
+
+    re_cat = retrain_ann_index(spark, SF)
+    tombs = set(FORGET_VEC_IDS)
+    live = {r.vec_id for r in re_cat.read(spark, "cells").collect()}
+    assert not (live & tombs), "erased vectors reached the rebuild"
+    n = load_table(spark, SF, "embeddings").count()
+    assert len(live) == n - len(tombs)
+    assert re_cat.read(spark, "codes").filter(
+        F.col("vec_id").isin(*tombs)).count() == 0
+    assert re_cat.read(spark, "deleted").count() == 0   # all applied
+
+    # residue decays: the quantizer retrained on live vectors differs
+    # from the frozen one that saw the erased vectors
+    frozen = {(r.cid, tuple(r.cemb)) for r in
+              build_ann_index(spark, SF)
+              .read(spark, "centroids").collect()}
+    retrained = {(r.cid, tuple(r.cemb)) for r in
+                 re_cat.read(spark, "centroids").collect()}
+    assert frozen != retrained
+
+    # idempotent rerun: version guard, no second training pass
+    assert retrain_ann_index(spark, SF).current_version() == 1
