@@ -1185,6 +1185,31 @@ def retrain_ann_index(spark: SparkSession, sf_dir: str,
     return cat
 
 
+def ann_query_after_retrain(spark: SparkSession, sf_dir: str,
+                            query_vec_id: int = 0, k: int = 5,
+                            nprobe: int = 2,
+                            rerank_factor: int = PQ_RERANK) -> DataFrame:
+    """Serve over the RETRAINED index — the `retrain_due` actuator's
+    output (`retrain_ann_index`): quantizers trained on live vectors
+    only, nothing left to anti-join (every tombstone is applied by
+    construction, the DV is empty).  The oracle replays the full
+    residual-IVFADC training with the tombstones filtered from the
+    TRAINING INPUT itself (`trained_without=`), so the hash gate
+    proves the rebuild is a function of live vectors only — the
+    zero-residue endpoint of the erasure contract (monitor
+    `q_dv_fraction` → physical rewrite `q_ann_dv_rewrite` → global
+    retrain here)."""
+    cat = retrain_ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _residual_adc_serve(
+        emb,
+        cat.read(spark, "centroids"),
+        cat.read(spark, "cells"),
+        cat.read(spark, "codes"),
+        cat.read(spark, "codebook"),
+        query_vec_id, k, nprobe, rerank_factor)
+
+
 def ann_query_from_index(spark: SparkSession, sf_dir: str,
                          query_vec_id: int = 0, k: int = 5,
                          nprobe: int = 2,
@@ -2966,7 +2991,8 @@ def _ivfpq_oracle_sql(k: int = 5, nprobe: int = 2,
 
 def _ivfpq_residual_oracle_sql(k: int = 5, nprobe: int = 2,
                                rerank_factor: int = PQ_RERANK,
-                               deleted: tuple[int, ...] | None = None
+                               deleted: tuple[int, ...] | None = None,
+                               trained_without: tuple[int, ...] | None = None
                                ) -> str:
     """Residual-encoded IVFADC in DuckDB: the coarse chain (c_),
     a ``res`` CTE of double-precision residuals r = x − c(cell(x)),
@@ -2978,7 +3004,23 @@ def _ivfpq_residual_oracle_sql(k: int = 5, nprobe: int = 2,
     shortlist stage — the oracle twin of the deletion-vector
     anti-join in `ann_query_after_forget` (training still runs over
     the FULL corpus: erasure is logical, the quantizers are frozen
-    artifacts the tombstones don't retrain)."""
+    artifacts the tombstones don't retrain).
+
+    ``trained_without`` instead filters the tombstones out of the
+    TRAINING INPUT itself (a ``live`` CTE replaces ``embeddings`` as
+    the corpus for the coarse chain, the residuals, and hence every
+    subspace chain) — the oracle twin of `retrain_ann_index`, where
+    erasure reaches the quantizers and the residue is zero."""
+    src = "embeddings"
+    live_cte = ""
+    if trained_without:
+        src = "live"
+        # MATERIALIZED: the live relation is re-referenced by every
+        # Lloyd assign/mean step — one materialization beats O(steps)
+        # re-filtered base scans (duckdb inlines CTEs by default)
+        live_cte = ("live AS MATERIALIZED (SELECT * FROM embeddings "
+                    f"WHERE vec_id NOT IN {sql_in_list(trained_without)}"
+                    "),\n    ")
     sub = "list_transform(list_zip({a}, {b}), " \
           "x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
     chains, luts, join_luts = [], [], ""
@@ -3004,7 +3046,8 @@ def _ivfpq_residual_oracle_sql(k: int = 5, nprobe: int = 2,
     del_sql = (f" AND codes.vec_id NOT IN {sql_in_list(deleted)}"
                if deleted else "")
     return f"""
-    WITH {_kmeans_cells_sql(IVF_ITERS, N_CENTROIDS, DIM, prefix="c_")},
+    WITH {live_cte}{_kmeans_cells_sql(IVF_ITERS, N_CENTROIDS, DIM,
+                                      prefix="c_", src=src)},
     probe AS (
       SELECT cid AS q_cell FROM c_cent{IVF_ITERS} c,
            (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
@@ -3014,7 +3057,7 @@ def _ivfpq_residual_oracle_sql(k: int = 5, nprobe: int = 2,
     res AS (
       SELECT e.vec_id,
              {sub.format(a='e.embedding', b='c.cemb')} AS embedding
-      FROM embeddings e
+      FROM {src} e
       JOIN c_cells cc USING (vec_id)
       JOIN c_cent{IVF_ITERS} c ON c.cid = cc.cell),
     {", ".join(chains)},
@@ -3426,6 +3469,15 @@ SPECS: dict[str, Spec] = {
         "logical DV — the serve composes both phases, oracle = "
         "rebuild minus ALL tombstones, so the phase boundary is "
         "candidate-exact"),
+    "q_ann_retrain": Spec(
+        ann_query_after_retrain,
+        _ivfpq_residual_oracle_sql(trained_without=FORGET_VEC_IDS),
+        "global-retrain erasure actuator serve (the build_ann_index "
+        "rerun the dv_decision's retrain_due flag names): quantizers "
+        "retrained on live vectors only, empty DV, four artifacts + "
+        "decision in one atomic pass — oracle filters the tombstones "
+        "from the TRAINING input itself, so the hash gate proves "
+        "zero residue: the index is a function of live vectors only"),
     "q_ann_query_from_index": Spec(
         ann_query_from_index,
         _ivfpq_residual_oracle_sql(),
