@@ -917,3 +917,104 @@ def test_streaming_pruned_index_kill_resume_equals_batch_prune(
     over = (pruned_tbl.read(spark).groupBy("term").count()
             .filter(F.col("count") > BM25_PRUNE_M).count())
     assert over == 0
+
+
+def test_streaming_erasure_queue_kill_resume_feeds_dv_rewrite(
+        spark, tmp_path):
+    """Round 11: the erasure queue as a STREAM (streaming/erasure.py).
+    Tombstone requests arrive one file per micro-batch; the sink dies
+    between manifest publish and checkpoint commit; the restarted
+    query's replayed batch no-ops (exactly-once at the queue); the
+    sync folds the queue into the serving catalog's DV (version-
+    guarded, no-op when the queue hasn't advanced); and the physical
+    rewrite pass downstream behaves exactly as with a batch-built DV.
+    A late request after the fold advances the queue and re-syncs,
+    proving the full-union re-ingestion-guard semantics."""
+    from pyspark.sql import functions as F
+
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        FORGET_VEC_IDS, _dv_rewrite_pass, build_ann_index)
+    from healthkit_to_sqlite_spark.sinks.manifest import (ManifestCatalog,
+                                                          ManifestTable)
+    from healthkit_to_sqlite_spark.streaming.erasure import (
+        erasure_queue_writer, sync_tombstones_pass)
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "dsr_src")
+    for vid in FORGET_VEC_IDS:           # one request file per id
+        (spark.createDataFrame([(int(vid),)], "vec_id bigint")
+         .coalesce(1).write.mode("append").parquet(src))
+
+    queue = ManifestTable(str(tmp_path / "dsr_queue"))
+    ckpt = str(tmp_path / "dsr_ckpt")
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    died = {"done": False}
+    real = erasure_queue_writer(queue)
+
+    def dying(batch_df, batch_id):
+        real(batch_df, batch_id)         # queue publish lands
+        if batch_id == 1 and not died["done"]:
+            died["done"] = True
+            raise RuntimeError("killed after publish, before ckpt commit")
+
+    q = (stream().writeStream.foreachBatch(dying)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    assert died["done"]
+    v_crash = queue.current_version()
+    assert v_crash >= 2
+
+    q2 = (stream().writeStream.foreachBatch(erasure_queue_writer(queue))
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    # exactly-once: the replayed batch added NO queue version
+    assert queue.current_version() == v_crash + 2
+    assert ({r.vec_id for r in queue.read(spark).collect()}
+            == set(FORGET_VEC_IDS))
+
+    # serving catalog that owns its artifacts, no DV yet
+    base = build_ann_index(spark, sf)
+    cat = ManifestCatalog(str(tmp_path / "serve_cat"))
+    cat.publish_pass({t: base.read(spark, t)
+                      for t in ("centroids", "cells", "codes",
+                                "codebook")})
+
+    assert sync_tombstones_pass(spark, queue, cat) == 2
+    assert ({r.vec_id for r in cat.read(spark, "deleted").collect()}
+            == set(FORGET_VEC_IDS))
+    # version guard: unchanged queue → no scan, no publish
+    assert sync_tombstones_pass(spark, queue, cat) is None
+    assert cat.current_version() == 2
+
+    # downstream indistinguishable from the batch-built DV: due cells
+    # applied physically, the rest stays logical
+    _dv_rewrite_pass(spark, cat)
+    dec = cat.read(spark, "dv_decision").collect()
+    assert any(r.rewrite_due for r in dec)
+    leftover = {r.vec_id for r in cat.read(spark, "deleted").collect()}
+    present = {r.vec_id for r in cat.read(spark, "cells")
+               .filter(F.col("vec_id").isin(*FORGET_VEC_IDS)).collect()}
+    assert present == leftover and leftover < set(FORGET_VEC_IDS)
+
+    # a late request (new id 333 + a re-request of an applied id):
+    # the queue advances, the sync re-folds — full-union semantics
+    # keep every id ever requested masked (re-ingestion guard),
+    # while applied ids contribute zero DV debt (they have no rows)
+    (spark.createDataFrame([(333,), (int(FORGET_VEC_IDS[0]),)],
+                           "vec_id bigint")
+     .coalesce(1).write.mode("append").parquet(src))
+    q3 = (stream().writeStream.foreachBatch(erasure_queue_writer(queue))
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q3.awaitTermination(120)
+    assert sync_tombstones_pass(spark, queue, cat) is not None
+    after = {r.vec_id for r in cat.read(spark, "deleted").collect()}
+    assert after == set(FORGET_VEC_IDS) | {333}
