@@ -399,6 +399,13 @@ SF1_QUERIES = [
     # (r9) the pruned erased serve: <= m·|terms| rows by construction
     # (expected ~1.0 — the flat twin of q_bm25_forget's 1.9)
     "q_bm25_pruned_forget",
+    # (r11) the DV erasure loop at 10×: the monitor is an index-grain
+    # rollup (expected ~1.0 aside from the artifact scan), the
+    # physically-rewritten serve reads the same artifacts as
+    # q_ann_query_from_index plus a broadcast leftover-DV anti-join
+    # (expected the ANN-serve probe-cell band; the rewrite itself
+    # runs in the untimed warm-up build)
+    "q_dv_fraction", "q_ann_dv_rewrite",
 ]
 
 
