@@ -85,7 +85,11 @@ def sync_tombstones_pass(spark: SparkSession, queue: ManifestTable,
                         .collect()[0].queue_version   # 1 row (bounded)
             if synced >= qv:
                 return None               # queue unchanged since last fold
-        incoming = queue.read(spark).select("vec_id")
+        # read the queue AT qv (time travel): the recorded dv_sync
+        # version then exactly names the content folded — a batch
+        # landing mid-pass is picked up by the next sync, not
+        # silently folded under an older version number
+        incoming = queue.read(spark, version=qv).select("vec_id")
         deleted = (cat.read(spark, "deleted", version=head)
                       .select("vec_id") if "deleted" in tables
                    else incoming.limit(0))
