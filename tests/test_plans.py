@@ -758,3 +758,43 @@ def test_suffix_ranks_never_single_partition(spark, specs):
     df = specs["q_suffix_ranks"].build(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_dv_fraction_rollup_reads_only_index_artifacts(spark, specs):
+    """The erasure monitor (r10/r11): DV debt is a rollup over the
+    committed cells + deleted artifacts at INDEX grain — the vector
+    corpus is never scanned, the tiny DV broadcasts instead of
+    shuffling, and no training aggregate appears in the plan (the
+    decision is count/sum arithmetic over artifact rows)."""
+    df = specs["q_dv_fraction"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "ann_index_forget_" in plan       # committed artifact scans
+    assert "embeddings.parquet" not in plan  # corpus never read
+    assert "decimal(30,10)" not in plan      # no Lloyd training
+    assert has_broadcast_join(df)            # DV broadcast, not shuffled
+
+
+def test_ann_dv_rewrite_serve_is_training_free(spark, specs):
+    """The physically-rewritten serve (r10/r11): reads the rewritten
+    artifacts plus the leftover logical DV (broadcast anti-join at
+    candidate time); zero training aggregates — the rewrite ran in
+    the version-guarded pass, never in the query plan."""
+    df = specs["q_ann_dv_rewrite"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "ann_dv_rw_" in plan              # rewritten artifact scans
+    assert "HashAggregate" not in plan       # zero Lloyd / zero pivots
+    assert "ObjectHashAggregate" not in plan
+    assert "TakeOrderedAndProject" in plan   # shortlist + re-rank heaps
+
+
+def test_ann_retrain_serve_is_training_free(spark, specs):
+    """The retrain actuator's serve (r11): the rebuild trained once in
+    the version-guarded `retrain_ann_index` build; the query plan
+    reads the four committed artifacts and ranks with joins + top-k
+    heaps only — the same contract every committed-index serve pins."""
+    df = specs["q_ann_retrain"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "ann_retrain_" in plan            # committed artifact scans
+    assert "HashAggregate" not in plan
+    assert "ObjectHashAggregate" not in plan
+    assert "TakeOrderedAndProject" in plan
