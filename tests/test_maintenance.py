@@ -654,3 +654,76 @@ def test_dv_retrain_due_fires_and_rebuild_drops_residue(spark):
 
     # idempotent rerun: version guard, no second training pass
     assert retrain_ann_index(spark, SF).current_version() == 1
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_dv_cases = st.tuples(
+    st.integers(min_value=8, max_value=36),    # n vectors
+    st.integers(min_value=2, max_value=4),     # K cells (id % K)
+    st.sets(st.integers(min_value=0, max_value=35), max_size=12),
+    st.integers(min_value=0, max_value=100),   # rewrite_pct
+    st.integers(min_value=0, max_value=100),   # retrain_pct
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(case=_dv_cases)
+def test_dv_rewrite_threshold_invariant(spark, tmp_path_factory, case):
+    """The DV rewrite decision as a PROPERTY (vs the single contract
+    fixture): for ANY cell layout, tombstone set and thresholds, the
+    pass must physically remove exactly the tombstones of cells where
+    n_tomb·100 > pct·n_total (from BOTH dropped-from tables), keep
+    the rest as the logical leftover, and version a decision matching
+    the pure-python model — including the all-due, none-due, and
+    empty-tombstone edges hypothesis will find (an all-rows-dropped
+    file set must still publish and read back as empty)."""
+    import uuid
+
+    from healthkit_to_sqlite_spark.operators.similarity import \
+        _dv_rewrite_pass
+    from healthkit_to_sqlite_spark.sinks.manifest import ManifestCatalog
+
+    n, k, tombs, rw_pct, rt_pct = case
+    tombs = {t for t in tombs if t < n}
+    cell_of = {i: i % k for i in range(n)}
+
+    root = tmp_path_factory.mktemp("dvprop") / uuid.uuid4().hex
+    cat = ManifestCatalog(str(root))
+    cat.publish_pass({
+        "cells": spark.createDataFrame(
+            [(i, cell_of[i]) for i in range(n)], "vec_id bigint, cell int"),
+        "codes": spark.createDataFrame(
+            [(i, i * 7 % 11) for i in range(n)],
+            "vec_id bigint, code0 int"),
+        "deleted": spark.createDataFrame(
+            [(int(t),) for t in sorted(tombs)] or [],
+            "vec_id bigint"),
+    })
+
+    v = _dv_rewrite_pass(spark, cat, rewrite_pct=rw_pct,
+                         retrain_pct=rt_pct)
+    assert v == 2
+
+    # pure-python model
+    totals = {c: sum(1 for i in range(n) if cell_of[i] == c)
+              for c in range(k)}
+    tomb_n = {c: sum(1 for t in tombs if cell_of[t] == c)
+              for c in range(k)}
+    due = {c for c in range(k) if tomb_n[c] * 100 > rw_pct * totals[c]}
+    applied = {t for t in tombs if cell_of[t] in due}
+    leftover = tombs - applied
+    retrain = len(tombs) * 100 > rt_pct * n
+
+    assert ({r.vec_id for r in cat.read(spark, "deleted").collect()}
+            == leftover)
+    for t in ("cells", "codes"):
+        assert ({r.vec_id for r in cat.read(spark, t).collect()}
+                == set(range(n)) - applied), t
+    dec = {r.cell: (r.n_live, r.n_tombstoned, r.rewrite_due,
+                    r.retrain_due)
+           for r in cat.read(spark, "dv_decision").collect()}
+    assert dec == {c: (totals[c] - tomb_n[c], tomb_n[c], c in due,
+                       retrain) for c in range(k)}
