@@ -1064,8 +1064,14 @@ def _dv_rewrite_pass(spark: SparkSession, cat,
             "cell int, n_live bigint, n_tombstoned bigint, "
             "rewrite_due boolean, retrain_due boolean")
         try:
+            # dv_decision REPLACE-publishes: the head always holds ONE
+            # generation's decision (K rows); prior generations stay
+            # time-travelable at their versions — appending instead
+            # would mix generations indistinguishably on a catalog
+            # that erases more than once (sync → rewrite → sync → …)
             if not due:
                 return cat.publish_pass({"dv_decision": decision},
+                                        replace={"dv_decision"},
                                         expected_parent=head)
             applied = (deleted
                        .join(cells.filter(
@@ -1078,7 +1084,7 @@ def _dv_rewrite_pass(spark: SparkSession, cat,
                 {"cells": ("vec_id", applied),
                  "codes": ("vec_id", applied)},
                 tables={"deleted": leftover, "dv_decision": decision},
-                replace={"deleted"},
+                replace={"deleted", "dv_decision"},
                 expected_parent=head)
         except CommitConflict:
             continue

@@ -1018,3 +1018,16 @@ def test_streaming_erasure_queue_kill_resume_feeds_dv_rewrite(
     assert sync_tombstones_pass(spark, queue, cat) is not None
     after = {r.vec_id for r in cat.read(spark, "deleted").collect()}
     assert after == set(FORGET_VEC_IDS) | {333}
+
+    # SECOND erasure generation: the head's decision must hold exactly
+    # ONE generation (one row per cell, REPLACE-published) — appending
+    # would mix the two generations' rollups indistinguishably; the
+    # first generation stays time-travelable at its version
+    v1_dec = sorted((r.cell, r.rewrite_due) for r in dec)
+    _dv_rewrite_pass(spark, cat)
+    dec2 = cat.read(spark, "dv_decision").collect()
+    assert len(dec2) == len({r.cell for r in dec2}), (
+        "decision generations mixed in one read")
+    assert sorted((r.cell, r.rewrite_due)
+                  for r in cat.read(spark, "dv_decision",
+                                    version=3).collect()) == v1_dec
