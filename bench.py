@@ -327,6 +327,12 @@ HEADLINE = [
     "q_dv_fraction",
     "q_ann_dv_rewrite",
     "q_ann_retrain",
+    # round 11: data-selection family heads — train/score-heavy
+    # (Lloyd chain + ranked scan; blocked cross-lingual pair scoring
+    # with two k-NN windows; k−1 farthest-point corpus scans)
+    "q_proto_prune",
+    "q_bitext_mine",
+    "q_kcenter_coreset",
 ]
 
 
@@ -406,6 +412,11 @@ SF1_QUERIES = [
     # (expected the ANN-serve probe-cell band; the rewrite itself
     # runs in the untimed warm-up build)
     "q_dv_fraction", "q_ann_dv_rewrite",
+    # (r11) prototypicality pruning: train + one ranked scan, no
+    # pair join — expected ~linear (the Lloyd chain dominates); the
+    # per-cell window partitions are n/K rows, no single-partition
+    # hazard at fixed K because the rank never leaves its cell
+    "q_proto_prune",
 ]
 
 

@@ -2439,6 +2439,216 @@ def semantic_dedup(embeddings: DataFrame,
                     F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep")))
 
 
+PROTO_DROP = 0.25  # fraction of MOST-prototypical points dropped per cluster
+
+
+def proto_prune(embeddings: DataFrame, drop_frac: float = PROTO_DROP,
+                n_centroids: int = N_CENTROIDS,
+                iters: int = IVF_ITERS) -> DataFrame:
+    """Prototypicality pruning (Sorscher et al. 2022 "Beyond neural
+    scaling laws"; the SemDeDup-complementary half of the D4 recipe,
+    Tirumala et al. 2023): k-means-cluster the embedding space, score
+    each example by its distance to its cluster centroid, and DROP the
+    most prototypical ``drop_frac`` per cluster — when data is
+    abundant, the easy/redundant examples near the prototypes
+    contribute least to the loss, so pruning them beats random.
+
+    Spark shape: the trained quantizer is the same deterministic Lloyd
+    chain the IVF/SemDeDup family pins (decimal-exact means, so both
+    engines agree bit-for-bit); the assignment is one broadcast join +
+    map-side argmin carrying the distance through; the per-cluster
+    rank is a window PARTITION BY cell — at 100 TB each cell is n/K
+    rows with K grown alongside the corpus (the same occupancy knob
+    the IVF index tunes), so no single partition ever sees more than a
+    cell.  No pair join anywhere — cost is train + one ranked scan,
+    unlike the Σ|cell|² SemDeDup pass.  The integer cutoff
+    ``ceil(cnt·drop_frac)`` keeps the keep-set exact cross-engine (no
+    percentile float edge).  Deterministic ties: (dist, vec_id)."""
+    cent = kmeans_centroids(embeddings, n_centroids, iters)
+    d = (embeddings.select("vec_id", "embedding")
+         .crossJoin(F.broadcast(cent))
+         .select("vec_id", "cid",
+                 F.round(_l2sq(F.col("embedding"), F.col("cemb")), 9)
+                 .alias("dist")))
+    assigned = (d.groupBy("vec_id")
+                .agg(F.min(F.struct("dist", "cid")).alias("m"))
+                .select("vec_id", F.col("m.cid").alias("cell"),
+                        F.col("m.dist").alias("dist")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("cell").orderBy("dist", "vec_id")
+    wc = Window.partitionBy("cell")
+    ranked = assigned.select(
+        "vec_id", "cell", "dist",
+        F.row_number().over(w).alias("proto_rank"),
+        F.count(F.lit(1)).over(wc).alias("cnt"))
+    return (ranked
+            .filter(F.col("proto_rank")
+                    > F.ceil(F.col("cnt") * F.lit(drop_frac)))
+            .select("vec_id", "cell", "dist",
+                    F.col("proto_rank").cast("int").alias("proto_rank")))
+
+
+BITEXT_SRC_LANG = "en"  # mining direction: for each en doc...
+BITEXT_TGT_LANG = "de"  # ...its best margin-scored de candidate
+MARGIN_K = 4            # k-NN pool per side for margin normalization
+MARGIN_THRESHOLD = 1.1  # ratio-margin acceptance (77/218 at sf0.01)
+
+
+def bitext_mine(embeddings: DataFrame, documents: DataFrame,
+                src_lang: str = BITEXT_SRC_LANG,
+                tgt_lang: str = BITEXT_TGT_LANG,
+                k: int = MARGIN_K,
+                threshold: float = MARGIN_THRESHOLD) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019; the
+    CCMatrix/NLLB pipeline): score each cross-lingual candidate pair
+    by the RATIO margin — cosine divided by the average of the two
+    directions' k-NN cosines — then forward-mine: for each source doc
+    keep its best-margin target iff the margin clears the threshold.
+    The margin normalizes away hubness (a target that is everyone's
+    neighbor gets a high denominator), which raw cosine thresholds
+    cannot.
+
+    Spark shape: language sides come from a broadcast doc_id→lang
+    join; candidate scoring here is the exact within-shard form with
+    the smaller language side broadcast (language pairs shard the
+    corpus, so the blocked cross-join never sees two big sides at
+    once); at 100 TB stage-1 candidate generation swaps to the
+    committed ANN index per the serve-split pattern
+    (ann_query_from_index) — the margin then uses exactly the k-NN
+    lists that candidate generation already produced, so the
+    normalization is free.
+
+    Both directions' k-NN means are WINDOW aggregates over one linear
+    lineage — rank + mean per side share that side's hash
+    partitioning, so the scored-pairs fold runs ONCE and the plan is
+    scan → window(src) → window(tgt) → window(src); the naive
+    groupBy-and-join-back form branches the pair subtree three ways,
+    and since each branch repartitions differently nothing is
+    reusable — the fold would run 3× (exchange-reuse needs identical
+    subtrees; pinned in test_plans).  Float discipline: cosines round
+    to 9 dp before any ranking; the k-NN means accumulate in
+    DECIMAL(30,10) (order-independent, bit-identical cross-engine);
+    margins round to 6 dp and tie-break by tgt_id."""
+    langs = documents.select(F.col("doc_id").alias("vec_id"), "lang")
+    sides = (embeddings.join(F.broadcast(langs), "vec_id")
+             .select("vec_id", "lang", "embedding",
+                     l2_norm(F.col("embedding")).alias("nrm")))
+    x = (sides.filter(F.col("lang") == src_lang)
+         .select(F.col("vec_id").alias("src_id"),
+                 F.col("embedding").alias("xe"), F.col("nrm").alias("xn")))
+    y = (sides.filter(F.col("lang") == tgt_lang)
+         .select(F.col("vec_id").alias("tgt_id"),
+                 F.col("embedding").alias("ye"), F.col("nrm").alias("yn")))
+    cos = F.round(cosine_from_norms(F.col("xe"), F.col("ye"),
+                                    F.col("xn"), F.col("yn")), 9)
+    pairs = (x.crossJoin(F.broadcast(y))
+             .select("src_id", "tgt_id", cos.alias("cos")))
+    from pyspark.sql import Window
+    wx = Window.partitionBy("src_id").orderBy(F.col("cos").desc(), "tgt_id")
+    wy = Window.partitionBy("tgt_id").orderBy(F.col("cos").desc(), "src_id")
+
+    def knn_mean(rank_col: str, part: str) -> Column:
+        top = F.when(F.col(rank_col) <= k,
+                     F.col("cos").cast("decimal(30,10)"))
+        return (F.sum(top).over(Window.partitionBy(part)).cast("double")
+                / k)
+
+    scored = (pairs
+              .withColumn("rnx", F.row_number().over(wx))
+              .withColumn("ax", knn_mean("rnx", "src_id"))
+              .withColumn("rny", F.row_number().over(wy))
+              .withColumn("ay", knn_mean("rny", "tgt_id"))
+              .withColumn("margin",
+                          F.round(F.col("cos")
+                                  / ((F.col("ax") + F.col("ay")) / 2), 6)))
+    wbest = Window.partitionBy("src_id").orderBy(F.col("margin").desc(),
+                                                 "tgt_id")
+    return (scored.withColumn("rn", F.row_number().over(wbest))
+            .filter((F.col("rn") == 1) & (F.col("margin") >= threshold))
+            .select("src_id", "tgt_id",
+                    F.round("cos", 6).alias("cosine_sim"), "margin"))
+
+
+K_CENTERS = 8  # greedy k-center selection budget
+
+
+def kcenter_coreset(embeddings: DataFrame, k: int = K_CENTERS) -> DataFrame:
+    """Greedy k-center / farthest-point coreset selection (Gonzalez
+    1985, the 2-approximation; used as the coreset construction for
+    data-efficient training — Sener & Savarese 2018): seed with
+    vec_id 0, then k−1 rounds of "select the point farthest from the
+    already-selected set".  The radius column is each pick's max-min
+    distance at selection time — non-increasing by construction, and
+    radius[k] bounds the optimal k-center cost within 2×.
+
+    Spark shape: a running ``dmin`` column (distance to the nearest
+    selected center) makes each round ONE scan updating against the
+    single new center (O(1) distance work per row per round, not
+    O(k)) plus a TakeOrdered(1) argmax — k scans total, the standard
+    distributed farthest-point sweep.  The per-round argmax is a
+    bounded 1-row collect (the selected set itself is ≤k rows — the
+    PCA/MMR collect discipline); ``localCheckpoint`` truncates the
+    k-deep lineage each round exactly like the Lloyd chain.
+    Determinism: distances round to 9 dp, ties break by vec_id."""
+    spark = embeddings.sparkSession
+    base = embeddings.select("vec_id", "embedding")
+
+    def dist_to(vec):
+        lits = F.array(*[F.lit(float(v)) for v in vec])
+        return F.round(_l2sq(F.col("embedding"), lits), 9)
+
+    # bounded collect: the seed row (1 row)
+    seed = base.filter(F.col("vec_id") == 0).collect()[0]
+    d = base.select("vec_id", "embedding",
+                    dist_to(seed.embedding).alias("dmin"))
+    picks = [(0, int(seed.vec_id), None)]
+    for i in range(1, k):
+        d = d.localCheckpoint(eager=True)
+        # bounded collect: the round's argmax (1 row; ≤k−1 total)
+        far = d.orderBy(F.col("dmin").desc(), "vec_id").limit(1).collect()[0]
+        picks.append((i, int(far.vec_id), float(far.dmin)))
+        d = d.select("vec_id", "embedding",
+                     F.least(F.col("dmin"),
+                             dist_to(far.embedding)).alias("dmin"))
+    return spark.createDataFrame(
+        picks, "sel_order int, vec_id bigint, radius double")
+
+
+def _kcenter_oracle_sql(k: int = K_CENTERS) -> str:
+    """DuckDB twin of `kcenter_coreset`: the k−1 greedy rounds unroll
+    into chained MATERIALIZED CTEs (the `_mmr_oracle_sql` pattern —
+    each d{t} references d{t−1}, so default inlining would expand the
+    base scan exponentially)."""
+    parts = [f"""e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings),
+    d0 AS MATERIALIZED (
+      SELECT e.vec_id, e.emb,
+             {_L2_SQL.format(e='e.emb', c='c.emb')} AS dmin
+      FROM e, (SELECT emb FROM e WHERE vec_id = 0) c)"""]
+    for t in range(1, k):
+        parts.append(f"""p{t} AS MATERIALIZED (
+      SELECT vec_id, dmin FROM d{t - 1}
+      ORDER BY dmin DESC, vec_id LIMIT 1)""")
+        if t < k - 1:
+            parts.append(f"""d{t} AS MATERIALIZED (
+      SELECT d.vec_id, d.emb,
+             LEAST(d.dmin, {_L2_SQL.format(e='d.emb', c='c.emb')}) AS dmin
+      FROM d{t - 1} d,
+           (SELECT e2.emb FROM e e2 JOIN p{t} ON e2.vec_id = p{t}.vec_id) c)""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({t} AS INT), vec_id, dmin FROM p{t}"
+        for t in range(1, k))
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH {chain}
+    SELECT CAST(0 AS INT) AS sel_order, CAST(0 AS BIGINT) AS vec_id,
+           CAST(NULL AS DOUBLE) AS radius
+    UNION ALL {unions}
+    ORDER BY sel_order
+    """
+
+
 def topk_cosine_pandas(embeddings: DataFrame, query_vec_id: int = 0,
                        k: int = 10) -> DataFrame:
     """The Pandas-UDF variant of topk_cosine: one Arrow-vectorized
@@ -3857,4 +4067,84 @@ SPECS: dict[str, Spec] = {
         "MMR diversity re-rank (Carbonell 1998): distributed shortlist "
         "+ pairwise sims, bounded-collect greedy; oracle unrolls the "
         "k greedy steps as chained CTEs"),
+    "q_proto_prune": Spec(
+        lambda spark, sf: proto_prune(load_table(spark, sf, "embeddings")),
+        f"""
+        WITH {_kmeans_cells_sql()},
+        d AS (
+          SELECT e.vec_id, cells.cell,
+                 {_L2_SQL.format(e='e.embedding', c='c.cemb')} AS dist
+          FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id
+          JOIN cent{IVF_ITERS} c ON cells.cell = c.cid),
+        r AS (
+          SELECT vec_id, cell, dist,
+                 ROW_NUMBER() OVER (PARTITION BY cell
+                                    ORDER BY dist, vec_id) AS proto_rank,
+                 COUNT(*) OVER (PARTITION BY cell) AS cnt
+          FROM d)
+        SELECT vec_id, cell, dist, CAST(proto_rank AS INT) AS proto_rank
+        FROM r WHERE proto_rank > CAST(ceil(cnt * {PROTO_DROP}) AS BIGINT)
+        """,
+        "prototypicality pruning (SSL-prototypes / D4): drop the "
+        f"{PROTO_DROP:.0%} of each k-means cluster nearest its "
+        "centroid — train + one ranked scan, no pair join; the "
+        "data-pruning complement of SemDeDup"),
+    "q_bitext_mine": Spec(
+        lambda spark, sf: bitext_mine(load_table(spark, sf, "embeddings"),
+                                      load_table(spark, sf, "documents")),
+        f"""
+        WITH x AS (
+          SELECT e.vec_id AS src_id, e.embedding AS xe
+          FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+          WHERE d.lang = '{BITEXT_SRC_LANG}'),
+        y AS (
+          SELECT e.vec_id AS tgt_id, e.embedding AS ye
+          FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+          WHERE d.lang = '{BITEXT_TGT_LANG}'),
+        p AS (
+          SELECT src_id, tgt_id,
+                 ROUND(list_aggregate(list_transform(list_zip(xe, ye),
+                           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+                           'sum')
+                       / ({_NORM_SQL.format(c='xe')}
+                          * {_NORM_SQL.format(c='ye')}), 9) AS cos
+          FROM x, y),
+        kx AS (
+          SELECT src_id,
+                 CAST(SUM(CAST(cos AS DECIMAL(30,10))) AS DOUBLE)
+                   / {MARGIN_K} AS ax
+          FROM (SELECT src_id, cos,
+                       ROW_NUMBER() OVER (PARTITION BY src_id
+                           ORDER BY cos DESC, tgt_id) AS rn FROM p)
+          WHERE rn <= {MARGIN_K} GROUP BY src_id),
+        ky AS (
+          SELECT tgt_id,
+                 CAST(SUM(CAST(cos AS DECIMAL(30,10))) AS DOUBLE)
+                   / {MARGIN_K} AS ay
+          FROM (SELECT tgt_id, cos,
+                       ROW_NUMBER() OVER (PARTITION BY tgt_id
+                           ORDER BY cos DESC, src_id) AS rn FROM p)
+          WHERE rn <= {MARGIN_K} GROUP BY tgt_id),
+        m AS (
+          SELECT p.src_id, p.tgt_id, p.cos,
+                 ROUND(p.cos / ((kx.ax + ky.ay) / 2), 6) AS margin
+          FROM p JOIN kx USING (src_id) JOIN ky USING (tgt_id)),
+        best AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                        ORDER BY margin DESC, tgt_id) AS rn FROM m)
+        SELECT src_id, tgt_id, ROUND(cos, 6) AS cosine_sim, margin
+        FROM best WHERE rn = 1 AND margin >= {MARGIN_THRESHOLD}
+        """,
+        "margin-based bitext mining (Artetxe & Schwenk 2019 / "
+        "CCMatrix): ratio margin over both directions' k-NN cosine "
+        "means normalizes hubness; forward-mine best target per "
+        "source above threshold"),
+    "q_kcenter_coreset": Spec(
+        lambda spark, sf: kcenter_coreset(load_table(spark, sf,
+                                                     "embeddings")),
+        _kcenter_oracle_sql(),
+        "greedy k-center coreset (Gonzalez 1985 / Sener & Savarese "
+        "2018): k−1 farthest-point rounds over a running dmin column "
+        "— one scan per round, TakeOrdered(1) argmax, radius column "
+        "certifies the 2-approximation"),
 }

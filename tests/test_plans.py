@@ -798,3 +798,58 @@ def test_ann_retrain_serve_is_training_free(spark, specs):
     assert "HashAggregate" not in plan
     assert "ObjectHashAggregate" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_proto_prune_plan(spark, specs):
+    # train + one ranked scan: the only nested-loop is the declared
+    # K-row centroid broadcast; no CartesianProduct; the per-cell
+    # window never global-sorts
+    df = specs["q_proto_prune"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Sort [dist" not in plan.replace(
+        "Sort [cell", "")  # window sort is per-cell, not global
+    cols = read_schema_columns(df)
+    assert "label" not in cols, "prune reads only vec_id+embedding"
+
+
+def test_bitext_mine_plan(spark, specs):
+    # language sides: lang filter pushes to the documents scan; the
+    # candidate block is the declared broadcast of the smaller side;
+    # nothing cartesian
+    df = specs["q_bitext_mine"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    pushed = " ".join(pushed_filters(df))
+    assert "lang" in pushed, "lang predicate must reach the scan"
+    cols = read_schema_columns(df)
+    assert "text" not in cols and "source" not in cols, (
+        "mining reads doc_id+lang only from documents")
+
+
+def test_kcenter_plan_is_incremental(spark, specs):
+    # the running-dmin design: the final round's plan must reference
+    # only the (checkpointed) previous round + ONE literal center —
+    # i.e. no cartesian/join growth with k, and no global sort other
+    # than the TakeOrdered argmax (which never appears in the
+    # returned local relation)
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        kcenter_coreset)
+    from healthkit_to_sqlite_spark.catalog import load_table
+
+    df = kcenter_coreset(load_table(spark, SF, "embeddings"))
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, "selection result must be a local relation"
+
+
+def test_bitext_single_fold_chain(spark, specs):
+    # the scored-pairs fold must appear ONCE: both k-NN means are
+    # window aggregates on one linear lineage (the groupBy-join-back
+    # form branches the BNLJ subtree three ways with non-reusable
+    # exchanges — the fold would run 3x)
+    df = specs["q_bitext_mine"].build(spark, SF)
+    plan = formatted_plan(df)
+    # formatted explain prints each node twice (tree + details):
+    # exactly one BNLJ node => exactly two mentions
+    assert plan.count("BroadcastNestedLoopJoin") == 2

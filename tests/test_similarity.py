@@ -924,3 +924,146 @@ def test_dv_rewrite_nothing_due_still_publishes_decision(spark):
     # idempotent: the published decision is the version guard
     again = dv_rewrite_ann_index(spark, SF, rewrite_pct=100)
     assert again.current_version() == 2
+
+
+def test_proto_prune_drops_exact_per_cell_prefix(spark, emb):
+    """Prototypicality pruning (SSL-prototypes/D4): per cluster, the
+    dropped set is EXACTLY the ceil(cnt*drop_frac) lowest-(dist,
+    vec_id) rows — every kept row sorts strictly after every dropped
+    row in the (dist, vec_id) order, rank range is contiguous, and
+    kept ∪ dropped partitions the corpus."""
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        PROTO_DROP, ivf_cells, proto_prune)
+    import math
+
+    kept = proto_prune(emb).toPandas()
+    cells = ivf_cells(emb).toPandas()
+    assert set(kept.vec_id) <= set(cells.vec_id)
+    by_cell = cells.groupby("cell").size().to_dict()
+    for cell, grp in kept.groupby("cell"):
+        cnt = by_cell[cell]
+        cut = math.ceil(cnt * PROTO_DROP)
+        assert len(grp) == cnt - cut, f"cell {cell}: kept {len(grp)}"
+        ranks = sorted(grp.proto_rank)
+        assert ranks == list(range(cut + 1, cnt + 1)), (
+            f"cell {cell}: rank range not the post-cutoff suffix")
+    # global: dropped fraction is ~drop_frac (within per-cell ceil)
+    n = sum(by_cell.values())
+    assert n - len(kept) >= PROTO_DROP * n - len(by_cell)
+
+
+def test_proto_prune_keeps_the_far_points(spark, emb):
+    """The kept rows of each cell are the FARTHEST from the centroid:
+    min kept dist >= max dropped dist (ties impossible across the
+    cutoff because rank ordering is (dist, vec_id))."""
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        _assign_cells, _l2sq, kmeans_centroids, proto_prune)
+
+    cent = kmeans_centroids(emb)
+    d = (emb.select("vec_id", "embedding")
+         .crossJoin(F.broadcast(cent))
+         .select("vec_id", "cid",
+                 F.round(_l2sq(F.col("embedding"), F.col("cemb")), 9)
+                 .alias("dist")))
+    full = (d.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cell"),
+                    F.col("m.dist").alias("dist"))).toPandas()
+    kept = proto_prune(emb).toPandas()
+    dropped = full[~full.vec_id.isin(set(kept.vec_id))]
+    for cell in kept.cell.unique():
+        kmin = kept[kept.cell == cell].sort_values(
+            ["dist", "vec_id"]).iloc[0]
+        dmax = dropped[dropped.cell == cell].sort_values(
+            ["dist", "vec_id"]).iloc[-1]
+        assert (dmax.dist, dmax.vec_id) < (kmin.dist, kmin.vec_id)
+
+
+def test_bitext_mine_matches_numpy_audit(spark):
+    """Independent numpy replay of the ratio-margin pipeline (the
+    third implementation after Spark and the DuckDB oracle): same
+    rounding discipline, same tie order, same forward-mining rule —
+    the mined (src, tgt) set must match exactly."""
+    import numpy as np
+
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        BITEXT_SRC_LANG, BITEXT_TGT_LANG, MARGIN_K, MARGIN_THRESHOLD,
+        bitext_mine)
+
+    emb = load_table(spark, SF, "embeddings")
+    docs = load_table(spark, SF, "documents")
+    mined = {(r.src_id, r.tgt_id)
+             for r in bitext_mine(emb, docs).collect()}
+
+    ep = emb.toPandas().set_index("vec_id")
+    dp = docs.toPandas().set_index("doc_id")
+    ids = {lang: sorted(dp.index[dp.lang == lang])
+           for lang in (BITEXT_SRC_LANG, BITEXT_TGT_LANG)}
+    X = np.array([np.asarray(ep.embedding[i], dtype=np.float64)
+                  for i in ids[BITEXT_SRC_LANG]])
+    Y = np.array([np.asarray(ep.embedding[i], dtype=np.float64)
+                  for i in ids[BITEXT_TGT_LANG]])
+    cos = np.round(
+        (X @ Y.T) / np.outer(np.sqrt((X * X).sum(1)),
+                             np.sqrt((Y * Y).sum(1))), 9)
+    ax = np.sort(cos, axis=1)[:, -MARGIN_K:].mean(1)   # top-k per src
+    ay = np.sort(cos, axis=0)[-MARGIN_K:, :].mean(0)   # top-k per tgt
+    margin = np.round(cos / ((ax[:, None] + ay[None, :]) / 2), 6)
+    expect = set()
+    for i, src in enumerate(ids[BITEXT_SRC_LANG]):
+        j = int(np.lexsort((ids[BITEXT_TGT_LANG], -margin[i]))[0])
+        if margin[i, j] >= MARGIN_THRESHOLD:
+            expect.add((src, ids[BITEXT_TGT_LANG][j]))
+    assert mined == expect
+
+
+def test_bitext_mine_one_pair_per_source_above_threshold(spark):
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        MARGIN_THRESHOLD, bitext_mine)
+
+    rows = bitext_mine(load_table(spark, SF, "embeddings"),
+                       load_table(spark, SF, "documents")).collect()
+    assert rows, "fixture yields no mined pairs — threshold drifted"
+    srcs = [r.src_id for r in rows]
+    assert len(srcs) == len(set(srcs)), "a source mined twice"
+    assert all(r.margin >= MARGIN_THRESHOLD for r in rows)
+
+
+def test_kcenter_matches_numpy_audit(spark, emb):
+    """Independent numpy replay of the greedy farthest-point sweep
+    (third implementation after Spark and the DuckDB oracle): same
+    9-dp rounding, same (dmin DESC, vec_id) tie order."""
+    import numpy as np
+
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        K_CENTERS, kcenter_coreset)
+
+    rows = kcenter_coreset(emb).collect()
+    got = [(r.sel_order, r.vec_id, r.radius) for r in rows]
+
+    ep = emb.toPandas().sort_values("vec_id")
+    ids = ep.vec_id.to_numpy()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in ep.embedding])
+    seed = int(np.nonzero(ids == 0)[0][0])
+    dmin = np.round(((X - X[seed]) ** 2).sum(1), 9)
+    expect = [(0, 0, None)]
+    for t in range(1, K_CENTERS):
+        # argmax by (dmin DESC, vec_id ASC)
+        j = int(np.lexsort((ids, -dmin))[0])
+        expect.append((t, int(ids[j]), float(dmin[j])))
+        dmin = np.minimum(dmin, np.round(((X - X[j]) ** 2).sum(1), 9))
+    assert got == expect
+
+
+def test_kcenter_radius_non_increasing(spark, emb):
+    """The greedy invariant that certifies the 2-approximation: each
+    pick's max-min distance can only shrink as centers accumulate."""
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        kcenter_coreset)
+
+    rows = sorted(kcenter_coreset(emb).collect(),
+                  key=lambda r: r.sel_order)
+    assert rows[0].radius is None and rows[0].vec_id == 0
+    radii = [r.radius for r in rows[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+    assert len({r.vec_id for r in rows}) == len(rows), "center re-picked"
