@@ -333,6 +333,10 @@ HEADLINE = [
     "q_proto_prune",
     "q_bitext_mine",
     "q_kcenter_coreset",
+    # round 11: the ordering stage of the mix pipeline (per-source
+    # window + closed-form interleave; the corpus-wide tokenize is
+    # the real cost)
+    "q_curriculum_order",
 ]
 
 

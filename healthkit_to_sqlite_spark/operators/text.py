@@ -81,6 +81,50 @@ def quality_scores(documents: DataFrame) -> DataFrame:
         (n_alpha / F.col("n_chars")).alias("alpha_ratio"))
 
 
+def curriculum_order(documents: DataFrame) -> DataFrame:
+    """Curriculum ordering with source interleaving (Bengio et al.
+    2009; the deterministic data-ordering stage that writes a
+    training manifest): difficulty = CONTENT-token count (non-stopword
+    whitespace tokens — an exact integer, so the ordering is
+    engine-identical under (difficulty, doc_id) ties), easy→hard
+    within each source, then sources interleave round-robin — the
+    global order is (intra_rank, source) — so no training window is a
+    single-source burst.  Ordering composes with the quota deciders
+    (`q_token_budget_mix` / `q_temperature_sample` pick HOW MUCH per
+    source; this picks WHAT ORDER the mix streams in).
+
+    Shape: the intra-source rank is one window per source
+    (n/|sources| rows per partition); the GLOBAL position is CLOSED
+    FORM from the per-source counts — pos(r, s) = Σ_{s'} min(cnt_s',
+    r−1) + |{s' ≤ s : cnt_s' ≥ r}| — folded into a literal integer
+    expression from a bounded collect (one row per source; sources
+    are a bounded dimension).  No global sort, no rank-composition
+    join: the only exchange is the per-source window's.  All-integer
+    math, so both engines agree bit-for-bit."""
+    toks = ws_tokens("text")
+    difficulty = F.size(toks) - _hits(toks, LANG_MARKERS["en"])
+    scored = documents.select("doc_id", "source",
+                              difficulty.alias("difficulty"))
+    # bounded collect: one row per source (|sources| = 5 here; a
+    # bounded dimension at any scale — the mixture tables' grain)
+    counts = {r.source: r.n for r in
+              scored.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    from pyspark.sql import Window
+    w = Window.partitionBy("source").orderBy("difficulty", "doc_id")
+    ranked = scored.select("*", F.row_number().over(w).alias("intra_rank"))
+    r = F.col("intra_rank")
+    srcs = sorted(counts)
+    before = sum((F.least(F.lit(counts[s]), r - 1) for s in srcs),
+                 F.lit(0))
+    same_rank = sum((F.when((F.lit(counts[s]) >= r)
+                            & (F.lit(s) <= F.col("source")), 1)
+                     .otherwise(0) for s in srcs), F.lit(0))
+    return ranked.select(
+        "doc_id", "source", "difficulty", "intra_rank",
+        (before + same_rank).cast("bigint").alias("global_pos"))
+
+
 def bpe_ish_token_count(documents: DataFrame) -> DataFrame:
     """Token counting with a BPE-ish regex (letter runs / digit runs /
     single punctuation), the standard pre-tokenizer shape; plus the
@@ -3027,6 +3071,29 @@ SPECS: dict[str, Spec] = {
         FROM documents
         """,
         "quality scoring (length/stopword/alpha ratios)"),
+    "q_curriculum_order": Spec(
+        lambda spark, sf: curriculum_order(load_table(spark, sf,
+                                                      "documents")),
+        f"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) - {_HITS_SQL['en']}
+                      AS INT) AS difficulty
+          FROM documents),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY difficulty, doc_id) AS intra_rank
+          FROM d)
+        SELECT doc_id, source, difficulty,
+               CAST(intra_rank AS INT) AS intra_rank,
+               ROW_NUMBER() OVER (ORDER BY intra_rank, source)
+                 AS global_pos
+        FROM r
+        """,
+        "curriculum ordering + source interleave (easy→hard per "
+        "source by content-token count, round-robin across sources); "
+        "global position is closed-form from per-source counts — no "
+        "global sort"),
     "q_token_count_bpe": Spec(
         lambda spark, sf: bpe_ish_token_count(load_table(spark, sf, "documents")),
         r"""

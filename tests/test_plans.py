@@ -853,3 +853,17 @@ def test_bitext_single_fold_chain(spark, specs):
     # formatted explain prints each node twice (tree + details):
     # exactly one BNLJ node => exactly two mentions
     assert plan.count("BroadcastNestedLoopJoin") == 2
+
+
+def test_curriculum_order_no_global_sort(spark, specs):
+    # the closed-form interleave keeps the plan to ONE window
+    # exchange (per source); the reference definition's global
+    # ROW_NUMBER would need a range-partitioned (or worse, single-
+    # partition) global sort — neither may appear
+    df = specs["q_curriculum_order"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "rangepartitioning" not in plan.lower()
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    cols = read_schema_columns(df)
+    assert "text" in cols and "n_chars" not in cols

@@ -80,3 +80,31 @@ def test_prune_top_m_merge_monotone(spark, docs, m, split):
     rebuild = _prune_top_m(df, m)
     assert sorted(map(tuple, merged.collect())) \
         == sorted(map(tuple, rebuild.collect()))
+
+
+def test_curriculum_closed_form_position_property():
+    """Property (hypothesis, pure Python — no Spark): the literal-
+    folded interleave formula pos(r, s) = Σ_s' min(cnt_s', r−1) +
+    |{s' ≤ s : cnt_s' ≥ r}| equals ROW_NUMBER() OVER (ORDER BY
+    intra_rank, source) for ANY per-source count multiset, not just
+    the fixture's.  This is the math q_curriculum_order folds into a
+    Spark expression; a counterexample here means the kernel and its
+    oracle would both be wrong in the same way the fixture can't
+    see."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=9),
+                    min_size=1, max_size=6))
+    def check(counts):
+        srcs = [f"s{i}" for i in range(len(counts))]
+        cnt = dict(zip(srcs, counts))
+        tuples = sorted((r, s) for s in srcs
+                        for r in range(1, cnt[s] + 1))
+        for expect, (r, s) in enumerate(tuples, start=1):
+            before = sum(min(cnt[s2], r - 1) for s2 in srcs)
+            same = sum(1 for s2 in srcs if cnt[s2] >= r and s2 <= s)
+            assert before + same == expect, (counts, r, s)
+
+    check()

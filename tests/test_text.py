@@ -978,3 +978,37 @@ def test_suffix_ranks_match_python_reference(spark):
     assert got[(2, 0)] < got[(0, 3)]
     # truncation: docs 3 and 4 agree through SUFFIX_W tokens at pos 0
     assert got[(3, 0)] == got[(4, 0)]
+
+
+def test_curriculum_order_is_interleaved_permutation(spark):
+    """Global positions are a permutation of 1..n; the first
+    |sources| positions are each source's EASIEST doc in source
+    order; within each source positions are strictly increasing in
+    intra_rank (round-robin never reorders a source's own stream)."""
+    from healthkit_to_sqlite_spark.operators.text import curriculum_order
+
+    df = curriculum_order(load_table(spark, SF, "documents")).toPandas()
+    n = len(df)
+    assert sorted(df.global_pos) == list(range(1, n + 1))
+    srcs = sorted(df.source.unique())
+    first = df.sort_values("global_pos").head(len(srcs))
+    assert list(first.source) == srcs
+    assert (first.intra_rank == 1).all()
+    for _, grp in df.groupby("source"):
+        g = grp.sort_values("intra_rank")
+        assert g.global_pos.is_monotonic_increasing
+        # easy→hard within the source
+        assert g.difficulty.is_monotonic_increasing
+
+
+def test_curriculum_closed_form_matches_global_rank(spark):
+    """The literal-folded position formula equals the reference
+    definition ROW_NUMBER() OVER (ORDER BY intra_rank, source),
+    replayed in pandas."""
+    from healthkit_to_sqlite_spark.operators.text import curriculum_order
+
+    df = curriculum_order(load_table(spark, SF, "documents")).toPandas()
+    ref = (df.sort_values(["intra_rank", "source"])
+           .reset_index(drop=True))
+    ref["expect"] = range(1, len(ref) + 1)
+    assert (ref.global_pos == ref.expect).all()
