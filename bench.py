@@ -337,6 +337,9 @@ HEADLINE = [
     # window + closed-form interleave; the corpus-wide tokenize is
     # the real cost)
     "q_curriculum_order",
+    # round 11: near-match decontamination — the corpus-side x6
+    # skip-gram variant explode is 6x the exact audit's volume
+    "q_decontaminate_fuzzy",
 ]
 
 

@@ -603,6 +603,56 @@ def decontaminate(documents: DataFrame, n: int = DECON_NGRAM,
             .agg(F.count(F.lit(1)).alias("n_shared")))
 
 
+#: Wildcard token for skip-gram variants — a control byte that cannot
+#: appear in whitespace-split text, so variant equality is exact.
+DECON_SENTINEL = "\x01"
+
+#: Fuzzy matching needs LONGER grams than exact: Hamming ≤ 1 on a
+#: 4-gram is just 3 same-position tokens — 80 % of this corpus
+#: "matches" (measured 395/490 docs at sf0.01).  At 6 the flag rate
+#: is 3/490 (sf0.01) and 212/4900 (sf0.1) — a plausible
+#: contamination audit, the same reason production exact audits run
+#: 8-13-grams while this synthetic corpus's shorter docs peak at 6.
+FUZZY_NGRAM = 6
+
+
+def decontaminate_fuzzy(documents: DataFrame, n: int = FUZZY_NGRAM,
+                        bench_mod: int = BENCH_MOD) -> DataFrame:
+    """NEAR-match benchmark decontamination: find training documents
+    sharing an n-gram within token-Hamming distance ≤ 1 of the eval
+    set — the guard exact n-gram overlap misses when leakage is
+    near-verbatim (one token rephrased/typoed/renumbered), the gap the
+    eval-contamination literature flags in exact-match audits.
+
+    Mechanics: each n-gram expands to its n SKIP-GRAM variants (token
+    at position i replaced by a sentinel).  Two n-grams share a
+    same-position variant **iff** their token-Hamming distance ≤ 1, so
+    a plain equi-join on variant strings IS the fuzzy match — no
+    edit-distance UDF, no verification pass.  Shape at 100 TB: the
+    corpus-side ×n variant explode stays distributed (map-only); the
+    benchmark variant inventory is eval-bounded ×n (still tiny) →
+    BROADCAST join, corpus grams never shuffle; the per-doc count is
+    the one groupBy.  Returns (doc_id, n_fuzzy) = how many DISTINCT
+    n-grams of the doc have a fuzzy benchmark match (superset of the
+    exact matches — exact overlap shares all n variants)."""
+    from .dedup import word_shingles
+
+    grams = word_shingles(documents, k=n)
+    toks = F.split(F.col("shingle"), " ")
+    variants = [F.concat_ws(" ", F.concat(
+        F.slice(toks, 1, i - 1),
+        F.array(F.lit(DECON_SENTINEL)),
+        F.slice(toks, i + 1, n - i))) for i in range(1, n + 1)]
+    v = grams.select("doc_id", "shingle",
+                     F.explode(F.array(*variants)).alias("skipgram"))
+    bench = (v.filter(F.col("doc_id") % bench_mod == 0)
+             .select("skipgram").distinct())
+    return (v.filter(F.col("doc_id") % bench_mod != 0)
+            .join(F.broadcast(bench), "skipgram")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("shingle").alias("n_fuzzy")))
+
+
 # --- mixture sampling ------------------------------------------------------
 
 EN_HEX = "0123456789ab"   # 12/16 = 75 % keep rate for English
@@ -2798,6 +2848,32 @@ SPECS: dict[str, Spec] = {
         GROUP BY g.doc_id
         """,
         "benchmark decontamination: n-gram overlap vs eval set (broadcast join)"),
+    "q_decontaminate_fuzzy": Spec(
+        lambda spark, sf: decontaminate_fuzzy(
+            load_table(spark, sf, "documents")),
+        f"""
+        WITH grams AS ({_shingles_sql(FUZZY_NGRAM)}),
+        v AS (
+          SELECT doc_id, shingle,
+                 array_to_string(list_concat(list_concat(
+                     list_slice(toks, 1, i - 1), [chr(1)]),
+                     list_slice(toks, i + 1, {FUZZY_NGRAM})), ' ')
+                   AS skipgram
+          FROM (SELECT doc_id, shingle,
+                       string_split(shingle, ' ') AS toks FROM grams),
+               (SELECT unnest(range(1, {FUZZY_NGRAM + 1})) AS i) ix),
+        bench AS (
+          SELECT DISTINCT skipgram FROM v WHERE doc_id % {BENCH_MOD} = 0)
+        SELECT g.doc_id,
+               CAST(COUNT(DISTINCT g.shingle) AS BIGINT) AS n_fuzzy
+        FROM v g JOIN bench USING (skipgram)
+        WHERE g.doc_id % {BENCH_MOD} <> 0
+        GROUP BY g.doc_id
+        """,
+        "near-match decontamination: same-position skip-gram equality "
+        "IS token-Hamming<=1 — the one-token-rephrased leakage exact "
+        "n-gram audits miss; corpus variants map-only, eval variants "
+        "broadcast"),
     "q_stratified_sample": Spec(
         lambda spark, sf: stratified_sample(load_table(spark, sf, "documents")),
         f"""

@@ -11,7 +11,7 @@ leaving timeseries/multimodal/pipeline/udx unverified).  ``PRIORITY``
 pins the verification window each round: queries whose semantics
 changed this round plus queries with no driver row yet come first,
 then the reference §2.A/§2.B parity surface, then the long-green
-remainder.  Everything (221 queries as of round 11) still runs in
+remainder.  Everything (222 queries as of round 11) still runs in
 tests/parity.py, whose committed PARITY_r{N}.json covers the overflow.
 
 The window contract is self-tested: tests/test_registry.py asserts
@@ -54,7 +54,7 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = ()
 #: surface.  Names not listed (or not registered) follow in module
 #: order; unknown names here are ignored, so the list is safe to
 #: curate ahead of the code — but the FIRST 50 are contract (see
-#: tests/test_registry.py).  (221 queries as of round 11.)
+#: tests/test_registry.py).  (222 queries as of round 11.)
 PRIORITY: tuple[str, ...] = (
     # ---- round-11 window (slots 1-50) -----------------------------
     # DERIVED (see DERIVED_FOR_ROUND): never-driver-checked queries +
@@ -64,12 +64,13 @@ PRIORITY: tuple[str, ...] = (
     # two round-10 erasure queries (q_dv_fraction / q_ann_dv_rewrite,
     # registered after the r10 rotation commit — VERDICT r10 item 1)
     # plus round 11's q_ann_retrain / q_proto_prune / q_bitext_mine /
-    # q_kcenter_coreset / q_curriculum_order (each re-derived IN the
-    # same commit that registers it — the r10 failure mode), then the
-    # 18 remaining r06 rows and the oldest 25 r07 rows.
+    # q_kcenter_coreset / q_curriculum_order / q_decontaminate_fuzzy
+    # (each re-derived IN the same commit that registers it — the r10
+    # failure mode), then the 18 remaining r06 rows and the oldest 24
+    # r07 rows.
     "q_dv_fraction", "q_ann_dv_rewrite", "q_ann_retrain",
     "q_proto_prune", "q_bitext_mine", "q_kcenter_coreset",
-    "q_curriculum_order",
+    "q_curriculum_order", "q_decontaminate_fuzzy",
     "q_manifest_roundtrip",
     "q_merge_upsert", "q_multimodal_decode", "q_multimodal_meta",
     "q_pack_sequences", "q_pca_project", "q_pii_scrub", "q_pipeline_e2e",
@@ -82,11 +83,11 @@ PRIORITY: tuple[str, ...] = (
     "q_bpe_fertility", "q_bpe_pairs", "q_cms_counts", "q_corpus_profile",
     "q_dedup_embedding", "q_dedup_from_index", "q_dedup_index_append",
     "q_dedup_keep_best", "q_dedup_semantic", "q_entity_resolution", "q_ewma",
-    "q_first_touch", "q_graph_jaccard", "q_hybrid_from_index",
+    "q_first_touch", "q_graph_jaccard",
     # ---- overflow (covered by PARITY_r11.json) ---------------------
     # the displaced fill tail, then the round-10 window, the round-9
     # window, and the remaining r07/r08 rows in their prior order
-    "q_incremental_agg",
+    "q_hybrid_from_index", "q_incremental_agg",
     "q_ivf_postings", "q_kll_merge", "q_manifest_merge", "q_mmr_rerank",
     "q_fingerprint", "q_flagship", "q_group_agg", "q_group_ols",
     "q_json_extract", "q_kv_pivot", "q_lang_id", "q_linestring",

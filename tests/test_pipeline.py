@@ -1502,3 +1502,51 @@ def test_skew_adaptive_join_decision_and_partition(spark):
               .groupBy("user_id")
               .agg(F.countDistinct("s").alias("ns")).collect())
     assert all(r.ns > 1 for r in spread)
+
+
+def test_decontaminate_fuzzy_catches_one_token_rewrite(spark):
+    """A training doc sharing a 6-gram with the bench set EXCEPT one
+    substituted token is invisible to the exact audit and flagged by
+    the fuzzy one; a 2-token rewrite stays invisible to both (Hamming
+    > 1); exact contamination is a subset of fuzzy."""
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        BENCH_MOD, decontaminate, decontaminate_fuzzy)
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (BENCH_MOD, bench_text),                            # eval doc
+        (1, "alpha beta gamma delta epsilon zeta tail"),    # exact copy
+        (2, "alpha beta gamma REWRITE epsilon zeta"),       # 1-token swap
+        (3, "alpha beta OTHER delta epsilon WORDS"),        # 2-token swap
+        (4, "completely unrelated text with no overlap at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {r.doc_id for r in decontaminate(docs, n=6).collect()}
+    fuzzy = {r.doc_id: r.n_fuzzy
+             for r in decontaminate_fuzzy(docs, n=6).collect()}
+    assert 1 in exact and 2 not in exact and 3 not in exact
+    assert 1 in fuzzy and 2 in fuzzy
+    assert 3 not in fuzzy and 4 not in fuzzy
+    assert exact <= set(fuzzy)
+
+
+def test_skipgram_equality_is_hamming_leq_one():
+    """The join's correctness claim, as a pure property: two n-grams
+    share a same-position skip-gram variant iff token-Hamming ≤ 1
+    (hypothesis over small random token tuples)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tok = st.sampled_from(["a", "b", "c"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.tuples(tok, tok, tok, tok), st.tuples(tok, tok, tok, tok))
+    def check(g1, g2):
+        def variants(g):
+            return {(i, g[:i] + ("\x01",) + g[i + 1:])
+                    for i in range(len(g))}
+        share = bool(variants(g1) & variants(g2))
+        hamming = sum(a != b for a, b in zip(g1, g2))
+        assert share == (hamming <= 1)
+
+    check()

@@ -867,3 +867,17 @@ def test_curriculum_order_no_global_sort(spark, specs):
     assert "CartesianProduct" not in plan
     cols = read_schema_columns(df)
     assert "text" in cols and "n_chars" not in cols
+
+
+def test_decontaminate_fuzzy_broadcasts_eval_variants(spark, specs):
+    # same contract as the exact audit: the eval-side variant
+    # inventory broadcasts; corpus variants never shuffle for the
+    # match (the one exchange is the per-doc count's groupBy)
+    df = specs["q_decontaminate_fuzzy"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    # three exchanges, none corpus-sized: the eval-side DISTINCT
+    # (eval-bounded rows), then countDistinct's two-phase pair —
+    # both over only the MATCHED subset, never the x6 variant stream
+    assert shuffle_count(df) == 3
