@@ -1067,3 +1067,65 @@ def test_kcenter_radius_non_increasing(spark, emb):
     radii = [r.radius for r in rows[1:]]
     assert all(a >= b for a, b in zip(radii, radii[1:])), radii
     assert len({r.vec_id for r in rows}) == len(rows), "center re-picked"
+
+
+def test_bitext_margin_rejects_hub_targets(spark):
+    """The reason the margin beats a raw-cosine threshold (Artetxe &
+    Schwenk §3): a HUB target — near everything on the source side —
+    is every source's top raw-cosine candidate, but its own k-NN mean
+    (the denominator) is just as high, so its margin ≈ 1 and mining
+    prefers the genuinely-aligned target instead.  Constructed case:
+    y_hub sits at the centroid of all sources (uniformly close);
+    y_pair is close to x0 only.  Raw cosine would pair x0→y_hub;
+    margin must pick x0→y_pair."""
+    from pyspark.sql import Row
+
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        bitext_mine, cosine_similarity)
+    from pyspark.sql import functions as F
+
+    def v(*xs):
+        return [float(x) for x in xs] + [0.0] * (4 - len(xs))
+
+    # sources orthogonal; hub at the diagonal (cos 1/sqrt(3)=0.577 to
+    # every source — raw top-1 for all of them); pair at cos 0.55 to
+    # x0 only.  margins (k=2): hub = 0.577/((0.564+0.577)/2) ≈ 1.01,
+    # pair = 0.55/((0.564+0.275)/2) ≈ 1.31 — the hub's own k-NN mean
+    # (denominator) eats its raw-cosine lead.
+    emb = spark.createDataFrame([
+        Row(vec_id=0, embedding=v(1, 0, 0)),          # x0 (en)
+        Row(vec_id=1, embedding=v(0, 1, 0)),          # x1 (en)
+        Row(vec_id=2, embedding=v(0, 0, 1)),          # x2 (en)
+        Row(vec_id=3, embedding=v(1, 1, 1)),          # y_hub (de)
+        Row(vec_id=4, embedding=v(0.55, 0, 0, 0.8352)),  # y_pair (de)
+        Row(vec_id=5, embedding=v(0, 0, 0, -1)),      # y_far (de)
+        Row(vec_id=6, embedding=v(-0.7, -0.7, 0)),    # y_far2 (de)
+    ], "vec_id long, embedding array<float>")
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 3 else "de") for i in range(7)],
+        "doc_id long, lang string")
+
+    # raw cosine WOULD pick the hub for x0
+    raw = (emb.filter(F.col("vec_id") == 0)
+           .select(F.col("embedding").alias("q")).crossJoin(
+               emb.filter(F.col("vec_id") >= 3))
+           .select("vec_id",
+                   cosine_similarity(F.col("embedding"),
+                                     F.col("q")).alias("c"))
+           .orderBy(F.col("c").desc()).first())
+    assert raw.vec_id == 3, "fixture broken: hub is not raw-top1"
+
+    mined = {r.src_id: r.tgt_id
+             for r in bitext_mine(emb, docs, k=2, threshold=1.0).collect()}
+    assert mined.get(0) == 4, f"margin must reject the hub, got {mined}"
+
+
+def test_proto_prune_drop_frac_edges(spark, emb):
+    """drop_frac=0 keeps the whole corpus (ceil(0)=0); drop_frac=1
+    drops everything (ceil(cnt)=cnt) — the integer cutoff has no
+    float edge at either end."""
+    from healthkit_to_sqlite_spark.operators.similarity import proto_prune
+
+    n = emb.count()
+    assert proto_prune(emb, drop_frac=0.0).count() == n
+    assert proto_prune(emb, drop_frac=1.0).count() == 0
