@@ -634,10 +634,20 @@ def decontaminate_fuzzy(documents: DataFrame, n: int = FUZZY_NGRAM,
     BROADCAST join, corpus grams never shuffle; the per-doc count is
     the one groupBy.  Returns (doc_id, n_fuzzy) = how many DISTINCT
     n-grams of the doc have a fuzzy benchmark match (superset of the
-    exact matches — exact overlap shares all n variants)."""
+    exact matches — exact overlap shares all n variants).
+
+    Grams are filtered to EXACTLY n tokens before variant expansion
+    (ADVICE r11): word_shingles emits one truncated shingle for a doc
+    with < n tokens, and its trailing-sentinel variants would collide
+    with any benchmark n-gram sharing the first m tokens — a
+    false-positive class outside the token-Hamming ≤ 1 contract (and
+    positions past the end produced duplicate variants).  A doc
+    shorter than n tokens simply has no n-grams to audit, the same
+    convention production exact audits apply at 8-13-grams."""
     from .dedup import word_shingles
 
-    grams = word_shingles(documents, k=n)
+    grams = (word_shingles(documents, k=n)
+             .filter(F.size(F.split(F.col("shingle"), " ")) == n))
     toks = F.split(F.col("shingle"), " ")
     variants = [F.concat_ws(" ", F.concat(
         F.slice(toks, 1, i - 1),
@@ -2860,7 +2870,8 @@ SPECS: dict[str, Spec] = {
                      list_slice(toks, i + 1, {FUZZY_NGRAM})), ' ')
                    AS skipgram
           FROM (SELECT doc_id, shingle,
-                       string_split(shingle, ' ') AS toks FROM grams),
+                       string_split(shingle, ' ') AS toks FROM grams
+                WHERE len(string_split(shingle, ' ')) = {FUZZY_NGRAM}),
                (SELECT unnest(range(1, {FUZZY_NGRAM + 1})) AS i) ix),
         bench AS (
           SELECT DISTINCT skipgram FROM v WHERE doc_id % {BENCH_MOD} = 0)

@@ -248,10 +248,15 @@ def _l2sq(a: Column, b: Column) -> Column:
         F.lit(0.0), lambda acc, v: acc + v)
 
 
-def _assign_cells(embeddings: DataFrame, cent: DataFrame) -> DataFrame:
+def _assign_cells(embeddings: DataFrame, cent: DataFrame,
+                  keep_dist: bool = False) -> DataFrame:
     """Nearest-centroid assignment (L2, ties → lowest cid): centroid
     table broadcast, one scan over the vectors.  Distances round to
     9 dp so cross-engine last-bit drift can't flip an argmin.
+    ``keep_dist=True`` carries the argmin distance through (the
+    prototypicality score) — one assignment body for every consumer
+    instead of a third copy of the rounding/tie discipline (ADVICE
+    r11).
 
     The argmin is ``min(struct(dist, cid))`` — lexicographic struct
     ordering IS the (dist, then cid) tie discipline — NOT a
@@ -267,9 +272,11 @@ def _assign_cells(embeddings: DataFrame, cent: DataFrame) -> DataFrame:
          .crossJoin(F.broadcast(cent))
          .select("vec_id", "cid",
                  F.round(_l2sq(F.col("embedding"), F.col("cemb")), 9).alias("dist")))
-    return (d.groupBy("vec_id")
-            .agg(F.min(F.struct("dist", "cid")).alias("m"))
-            .select("vec_id", F.col("m.cid").alias("cell")))
+    assigned = (d.groupBy("vec_id")
+                .agg(F.min(F.struct("dist", "cid")).alias("m"))
+                .select("vec_id", F.col("m.cid").alias("cell"),
+                        F.col("m.dist").alias("dist")))
+    return assigned if keep_dist else assigned.drop("dist")
 
 
 def kmeans_centroids(embeddings: DataFrame, n_centroids: int = N_CENTROIDS,
@@ -2465,15 +2472,7 @@ def proto_prune(embeddings: DataFrame, drop_frac: float = PROTO_DROP,
     ``ceil(cnt·drop_frac)`` keeps the keep-set exact cross-engine (no
     percentile float edge).  Deterministic ties: (dist, vec_id)."""
     cent = kmeans_centroids(embeddings, n_centroids, iters)
-    d = (embeddings.select("vec_id", "embedding")
-         .crossJoin(F.broadcast(cent))
-         .select("vec_id", "cid",
-                 F.round(_l2sq(F.col("embedding"), F.col("cemb")), 9)
-                 .alias("dist")))
-    assigned = (d.groupBy("vec_id")
-                .agg(F.min(F.struct("dist", "cid")).alias("m"))
-                .select("vec_id", F.col("m.cid").alias("cell"),
-                        F.col("m.dist").alias("dist")))
+    assigned = _assign_cells(embeddings, cent, keep_dist=True)
     from pyspark.sql import Window
     w = Window.partitionBy("cell").orderBy("dist", "vec_id")
     wc = Window.partitionBy("cell")
@@ -2527,8 +2526,10 @@ def bitext_mine(embeddings: DataFrame, documents: DataFrame,
     reusable — the fold would run 3× (exchange-reuse needs identical
     subtrees; pinned in test_plans).  Float discipline: cosines round
     to 9 dp before any ranking; the k-NN means accumulate in
-    DECIMAL(30,10) (order-independent, bit-identical cross-engine);
-    margins round to 6 dp and tie-break by tgt_id."""
+    DECIMAL(30,10) (order-independent, bit-identical cross-engine)
+    and divide by least(k, side count) — a side with fewer than k
+    candidates means over what it has (ADVICE r11); margins round to
+    6 dp and tie-break by tgt_id."""
     langs = documents.select(F.col("doc_id").alias("vec_id"), "lang")
     sides = (embeddings.join(F.broadcast(langs), "vec_id")
              .select("vec_id", "lang", "embedding",
@@ -2548,10 +2549,15 @@ def bitext_mine(embeddings: DataFrame, documents: DataFrame,
     wy = Window.partitionBy("tgt_id").orderBy(F.col("cos").desc(), "src_id")
 
     def knn_mean(rank_col: str, part: str) -> Column:
+        # denominator = least(k, candidate count): a side with fewer
+        # than k candidates means over the ACTUAL count — matching the
+        # numpy audit's .mean() and the oracle's COUNT(*) (a constant-k
+        # divisor underestimated the mean on short sides, ADVICE r11)
+        w = Window.partitionBy(part)
         top = F.when(F.col(rank_col) <= k,
                      F.col("cos").cast("decimal(30,10)"))
-        return (F.sum(top).over(Window.partitionBy(part)).cast("double")
-                / k)
+        return (F.sum(top).over(w).cast("double")
+                / F.least(F.lit(k), F.count(F.lit(1)).over(w)))
 
     scored = (pairs
               .withColumn("rnx", F.row_number().over(wx))
@@ -2589,7 +2595,10 @@ def kcenter_coreset(embeddings: DataFrame, k: int = K_CENTERS) -> DataFrame:
     bounded 1-row collect (the selected set itself is ≤k rows — the
     PCA/MMR collect discipline); ``localCheckpoint`` truncates the
     k-deep lineage each round exactly like the Lloyd chain.
-    Determinism: distances round to 9 dp, ties break by vec_id."""
+    Determinism: distances round to 9 dp, ties break by vec_id; the
+    seed is the MINIMUM vec_id (deterministic for any corpus — a
+    hard-coded id 0 raised a bare IndexError on corpora without it,
+    ADVICE r11)."""
     spark = embeddings.sparkSession
     base = embeddings.select("vec_id", "embedding")
 
@@ -2597,8 +2606,12 @@ def kcenter_coreset(embeddings: DataFrame, k: int = K_CENTERS) -> DataFrame:
         lits = F.array(*[F.lit(float(v)) for v in vec])
         return F.round(_l2sq(F.col("embedding"), lits), 9)
 
-    # bounded collect: the seed row (1 row)
-    seed = base.filter(F.col("vec_id") == 0).collect()[0]
+    # bounded collect: the seed row (1 row; TakeOrdered heap)
+    seed_rows = base.orderBy("vec_id").limit(1).collect()
+    if not seed_rows:
+        raise ValueError("kcenter_coreset: empty embedding corpus — "
+                         "no seed row to select")
+    seed = seed_rows[0]
     d = base.select("vec_id", "embedding",
                     dist_to(seed.embedding).alias("dmin"))
     picks = [(0, int(seed.vec_id), None)]
@@ -2625,7 +2638,7 @@ def _kcenter_oracle_sql(k: int = K_CENTERS) -> str:
     d0 AS MATERIALIZED (
       SELECT e.vec_id, e.emb,
              {_L2_SQL.format(e='e.emb', c='c.emb')} AS dmin
-      FROM e, (SELECT emb FROM e WHERE vec_id = 0) c)"""]
+      FROM e, (SELECT emb FROM e ORDER BY vec_id LIMIT 1) c)"""]
     for t in range(1, k):
         parts.append(f"""p{t} AS MATERIALIZED (
       SELECT vec_id, dmin FROM d{t - 1}
@@ -2642,7 +2655,8 @@ def _kcenter_oracle_sql(k: int = K_CENTERS) -> str:
     chain = ",\n    ".join(parts)
     return f"""
     WITH {chain}
-    SELECT CAST(0 AS INT) AS sel_order, CAST(0 AS BIGINT) AS vec_id,
+    SELECT CAST(0 AS INT) AS sel_order,
+           CAST((SELECT MIN(vec_id) FROM e) AS BIGINT) AS vec_id,
            CAST(NULL AS DOUBLE) AS radius
     UNION ALL {unions}
     ORDER BY sel_order
@@ -4112,7 +4126,7 @@ SPECS: dict[str, Spec] = {
         kx AS (
           SELECT src_id,
                  CAST(SUM(CAST(cos AS DECIMAL(30,10))) AS DOUBLE)
-                   / {MARGIN_K} AS ax
+                   / COUNT(*) AS ax
           FROM (SELECT src_id, cos,
                        ROW_NUMBER() OVER (PARTITION BY src_id
                            ORDER BY cos DESC, tgt_id) AS rn FROM p)
@@ -4120,7 +4134,7 @@ SPECS: dict[str, Spec] = {
         ky AS (
           SELECT tgt_id,
                  CAST(SUM(CAST(cos AS DECIMAL(30,10))) AS DOUBLE)
-                   / {MARGIN_K} AS ay
+                   / COUNT(*) AS ay
           FROM (SELECT tgt_id, cos,
                        ROW_NUMBER() OVER (PARTITION BY tgt_id
                            ORDER BY cos DESC, src_id) AS rn FROM p)

@@ -37,7 +37,7 @@ from .spec import Spec
 #: artifact NEWER than this round exists — i.e. a whole rotation was
 #: skipped.  Bump this and re-derive PRIORITY at the start of each
 #: round.
-DERIVED_FOR_ROUND: int = 11
+DERIVED_FOR_ROUND: int = 12
 
 #: Queries whose kernels/oracles CHANGED this round — the one input
 #: to the window derivation that cannot be recomputed from committed
@@ -46,7 +46,12 @@ DERIVED_FOR_ROUND: int = 11
 #: round; tests/test_registry.py derives the mandatory window from
 #: (new ∪ TOUCHED) + oldest-rows backfill and fails naming any
 #: dropped query.
-TOUCHED_THIS_ROUND: tuple[str, ...] = ()
+TOUCHED_THIS_ROUND: tuple[str, ...] = (
+    "q_bitext_mine",          # k-NN mean divides by least(k, side count)
+    "q_kcenter_coreset",      # seed = MIN(vec_id), empty-corpus error
+    "q_decontaminate_fuzzy",  # grams filtered to exactly n tokens
+    "q_proto_prune",          # assignment via shared _assign_cells
+)
 
 #: Names the driver must re-verify this round, in order: (1) queries
 #: fixed/changed since their last green row, (2) queries that have
@@ -56,39 +61,46 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = ()
 #: curate ahead of the code — but the FIRST 50 are contract (see
 #: tests/test_registry.py).  (222 queries as of round 11.)
 PRIORITY: tuple[str, ...] = (
-    # ---- round-11 window (slots 1-50) -----------------------------
+    # ---- round-12 window (slots 1-50) -----------------------------
     # DERIVED (see DERIVED_FOR_ROUND): never-driver-checked queries +
     # TOUCHED_THIS_ROUND first, then the globally oldest driver rows
-    # from the CORRECTNESS_r01-r10 union sorted by (newest round,
+    # from the CORRECTNESS_r01-r11 union sorted by (newest round,
     # name) until the 50 slots fill.  As of this rotation that is the
-    # two round-10 erasure queries (q_dv_fraction / q_ann_dv_rewrite,
-    # registered after the r10 rotation commit — VERDICT r10 item 1)
-    # plus round 11's q_ann_retrain / q_proto_prune / q_bitext_mine /
-    # q_kcenter_coreset / q_curriculum_order / q_decontaminate_fuzzy
-    # (each re-derived IN the same commit that registers it — the r10
-    # failure mode), then the 18 remaining r06 rows and the oldest 24
-    # r07 rows.
-    "q_dv_fraction", "q_ann_dv_rewrite", "q_ann_retrain",
-    "q_proto_prune", "q_bitext_mine", "q_kcenter_coreset",
-    "q_curriculum_order", "q_decontaminate_fuzzy",
-    "q_manifest_roundtrip",
-    "q_merge_upsert", "q_multimodal_decode", "q_multimodal_meta",
-    "q_pack_sequences", "q_pca_project", "q_pii_scrub", "q_pipeline_e2e",
-    "q_posexplode", "q_repetition_signals", "q_salted_agg", "q_salted_join",
-    "q_sessionize", "q_sliding_window", "q_stratified_sample",
-    "q_topk_cosine_pandas", "q_tumbling_window", "q_udaf_median",
-    "q_analyze_stats", "q_ann_binary", "q_ann_ivf", "q_ann_ivfpq",
-    "q_ann_ivfpq_residual", "q_ann_pq", "q_autocorr", "q_big_orders",
-    "q_bm25_from_index", "q_bm25_index_append", "q_bpe_encode",
-    "q_bpe_fertility", "q_bpe_pairs", "q_cms_counts", "q_corpus_profile",
-    "q_dedup_embedding", "q_dedup_from_index", "q_dedup_index_append",
-    "q_dedup_keep_best", "q_dedup_semantic", "q_entity_resolution", "q_ewma",
-    "q_first_touch", "q_graph_jaccard",
-    # ---- overflow (covered by PARITY_r11.json) ---------------------
-    # the displaced fill tail, then the round-10 window, the round-9
-    # window, and the remaining r07/r08 rows in their prior order
-    "q_hybrid_from_index", "q_incremental_agg",
+    # four queries whose kernels/oracles changed with the r11 ADVICE
+    # fixes (bitext least-k denominator, kcenter min-vec_id seed,
+    # fuzzy-decon exact-n gram filter, proto-prune shared assignment),
+    # then the 24-query r07 tail and the oldest 22 r08 rows --- the
+    # full re-verification rotation reaching its oldest cohort.
+    "q_bitext_mine", "q_kcenter_coreset", "q_decontaminate_fuzzy",
+    "q_proto_prune", "q_hybrid_from_index", "q_incremental_agg",
     "q_ivf_postings", "q_kll_merge", "q_manifest_merge", "q_mmr_rerank",
+    "q_mrl_rerank", "q_nation_trade", "q_pivot", "q_quality_classifier",
+    "q_quality_classifier_eval", "q_quality_quantile", "q_range_frame",
+    "q_returned_customers", "q_scd2", "q_skyline", "q_snapshot_diff",
+    "q_snowflake_join", "q_span_scrub", "q_temporal_join", "q_theta_sets",
+    "q_window_analytics", "q_winnowing", "q_winnowing_pairs",
+    "q_ann_batch_queries", "q_anomaly_zscore", "q_approx_distinct",
+    "q_bloom_prune", "q_bm25_pruned", "q_bm25_pruned_append",
+    "q_cogroup_asof", "q_communities_lpa", "q_containment",
+    "q_correlated_scalar", "q_cube", "q_dedup_audit", "q_dedup_clusters",
+    "q_dedup_clusters_star", "q_embed_covariance", "q_expectations",
+    "q_full_outer", "q_funnel_join", "q_funnel_left", "q_gapfill",
+    "q_global_shuffle", "q_grouping_sets",
+
+    # ---- overflow (covered by tests/parity.py PARITY_r{N}) ---------
+    "q_dv_fraction", "q_ann_dv_rewrite", "q_ann_retrain",
+    "q_curriculum_order", "q_manifest_roundtrip", "q_merge_upsert",
+    "q_multimodal_decode", "q_multimodal_meta", "q_pack_sequences",
+    "q_pca_project", "q_pii_scrub", "q_pipeline_e2e", "q_posexplode",
+    "q_repetition_signals", "q_salted_agg", "q_salted_join", "q_sessionize",
+    "q_sliding_window", "q_stratified_sample", "q_topk_cosine_pandas",
+    "q_tumbling_window", "q_udaf_median", "q_analyze_stats", "q_ann_binary",
+    "q_ann_ivf", "q_ann_ivfpq", "q_ann_ivfpq_residual", "q_ann_pq",
+    "q_autocorr", "q_big_orders", "q_bm25_from_index", "q_bm25_index_append",
+    "q_bpe_encode", "q_bpe_fertility", "q_bpe_pairs", "q_cms_counts",
+    "q_corpus_profile", "q_dedup_embedding", "q_dedup_from_index",
+    "q_dedup_index_append", "q_dedup_keep_best", "q_dedup_semantic",
+    "q_entity_resolution", "q_ewma", "q_first_touch", "q_graph_jaccard",
     "q_fingerprint", "q_flagship", "q_group_agg", "q_group_ols",
     "q_json_extract", "q_kv_pivot", "q_lang_id", "q_linestring",
     "q_negative_pairs", "q_ngram_jaccard", "q_ntile", "q_partition_by_type",
@@ -117,25 +129,14 @@ PRIORITY: tuple[str, ...] = (
     "q_collect_events", "q_collect_stats_map", "q_conditional_agg",
     "q_date_parse", "q_dedup_exact", "q_dedup_near", "q_dedup_simhash",
     "q_embed_norms", "q_exists_in", "q_filter_between", "q_filter_or_isin",
-    "q_bm25_pruned_append", "q_ivf_rebalance", "q_skew_join_adaptive",
-    "q_embed_covariance", "q_communities_lpa", "q_ann_batch_queries",
-    "q_bm25_pruned", "q_anomaly_zscore", "q_approx_distinct", "q_bloom_prune",
-    "q_cogroup_asof", "q_containment", "q_correlated_scalar", "q_cube",
-    "q_dedup_audit", "q_dedup_clusters", "q_dedup_clusters_star",
-    "q_expectations", "q_full_outer", "q_funnel_join", "q_funnel_left",
-    "q_gapfill", "q_global_shuffle", "q_grouping_sets", "q_histogram",
-    "q_hll_merge", "q_mixture_rebalance", "q_moving_avg",
-    "q_multimodal_embed", "q_multimodal_frames", "q_multimodal_resize",
-    "q_ngram_counts", "q_pagerank", "q_percentiles", "q_quality_funnel",
-    "q_resample_ffill", "q_rollup", "q_semi_anti", "q_session_window",
-    "q_set_ops", "q_skew_report", "q_stateful_counts",
-    "q_topk_cosine_incremental", "q_train_split", "q_triangles", "q_unpivot",
-    "q_variant_extract", "q_vocab_topk", "q_quality_classifier",
-    "q_quality_classifier_eval", "q_winnowing", "q_winnowing_pairs",
-    "q_quality_quantile", "q_scd2", "q_span_scrub", "q_snapshot_diff",
-    "q_mrl_rerank", "q_pivot", "q_range_frame", "q_window_analytics",
-    "q_theta_sets", "q_temporal_join", "q_skyline", "q_snowflake_join",
-    "q_nation_trade", "q_returned_customers",
+    "q_ivf_rebalance", "q_skew_join_adaptive", "q_histogram", "q_hll_merge",
+    "q_mixture_rebalance", "q_moving_avg", "q_multimodal_embed",
+    "q_multimodal_frames", "q_multimodal_resize", "q_ngram_counts",
+    "q_pagerank", "q_percentiles", "q_quality_funnel", "q_resample_ffill",
+    "q_rollup", "q_semi_anti", "q_session_window", "q_set_ops",
+    "q_skew_report", "q_stateful_counts", "q_topk_cosine_incremental",
+    "q_train_split", "q_triangles", "q_unpivot", "q_variant_extract",
+    "q_vocab_topk",
 )
 
 

@@ -1530,6 +1530,29 @@ def test_decontaminate_fuzzy_catches_one_token_rewrite(spark):
     assert exact <= set(fuzzy)
 
 
+def test_decontaminate_fuzzy_ignores_short_docs(spark):
+    """ADVICE r11: word_shingles emits one TRUNCATED shingle for a
+    doc with < n tokens; its trailing-sentinel variants collided with
+    any benchmark 6-gram sharing the first m tokens — a match outside
+    the token-Hamming ≤ 1-between-6-grams contract.  Grams are now
+    filtered to exactly n tokens: the 3-token doc sharing the bench
+    gram's prefix must NOT be flagged, and a short BENCH doc must not
+    flag full-length training grams either."""
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        BENCH_MOD, decontaminate_fuzzy)
+
+    rows = [
+        (BENCH_MOD, "alpha beta gamma delta epsilon zeta"),   # eval doc
+        (BENCH_MOD * 2, "alpha beta gamma"),                  # short eval
+        (1, "alpha beta gamma"),                # 3-token prefix, no 6-gram
+        (2, "alpha beta gamma delta epsilon"),  # 5 tokens — still short
+        (3, "alpha beta gamma delta epsilon zeta eta"),       # real match
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fuzzy = {r.doc_id for r in decontaminate_fuzzy(docs, n=6).collect()}
+    assert fuzzy == {3}
+
+
 def test_skipgram_equality_is_hamming_leq_one():
     """The join's correctness claim, as a pure property: two n-grams
     share a same-position skip-gram variant iff token-Hamming ≤ 1

@@ -957,18 +957,10 @@ def test_proto_prune_keeps_the_far_points(spark, emb):
     min kept dist >= max dropped dist (ties impossible across the
     cutoff because rank ordering is (dist, vec_id))."""
     from healthkit_to_sqlite_spark.operators.similarity import (
-        _assign_cells, _l2sq, kmeans_centroids, proto_prune)
+        _assign_cells, kmeans_centroids, proto_prune)
 
     cent = kmeans_centroids(emb)
-    d = (emb.select("vec_id", "embedding")
-         .crossJoin(F.broadcast(cent))
-         .select("vec_id", "cid",
-                 F.round(_l2sq(F.col("embedding"), F.col("cemb")), 9)
-                 .alias("dist")))
-    full = (d.groupBy("vec_id")
-            .agg(F.min(F.struct("dist", "cid")).alias("m"))
-            .select("vec_id", F.col("m.cid").alias("cell"),
-                    F.col("m.dist").alias("dist"))).toPandas()
+    full = _assign_cells(emb, cent, keep_dist=True).toPandas()
     kept = proto_prune(emb).toPandas()
     dropped = full[~full.vec_id.isin(set(kept.vec_id))]
     for cell in kept.cell.unique():
@@ -1017,6 +1009,50 @@ def test_bitext_mine_matches_numpy_audit(spark):
     assert mined == expect
 
 
+def test_bitext_knn_mean_divides_by_actual_short_side_count(spark):
+    """ADVICE r11: with fewer than MARGIN_K candidates on a side the
+    k-NN mean must divide by the ACTUAL count (the numpy .mean()
+    semantics), not the constant k — the old form underestimated the
+    denominator and inflated every margin on short sides.  Construct
+    the short side by keeping two target docs and replay in numpy."""
+    import numpy as np
+
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        BITEXT_SRC_LANG, BITEXT_TGT_LANG, MARGIN_K, MARGIN_THRESHOLD,
+        bitext_mine)
+
+    emb = load_table(spark, SF, "embeddings")
+    docs = load_table(spark, SF, "documents")
+    tgt_keep = [r.doc_id for r in
+                docs.filter(F.col("lang") == BITEXT_TGT_LANG)
+                .orderBy("doc_id").limit(2).collect()]
+    assert len(tgt_keep) < MARGIN_K
+    docs_short = docs.filter((F.col("lang") != BITEXT_TGT_LANG)
+                             | F.col("doc_id").isin(tgt_keep))
+    mined = {(r.src_id, r.tgt_id, r.margin)
+             for r in bitext_mine(emb, docs_short).collect()}
+
+    ep = emb.toPandas().set_index("vec_id")
+    dp = docs_short.toPandas().set_index("doc_id")
+    src_ids = sorted(dp.index[dp.lang == BITEXT_SRC_LANG])
+    X = np.array([np.asarray(ep.embedding[i], dtype=np.float64)
+                  for i in src_ids])
+    Y = np.array([np.asarray(ep.embedding[i], dtype=np.float64)
+                  for i in tgt_keep])
+    cos = np.round(
+        (X @ Y.T) / np.outer(np.sqrt((X * X).sum(1)),
+                             np.sqrt((Y * Y).sum(1))), 9)
+    ax = np.sort(cos, axis=1)[:, -MARGIN_K:].mean(1)   # 2 cols → /2
+    ay = np.sort(cos, axis=0)[-MARGIN_K:, :].mean(0)   # full side → /k
+    margin = np.round(cos / ((ax[:, None] + ay[None, :]) / 2), 6)
+    expect = set()
+    for i, src in enumerate(src_ids):
+        j = int(np.lexsort((tgt_keep, -margin[i]))[0])
+        if margin[i, j] >= MARGIN_THRESHOLD:
+            expect.add((src, tgt_keep[j], float(margin[i, j])))
+    assert mined == expect
+
+
 def test_bitext_mine_one_pair_per_source_above_threshold(spark):
     from healthkit_to_sqlite_spark.operators.similarity import (
         MARGIN_THRESHOLD, bitext_mine)
@@ -1044,9 +1080,9 @@ def test_kcenter_matches_numpy_audit(spark, emb):
     ep = emb.toPandas().sort_values("vec_id")
     ids = ep.vec_id.to_numpy()
     X = np.array([np.asarray(v, dtype=np.float64) for v in ep.embedding])
-    seed = int(np.nonzero(ids == 0)[0][0])
+    seed = 0                      # ids sorted ⇒ index 0 IS min(vec_id)
     dmin = np.round(((X - X[seed]) ** 2).sum(1), 9)
-    expect = [(0, 0, None)]
+    expect = [(0, int(ids[seed]), None)]
     for t in range(1, K_CENTERS):
         # argmax by (dmin DESC, vec_id ASC)
         j = int(np.lexsort((ids, -dmin))[0])
@@ -1067,6 +1103,25 @@ def test_kcenter_radius_non_increasing(spark, emb):
     radii = [r.radius for r in rows[1:]]
     assert all(a >= b for a, b in zip(radii, radii[1:])), radii
     assert len({r.vec_id for r in rows}) == len(rows), "center re-picked"
+
+
+def test_kcenter_seed_is_min_vec_id_any_corpus(spark, emb):
+    """ADVICE r11: the seed was hard-coded to vec_id == 0, so a corpus
+    without that id raised a bare IndexError (and the oracle's seed
+    CTE silently emptied).  The seed is now MIN(vec_id) — pin it on a
+    corpus whose ids start past zero, and pin the descriptive error
+    for the empty corpus."""
+    import pytest as _pytest
+
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        kcenter_coreset)
+
+    shifted = emb.filter(F.col("vec_id") >= 3)
+    rows = sorted(kcenter_coreset(shifted, k=3).collect(),
+                  key=lambda r: r.sel_order)
+    assert rows[0].vec_id == 3 and rows[0].radius is None
+    with _pytest.raises(ValueError, match="empty embedding corpus"):
+        kcenter_coreset(emb.filter(F.col("vec_id") < 0), k=2)
 
 
 def test_bitext_margin_rejects_hub_targets(spark):
