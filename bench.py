@@ -340,6 +340,17 @@ HEADLINE = [
     # round 11: near-match decontamination — the corpus-side x6
     # skip-gram variant explode is 6x the exact audit's volume
     "q_decontaminate_fuzzy",
+    # round 12: committed-index serve twins for the two selection ops
+    # that re-trained Lloyd in-query (VERDICT r11 items 2/5) — the
+    # serve cost is the regression-sensitive path at every re-prune/
+    # re-dedup after corpus append
+    "q_proto_prune_from_index",
+    "q_dedup_semantic_from_index",
+    # round 12: bitext stage-1 candidates from the committed index —
+    # the serve form that replaces the exact cross-join at scale
+    # (q_facet_page stays tail-only per the qualification rule: a
+    # cheap pushed-filter + heap + broadcast relational shape)
+    "q_bitext_from_index",
 ]
 
 
@@ -424,6 +435,26 @@ SF1_QUERIES = [
     # per-cell window partitions are n/K rows, no single-partition
     # hazard at fixed K because the rank never leaves its cell
     "q_proto_prune",
+    # (r12, VERDICT r11 item 4) the four unslopped r11 selection
+    # queries: bitext is the exact crossJoin form (expected the
+    # worst slope here — the documented reason the from_index twin
+    # exists); kcenter is k corpus scans (expected ~linear);
+    # curriculum is one per-source window over the tokenize scan
+    # (expected ~linear); fuzzy decon is the ×6 map-only explode +
+    # broadcast (expected ~linear in gram volume)
+    "q_bitext_mine", "q_kcenter_coreset", "q_curriculum_order",
+    "q_decontaminate_fuzzy",
+    # (r12) the serve twins: scoring against committed artifacts —
+    # expected well below their in-query twins' slopes (the Lloyd
+    # chain runs in the untimed warm-up build, the timed runs are
+    # pure serve; q_dedup_semantic_from_index keeps the within-cell
+    # pair join so it tracks Σ|cell|², q_proto_prune_from_index is
+    # one broadcast equi-join + window)
+    "q_proto_prune_from_index", "q_dedup_semantic_from_index",
+    # (r12) bitext serve: probe + equi-join candidates — expected far
+    # below q_bitext_mine's all-pairs slope (pair volume nprobe/K of
+    # exact; the index build runs in the untimed warm-up)
+    "q_bitext_from_index",
 ]
 
 
@@ -434,12 +465,20 @@ def _sf1_overrides():
     tuning knob, SemDeDup's own contract); everything else runs with
     contract defaults."""
     from healthkit_to_sqlite_spark.catalog import load_table
-    from healthkit_to_sqlite_spark.operators.similarity import semantic_dedup
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        semantic_dedup, semantic_dedup_from_index)
 
     return {
         "q_dedup_semantic": lambda spark, sf: semantic_dedup(
             load_table(spark, sf, "embeddings"),
             n_centroids=8 * SF1_COPIES),
+        # the serve twin measures against an equivalently-sized
+        # committed index (K grows with the corpus — the occupancy
+        # knob the rebalance actuator turns); the K=80 build runs in
+        # the untimed warm-up, the timed runs are pure serve
+        "q_dedup_semantic_from_index":
+            lambda spark, sf: semantic_dedup_from_index(
+                spark, sf, n_centroids=8 * SF1_COPIES),
     }
 
 

@@ -764,6 +764,70 @@ def skyline_parts(part: DataFrame) -> DataFrame:
             .select("p_retailprice", "p_size", "n_parts"))
 
 
+FACET_STATUS = "O"                           # the user's filter
+FACET_PAGE_SIZE = 20                         # Datasette default-ish page
+FACET_AFTER_DATE = "1995-06-15 00:00:00"     # keyset cursor from the
+FACET_AFTER_KEY = 0                          # ...previous page's last row
+
+
+def facet_page(orders: DataFrame, status: str = FACET_STATUS,
+               page_size: int = FACET_PAGE_SIZE,
+               after_date: str = FACET_AFTER_DATE,
+               after_key: int = FACET_AFTER_KEY) -> DataFrame:
+    """Datasette-style faceted table page (the reference's documented
+    interaction surface — its README ships the converted DB straight
+    into Datasette, reference README.md:96-110, whose table view is
+    exactly this query): the user's filter, a facet panel of
+    per-value counts over the FILTERED (not paginated) rows, and
+    KEYSET pagination — the next page starts strictly after the
+    previous page's last (sort key, pk) cursor, never at an OFFSET.
+
+    Spark shape, and why keyset is the only pagination that survives
+    scale: the filter is a plain predicate (pushed to the parquet
+    scan — PushedFilters pinned in test_plans), the keyset cursor is
+    ALSO a pushable range predicate, so page N reads only rows past
+    the cursor; OFFSET pagination scans and discards N·page_size rows
+    and gets slower per page.  The page itself is orderBy().limit()
+    — a TakeOrdered O(page_size) heap per partition, no global sort.
+    The facet counts are a ≤|values| groupBy (map-side combined)
+    broadcast back onto the page rows, so every returned row carries
+    its facet's total — one relation, both Datasette panels."""
+    filtered = orders.filter(F.col("o_orderstatus") == status)
+    counts = (filtered.groupBy("o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("facet_count")))
+    cursor = F.to_timestamp(F.lit(after_date))
+    page = (filtered
+            .filter((F.col("o_orderdate") > cursor)
+                    | ((F.col("o_orderdate") == cursor)
+                       & (F.col("o_orderkey") > after_key)))
+            .select("o_orderkey", "o_orderdate", "o_orderpriority",
+                    "o_totalprice")
+            .orderBy("o_orderdate", "o_orderkey")
+            .limit(page_size))
+    return (page.join(F.broadcast(counts), "o_orderpriority")
+            .select("o_orderkey", "o_orderdate", "o_orderpriority",
+                    "o_totalprice", "facet_count"))
+
+
+_FACET_PAGE_ORACLE = f"""
+    WITH f AS (
+      SELECT * FROM orders WHERE o_orderstatus = '{FACET_STATUS}'),
+    counts AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS facet_count
+      FROM f GROUP BY o_orderpriority),
+    page AS (
+      SELECT o_orderkey, o_orderdate, o_orderpriority, o_totalprice
+      FROM f
+      WHERE o_orderdate > TIMESTAMP '{FACET_AFTER_DATE}'
+         OR (o_orderdate = TIMESTAMP '{FACET_AFTER_DATE}'
+             AND o_orderkey > {FACET_AFTER_KEY})
+      ORDER BY o_orderdate, o_orderkey LIMIT {FACET_PAGE_SIZE})
+    SELECT p.o_orderkey, p.o_orderdate, p.o_orderpriority,
+           p.o_totalprice, c.facet_count
+    FROM page p JOIN counts c USING (o_orderpriority)
+    """
+
+
 # ---------------------------------------------------------------------------
 # Specs
 # ---------------------------------------------------------------------------
@@ -831,6 +895,14 @@ def _q(table_names, op):
 
 
 SPECS: dict[str, Spec] = {
+    "q_facet_page": Spec(
+        lambda spark, sf: facet_page(load_table(spark, sf, "orders")),
+        _FACET_PAGE_ORACLE,
+        "Datasette-style faceted table page (reference "
+        "README.md:96-110's documented interaction surface): pushed "
+        "filter + per-value facet counts broadcast onto a "
+        "keyset-paginated page — cursor predicate prunes the scan, "
+        "TakeOrdered heap, never OFFSET"),
     "q_analyze_stats": Spec(
         lambda spark, sf: analyze_column_stats(
             load_table(spark, sf, "lineitem")),

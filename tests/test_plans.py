@@ -800,6 +800,36 @@ def test_ann_retrain_serve_is_training_free(spark, specs):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_proto_prune_serve_is_training_free(spark, specs):
+    """VERDICT r11 item 2 — the serve-split standard applied to the
+    prune: scoring reads the committed centroids/cells artifacts with
+    ZERO Lloyd in the plan, and because the stored assignment already
+    holds each vector's argmin cell, even the n·K argmin groupBy
+    disappears — the score is one broadcast equi-join + the ranked
+    window."""
+    df = specs["q_proto_prune_from_index"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "ann_index_" in plan              # committed artifact scans
+    assert "decimal(30,10)" not in plan      # zero Lloyd training
+    assert "HashAggregate" not in plan       # argmin sweep gone too
+    assert "ObjectHashAggregate" not in plan
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)            # K centroids broadcast
+
+
+def test_dedup_semantic_serve_is_training_free(spark, specs):
+    """VERDICT r11 item 5 — the q_dedup_semantic slope watch's fix:
+    SemDeDup pairs from the committed cell assignment; the only
+    remaining cost is the within-cell pair join (the quantizer chain
+    that dominated the in-query slope never enters the plan)."""
+    df = specs["q_dedup_semantic_from_index"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "ann_index_" in plan              # committed artifact scans
+    assert "decimal(30,10)" not in plan      # zero Lloyd training
+    assert "CartesianProduct" not in plan    # pair search stays equi-join
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_proto_prune_plan(spark, specs):
     # train + one ranked scan: the only nested-loop is the declared
     # K-row centroid broadcast; no CartesianProduct; the per-cell
@@ -843,6 +873,29 @@ def test_kcenter_plan_is_incremental(spark, specs):
     assert "Join" not in plan, "selection result must be a local relation"
 
 
+def test_bitext_from_index_serve_has_no_crossjoin_no_training(spark, specs):
+    """VERDICT r11 item 1 — the one operator whose written 100 TB
+    story had no code: stage-1 candidates must come from the
+    committed index via an EQUI-join on the cell id.  Zero Lloyd
+    (no decimal training aggregates), zero crossJoin between the
+    language sides — the only nested-loop is the K-row centroid
+    probe broadcast (one node = two formatted mentions)."""
+    df = specs["q_bitext_from_index"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "ann_index_" in plan              # committed artifact scans
+    # zero training: the serve is joins + windows only — Lloyd's mean
+    # and argmin stages would surface as aggregates (the margin's own
+    # decimal window sums are Window nodes, not aggregates, so the
+    # family's decimal(30,10) probe can't distinguish here)
+    assert "HashAggregate" not in plan
+    assert "ObjectHashAggregate" not in plan
+    assert "posexplode" not in plan          # the Lloyd mean explode
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    cols = read_schema_columns(df)
+    assert "text" not in cols and "source" not in cols
+
+
 def test_bitext_single_fold_chain(spark, specs):
     # the scored-pairs fold must appear ONCE: both k-NN means are
     # window aggregates on one linear lineage (the groupBy-join-back
@@ -867,6 +920,22 @@ def test_curriculum_order_no_global_sort(spark, specs):
     assert "CartesianProduct" not in plan
     cols = read_schema_columns(df)
     assert "text" in cols and "n_chars" not in cols
+
+
+def test_facet_page_pushes_filter_and_heaps_the_page(spark, specs):
+    """The Datasette table-view shape (reference README.md:96-110):
+    the user filter AND the keyset cursor are pushable predicates —
+    page N's scan reads only rows past the cursor (the reason keyset
+    beats OFFSET at scale); the page is a TakeOrdered heap, never a
+    global sort; the ≤|values| facet-count side broadcasts."""
+    df = specs["q_facet_page"].build(spark, SF)
+    plan = formatted_plan(df)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderstatus" in pushed, "user filter must reach the scan"
+    assert "o_orderdate" in pushed, "keyset cursor must reach the scan"
+    assert "TakeOrderedAndProject" in plan
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
 
 
 def test_decontaminate_fuzzy_broadcasts_eval_variants(spark, specs):

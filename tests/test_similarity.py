@@ -971,6 +971,27 @@ def test_proto_prune_keeps_the_far_points(spark, emb):
         assert (dmax.dist, dmax.vec_id) < (kmin.dist, kmin.vec_id)
 
 
+def test_selection_serve_twins_equal_in_query_forms(spark, emb):
+    """The committed-index serve twins must reproduce their in-query
+    forms EXACTLY (same rounding, same tie-breaks): the committed
+    artifacts equal from-scratch training bit-for-bit, so swapping
+    the training stage for the artifact read cannot move a single
+    row."""
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        proto_prune, proto_prune_from_index, semantic_dedup,
+        semantic_dedup_from_index)
+
+    in_q = sorted(map(tuple, proto_prune(emb).collect()))
+    served = sorted(map(tuple,
+                        proto_prune_from_index(spark, SF).collect()))
+    assert in_q == served
+
+    in_q = sorted(map(tuple, semantic_dedup(emb).collect()))
+    served = sorted(map(tuple,
+                        semantic_dedup_from_index(spark, SF).collect()))
+    assert in_q == served
+
+
 def test_bitext_mine_matches_numpy_audit(spark):
     """Independent numpy replay of the ratio-margin pipeline (the
     third implementation after Spark and the DuckDB oracle): same
@@ -1051,6 +1072,33 @@ def test_bitext_knn_mean_divides_by_actual_short_side_count(spark):
         if margin[i, j] >= MARGIN_THRESHOLD:
             expect.add((src, tgt_keep[j], float(margin[i, j])))
     assert mined == expect
+
+
+def test_bitext_from_index_recall_vs_exact(spark):
+    """The serve twin's quality contract (the q_ann_recall_report
+    pattern): candidates restricted to each source's nprobe committed
+    cells must still recover most of the exact miner's pairs.  The
+    floor is deterministic (seeded centroids, fixed testdata) —
+    measured pair recall at sf0.001, so a drop means the probe or
+    assignment changed, not noise.  Per-source behavior contracts
+    also hold: at most one pair per source, margins above
+    threshold."""
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        MARGIN_THRESHOLD, bitext_from_index, bitext_mine)
+
+    emb = load_table(spark, SF, "embeddings")
+    docs = load_table(spark, SF, "documents")
+    exact = {(r.src_id, r.tgt_id) for r in bitext_mine(emb, docs).collect()}
+    approx_rows = bitext_from_index(spark, SF).collect()
+    approx = {(r.src_id, r.tgt_id) for r in approx_rows}
+
+    srcs = [r.src_id for r in approx_rows]
+    assert len(srcs) == len(set(srcs)), "a source mined twice"
+    assert all(r.margin >= MARGIN_THRESHOLD for r in approx_rows)
+
+    # measured 0.726 at sf0.001 / 0.818 at sf0.01 with nprobe=4
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.7, f"pair recall vs exact dropped to {recall:.3f}"
 
 
 def test_bitext_mine_one_pair_per_source_above_threshold(spark):
