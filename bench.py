@@ -351,6 +351,11 @@ HEADLINE = [
     # (q_facet_page stays tail-only per the qualification rule: a
     # cheap pushed-filter + heap + broadcast relational shape)
     "q_bitext_from_index",
+    # round 12: the lexical known-item MRR audit (monitor symmetry
+    # with q_ann_recall_report, which is HEADLINE for the same
+    # reason: the per-rebuild evaluation artifact's cost must stay
+    # visible round over round)
+    "q_bm25_mrr",
 ]
 
 
@@ -466,7 +471,7 @@ def _sf1_overrides():
     contract defaults."""
     from healthkit_to_sqlite_spark.catalog import load_table
     from healthkit_to_sqlite_spark.operators.similarity import (
-        semantic_dedup, semantic_dedup_from_index)
+        bitext_from_index, semantic_dedup, semantic_dedup_from_index)
 
     return {
         "q_dedup_semantic": lambda spark, sf: semantic_dedup(
@@ -478,6 +483,13 @@ def _sf1_overrides():
         # the untimed warm-up, the timed runs are pure serve
         "q_dedup_semantic_from_index":
             lambda spark, sf: semantic_dedup_from_index(
+                spark, sf, n_centroids=8 * SF1_COPIES),
+        # same argument for the bitext serve: the candidate equi-join
+        # keys on the cell id, so a fixed K=8 at 10x funnels every
+        # pair through 8 keys (measured slope 9.08) while K=80 keeps
+        # nprobe/K shrinking with the corpus
+        "q_bitext_from_index":
+            lambda spark, sf: bitext_from_index(
                 spark, sf, n_centroids=8 * SF1_COPIES),
     }
 

@@ -2672,7 +2672,8 @@ def bitext_from_index(spark: SparkSession, sf_dir: str,
                       tgt_lang: str = BITEXT_TGT_LANG,
                       k: int = MARGIN_K,
                       threshold: float = MARGIN_THRESHOLD,
-                      nprobe: int = BITEXT_NPROBE) -> DataFrame:
+                      nprobe: int = BITEXT_NPROBE,
+                      n_centroids: int = N_CENTROIDS) -> DataFrame:
     """Bitext mining with stage-1 candidate generation from the
     COMMITTED ANN index (VERDICT r11 item 1 — the serve-split swap
     `bitext_mine`'s docstring promised): each source vector probes
@@ -2701,10 +2702,19 @@ def bitext_from_index(spark: SparkSession, sf_dir: str,
     decimal-exact means over least(k, candidates), 6-dp margins);
     the oracle replays the identical probed-cell restriction on
     from-scratch-retrained artifacts (bit-identical to the committed
-    ones — the `q_ann_query_from_index` argument)."""
+    ones — the `q_ann_query_from_index` argument).
+
+    ``n_centroids`` passes through to the index build: the candidate
+    equi-join's key space IS the cell id, so K must grow with the
+    corpus or the join funnels all pairs through K keys while
+    nprobe/K stops shrinking — measured at the 10× point, serving
+    from the fixture's fixed K=8 sloped 9.08 while the
+    corpus-proportional K=80 index is the production shape (the same
+    occupancy argument as `semantic_dedup_from_index`; bench sf1
+    uses the override)."""
     from pyspark.sql import Window
 
-    cat = build_ann_index(spark, sf_dir)
+    cat = build_ann_index(spark, sf_dir, n_centroids)
     cent = cat.read(spark, "centroids")
     cells = cat.read(spark, "cells")
     emb = load_table(spark, sf_dir, "embeddings")

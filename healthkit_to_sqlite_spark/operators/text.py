@@ -654,6 +654,140 @@ def _bm25_serve(spark: SparkSession, cat, terms: tuple[str, ...],
             .limit(k))
 
 
+MRR_Q = 20     # probe docs in the known-item retrieval audit
+MRR_QLEN = 8   # leading tokens of each probe doc used as its query
+
+
+def bm25_known_item_mrr(spark: SparkSession, sf_dir: str,
+                        n_queries: int = MRR_Q,
+                        qlen: int = MRR_QLEN) -> DataFrame:
+    """Lexical retrieval QUALITY MONITOR (the BM25 sibling of
+    `q_ann_recall_report`, completing the monitor symmetry across the
+    two retrieval stacks): known-item search — each probe doc's query
+    is its own first ``qlen`` tokens, every doc sharing ≥1 query term
+    is scored with BM25 over the COMMITTED inverted index, and the
+    artifact records where the probe doc itself ranks (rank,
+    reciprocal rank, candidate-set size).  MRR = avg(rr) is the
+    serving-stack health number a deployment tracks per index
+    rebuild; a known-item that stops ranking top-1 is the first
+    symptom of a pruning/append defect.
+
+    Spark shape: the probe set is bounded (``n_queries`` rows — the
+    sampled-audit convention of `ann_recall_report`) and its
+    exploded term inventory broadcasts; candidates come from the
+    term-pruned committed postings (ONE equi-join — corpus text is
+    read only for the probe rows' own query terms); df for the query
+    terms is a semi-joined rollup over committed postings (index
+    grain, never the corpus).  Per-(query, doc) scores accumulate
+    9-dp-rounded contributions in DECIMAL(30,10) — the query's term
+    set is dynamic, so the fixed-term-order float sum `bm25_topk`
+    replays cross-engine is unavailable and order-independent
+    accumulation is required.  Ranking is a per-q_doc window over
+    that query's candidate set.
+
+    Corpus caveat (pinned in test_text): this synthetic corpus is a
+    bag of ~40 common words, so leading-token queries carry no
+    distinctive term and the absolute MRR sits low — on real corpora
+    known-item queries contain rare terms and the number approaches
+    1.0.  The monitor's operational reading is the DELTA per index
+    rebuild/append/prune, which is corpus-independent."""
+    cat = build_text_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = (docs.filter(F.col("doc_id") < n_queries)
+              .select(F.col("doc_id").alias("q_doc"),
+                      F.explode(F.slice(ws_tokens("text"), 1, qlen))
+                      .alias("term"))
+              .filter(F.col("term") != "")
+              .distinct())
+    post = cat.read(spark, "postings")
+    doclen = cat.read(spark, "doclen")
+    st = (cat.read(spark, "stats")
+          .agg(F.sum("n_docs").alias("n_docs"),
+               F.sum("sum_dl").alias("sum_dl")).first())
+    n_docs, sum_dl = int(st.n_docs), int(st.sum_dl)
+    avgdl = sum_dl / n_docs
+    dfs = (post.join(F.broadcast(qterms.select("term").distinct()),
+                     "term", "left_semi")
+           .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    tf = F.col("tf").cast("double")
+    idf = ((F.lit(n_docs) - F.col("df") + F.lit(0.5))
+           / (F.col("df") + F.lit(0.5)))
+    norm = tf + F.lit(BM25_K1) * (F.lit(1 - BM25_B)
+                                  + F.lit(BM25_B) * F.col("dl")
+                                  / F.lit(avgdl))
+    contrib = (post.join(F.broadcast(qterms), "term")
+               .join(doclen, "doc_id")
+               .join(F.broadcast(dfs), "term")
+               .select("q_doc", "doc_id",
+                       F.round(idf * tf * F.lit(BM25_K1 + 1) / norm, 9)
+                       .alias("c")))
+    from ..functions import dec_sum
+    scored = (contrib.groupBy("q_doc", "doc_id")
+              .agg(F.round(dec_sum("c", "decimal(30,10)"), 6)
+                   .alias("score")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("q_doc").orderBy(F.col("score").desc(),
+                                            "doc_id")
+    wc = Window.partitionBy("q_doc")
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .withColumn("n_cands", F.count(F.lit(1)).over(wc))
+            .filter(F.col("doc_id") == F.col("q_doc"))
+            .select("q_doc", F.col("n_cands").cast("bigint").alias("n_cands"),
+                    F.col("rank").cast("int").alias("rank"),
+                    F.round(F.lit(1.0) / F.col("rank"), 6).alias("rr"))
+            .orderBy("q_doc"))
+
+
+_BM25_MRR_ORACLE = f"""
+    WITH qterms AS (
+      SELECT DISTINCT doc_id AS q_doc, term FROM (
+        SELECT doc_id,
+               unnest(list_slice(string_split(text, ' '), 1, {MRR_QLEN}))
+                 AS term
+        FROM documents WHERE doc_id < {MRR_Q})
+      WHERE term <> ''),
+    postings AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+      WHERE term <> '' GROUP BY term, doc_id),
+    doclen AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl FROM doclen),
+    dfs AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings
+      WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+    contrib AS (
+      SELECT q.q_doc, p.doc_id,
+             ROUND(((s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * CAST(p.tf AS DOUBLE) * {BM25_K1 + 1}
+                   / (CAST(p.tf AS DOUBLE) + {BM25_K1} * ({1 - BM25_B}
+                      + {BM25_B} * dl.dl
+                        / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))), 9)
+               AS c
+      FROM qterms q JOIN postings p ON p.term = q.term
+      JOIN dfs d ON d.term = q.term
+      JOIN doclen dl ON dl.doc_id = p.doc_id, stats s),
+    scored AS (
+      SELECT q_doc, doc_id,
+             ROUND(CAST(SUM(CAST(c AS DECIMAL(30,10))) AS DOUBLE), 6)
+               AS score
+      FROM contrib GROUP BY q_doc, doc_id),
+    ranked AS (
+      SELECT q_doc, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q_doc
+                                ORDER BY score DESC, doc_id) AS rank,
+             COUNT(*) OVER (PARTITION BY q_doc) AS n_cands
+      FROM scored)
+    SELECT q_doc, CAST(n_cands AS BIGINT) AS n_cands,
+           CAST(rank AS INT) AS rank, ROUND(1.0 / rank, 6) AS rr
+    FROM ranked WHERE doc_id = q_doc ORDER BY q_doc
+    """
+
+
 BM25_APPEND_SPLIT = 400  # base/new doc split for the append build
 
 
@@ -3403,6 +3537,18 @@ SPECS["q_bm25_from_index"] = Spec(
     "df/stats collects — corpus text never read; same oracle as "
     "q_bm25, so a hash match proves index-serving equals corpus "
     "scoring exactly")
+
+SPECS["q_bm25_mrr"] = Spec(
+    lambda spark, sf: bm25_known_item_mrr(spark, sf),
+    _BM25_MRR_ORACLE,
+    "lexical retrieval quality monitor (BM25 sibling of "
+    "q_ann_recall_report — completes the monitor symmetry): "
+    "known-item search audit over the committed inverted index; each "
+    "probe doc's query = its own leading tokens, output = where the "
+    "doc ranks among BM25-scored candidates (rank / reciprocal "
+    "rank / candidate count); bounded probe set broadcast, "
+    "term-pruned postings equi-join, decimal-exact dynamic-term "
+    "score accumulation")
 
 #: Append maintenance shares the same oracle again: incremental index
 #: growth must be INVISIBLE to scoring.

@@ -11,7 +11,7 @@ leaving timeseries/multimodal/pipeline/udx unverified).  ``PRIORITY``
 pins the verification window each round: queries whose semantics
 changed this round plus queries with no driver row yet come first,
 then the reference §2.A/§2.B parity surface, then the long-green
-remainder.  Everything (226 queries as of round 12) still runs in
+remainder.  Everything (227 queries as of round 12) still runs in
 tests/parity.py, whose committed PARITY_r{N}.json covers the overflow.
 
 The window contract is self-tested: tests/test_registry.py asserts
@@ -59,20 +59,21 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
 #: surface.  Names not listed (or not registered) follow in module
 #: order; unknown names here are ignored, so the list is safe to
 #: curate ahead of the code — but the FIRST 50 are contract (see
-#: tests/test_registry.py).  (226 queries as of round 12.)
+#: tests/test_registry.py).  (227 queries as of round 12.)
 PRIORITY: tuple[str, ...] = (
     # ---- round-12 window (slots 1-50) -----------------------------
     # DERIVED (see DERIVED_FOR_ROUND): never-driver-checked queries +
     # TOUCHED_THIS_ROUND first, then the globally oldest driver rows
     # from the CORRECTNESS_r01-r11 union sorted by (newest round,
     # name) until the 50 slots fill.  As of this rotation that is the
-    # four round-12 newcomers (the three committed-index serve twins
-    # + faceted keyset pagination, each re-derived IN the commit that
-    # registers it), the four queries whose kernels/oracles changed
-    # with the r11 ADVICE fixes, then the 24-query r07 tail and the
-    # oldest r08 rows --- the rotation reaching its oldest cohort.
+    # five round-12 newcomers (three committed-index serve twins,
+    # faceted keyset pagination, the lexical known-item MRR monitor
+    # --- each re-derived IN the commit that registers it), the four
+    # queries whose kernels/oracles changed with the r11 ADVICE
+    # fixes, then the 24-query r07 tail and the oldest r08 rows ---
+    # the rotation reaching its oldest cohort.
     "q_dedup_semantic_from_index", "q_proto_prune_from_index", "q_facet_page",
-    "q_bitext_from_index", "q_bitext_mine", "q_kcenter_coreset",
+    "q_bitext_from_index", "q_bm25_mrr", "q_bitext_mine", "q_kcenter_coreset",
     "q_decontaminate_fuzzy", "q_proto_prune", "q_hybrid_from_index",
     "q_incremental_agg", "q_ivf_postings", "q_kll_merge", "q_manifest_merge",
     "q_mmr_rerank", "q_mrl_rerank", "q_nation_trade", "q_pivot",
@@ -85,10 +86,10 @@ PRIORITY: tuple[str, ...] = (
     "q_cogroup_asof", "q_communities_lpa", "q_containment",
     "q_correlated_scalar", "q_cube", "q_dedup_audit", "q_dedup_clusters",
     "q_dedup_clusters_star", "q_embed_covariance", "q_expectations",
-    "q_full_outer", "q_funnel_join",
+    "q_full_outer",
     # ---- overflow (covered by tests/parity.py PARITY_r{N}) ---------
-    "q_funnel_left", "q_gapfill", "q_global_shuffle", "q_grouping_sets",
-    "q_dv_fraction", "q_ann_dv_rewrite", "q_ann_retrain",
+    "q_funnel_join", "q_funnel_left", "q_gapfill", "q_global_shuffle",
+    "q_grouping_sets", "q_dv_fraction", "q_ann_dv_rewrite", "q_ann_retrain",
     "q_curriculum_order", "q_manifest_roundtrip", "q_merge_upsert",
     "q_multimodal_decode", "q_multimodal_meta", "q_pack_sequences",
     "q_pca_project", "q_pii_scrub", "q_pipeline_e2e", "q_posexplode",

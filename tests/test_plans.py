@@ -570,6 +570,22 @@ def test_dedup_serve_reads_committed_signatures(spark, specs):
     assert plan.count("documents.parquet") <= 1
 
 
+def test_bm25_mrr_probe_bounded_and_term_pruned(spark, specs):
+    """The known-item audit's scale contract: the probe set is a
+    bounded broadcast (its doc_id predicate reaches the documents
+    scan — the only corpus-text read is the probe rows' own query
+    tokens), candidates come from the committed postings via
+    equi-joins, and nothing goes cartesian."""
+    df = specs["q_bm25_mrr"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "text_index_" in plan             # committed postings scans
+    assert has_broadcast_join(df)            # probe inventory broadcast
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = " ".join(pushed_filters(df))
+    assert "doc_id" in pushed, "probe bound must reach the scan"
+
+
 def test_bm25_append_serve_never_reads_corpus_text(spark, specs):
     """The appended-index serve (r7): scoring still reads ONLY
     committed artifacts — two encode passes must not change the

@@ -31,6 +31,32 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     assert all(r.bm25 > 0 for r in got)
 
 
+def test_bm25_mrr_known_item_audit_properties(spark):
+    """The lexical quality monitor's semantic contract: one output
+    row per probe doc (a doc always contains its own query terms, so
+    it is always its own candidate); rank within [1, n_cands];
+    rr = 1/rank to 6 dp.  The fixture's absolute MRR is LOW by
+    construction — the synthetic corpus is a bag of ~40 common words,
+    so every leading-token query is all high-df terms and longer docs
+    out-tf the probe (real corpora have distinctive terms; the
+    monitor's operational value is the round-over-round delta per
+    index rebuild).  Deterministic corpus ⇒ the value is pinned as a
+    band, so a scoring/pruning defect still moves it."""
+    from healthkit_to_sqlite_spark.operators.text import (
+        MRR_Q, bm25_known_item_mrr)
+
+    rows = bm25_known_item_mrr(spark, SF).collect()
+    assert len(rows) == MRR_Q
+    assert [r.q_doc for r in rows] == sorted(r.q_doc for r in rows)
+    for r in rows:
+        assert 1 <= r.rank <= r.n_cands
+        assert abs(r.rr - round(1.0 / r.rank, 6)) < 1e-9
+    mrr = sum(r.rr for r in rows) / len(rows)
+    assert 0.05 <= mrr <= 0.15, f"MRR moved off its pinned band: {mrr:.4f}"
+    # and a real hit exists: at least one probe ranks in its top 10
+    assert min(r.rank for r in rows) <= 10
+
+
 def test_chunk_overlap_covers_every_token(spark):
     """Starts advance by exactly the stride from 0; the final chunk
     always reaches the last token (stride < size ⇒ no tail gap); each
