@@ -356,6 +356,9 @@ HEADLINE = [
     # reason: the per-rebuild evaluation artifact's cost must stay
     # visible round over round)
     "q_bm25_mrr",
+    # round 12: the DV-erased bitext serve (joins the forget family,
+    # every member of which is HEADLINE)
+    "q_bitext_forget",
 ]
 
 

@@ -2712,12 +2712,24 @@ def bitext_from_index(spark: SparkSession, sf_dir: str,
     corpus-proportional K=80 index is the production shape (the same
     occupancy argument as `semantic_dedup_from_index`; bench sf1
     uses the override)."""
+    cat = build_ann_index(spark, sf_dir, n_centroids)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _bitext_index_serve(
+        spark, sf_dir, emb,
+        cat.read(spark, "centroids"), cat.read(spark, "cells"),
+        src_lang, tgt_lang, k, threshold, nprobe)
+
+
+def _bitext_index_serve(spark: SparkSession, sf_dir: str,
+                        emb: DataFrame, cent: DataFrame,
+                        cells: DataFrame, src_lang: str, tgt_lang: str,
+                        k: int, threshold: float,
+                        nprobe: int) -> DataFrame:
+    """Shared index-probed candidate stage of bitext mining — one
+    body for the live serve and the DV-erased serve, so both provably
+    probe and score identically."""
     from pyspark.sql import Window
 
-    cat = build_ann_index(spark, sf_dir, n_centroids)
-    cent = cat.read(spark, "centroids")
-    cells = cat.read(spark, "cells")
-    emb = load_table(spark, sf_dir, "embeddings")
     documents = load_table(spark, sf_dir, "documents")
     langs = documents.select(F.col("doc_id").alias("vec_id"), "lang")
     sides = (emb.join(F.broadcast(langs), "vec_id")
@@ -2750,6 +2762,34 @@ def bitext_from_index(spark: SparkSession, sf_dir: str,
              .join(y, "cell")
              .select("src_id", "tgt_id", cos.alias("cos")))
     return _margin_mine(pairs, k, threshold)
+
+
+def bitext_after_forget(spark: SparkSession, sf_dir: str,
+                        src_lang: str = BITEXT_SRC_LANG,
+                        tgt_lang: str = BITEXT_TGT_LANG,
+                        k: int = MARGIN_K,
+                        threshold: float = MARGIN_THRESHOLD,
+                        nprobe: int = BITEXT_NPROBE) -> DataFrame:
+    """Bitext mining over the DV-ERASED index head — the erasure
+    composition DEPLOY.md's selection section promises for the
+    index-backed selection serves: candidates come from the forget
+    catalog's frozen artifacts with the deletion vector anti-joined
+    at candidate time (the `q_ann_forget` read path), so a
+    tombstoned document can appear as NEITHER side of a mined pair
+    and the margin's k-NN means are computed over live candidates
+    only.  The quantizers stay the frozen pre-erasure artifacts
+    (the documented DV residue, decayed by `q_ann_retrain`); the
+    oracle therefore trains on the full corpus and applies the same
+    NOT IN at both language sides — the same proof shape as
+    `q_ann_forget`."""
+    cat = forget_from_ann_index(spark, sf_dir)
+    dv = F.broadcast(cat.read(spark, "deleted").select("vec_id"))
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .join(dv, "vec_id", "left_anti"))
+    cells = cat.read(spark, "cells").join(dv, "vec_id", "left_anti")
+    return _bitext_index_serve(
+        spark, sf_dir, emb, cat.read(spark, "centroids"), cells,
+        src_lang, tgt_lang, k, threshold, nprobe)
 
 
 K_CENTERS = 8  # greedy k-center selection budget
@@ -3864,22 +3904,27 @@ _BITEXT_MINE_ORACLE = f"""
       FROM x, y),
     {_BITEXT_TAIL_SQL}"""
 
-#: ANN-probed candidate generation: the oracle retrains the coarse
-#: quantizer from scratch (bit-identical to the committed artifacts),
-#: probes each source's nprobe nearest cells, and restricts the pair
-#: set to targets committed to those cells — then the shared margin
-#: tail runs over exactly that candidate set.
-_BITEXT_FROM_INDEX_ORACLE = f"""
+def _bitext_index_oracle_sql(vec_filter: str = "") -> str:
+    """ANN-probed candidate generation: the oracle retrains the
+    coarse quantizer from scratch (bit-identical to the committed
+    artifacts — trained on the FULL corpus, matching the frozen-
+    quantizer DV semantics), probes each source's nprobe nearest
+    cells, and restricts the pair set to targets committed to those
+    cells — then the shared margin tail runs over exactly that
+    candidate set.  ``vec_filter`` (the erasure twin passes an
+    ``AND e.vec_id NOT IN (...)``) applies to BOTH language sides —
+    never to the training scan."""
+    return f"""
     WITH {_kmeans_cells_sql()},
     x AS (
       SELECT e.vec_id AS src_id, e.embedding AS xe
       FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
-      WHERE d.lang = '{BITEXT_SRC_LANG}'),
+      WHERE d.lang = '{BITEXT_SRC_LANG}'{vec_filter}),
     y AS (
       SELECT e.vec_id AS tgt_id, e.embedding AS ye, c.cell
       FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
       JOIN cells c ON c.vec_id = e.vec_id
-      WHERE d.lang = '{BITEXT_TGT_LANG}'),
+      WHERE d.lang = '{BITEXT_TGT_LANG}'{vec_filter}),
     probe AS (
       SELECT src_id, cell FROM (
         SELECT x.src_id, c.cid AS cell,
@@ -3892,6 +3937,9 @@ _BITEXT_FROM_INDEX_ORACLE = f"""
       FROM probe pr JOIN x ON x.src_id = pr.src_id
       JOIN y ON y.cell = pr.cell),
     {_BITEXT_TAIL_SQL}"""
+
+
+_BITEXT_FROM_INDEX_ORACLE = _bitext_index_oracle_sql()
 
 #: Shared by q_proto_prune and its committed-index serve twin (same
 #: bit-for-bit argument as above).
@@ -4401,6 +4449,16 @@ SPECS: dict[str, Spec] = {
         "between language sides; the probe's k-NN lists make the "
         "margin denominators free (serve-split twin of "
         "q_bitext_mine; recall floor pinned vs the exact form)"),
+    "q_bitext_forget": Spec(
+        bitext_after_forget,
+        _bitext_index_oracle_sql(
+            f" AND e.vec_id NOT IN {sql_in_list(FORGET_VEC_IDS)}"),
+        "bitext mining over the DV-ERASED index head (the erasure "
+        "composition DEPLOY.md promises for index-backed selection "
+        "serves): tombstones anti-joined at candidate time on BOTH "
+        "language sides, frozen quantizers (the documented DV "
+        "residue); oracle trains on the full corpus and applies the "
+        "same NOT IN — the q_ann_forget proof shape"),
     "q_kcenter_coreset": Spec(
         lambda spark, sf: kcenter_coreset(load_table(spark, sf,
                                                      "embeddings")),

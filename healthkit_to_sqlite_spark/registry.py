@@ -11,7 +11,7 @@ leaving timeseries/multimodal/pipeline/udx unverified).  ``PRIORITY``
 pins the verification window each round: queries whose semantics
 changed this round plus queries with no driver row yet come first,
 then the reference §2.A/§2.B parity surface, then the long-green
-remainder.  Everything (227 queries as of round 12) still runs in
+remainder.  Everything (228 queries as of round 12) still runs in
 tests/parity.py, whose committed PARITY_r{N}.json covers the overflow.
 
 The window contract is self-tested: tests/test_registry.py asserts
@@ -59,45 +59,46 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
 #: surface.  Names not listed (or not registered) follow in module
 #: order; unknown names here are ignored, so the list is safe to
 #: curate ahead of the code — but the FIRST 50 are contract (see
-#: tests/test_registry.py).  (227 queries as of round 12.)
+#: tests/test_registry.py).  (228 queries as of round 12.)
 PRIORITY: tuple[str, ...] = (
     # ---- round-12 window (slots 1-50) -----------------------------
     # DERIVED (see DERIVED_FOR_ROUND): never-driver-checked queries +
     # TOUCHED_THIS_ROUND first, then the globally oldest driver rows
     # from the CORRECTNESS_r01-r11 union sorted by (newest round,
     # name) until the 50 slots fill.  As of this rotation that is the
-    # five round-12 newcomers (three committed-index serve twins,
-    # faceted keyset pagination, the lexical known-item MRR monitor
-    # --- each re-derived IN the commit that registers it), the four
-    # queries whose kernels/oracles changed with the r11 ADVICE
-    # fixes, then the 24-query r07 tail and the oldest r08 rows ---
-    # the rotation reaching its oldest cohort.
+    # six round-12 newcomers (three committed-index serve twins, the
+    # DV-erased bitext serve, faceted keyset pagination, the lexical
+    # known-item MRR monitor --- each re-derived IN the commit that
+    # registers it), the four queries whose kernels/oracles changed
+    # with the r11 ADVICE fixes, then the 24-query r07 tail and the
+    # oldest r08 rows --- the rotation reaching its oldest cohort.
     "q_dedup_semantic_from_index", "q_proto_prune_from_index", "q_facet_page",
-    "q_bitext_from_index", "q_bm25_mrr", "q_bitext_mine", "q_kcenter_coreset",
-    "q_decontaminate_fuzzy", "q_proto_prune", "q_hybrid_from_index",
-    "q_incremental_agg", "q_ivf_postings", "q_kll_merge", "q_manifest_merge",
-    "q_mmr_rerank", "q_mrl_rerank", "q_nation_trade", "q_pivot",
-    "q_quality_classifier", "q_quality_classifier_eval", "q_quality_quantile",
-    "q_range_frame", "q_returned_customers", "q_scd2", "q_skyline",
-    "q_snapshot_diff", "q_snowflake_join", "q_span_scrub", "q_temporal_join",
-    "q_theta_sets", "q_window_analytics", "q_winnowing", "q_winnowing_pairs",
+    "q_bitext_from_index", "q_bm25_mrr", "q_bitext_forget", "q_bitext_mine",
+    "q_kcenter_coreset", "q_decontaminate_fuzzy", "q_proto_prune",
+    "q_hybrid_from_index", "q_incremental_agg", "q_ivf_postings",
+    "q_kll_merge", "q_manifest_merge", "q_mmr_rerank", "q_mrl_rerank",
+    "q_nation_trade", "q_pivot", "q_quality_classifier",
+    "q_quality_classifier_eval", "q_quality_quantile", "q_range_frame",
+    "q_returned_customers", "q_scd2", "q_skyline", "q_snapshot_diff",
+    "q_snowflake_join", "q_span_scrub", "q_temporal_join", "q_theta_sets",
+    "q_window_analytics", "q_winnowing", "q_winnowing_pairs",
     "q_ann_batch_queries", "q_anomaly_zscore", "q_approx_distinct",
     "q_bloom_prune", "q_bm25_pruned", "q_bm25_pruned_append",
     "q_cogroup_asof", "q_communities_lpa", "q_containment",
     "q_correlated_scalar", "q_cube", "q_dedup_audit", "q_dedup_clusters",
     "q_dedup_clusters_star", "q_embed_covariance", "q_expectations",
-    "q_full_outer",
     # ---- overflow (covered by tests/parity.py PARITY_r{N}) ---------
-    "q_funnel_join", "q_funnel_left", "q_gapfill", "q_global_shuffle",
-    "q_grouping_sets", "q_dv_fraction", "q_ann_dv_rewrite", "q_ann_retrain",
-    "q_curriculum_order", "q_manifest_roundtrip", "q_merge_upsert",
-    "q_multimodal_decode", "q_multimodal_meta", "q_pack_sequences",
-    "q_pca_project", "q_pii_scrub", "q_pipeline_e2e", "q_posexplode",
-    "q_repetition_signals", "q_salted_agg", "q_salted_join", "q_sessionize",
-    "q_sliding_window", "q_stratified_sample", "q_topk_cosine_pandas",
-    "q_tumbling_window", "q_udaf_median", "q_analyze_stats", "q_ann_binary",
-    "q_ann_ivf", "q_ann_ivfpq", "q_ann_ivfpq_residual", "q_ann_pq",
-    "q_autocorr", "q_big_orders", "q_bm25_from_index", "q_bm25_index_append",
+    "q_full_outer", "q_funnel_join", "q_funnel_left", "q_gapfill",
+    "q_global_shuffle", "q_grouping_sets", "q_dv_fraction",
+    "q_ann_dv_rewrite", "q_ann_retrain", "q_curriculum_order",
+    "q_manifest_roundtrip", "q_merge_upsert", "q_multimodal_decode",
+    "q_multimodal_meta", "q_pack_sequences", "q_pca_project", "q_pii_scrub",
+    "q_pipeline_e2e", "q_posexplode", "q_repetition_signals", "q_salted_agg",
+    "q_salted_join", "q_sessionize", "q_sliding_window",
+    "q_stratified_sample", "q_topk_cosine_pandas", "q_tumbling_window",
+    "q_udaf_median", "q_analyze_stats", "q_ann_binary", "q_ann_ivf",
+    "q_ann_ivfpq", "q_ann_ivfpq_residual", "q_ann_pq", "q_autocorr",
+    "q_big_orders", "q_bm25_from_index", "q_bm25_index_append",
     "q_bpe_encode", "q_bpe_fertility", "q_bpe_pairs", "q_cms_counts",
     "q_corpus_profile", "q_dedup_embedding", "q_dedup_from_index",
     "q_dedup_index_append", "q_dedup_keep_best", "q_dedup_semantic",

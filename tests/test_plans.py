@@ -912,6 +912,19 @@ def test_bitext_from_index_serve_has_no_crossjoin_no_training(spark, specs):
     assert "text" not in cols and "source" not in cols
 
 
+def test_bitext_forget_reads_erased_head_dv_broadcast(spark, specs):
+    """The DV-erased bitext serve shares `_bitext_index_serve` (the
+    live-serve pins apply); what is specific here: it reads the
+    FORGET catalog's artifacts and the tombstone anti-join rides a
+    broadcast — the DV read path, never a corpus-sized shuffle."""
+    df = specs["q_bitext_forget"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "ann_index_forget_" in plan       # erased-head artifacts
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" not in plan       # zero training
+    assert has_broadcast_join(df)
+
+
 def test_bitext_single_fold_chain(spark, specs):
     # the scored-pairs fold must appear ONCE: both k-NN means are
     # window aggregates on one linear lineage (the groupBy-join-back

@@ -1101,6 +1101,26 @@ def test_bitext_from_index_recall_vs_exact(spark):
     assert recall >= 0.7, f"pair recall vs exact dropped to {recall:.3f}"
 
 
+def test_bitext_forget_never_mines_tombstones(spark):
+    """The erased bitext serve's contract: no tombstoned id on
+    EITHER side of any mined pair, and the tombstones actually bite —
+    at least one tombstone is mined by the un-erased serve (so the
+    anti-join is load-bearing, not vacuously true)."""
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        FORGET_VEC_IDS, bitext_after_forget, bitext_from_index)
+
+    tombs = set(FORGET_VEC_IDS)
+    live = bitext_after_forget(spark, SF).collect()
+    assert live, "erased serve mined nothing — fixture drifted"
+    assert all(r.src_id not in tombs and r.tgt_id not in tombs
+               for r in live)
+    unerased = bitext_from_index(spark, SF).collect()
+    touched = {r.src_id for r in unerased} | {r.tgt_id for r in unerased}
+    assert touched & tombs, (
+        "no tombstone appears in the un-erased mining — the fixture "
+        "no longer exercises the anti-join; move FORGET_VEC_IDS")
+
+
 def test_bitext_mine_one_pair_per_source_above_threshold(spark):
     from healthkit_to_sqlite_spark.operators.similarity import (
         MARGIN_THRESHOLD, bitext_mine)
