@@ -108,3 +108,41 @@ def test_curriculum_closed_form_position_property():
             assert before + same == expect, (counts, r, s)
 
     check()
+
+
+def test_facet_page_keyset_equals_offset_semantics(spark):
+    """Keyset correctness as a property: mining page 2 with the
+    cursor taken from page 1's last row must reproduce EXACTLY rows
+    page_size+1 .. 2*page_size of the cursorless (o_orderdate,
+    o_orderkey) ordering — keyset pagination is an OFFSET-free
+    implementation of the same sequence, and a cursor-predicate bug
+    (>= for >, missing tie arm) breaks the equality at the page
+    boundary.  Facet counts must be page-invariant (the panel
+    reflects the filter, never the pagination)."""
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.relational import (
+        FACET_PAGE_SIZE, FACET_STATUS, facet_page)
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.001"
+    orders = load_table(spark, SF, "orders")
+    full = (orders.filter(F.col("o_orderstatus") == FACET_STATUS)
+            .orderBy("o_orderdate", "o_orderkey")
+            .limit(2 * FACET_PAGE_SIZE).collect())
+    page1 = sorted(facet_page(orders, after_date="1990-01-01 00:00:00",
+                              after_key=-1).collect(),
+                   key=lambda r: (r.o_orderdate, r.o_orderkey))
+    assert [(r.o_orderkey) for r in page1] == \
+        [r.o_orderkey for r in full[:FACET_PAGE_SIZE]]
+    last = page1[-1]
+    page2 = sorted(facet_page(orders,
+                              after_date=str(last.o_orderdate),
+                              after_key=int(last.o_orderkey)).collect(),
+                   key=lambda r: (r.o_orderdate, r.o_orderkey))
+    assert [r.o_orderkey for r in page2] == \
+        [r.o_orderkey for r in full[FACET_PAGE_SIZE:2 * FACET_PAGE_SIZE]]
+    # facet counts are page-invariant
+    c1 = {(r.o_orderpriority, r.facet_count) for r in page1}
+    c2 = {(r.o_orderpriority, r.facet_count) for r in page2}
+    counts = dict(c1 | c2)
+    assert all(counts[p] == n for p, n in (c1 | c2))
