@@ -35,11 +35,15 @@ headline query's min/max across its 3 timed runs under ``spread``,
 and any query whose new median exceeds 1.5× its previously COMMITTED
 median (read from BENCH_FULL_LOCAL.json before overwrite) is re-run
 in a FRESH JVM (subprocess, after the main session stops, so runs
-never overlap) — the fresh median replaces the in-loop one and the
-substitution is recorded under ``fresh_reruns``, so a same-JVM
-GC/bench-order artifact can no longer masquerade as a kernel
-regression (the r6 q_multimodal_embed ×4.5 / q_resample_ffill ×2.9
-anomalies were exactly this).
+never overlap) — the recorded median is min(in_loop, fresh), both
+samples stay under ``fresh_reruns``, and a fresh sample >1.5× its own
+in-loop one is flagged ``box_degraded`` (VERDICT r12 item 4: the
+gate exists to EXONERATE same-JVM GC/bench-order artifacts like the
+r6 q_multimodal_embed ×4.5 anomaly, not to let a degraded box phase
+overwrite a warm median — the r12 driver run substituted
+q_communities_lpa 6.37s→95.68s that way).  Per-query process-tree
+CPU seconds are recorded next to wall time (``cpu_sec``) so box
+phases can be normalized out of round-over-round comparisons.
 
 Ingest protocol (VERDICT r10 item 6): the conversion benchmark follows
 the same discipline — untimed warm-up, median of 3 timed runs, the
@@ -563,20 +567,17 @@ def bench_sf1(spark, qs, sf01_timings: dict[str, float]) -> dict:
     overrides = _sf1_overrides()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    cpu_sec: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in SF1_QUERIES:
         build = overrides.get(name) or qs.get(name)
         if build is None:
             continue
         try:
-            force(build(spark, out_dir))     # warm-up (untimed)
-            runs = []
-            for _ in range(3):
-                r0 = time.perf_counter()
-                force(build(spark, out_dir))
-                runs.append(time.perf_counter() - r0)
+            runs, cpus = _time_runs(spark, build, out_dir)
             timings[name] = round(statistics.median(runs), 4)
             spread[name] = [round(min(runs), 4), round(max(runs), 4)]
+            cpu_sec[name] = round(statistics.median(cpus), 4)
         except Exception as e:  # noqa: BLE001 — record, don't abort
             errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
     ratios = {n: round(timings[n] / sf01_timings[n], 2)
@@ -584,6 +585,7 @@ def bench_sf1(spark, qs, sf01_timings: dict[str, float]) -> dict:
     out = {"sf": 1.0, "copies": SF1_COPIES, "gen_sec": gen_sec,
            "queries": timings,
            "spread": spread,
+           "cpu_sec": cpu_sec,
            "ratio_vs_sf0.1": ratios,
            "linear_budget": float(SF1_COPIES)}
     if errors:
@@ -653,15 +655,56 @@ def bench_ingest(spark, n_records: int) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _time_runs(spark, build, sf_dir: str, n_runs: int = 3) -> list[float]:
-    """Warm-up (untimed) + ``n_runs`` timed materializations."""
+def _tree_cpu() -> float:
+    """CPU seconds (utime+stime) summed over this process and every
+    live descendant, read from /proc — in local mode the Spark
+    executors are threads of a CHILD JVM process, so the process tree
+    is exactly "our" work.  Recorded next to wall time (VERDICT r12
+    item 4): wall time alone cannot tell a kernel regression from a
+    busy box — if wall doubles while tree-CPU is flat, other tenants
+    stole the cores and the sample is a box phase, not a regression.
+    Returns 0.0 on any /proc read problem (non-Linux, races)."""
+    try:
+        tick = float(os.sysconf("SC_CLK_TCK")) or 100.0
+        stat: dict[int, tuple[int, int]] = {}
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    # fields after the (comm) — comm may contain spaces
+                    rest = fh.read().rsplit(")", 1)[1].split()
+                stat[int(pid)] = (int(rest[1]),            # ppid
+                                  int(rest[11]) + int(rest[12]))  # u+s
+            except (OSError, IndexError, ValueError):
+                continue
+        kids: dict[int, list[int]] = {}
+        for pid, (ppid, _) in stat.items():
+            kids.setdefault(ppid, []).append(pid)
+        total, frontier = 0, [os.getpid()]
+        while frontier:
+            pid = frontier.pop()
+            if pid in stat:
+                total += stat[pid][1]
+            frontier.extend(kids.get(pid, []))
+        return total / tick
+    except (OSError, ValueError):
+        return 0.0
+
+
+def _time_runs(spark, build, sf_dir: str,
+               n_runs: int = 3) -> tuple[list[float], list[float]]:
+    """Warm-up (untimed) + ``n_runs`` timed materializations.
+    Returns (wall seconds, process-tree CPU seconds) per run."""
     force(build(spark, sf_dir))
-    runs = []
+    walls, cpus = [], []
     for _ in range(n_runs):
+        c0 = _tree_cpu()
         t0 = time.perf_counter()
         force(build(spark, sf_dir))
-        runs.append(time.perf_counter() - t0)
-    return runs
+        walls.append(time.perf_counter() - t0)
+        cpus.append(_tree_cpu() - c0)
+    return walls, cpus
 
 
 #: Outlier-rerun gate: new median > RERUN_RATIO × previously committed
@@ -669,6 +712,39 @@ def _time_runs(spark, build, sf_dir: str, n_runs: int = 3) -> list[float]:
 #: jitter multiplicatively without meaning anything).
 RERUN_RATIO = 1.5
 RERUN_FLOOR = 0.5
+
+
+def _merge_fresh(timings: dict[str, float], spread: dict[str, list[float]],
+                 fresh: dict[str, list[float]],
+                 prev: dict[str, float]) -> dict[str, dict]:
+    """Fold fresh-JVM retimes into the headline medians.  The rerun
+    gate exists to EXONERATE same-JVM artifacts (GC/bench-order
+    contamination), not to let a degraded box overwrite a warm median
+    — so the recorded value is min(in_loop, fresh) (VERDICT r12 item
+    4: the unconditional substitution wrote q_communities_lpa=95.68s
+    over an in-loop 6.37s during a degraded box phase).  Both samples
+    stay in the returned record; a fresh median > RERUN_RATIO× its
+    own in-loop one is flagged ``box_degraded`` so the artifact names
+    the slow phase instead of hiding it.  Mutates timings/spread in
+    place and returns the ``fresh_reruns`` record."""
+    reruns: dict[str, dict] = {}
+    for n, (med, lo, hi) in fresh.items():
+        if n not in timings:
+            continue
+        rec: dict = {"in_loop": timings[n], "fresh": med,
+                     "prev": prev.get(n)}
+        if med > RERUN_RATIO * timings[n]:
+            rec["box_degraded"] = True
+        if med < timings[n]:
+            # fresh JVM exonerated the in-loop sample: substitute the
+            # median AND its spread (the fresh runs' min/max — r7
+            # ADVICE: the committed median must sit inside its own
+            # committed spread)
+            timings[n] = med
+            spread[n] = [lo, hi]
+        rec["kept"] = timings[n]
+        reruns[n] = rec
+    return reruns
 
 
 def _prev_committed() -> dict[str, float]:
@@ -777,7 +853,7 @@ def run_only(names: list[str]) -> None:
     for n in names:
         if n not in qs:
             continue
-        runs = _time_runs(spark, qs[n], sf_dir)
+        runs, _ = _time_runs(spark, qs[n], sf_dir)
         timings[n] = [round(statistics.median(runs), 4),
                       round(min(runs), 4), round(max(runs), 4)]
     print("ONLY " + json.dumps(timings))
@@ -818,10 +894,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    cpu_sec: dict[str, float] = {}
     for name in names:
-        runs = _time_runs(spark, qs[name], sf_dir)
+        runs, cpus = _time_runs(spark, qs[name], sf_dir)
         timings[name] = round(statistics.median(runs), 4)
         spread[name] = [round(min(runs), 4), round(max(runs), 4)]
+        cpu_sec[name] = round(statistics.median(cpus), 4)
 
     # tail pass (VERDICT r6 item 3): one timed run for every contract
     # query NOT in HEADLINE, so no registered query is perf-invisible.
@@ -833,7 +911,7 @@ def main() -> None:
             continue
         try:
             tail[name] = round(_time_runs(spark, qs[name], sf_dir,
-                                          n_runs=1)[0], 4)
+                                          n_runs=1)[0][0], 4)
         except Exception as e:  # noqa: BLE001 — record, don't abort
             tail_errors[name] = f"{type(e).__name__}: {str(e)[:160]}"
 
@@ -848,6 +926,10 @@ def main() -> None:
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
         "spread": spread,
+        # process-tree CPU seconds per headline query (median of the 3
+        # timed runs) — the box-phase discriminator: wall up with CPU
+        # flat = other tenants stole the cores (VERDICT r12 item 4)
+        "cpu_sec": cpu_sec,
         "tail_queries": tail,
     }
     if tail_errors:
@@ -881,24 +963,20 @@ def main() -> None:
         if ingest_stale:
             fresh_ing = _fresh_jvm_ingest()
             if fresh_ing:
-                fresh_ing["fresh_rerun"] = {"in_loop": ingest_out["sec"],
-                                            "prev": prev_ing}
-                ingest_out = fresh_ing
+                rerun = {"in_loop": ingest_out["sec"],
+                         "fresh": fresh_ing["sec"], "prev": prev_ing}
+                if fresh_ing["sec"] > RERUN_RATIO * ingest_out["sec"]:
+                    rerun["box_degraded"] = True
+                # same min policy as the query gate: keep the faster
+                # sample — a degraded-box fresh arm must not overwrite
+                # the warm in-loop conversion
+                if fresh_ing["sec"] < ingest_out["sec"]:
+                    ingest_out = fresh_ing
+                ingest_out["fresh_rerun"] = rerun
                 out["ingest"] = ingest_out
     if outliers:
         fresh = _fresh_jvm_medians(outliers)
-        reruns = {}
-        for n in outliers:
-            if n in fresh:
-                med, lo, hi = fresh[n]
-                reruns[n] = {"in_loop": timings[n], "fresh": med,
-                             "prev": prev[n]}
-                timings[n] = med
-                # keep the committed median inside its own committed
-                # spread: substitution also substitutes the spread
-                # (the fresh runs' min/max) — r7 ADVICE
-                spread[n] = [lo, hi]
-        out["fresh_reruns"] = reruns
+        out["fresh_reruns"] = _merge_fresh(timings, spread, fresh, prev)
         out["queries"] = timings
         out["value"] = round(sum(timings.values()), 4)
     full_line = json.dumps(out)
