@@ -791,7 +791,11 @@ def facet_page(orders: DataFrame, status: str = FACET_STATUS,
     — a TakeOrdered O(page_size) heap per partition, no global sort.
     The facet counts are a ≤|values| groupBy (map-side combined)
     broadcast back onto the page rows, so every returned row carries
-    its facet's total — one relation, both Datasette panels."""
+    its facet's total — one relation, both Datasette panels.  The
+    final orderBy restores the page order the counts join discards
+    (ADVICE r12: in-page order IS the pagination contract — a page
+    returned in arbitrary order forces every consumer to re-sort);
+    it sorts page_size rows, not the relation."""
     filtered = orders.filter(F.col("o_orderstatus") == status)
     counts = (filtered.groupBy("o_orderpriority")
               .agg(F.count(F.lit(1)).alias("facet_count")))
@@ -806,7 +810,8 @@ def facet_page(orders: DataFrame, status: str = FACET_STATUS,
             .limit(page_size))
     return (page.join(F.broadcast(counts), "o_orderpriority")
             .select("o_orderkey", "o_orderdate", "o_orderpriority",
-                    "o_totalprice", "facet_count"))
+                    "o_totalprice", "facet_count")
+            .orderBy("o_orderdate", "o_orderkey"))
 
 
 _FACET_PAGE_ORACLE = f"""
@@ -825,6 +830,7 @@ _FACET_PAGE_ORACLE = f"""
     SELECT p.o_orderkey, p.o_orderdate, p.o_orderpriority,
            p.o_totalprice, c.facet_count
     FROM page p JOIN counts c USING (o_orderpriority)
+    ORDER BY p.o_orderdate, p.o_orderkey
     """
 
 

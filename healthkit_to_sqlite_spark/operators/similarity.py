@@ -2815,7 +2815,11 @@ def kcenter_coreset(embeddings: DataFrame, k: int = K_CENTERS) -> DataFrame:
     Determinism: distances round to 9 dp, ties break by vec_id; the
     seed is the MINIMUM vec_id (deterministic for any corpus — a
     hard-coded id 0 raised a bare IndexError on corpora without it,
-    ADVICE r11)."""
+    ADVICE r11).  Empty corpus: this side raises ValueError (a
+    selection job with nothing to select is a pipeline bug, not an
+    answer); the oracle — which cannot raise — emits ZERO rows via a
+    WHERE EXISTS guard on the seed row (ADVICE r12), the closest SQL
+    analogue of the same refusal."""
     spark = embeddings.sparkSession
     base = embeddings.select("vec_id", "embedding")
 
@@ -2875,6 +2879,7 @@ def _kcenter_oracle_sql(k: int = K_CENTERS) -> str:
     SELECT CAST(0 AS INT) AS sel_order,
            CAST((SELECT MIN(vec_id) FROM e) AS BIGINT) AS vec_id,
            CAST(NULL AS DOUBLE) AS radius
+    WHERE EXISTS (SELECT 1 FROM e)
     UNION ALL {unions}
     ORDER BY sel_order
     """

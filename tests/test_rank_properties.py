@@ -129,16 +129,16 @@ def test_facet_page_keyset_equals_offset_semantics(spark):
     full = (orders.filter(F.col("o_orderstatus") == FACET_STATUS)
             .orderBy("o_orderdate", "o_orderkey")
             .limit(2 * FACET_PAGE_SIZE).collect())
-    page1 = sorted(facet_page(orders, after_date="1990-01-01 00:00:00",
-                              after_key=-1).collect(),
-                   key=lambda r: (r.o_orderdate, r.o_orderkey))
+    # no re-sort: in-page order is part of the pagination contract
+    # (ADVICE r12) — collect() must already yield cursor order
+    page1 = facet_page(orders, after_date="1990-01-01 00:00:00",
+                       after_key=-1).collect()
     assert [(r.o_orderkey) for r in page1] == \
         [r.o_orderkey for r in full[:FACET_PAGE_SIZE]]
     last = page1[-1]
-    page2 = sorted(facet_page(orders,
-                              after_date=str(last.o_orderdate),
-                              after_key=int(last.o_orderkey)).collect(),
-                   key=lambda r: (r.o_orderdate, r.o_orderkey))
+    page2 = facet_page(orders,
+                       after_date=str(last.o_orderdate),
+                       after_key=int(last.o_orderkey)).collect()
     assert [r.o_orderkey for r in page2] == \
         [r.o_orderkey for r in full[FACET_PAGE_SIZE:2 * FACET_PAGE_SIZE]]
     # facet counts are page-invariant
