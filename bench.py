@@ -335,7 +335,8 @@ HEADLINE = [
     # (Lloyd chain + ranked scan; blocked cross-lingual pair scoring
     # with two k-NN windows; k−1 farthest-point corpus scans)
     "q_proto_prune",
-    "q_bitext_mine",
+    # (q_bitext_mine was HEADLINE here until r13 — retired to a
+    # test-only exact audit, VERDICT r12 item 2)
     "q_kcenter_coreset",
     # round 11: the ordering stage of the mix pipeline (per-source
     # window + closed-form interleave; the corpus-wide tokenize is
@@ -363,6 +364,12 @@ HEADLINE = [
     # round 12: the DV-erased bitext serve (joins the forget family,
     # every member of which is HEADLINE)
     "q_bitext_forget",
+    # round 13: the bitext append serve (probe cost tracks |batch| —
+    # the per-ingest mining job whose regression matters daily) and
+    # the committed mining-recall monitor (the per-rebuild audit,
+    # same qualification as q_ann_recall_report / q_bm25_mrr)
+    "q_bitext_append",
+    "q_bitext_recall_report",
 ]
 
 
@@ -447,14 +454,14 @@ SF1_QUERIES = [
     # per-cell window partitions are n/K rows, no single-partition
     # hazard at fixed K because the rank never leaves its cell
     "q_proto_prune",
-    # (r12, VERDICT r11 item 4) the four unslopped r11 selection
-    # queries: bitext is the exact crossJoin form (expected the
-    # worst slope here — the documented reason the from_index twin
-    # exists); kcenter is k corpus scans (expected ~linear);
-    # curriculum is one per-source window over the tokenize scan
-    # (expected ~linear); fuzzy decon is the ×6 map-only explode +
-    # broadcast (expected ~linear in gram volume)
-    "q_bitext_mine", "q_kcenter_coreset", "q_curriculum_order",
+    # (r12, VERDICT r11 item 4) the unslopped r11 selection queries
+    # (q_bitext_mine was tracked here until its r13 retirement — its
+    # 8.48 all-pairs slope was the measured reason the from_index
+    # twin replaced it in the contract): kcenter is k corpus scans
+    # (expected ~linear); curriculum is one per-source window over
+    # the tokenize scan (expected ~linear); fuzzy decon is the ×6
+    # map-only explode + broadcast (expected ~linear in gram volume)
+    "q_kcenter_coreset", "q_curriculum_order",
     "q_decontaminate_fuzzy",
     # (r12) the serve twins: scoring against committed artifacts —
     # expected well below their in-query twins' slopes (the Lloyd
@@ -464,9 +471,15 @@ SF1_QUERIES = [
     # one broadcast equi-join + window)
     "q_proto_prune_from_index", "q_dedup_semantic_from_index",
     # (r12) bitext serve: probe + equi-join candidates — expected far
-    # below q_bitext_mine's all-pairs slope (pair volume nprobe/K of
-    # exact; the index build runs in the untimed warm-up)
+    # below the retired exact form's all-pairs slope (pair volume
+    # nprobe/K of exact; the index build runs in the untimed warm-up)
     "q_bitext_from_index",
+    # (r13) the append serve (probe cost tracks |batch| — the batch
+    # also grows 10× under amplification, so expect the
+    # q_dedup_from_index band, not flat) and the recall monitor
+    # (bounded probe set × corpus-shaped target stream in the exact
+    # arm — expected ~linear in the target shard)
+    "q_bitext_append", "q_bitext_recall_report",
 ]
 
 

@@ -859,11 +859,16 @@ def test_proto_prune_plan(spark, specs):
     assert "label" not in cols, "prune reads only vec_id+embedding"
 
 
-def test_bitext_mine_plan(spark, specs):
+def test_bitext_mine_plan(spark):
+    # the TEST-ONLY exact audit (retired from the contract in r13):
     # language sides: lang filter pushes to the documents scan; the
     # candidate block is the declared broadcast of the smaller side;
     # nothing cartesian
-    df = specs["q_bitext_mine"].build(spark, SF)
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.similarity import bitext_mine
+
+    df = bitext_mine(load_table(spark, SF, "embeddings"),
+                     load_table(spark, SF, "documents"))
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     pushed = " ".join(pushed_filters(df))
@@ -925,16 +930,63 @@ def test_bitext_forget_reads_erased_head_dv_broadcast(spark, specs):
     assert has_broadcast_join(df)
 
 
-def test_bitext_single_fold_chain(spark, specs):
+def test_bitext_single_fold_chain(spark):
     # the scored-pairs fold must appear ONCE: both k-NN means are
     # window aggregates on one linear lineage (the groupBy-join-back
     # form branches the BNLJ subtree three ways with non-reusable
-    # exchanges — the fold would run 3x)
-    df = specs["q_bitext_mine"].build(spark, SF)
+    # exchanges — the fold would run 3x).  bitext_mine is the
+    # TEST-ONLY exact audit since r13 (VERDICT r12 item 2) — this pin
+    # keeps the audit arm honest, not a contract plan.
+    from healthkit_to_sqlite_spark.catalog import load_table
+    from healthkit_to_sqlite_spark.operators.similarity import bitext_mine
+
+    df = bitext_mine(load_table(spark, SF, "embeddings"),
+                     load_table(spark, SF, "documents"))
     plan = formatted_plan(df)
     # formatted explain prints each node twice (tree + details):
     # exactly one BNLJ node => exactly two mentions
     assert plan.count("BroadcastNestedLoopJoin") == 2
+
+
+def test_no_contract_query_crossjoins_two_corpus_sides(spark, specs):
+    """VERDICT r12 item 2 (Done criterion): with q_bitext_mine
+    demoted, NO registered query's plan may crossJoin two
+    corpus-shaped sides.  (a) The all-pairs forms are not registered;
+    (b) every registered bitext/selection query that replaced one is
+    CartesianProduct-free and its only nested loops are bounded
+    broadcasts (the K-row centroid probe / 1-row query vector),
+    pinned by counting BNLJ nodes."""
+    from healthkit_to_sqlite_spark.registry import queries
+
+    registered = set(queries())
+    assert "q_bitext_mine" not in registered
+    assert "q_brute_force_pairs" not in registered
+    # the family that replaced the all-pairs plan: candidates must
+    # come from an equi-join on the committed cell id
+    for name, max_bnlj in (("q_bitext_append", 1),
+                           ("q_bitext_recall_report", None)):
+        df = specs[name].build(spark, SF)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        if max_bnlj is not None:
+            # one bounded BNLJ: the K-row centroid probe broadcast
+            assert plan.count("BroadcastNestedLoopJoin") == 2 * max_bnlj, name
+
+
+def test_bitext_append_probes_only_the_batch(spark, specs):
+    """Append symmetry contract: zero Lloyd in the serve plan (the
+    catalog build is the version-guarded warm-up), and the batch
+    predicate reaches the source scan — probe cost tracks |batch|,
+    never the corpus."""
+    df = specs["q_bitext_append"].build(spark, SF)
+    plan = formatted_plan(df)
+    assert "ann_index_append_" in plan       # committed artifacts
+    assert "HashAggregate" not in plan       # zero training
+    assert "ObjectHashAggregate" not in plan
+    assert "posexplode" not in plan
+    assert "CartesianProduct" not in plan
+    pushed = " ".join(pushed_filters(df))
+    assert "vec_id" in pushed, "batch cursor must reach a scan"
 
 
 def test_curriculum_order_no_global_sort(spark, specs):

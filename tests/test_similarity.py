@@ -1101,6 +1101,34 @@ def test_bitext_from_index_recall_vs_exact(spark):
     assert recall >= 0.7, f"pair recall vs exact dropped to {recall:.3f}"
 
 
+def test_bitext_recall_report_floors_candidate_recall(spark):
+    """VERDICT r12 item 6: the recall floor now ALSO reads the
+    committed monitor artifact — per probe source, the exact
+    best-cosine target must land in the probed committed cells at
+    the family's measured rate (0.743 sf0.001 / 0.821 sf0.01 at
+    nprobe=4 — the same band as the full pair-recall audit above).
+    Internal consistency: every production-mined pair for a probe
+    source whose exact best target was probed AND equals the mined
+    target must be a cand_hit row."""
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        bitext_recall_report)
+
+    rows = bitext_recall_report(spark, SF).collect()
+    assert rows, "empty probe set — fixture drifted"
+    srcs = [r.src_id for r in rows]
+    assert len(srcs) == len(set(srcs)), "a probe source reported twice"
+    recall = sum(1 for r in rows if r.cand_hit) / len(rows)
+    assert recall >= 0.7, f"candidate recall dropped to {recall:.3f}"
+    for r in rows:
+        if r.index_tgt is not None and r.index_tgt == r.exact_tgt:
+            assert r.cand_hit, (
+                f"src {r.src_id}: mined the exact best target from a "
+                "cell the report says was not probed")
+    # the monitor is load-bearing: some probe source must MISS, or
+    # the floor could never detect a regression direction
+    assert any(not r.cand_hit for r in rows)
+
+
 def test_bitext_forget_never_mines_tombstones(spark):
     """The erased bitext serve's contract: no tombstoned id on
     EITHER side of any mined pair, and the tombstones actually bite —
