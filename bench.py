@@ -478,8 +478,12 @@ SF1_QUERIES = [
     # also grows 10× under amplification, so expect the
     # q_dedup_from_index band, not flat) and the recall monitor
     # (bounded probe set × corpus-shaped target stream in the exact
-    # arm — expected ~linear in the target shard)
-    "q_bitext_append", "q_bitext_recall_report",
+    # arm — expected ~linear in the target shard); q_ann_index_append
+    # joins the set with them because all three share the DERIVED
+    # base/batch split (r13: the fixed 400-vector base trained an
+    # 8-cell quantizer for the 20k sf1 corpus — q_bitext_append
+    # sloped 11.5 until the split tracked the corpus; now 1.91)
+    "q_bitext_append", "q_bitext_recall_report", "q_ann_index_append",
 ]
 
 

@@ -1806,12 +1806,36 @@ def _ann_recall_oracle_sql(n_queries: int = ANN_BATCH_Q, k: int = 5,
     """
 
 
-ANN_APPEND_SPLIT = 400  # base/new split: base trains, new is encoded
-#                         frozen (base must cover the PQ_K·stride seeds)
+#: The appended-index base/batch split is DERIVED: base = the first
+#: ceil(4n/5) vec_ids, batch = the last ~20%.  A fixed split is the
+#: same scale trap as a fixed K one level up (VERDICT r12 item 1,
+#: measured here too: with base pinned at 400 the sf1 corpus trains
+#: an 8-cell quantizer for 20000 vectors and q_bitext_append sloped
+#: 11.5; the derived split keeps base — and with it the derived K —
+#: tracking the corpus, slope back under 2).  Integer arithmetic
+#: (ceil(4n/5) = -((-4n)//5)) so both engines agree exactly — 0.8·n
+#: in doubles rounds differently across engines.
+ANN_APPEND_SPLIT = 400  # the derived split at the 500-vector gate
+#                         fixtures (pinned in test_similarity; base
+#                         must cover the PQ_K·stride seeds)
+
+_APPEND_SPLIT_CACHE: dict[str, int] = {}
+
+
+def _append_split_for(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _APPEND_SPLIT_CACHE:
+        n = load_table(spark, sf_dir, "embeddings").count()
+        _APPEND_SPLIT_CACHE[sf_dir] = -((-4 * n) // 5)
+    return _APPEND_SPLIT_CACHE[sf_dir]
+
+
+#: Oracle twin of `_append_split_for` — same integer ceil(4n/5).
+_APPEND_SPLIT_SQL = \
+    "(SELECT CAST(-((-4 * COUNT(*)) // 5) AS BIGINT) FROM embeddings)"
 
 
 def build_ann_index_appended(spark: SparkSession, sf_dir: str,
-                             split: int = ANN_APPEND_SPLIT):
+                             split: int | None = None):
     """Incremental index maintenance — the FAISS ``add()`` story on
     top of the build/serve split: version 1 trains the residual-IVFADC
     index on the BASE corpus (``vec_id < split``) and publishes all
@@ -1831,6 +1855,8 @@ def build_ann_index_appended(spark: SparkSession, sf_dir: str,
     from ..sinks.manifest import ManifestCatalog
     from .pipeline import _work_dir
 
+    if split is None:
+        split = _append_split_for(spark, sf_dir)
     cat = ManifestCatalog(
         os.path.join(_work_dir("ann_index_append", sf_dir), "cat"))
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2475,6 +2501,8 @@ def hybrid_from_index(spark: SparkSession, sf_dir: str,
 
 
 SEMANTIC_COS = 0.4  # intra-cluster near-duplicate threshold
+SEM_PLANES = 32     # within-cell pre-filter signature width ...
+SEM_BANDS = 8       # ... in 8 bands of 4 bits (see _semantic_pairs)
 
 
 def semantic_dedup(embeddings: DataFrame,
@@ -2487,15 +2515,18 @@ def semantic_dedup(embeddings: DataFrame,
     lower-id neighbor above the cosine threshold.
 
     This is the published semantic-dedup recipe for web-scale corpora:
-    clustering bounds the pair search to Σ|cell|² (an equi-join on the
-    cell id — same shape as the LSH bucket join, with the quantizer
-    instead of random planes deciding the buckets), and the
-    deterministic lowest-id-wins keeper rule replaces the paper's
-    arbitrary-order greedy scan so both engines agree exactly.  A
-    vector whose nearest semantic twin lands in another cell is missed
-    — the standard recall tradeoff, tunable via n_centroids (and the
-    same caveat the paper accepts).  Output: every vector with its
-    cell and keep flag."""
+    clustering bounds the pair search to the cell (with K derived
+    from corpus size, per-cell occupancy — and so pair volume per
+    vector — stays CONSTANT as the corpus grows), and since r13 a
+    within-cell banded sign-LSH pre-filter bounds it further to
+    band-bucket collisions before any cosine folds (`_semantic_pairs`
+    — VERDICT r12 item 3).  The deterministic lowest-id-wins keeper
+    rule replaces the paper's arbitrary-order greedy scan so both
+    engines agree exactly.  A vector whose nearest semantic twin
+    lands in another cell (or shares no LSH band) is missed — the
+    standard recall tradeoff, tunable via n_centroids / the band
+    geometry, floored in test_similarity.  Output: every vector with
+    its cell and keep flag."""
     cells = ivf_cells(embeddings, n_centroids, iters)
     return _semantic_pairs(cells, embeddings, min_cosine)
 
@@ -2503,18 +2534,64 @@ def semantic_dedup(embeddings: DataFrame,
 def _semantic_pairs(cells: DataFrame, embeddings: DataFrame,
                     min_cosine: float) -> DataFrame:
     """Shared SemDeDup body over ANY cell assignment (in-query Lloyd
-    or the committed artifact): within-cell pair join, cosine
-    threshold, lowest-id-wins keep flag."""
-    withv = (cells.join(embeddings.select("vec_id", "embedding"), "vec_id")
-             .select("vec_id", "cell", "embedding",
-                     l2_norm(F.col("embedding")).alias("nrm")))
-    a, b = withv.alias("a"), withv.alias("b")
-    sim = cosine_from_norms(F.col("a.embedding"), F.col("b.embedding"),
-                            F.col("a.nrm"), F.col("b.nrm"))
-    dup = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
-                  & (F.col("b.vec_id") < F.col("a.vec_id")))
+    or the committed artifact): within-cell banded sign-LSH candidate
+    pairs + exact cosine verify, lowest-id-wins keep flag.
+
+    VERDICT r12 item 3 — the raw within-cell pair join was the
+    steepest non-declared scale term (Σ|cell|², sf1 slope 3.31-3.48
+    in BOTH the in-query and serve forms, because with K tracking the
+    corpus the pair volume is n·occupancy — linear but with a
+    250-pair constant per vector).  The `dedup_embedding_pairs`
+    candidate pattern applied PER CELL breaks it: a pair is verified
+    only if it shares the cell AND collides in ≥1 of the
+    SEM_BANDS sign-LSH bands (OR-amplified — recall 1-(1-s^r)^b;
+    the geometry is WIDER than the global near-dup surface's 16/4 —
+    32 planes / 8 bands of 4, because in-cell pairs are the
+    fixture's near-threshold regime where 16/4 measured 0.46 recall
+    vs 32/8's 0.71 at 0.45x the pair volume; the 32-fold signature
+    costs ~1/4 of the folds it saves at target occupancy 250), so
+    the exact cosine folds run on Σ_cell Σ_band Σ_bucket
+    |bucket∩cell|² pairs instead of Σ|cell|².  The verify
+    set is SMALLER but the dup rule is otherwise unchanged
+    (deterministic planes, both engines replay them — the oracle
+    gained the same banded restriction); a same-cell twin that
+    collides in no band is now missed — the explicitly-approximate
+    recall tradeoff, floored vs the unfiltered form in
+    test_similarity (the SemDeDup paper accepts the analogous
+    cross-cell miss).  Candidates carry ONLY ids through the band
+    shuffle (the 64-float vector joins back for the verify), and the
+    repartition on the join key lets AQE reuse ONE shuffle stage for
+    both self-join sides — both the measured `dedup_embedding_pairs`
+    disciplines."""
+    r = SEM_PLANES // SEM_BANDS
+    sig = lsh_signature(embeddings, SEM_PLANES)
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.substring("bucket", b * r + 1, r).alias("bsig"))
+        for b in range(SEM_BANDS)])
+    banded = (cells.join(sig.select("vec_id", "bucket"), "vec_id")
+              .select("vec_id", "cell", F.explode(bands).alias("bs"))
+              .select("vec_id", "cell", "bs.band", "bs.bsig")
+              .repartition("cell", "band", "bsig"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                   & (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bsig") == F.col("b.bsig"))
+                   & (F.col("b.vec_id") < F.col("a.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_id"),
+                    F.col("b.vec_id").alias("vec_o"))
+            .distinct())
+    withv = (embeddings.select("vec_id", "embedding")
+             .withColumn("nrm", l2_norm(F.col("embedding"))))
+    va = withv.select(F.col("vec_id"),
+                      F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    vb = withv.select(F.col("vec_id").alias("vec_o"),
+                      F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    sim = cosine_from_norms(F.col("ea"), F.col("eb"),
+                            F.col("na"), F.col("nb"))
+    dup = (cand.join(va, "vec_id").join(vb, "vec_o")
            .filter(F.round(sim, 6) >= min_cosine)
-           .select(F.col("a.vec_id").alias("vec_id"))
+           .select("vec_id")
            .distinct()
            .withColumn("is_dup", F.lit(True)))
     return (cells.join(dup, "vec_id", "left")
@@ -2867,7 +2944,7 @@ def bitext_after_forget(spark: SparkSession, sf_dir: str,
 
 
 def bitext_append(spark: SparkSession, sf_dir: str,
-                  split: int = ANN_APPEND_SPLIT,
+                  split: int | None = None,
                   src_lang: str = BITEXT_SRC_LANG,
                   tgt_lang: str = BITEXT_TGT_LANG,
                   k: int = MARGIN_K,
@@ -2896,6 +2973,8 @@ def bitext_append(spark: SparkSession, sf_dir: str,
     quantizer on the BASE subset in SQL, assigns everyone with the
     frozen centroids, and replays the batch-restricted probe — the
     `q_ann_index_append` proof shape."""
+    if split is None:
+        split = _append_split_for(spark, sf_dir)
     cat = build_ann_index_appended(spark, sf_dir, split)
     emb = load_table(spark, sf_dir, "embeddings")
     return _bitext_index_serve(
@@ -3752,8 +3831,8 @@ def _ivfpq_residual_oracle_sql(k: int = 5, nprobe: int = 2,
     """
 
 
-def _ivfpq_append_oracle_sql(split: int = ANN_APPEND_SPLIT, k: int = 5,
-                             nprobe: int = 2,
+def _ivfpq_append_oracle_sql(split: int | str = _APPEND_SPLIT_SQL,
+                             k: int = 5, nprobe: int = 2,
                              rerank_factor: int = PQ_RERANK) -> str:
     """Append-index serve in DuckDB: train every Lloyd chain on the
     BASE subset only (``src`` parameterization), then assign ALL
@@ -3789,7 +3868,7 @@ def _ivfpq_append_oracle_sql(split: int = ANN_APPEND_SPLIT, k: int = 5,
     dist = " + ".join(f"d{j}" for j in range(PQ_M))
     qe_all = "list_transform(e.embedding, x -> CAST(x AS DOUBLE))"
     return f"""
-    WITH base AS (SELECT * FROM embeddings WHERE vec_id < {split}),
+    WITH base AS (SELECT * FROM embeddings WHERE vec_id < ({split})),
     {_kmeans_cells_sql(i, _derived_k_sql("base"), DIM, prefix="c_", src="base")},
     all_cells AS (
       SELECT vec_id, cid AS cell FROM (
@@ -3810,7 +3889,7 @@ def _ivfpq_append_oracle_sql(split: int = ANN_APPEND_SPLIT, k: int = 5,
       FROM embeddings e
       JOIN all_cells cc USING (vec_id)
       JOIN c_cent{i} c ON c.cid = cc.cell),
-    res_base AS (SELECT * FROM res WHERE vec_id < {split}),
+    res_base AS (SELECT * FROM res WHERE vec_id < ({split})),
     {", ".join(chains)},
     {", ".join(alls)},
     codes AS (SELECT s0_all.vec_id, {code_cols} FROM {froms}),
@@ -4053,16 +4132,30 @@ _DV_FRACTION_ORACLE = f"""
 #: Shared by q_dedup_semantic and its committed-index serve twin: the
 #: committed ``cells`` artifact equals from-scratch training
 #: bit-for-bit (the q_ann_query_from_index argument), so one oracle
-#: replaying the full Lloyd chain proves both.
+#: replaying the full Lloyd chain proves both.  Since r13 the pair
+#: search carries the same within-cell banded sign-LSH restriction as
+#: the Spark kernel (VERDICT r12 item 3) — same deterministic planes
+#: as the near-dup surface's `_banded_pairs_sql`.
 _SEMANTIC_DEDUP_ORACLE = f"""
     WITH {_kmeans_cells_sql(k=_derived_k_sql())},
+    sig AS ({_sig_sql(SEM_PLANES)}),
+    banded AS (
+      SELECT c.vec_id, c.cell, b.b AS band,
+             substr(s.bucket, b.b * {SEM_PLANES // SEM_BANDS} + 1,
+                    {SEM_PLANES // SEM_BANDS}) AS bsig
+      FROM cells c JOIN sig s USING (vec_id),
+           (SELECT unnest(range({SEM_BANDS})) AS b) b),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM banded a JOIN banded b
+        ON a.cell = b.cell AND a.band = b.band AND a.bsig = b.bsig
+       AND b.vec_id < a.vec_id),
     withv AS (
-      SELECT c.vec_id, c.cell, e.embedding
-      FROM cells c JOIN embeddings e USING (vec_id)),
+      SELECT vec_id, embedding FROM embeddings),
     dup AS (
-      SELECT DISTINCT a.vec_id
-      FROM withv a JOIN withv b
-        ON a.cell = b.cell AND b.vec_id < a.vec_id
+      SELECT DISTINCT c.va AS vec_id
+      FROM cand c JOIN withv a ON a.vec_id = c.va
+      JOIN withv b ON b.vec_id = c.vb
       WHERE ROUND(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
                   ({_NORM_SQL.format(c='a.embedding')} * {_NORM_SQL.format(c='b.embedding')}),
@@ -4155,7 +4248,7 @@ _BITEXT_FROM_INDEX_ORACLE = _bitext_index_oracle_sql()
 #: to the new batch, probe + equi-join candidates, shared margin tail.
 _BITEXT_APPEND_ORACLE = f"""
     WITH base AS (SELECT * FROM embeddings
-                  WHERE vec_id < {ANN_APPEND_SPLIT}),
+                  WHERE vec_id < {_APPEND_SPLIT_SQL}),
     {_kmeans_cells_sql(IVF_ITERS, _derived_k_sql("base"), DIM,
                        prefix="c_", src="base")},
     all_cells AS (
@@ -4171,7 +4264,7 @@ _BITEXT_APPEND_ORACLE = f"""
       SELECT e.vec_id AS src_id, e.embedding AS xe
       FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
       WHERE d.lang = '{BITEXT_SRC_LANG}'
-        AND e.vec_id >= {ANN_APPEND_SPLIT}),
+        AND e.vec_id >= {_APPEND_SPLIT_SQL}),
     y AS (
       SELECT e.vec_id AS tgt_id, e.embedding AS ye, c.cell
       FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
