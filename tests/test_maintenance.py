@@ -659,6 +659,22 @@ def test_selection_outputs_drop_tombstoned_docs_on_rebuild(spark):
     kept = proto_prune(live_emb).collect()
     assert all(r.vec_id not in tombs for r in kept), (
         "tombstoned doc in rebuilt keep-set")
+
+    # curriculum manifests (VERDICT r12 item 7 — the docstring named
+    # them but the drill never rebuilt one): the re-derived training
+    # order must be free of the tombstoned docs AND remain a valid
+    # dense ordering of exactly the live corpus — a hole at the
+    # victim's old position would mean the erased doc still shaped
+    # the manifest
+    from healthkit_to_sqlite_spark.operators.text import curriculum_order
+    manifest = curriculum_order(live_docs).collect()
+    m_ids = {r.doc_id for r in manifest}
+    assert not (m_ids & tombs), "tombstoned doc in rebuilt curriculum"
+    assert len(manifest) == live_docs.count()
+    positions = sorted(r.global_pos for r in manifest)
+    assert positions == list(range(1, len(manifest) + 1)), (
+        "rebuilt curriculum is not a dense 1..n ordering")
+
     # the rebuilds are from-scratch runs on the post-erasure corpus —
     # nothing else may go missing
     n_live = live_emb.count()
