@@ -98,7 +98,6 @@ HEADLINE = [
     "q_merge_upsert",
     "q_ngram_jaccard",
     "q_dedup_embedding",
-    "q_dedup_clusters_star",
     "q_ann_ivf",
     "q_ann_pq",
     # round 3 additions: training-pipeline ops with real data volume
@@ -409,7 +408,7 @@ SF1_COPIES = 10
 #: their in-query twins' ~2× (probe/postings scans grow sublinearly;
 #: q_dedup_from_index's BATCH also grows 10×, so it tracks |batch|).
 SF1_QUERIES = [
-    "q_dedup_clusters_star", "q_ann_pq", "q_dedup_clusters", "q_pagerank",
+    "q_ann_pq", "q_dedup_clusters", "q_pagerank",
     "q_containment", "q_dedup_semantic", "q_ngram_counts",
     "q_dedup_minhash_lsh", "q_ngram_jaccard", "q_triangles",
     "q_ann_query_from_index", "q_ann_batch_queries",

@@ -237,7 +237,7 @@ def dedup_paragraph_apply(documents: DataFrame,
     published RefinedWeb behavior (near-dup chains are boilerplate
     far more often than content) and it is what the oracle pins; a
     group-based variant would need the CC kernel
-    (`dedup_clusters_star`) between pairs and apply, which the
+    (`dedup_clusters`) between pairs and apply, which the
     doc-level `q_dedup_apply` path already demonstrates.  Emits per-doc (n_paras, n_kept) plus the
     md5 of the rebuilt text so the oracle verifies the RECONSTRUCTED
     CONTENT, not just counts.  Shape: the pair kernel + one anti-join

@@ -47,18 +47,24 @@ from .text import (FUZZY_PAIRS_CTE_SQL, GOPHER_MAX_MEAN_LEN,
 # --- C2+: dedup clustering (connected components) -------------------------
 
 
-def dedup_clusters(documents: DataFrame) -> DataFrame:
-    """Connected components over MinHash-LSH candidate pairs → one
-    ``cluster_id`` (= min doc_id of the component) per document;
-    ``is_keeper`` marks the canonical survivor.
+def dedup_clusters_minlabel(documents: DataFrame) -> DataFrame:
+    """TEST-ONLY equivalence audit kernel for `dedup_clusters` — NOT
+    registered (VERDICT r13 item 1, the q_bitext_mine precedent one
+    family later): min-label propagation converges in O(graph
+    diameter) SEQUENTIAL rounds, and the r13 bench proved the
+    degradation is real serialization, not box noise — at sf1 its
+    wall hit 24.3 s (slope 6.83) at the SAME process-tree CPU as the
+    O(log n) star kernel's 7.8 s (slope 2.07): the cluster sits idle
+    between barriers as the amplified corpus's duplicate components
+    grow longer chains.  The registered `q_dedup_clusters` rides the
+    star kernel; this form survives only as the independent
+    implementation the equivalence property in test_pipeline checks
+    the star labels against.
 
     Algorithm: iterative min-label propagation — each round every node
     takes ``min(own label, neighbors' labels)``; fixpoint = component
     minimum.  Rounds are plain shuffles (join + groupBy), converging in
-    O(graph diameter); near-dup graphs are short chains, so diameter is
-    small.  At larger diameters switch to large-star/small-star
-    (alternating min-propagation that contracts paths in O(log n)
-    rounds) — same join/agg shape, different edge rewrite.
+    O(graph diameter).
 
     Scale design: iteration runs ONLY over nodes that appear in an edge
     (near-dup graphs are sparse — the overwhelming majority of docs are
@@ -93,8 +99,8 @@ def dedup_clusters(documents: DataFrame) -> DataFrame:
         prev_sum = cur_sum
     if not converged:
         # silent non-convergence would emit non-minimal (wrong)
-        # cluster ids; refuse like the star variant does (a component
-        # with diameter > 30 needs dedup_clusters_star's O(log n)
+        # cluster ids; refuse like the star kernel does (a component
+        # with diameter > 30 needs dedup_clusters' O(log n) star
         # rounds, not more propagation)
         raise RuntimeError(
             "min-label propagation did not converge within 30 rounds; "
@@ -185,12 +191,24 @@ def connected_components_star(edges: DataFrame,
     return labels, rounds
 
 
-def dedup_clusters_star(documents: DataFrame) -> DataFrame:
-    """dedup_clusters with the large-star/small-star CC kernel: same
-    contract (doc_id, cluster_id = component-min doc_id, is_keeper),
-    O(log n) rounds instead of O(diameter) — the variant to run when
-    near-dup chains are long (template families, boilerplate farms).
-    Equivalence with the propagation kernel is property-tested."""
+def dedup_clusters(documents: DataFrame) -> DataFrame:
+    """Connected components over MinHash-LSH candidate pairs → one
+    ``cluster_id`` (= min doc_id of the component) per document;
+    ``is_keeper`` marks the canonical survivor — the end of the
+    near-dup pipeline's decision stage, feeding `dedup_apply` /
+    `dedup_keep_best`.
+
+    Kernel: large-star/small-star contraction (`connected_components_
+    star`), O(log n) rounds regardless of component diameter.  Since
+    r14 this IS the only registered CC kernel (VERDICT r13 item 1):
+    min-label propagation's O(diameter) sequential rounds measured
+    sf1 slope 6.83 / wall 24.3 s at the same process-CPU as star's
+    7.8 s — real serialization, degrading exactly when dedup matters
+    most (template families and boilerplate farms make components
+    LONGER as the corpus grows).  The propagation form survives as
+    `dedup_clusters_minlabel`, the test-only independent
+    implementation the equivalence property checks this one against
+    (same component-min contract, same recursive-CTE oracle)."""
     pairs = minhash_lsh_pairs(documents).select("doc_a", "doc_b")
     labels, _ = connected_components_star(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")))
@@ -2593,23 +2611,10 @@ SPECS: dict[str, Spec] = {
                (MIN(lab) = node) AS is_keeper
         FROM reach GROUP BY node
         """,
-        "connected-components dedup clustering over LSH pairs (min-label propagation)"),
-    "q_dedup_clusters_star": Spec(
-        lambda spark, sf: dedup_clusters_star(load_table(spark, sf, "documents")),
-        f"""
-        WITH RECURSIVE {_LSH_PAIRS_SQL},
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        reach(node, lab) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
-        SELECT node AS doc_id, MIN(lab) AS cluster_id,
-               (MIN(lab) = node) AS is_keeper
-        FROM reach GROUP BY node
-        """,
-        "CC dedup clustering via large-star/small-star (O(log n) rounds; "
-        "same component-min contract as q_dedup_clusters)"),
+        "connected-components dedup clustering over LSH pairs "
+        "(large-star/small-star contraction, O(log n) rounds — the "
+        "O(diameter) min-label kernel is the test-only equivalence "
+        "audit since r14)"),
     "q_dedup_apply": Spec(
         lambda spark, sf: dedup_apply(load_table(spark, sf, "documents")),
         f"""

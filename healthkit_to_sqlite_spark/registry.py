@@ -11,7 +11,7 @@ leaving timeseries/multimodal/pipeline/udx unverified).  ``PRIORITY``
 pins the verification window each round: queries whose semantics
 changed this round plus queries with no driver row yet come first,
 then the reference §2.A/§2.B parity surface, then the long-green
-remainder.  Everything (229 queries as of round 13) still runs in
+remainder.  Everything (228 queries as of the round-14 CC re-point) still runs in
 tests/parity.py, whose committed PARITY_r{N}.json covers the overflow.
 
 The window contract is self-tested: tests/test_registry.py asserts
@@ -72,7 +72,7 @@ TOUCHED_THIS_ROUND: tuple[str, ...] = (
 #: surface.  Names not listed (or not registered) follow in module
 #: order; unknown names here are ignored, so the list is safe to
 #: curate ahead of the code — but the FIRST 50 are contract (see
-#: tests/test_registry.py).  (229 queries as of round 13.)
+#: tests/test_registry.py).  (228 queries as of the round-14 CC re-point.)
 PRIORITY: tuple[str, ...] = (
     # ---- round-13 window (slots 1-50) -----------------------------
     # DERIVED (see DERIVED_FOR_ROUND): never-driver-checked queries +
@@ -112,7 +112,7 @@ PRIORITY: tuple[str, ...] = (
     "q_bloom_prune", "q_bm25_pruned", "q_bm25_pruned_append",
     "q_cogroup_asof", "q_communities_lpa", "q_containment",
     "q_correlated_scalar", "q_cube", "q_dedup_audit", "q_dedup_clusters",
-    "q_dedup_clusters_star", "q_embed_covariance", "q_expectations",
+    "q_embed_covariance", "q_expectations",
     "q_curriculum_order", "q_manifest_roundtrip", "q_merge_upsert",
     "q_multimodal_decode", "q_multimodal_meta", "q_pack_sequences",
     "q_pca_project", "q_pii_scrub", "q_pipeline_e2e", "q_posexplode",

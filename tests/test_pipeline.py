@@ -1,10 +1,12 @@
 """Pipeline operator properties: CC kernel equivalence + round counts.
 
-The large-star/small-star kernel must produce exactly the same
-component-min labels as min-label propagation (they share the
-q_dedup_clusters oracle), and must converge in O(log n) rounds where
-propagation needs O(diameter) — pinned on a path graph, the
-worst-case diameter shape.
+The registered `dedup_clusters` rides the large-star/small-star
+kernel (since r14, VERDICT r13 item 1); `dedup_clusters_minlabel`
+is the test-only min-label propagation audit.  The two independent
+kernels must produce exactly the same component-min labels (the
+q_dedup_clusters oracle's contract), and star must converge in
+O(log n) rounds where propagation needs O(diameter) — pinned on a
+path graph, the worst-case diameter shape.
 """
 
 from __future__ import annotations
@@ -15,7 +17,7 @@ from healthkit_to_sqlite_spark.catalog import load_table
 from healthkit_to_sqlite_spark.operators.pipeline import (
     connected_components_star,
     dedup_clusters,
-    dedup_clusters_star,
+    dedup_clusters_minlabel,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -24,9 +26,9 @@ SF = "/root/testdata/sf0.001"
 def test_star_equals_propagation_on_lsh_graph(spark):
     docs = load_table(spark, SF, "documents")
     prop = {(r.doc_id, r.cluster_id, r.is_keeper)
-            for r in dedup_clusters(docs).collect()}
+            for r in dedup_clusters_minlabel(docs).collect()}
     star = {(r.doc_id, r.cluster_id, r.is_keeper)
-            for r in dedup_clusters_star(docs).collect()}
+            for r in dedup_clusters(docs).collect()}
     assert star == prop
 
 
