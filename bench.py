@@ -369,6 +369,11 @@ HEADLINE = [
     # same qualification as q_ann_recall_report / q_bm25_mrr)
     "q_bitext_append",
     "q_bitext_recall_report",
+    # round 14: the semantic-dedup candidate-recall monitor (the r13
+    # banded pre-filter made q_dedup_semantic approximate; this is
+    # its per-rebuild drift audit — same qualification as the other
+    # three monitors)
+    "q_semdedup_recall_report",
 ]
 
 
@@ -896,14 +901,18 @@ def main() -> None:
     # tail pass (VERDICT r6 item 3): one timed run for every contract
     # query NOT in HEADLINE, so no registered query is perf-invisible.
     # Warm-up + single run — visibility, not a headline-grade median.
-    tail: dict[str, float] = {}
+    # Since r14 each entry is [wall_sec, cpu_sec] (VERDICT r13
+    # What's-missing 3: the tail recorded wall only, so the next
+    # degraded-phase debate would have landed on a tail query with no
+    # box-phase discriminator).
+    tail: dict[str, list[float]] = {}
     tail_errors: dict[str, str] = {}
     for name in qs:
         if name in timings:
             continue
         try:
-            tail[name] = round(_time_runs(spark, qs[name], sf_dir,
-                                          n_runs=1)[0][0], 4)
+            walls, cpus = _time_runs(spark, qs[name], sf_dir, n_runs=1)
+            tail[name] = [round(walls[0], 4), round(cpus[0], 4)]
         except Exception as e:  # noqa: BLE001 — record, don't abort
             tail_errors[name] = f"{type(e).__name__}: {str(e)[:160]}"
 
@@ -1038,8 +1047,11 @@ def _compact(out: dict, timings: dict[str, float],
         compact["fresh_reruns"] = {
             n: v["fresh"] for n, v in out["fresh_reruns"].items()}
     if out.get("tail_queries"):
+        # entries are [wall, cpu] since r14 (floats in older
+        # artifacts) — total the WALL column either way
         compact["tail_total_sec"] = round(
-            sum(out["tail_queries"].values()), 2)
+            sum(v[0] if isinstance(v, list) else v
+                for v in out["tail_queries"].values()), 2)
         compact["tail_n"] = len(out["tail_queries"])
     for k in (15, 10, 6, 3, 0):
         compact["queries"] = dict(slowest[:k])

@@ -2662,6 +2662,75 @@ def semantic_dedup_from_index(spark: SparkSession, sf_dir: str,
     return _semantic_pairs(cat.read(spark, "cells"), emb, min_cosine)
 
 
+SEMDEDUP_PROBE_MAX = 100  # bounded recall-monitor probe set: ids < this
+
+
+def semdedup_recall_report(spark: SparkSession, sf_dir: str,
+                           probe_max: int = SEMDEDUP_PROBE_MAX,
+                           min_cosine: float = SEMANTIC_COS) -> DataFrame:
+    """Committed recall monitor for the banded semantic dedup
+    (VERDICT r13 What's-missing 1): since r13 `q_dedup_semantic` is
+    an APPROXIMATION — the within-cell 32/8 sign-LSH pre-filter can
+    miss a same-cell twin that collides in no band — and it was the
+    only approximate family whose drift after a rebuild/append was
+    invisible to the contract (ANN has `q_ann_recall_report`, BM25
+    `q_bm25_mrr`, bitext `q_bitext_recall_report`).  For a BOUNDED
+    probe set (``vec_id < probe_max``), one row per exact within-cell
+    duplicate pair of a probe:
+
+    - the EXACT arm: every partner sharing the probe's committed cell
+      with cosine ≥ the dedup threshold — computed WITHOUT the band
+      filter, so it is the ground truth the banded stage is recalled
+      against;
+    - ``band_hit`` — whether the pair collides in ≥1 of the SEM_BANDS
+      sign-LSH bands, i.e. whether `_semantic_pairs`' candidate stage
+      would have surfaced it.  mean(band_hit) IS the stage-1
+      candidate recall of the committed index + band geometry; the
+      verify stage downstream is exact, so this is the number that
+      moves when dedup quality drifts (the same stage-1 reasoning as
+      `q_ann_recall_report` / `bitext_recall_report`'s cand_hit).
+
+    Scale shape: the probe side is bounded and BROADCAST; the
+    corpus-shaped side (committed ``cells`` + signatures + vectors)
+    STREAMS through one equi-join on the committed cell id — no
+    nested loop anywhere, so at 100 TB this is the sampled-probe
+    post-rebuild monitor, priced at one corpus scan.  The band test
+    is a plain column expression over the two 32-bit signature
+    strings (no second join, no explode): OR over the 8 per-band
+    substring equalities.  The recall floor measured on the fixture's
+    near-threshold regime is asserted from THIS query's output in
+    test_similarity (re-pointing the r13 pytest-only floor at the
+    committed artifact)."""
+    r = SEM_PLANES // SEM_BANDS
+    cat = build_ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = lsh_signature(emb, SEM_PLANES).select("vec_id", "bucket")
+    side = (cat.read(spark, "cells")
+            .join(sig, "vec_id")
+            .join(emb.select("vec_id", "embedding"), "vec_id")
+            .withColumn("nrm", l2_norm(F.col("embedding"))))
+    probes = (side.filter(F.col("vec_id") < probe_max)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("cell").alias("pcell"),
+                      F.col("bucket").alias("pbucket"),
+                      F.col("embedding").alias("pe"),
+                      F.col("nrm").alias("pn")))
+    cos = F.round(cosine_from_norms(F.col("pe"), F.col("embedding"),
+                                    F.col("pn"), F.col("nrm")), 6)
+    band_hit = None
+    for b in range(SEM_BANDS):
+        eq = (F.substring("pbucket", b * r + 1, r)
+              == F.substring("bucket", b * r + 1, r))
+        band_hit = eq if band_hit is None else (band_hit | eq)
+    return (side.join(F.broadcast(probes),
+                      (F.col("cell") == F.col("pcell"))
+                      & (F.col("vec_id") != F.col("probe_id")))
+            .select(F.col("probe_id"), F.col("vec_id").alias("vec_o"),
+                    F.col("cell"), cos.alias("cosine_sim"),
+                    band_hit.alias("band_hit"))
+            .filter(F.col("cosine_sim") >= min_cosine))
+
+
 PROTO_DROP = 0.25  # fraction of MOST-prototypical points dropped per cluster
 
 
@@ -4207,6 +4276,38 @@ _SEMANTIC_DEDUP_ORACLE = f"""
     FROM cells c LEFT JOIN dup d ON c.vec_id = d.vec_id
     """
 
+def _semdedup_recall_oracle_sql() -> str:
+    """Monitor oracle (q_semdedup_recall_report): retrain the coarse
+    quantizer (committed cells ≡ from-scratch training — the
+    q_ann_query_from_index argument), then for probe ids < the bound
+    emit every EXACT within-cell dup pair (no band filter — the
+    ground-truth arm) with band_hit = the 32/8 banded candidate
+    stage would have surfaced it (OR over the 8 per-band substring
+    equalities of the same deterministic plane signatures)."""
+    r = SEM_PLANES // SEM_BANDS
+    cos = ("list_aggregate(list_transform(list_zip(p.embedding, o.embedding), "
+           "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') / ("
+           + _NORM_SQL.format(c='p.embedding') + " * "
+           + _NORM_SQL.format(c='o.embedding') + ")")
+    bands = " OR ".join(
+        f"substr(p.bucket, {b * r + 1}, {r}) = substr(o.bucket, {b * r + 1}, {r})"
+        for b in range(SEM_BANDS))
+    return f"""
+    WITH {_kmeans_cells_sql(k=_derived_k_sql())},
+    sig AS ({_sig_sql(SEM_PLANES)}),
+    side AS (
+      SELECT c.vec_id, c.cell, s.bucket, e.embedding
+      FROM cells c JOIN sig s USING (vec_id)
+      JOIN embeddings e USING (vec_id))
+    SELECT p.vec_id AS probe_id, o.vec_id AS vec_o, p.cell,
+           ROUND({cos}, 6) AS cosine_sim,
+           ({bands}) AS band_hit
+    FROM side p JOIN side o
+      ON p.cell = o.cell AND o.vec_id <> p.vec_id
+    WHERE p.vec_id < {SEMDEDUP_PROBE_MAX}
+      AND ROUND({cos}, 6) >= {SEMANTIC_COS}
+    """
+
 #: Margin tail shared by the exact and ANN-probed bitext oracles:
 #: everything downstream of a ``p(src_id, tgt_id, cos)`` CTE — k-NN
 #: means over the candidate lists (divide by the ACTUAL top-k count,
@@ -4741,6 +4842,14 @@ SPECS: dict[str, Spec] = {
         "zero Lloyd in the plan; re-dedup after append/threshold "
         "change pays only the within-cell pair join (serve-split "
         "twin of q_dedup_semantic)"),
+    "q_semdedup_recall_report": Spec(
+        semdedup_recall_report,
+        _semdedup_recall_oracle_sql(),
+        "committed recall monitor for the banded (approximate) "
+        "semantic dedup: bounded probe set, exact unfiltered "
+        "within-cell dup pairs vs the 32/8 band candidate stage "
+        "(band_hit = stage-1 candidate recall) — the per-rebuild "
+        "drift signal every other approximate family already has"),
     "q_ivf_postings": Spec(
         lambda spark, sf: ivf_postings(load_table(spark, sf, "embeddings")),
         f"""

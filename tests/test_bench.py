@@ -79,3 +79,16 @@ def test_tree_cpu_counts_own_process_work():
         x += 1
     delta = b._tree_cpu() - c0
     assert delta >= 0.2, f"tree CPU delta {delta} missed own-process burn"
+
+
+def test_compact_totals_tail_wall_for_both_shapes():
+    """VERDICT r13 What's-missing 3: tail entries carry [wall, cpu]
+    since r14 — the compact line must total the WALL column, and keep
+    accepting the pre-r14 float shape (older committed artifacts)."""
+    b = _bench()
+    out = {"metric": "m", "value": 1.0, "unit": "sec", "sf": 0.1,
+           "cpus": 32, "queries": {"q_a": 1.0},
+           "tail_queries": {"q_t1": [2.0, 30.5], "q_t2": 3.0}}
+    compact = b._compact(out, {"q_a": 1.0}, budget=2000)
+    assert compact["tail_total_sec"] == 5.0
+    assert compact["tail_n"] == 2

@@ -1031,3 +1031,70 @@ def test_decontaminate_fuzzy_broadcasts_eval_variants(spark, specs):
     # (eval-bounded rows), then countDistinct's two-phase pair —
     # both over only the MATCHED subset, never the x6 variant stream
     assert shuffle_count(df) == 3
+
+
+# --- VERDICT r13 item 4: the structural no-cartesian sweep ----------------
+
+#: Queries whose plans legitimately contain BroadcastNestedLoopJoin:
+#: every entry's non-equi/cross side is a DECLARED BOUNDED set
+#: broadcast against the streamed corpus shard (the exact-audit-arm
+#: shape VERDICT r13 ruled correct at scale for sampled monitors).
+#: Everything NOT listed here must be nested-loop-free: a new query
+#: that reintroduces an all-pairs plan fails the sweep by name.
+#: Discovered by running the sweep with an empty list and verifying
+#: each hit's broadcast side against its operator's docstring.
+ALLOWED_BNLJ: frozenset = frozenset({
+    # 1-row corpus-statistics broadcast (crossJoin of a scalar
+    # aggregate: |corpus|, total tokens, budget row, stat bounds)
+    "q_skew_report", "q_vocab_topk", "q_bm25", "q_dsir_resample",
+    "q_dsir_weights", "q_heavy_hitters", "q_lm_perplexity",
+    "q_quantize_int8", "q_mixture_rebalance", "q_expectations",
+    "q_tfidf", "q_temperature_sample", "q_token_budget_mix",
+    "q_bloom_prune", "q_rrf_fusion", "q_pipeline_e2e",
+    "q_multimodal_embed", "q_negative_pairs",
+    # ≤K-row centroid table broadcast (Lloyd argmin assignment in
+    # build/train shapes; K is corpus-derived, n·K map-side work)
+    "q_ann_ivf", "q_ivf_postings", "q_ann_ivfpq", "q_ann_ivfpq_residual",
+    "q_ann_index_append", "q_ann_retrain", "q_ann_forget",
+    "q_ann_dv_rewrite", "q_dedup_semantic", "q_proto_prune",
+    "q_ann_binary", "q_ann_pq",
+    # 1-row query vector / ≤Q-row query-set probe broadcast (serve
+    # shapes: the corpus streams, the query side is KBs)
+    "q_ann_query_from_index", "q_ann_batch_queries", "q_ann_filtered",
+    "q_ann_filtered_from_index", "q_topk_cosine", "q_mrl_rerank",
+    # bounded probe-set monitors / batch-restricted bitext serves
+    # (probe ids < 100 or the ingest batch broadcast; VERDICT r13
+    # ruled this exact-audit-arm shape correct at scale)
+    "q_ann_recall_report", "q_bitext_append", "q_bitext_recall_report",
+    "q_bitext_from_index", "q_bitext_forget", "q_hybrid_from_index",
+})
+
+
+def test_no_registered_plan_is_cartesian(spark, specs):
+    """VERDICT r13 What's-missing 4: the 'no contract query crossJoins
+    two corpus-shaped sides' claim, made STRUCTURAL — build every
+    registered plan (compile only, no execution beyond the
+    version-guarded catalog warm-ups) and assert (a) CartesianProduct
+    appears nowhere, (b) BroadcastNestedLoopJoin appears only for the
+    allow-listed declared bounded probes.  test_plans' named pins
+    covered 2 of 229; this covers all of them, and any future query
+    that sneaks an all-pairs join in fails here by name."""
+    from healthkit_to_sqlite_spark.registry import queries
+
+    registered = queries()
+    cartesian, stray_bnlj, errors = [], [], []
+    for name in registered:
+        try:
+            plan = formatted_plan(specs[name].build(spark, SF))
+        except Exception as e:  # noqa: BLE001 — name the breakage
+            errors.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
+            continue
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNLJ:
+            stray_bnlj.append(name)
+    assert not errors, errors
+    assert cartesian == [], f"CartesianProduct in: {cartesian}"
+    assert stray_bnlj == [], (
+        "BroadcastNestedLoopJoin outside the declared bounded-probe "
+        f"allow-list: {stray_bnlj}")
