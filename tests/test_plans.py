@@ -1083,6 +1083,7 @@ def test_no_registered_plan_is_cartesian(spark, specs):
 
     registered = queries()
     cartesian, stray_bnlj, errors = [], [], []
+    has_bnlj = set()
     for name in registered:
         try:
             plan = formatted_plan(specs[name].build(spark, SF))
@@ -1091,10 +1092,16 @@ def test_no_registered_plan_is_cartesian(spark, specs):
             continue
         if "CartesianProduct" in plan:
             cartesian.append(name)
-        if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNLJ:
-            stray_bnlj.append(name)
+        if "BroadcastNestedLoopJoin" in plan:
+            has_bnlj.add(name)
+            if name not in ALLOWED_BNLJ:
+                stray_bnlj.append(name)
     assert not errors, errors
     assert cartesian == [], f"CartesianProduct in: {cartesian}"
     assert stray_bnlj == [], (
         "BroadcastNestedLoopJoin outside the declared bounded-probe "
         f"allow-list: {stray_bnlj}")
+    # the allow-list stays EXACT: an entry whose plan no longer nests
+    # must leave the list, or the list silently over-permits
+    stale = sorted(ALLOWED_BNLJ - has_bnlj)
+    assert stale == [], f"stale ALLOWED_BNLJ entries (no BNLJ now): {stale}"
