@@ -280,6 +280,105 @@ def _l2sq(a: Column, b: Column) -> Column:
         F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _assign_cells_np(embeddings: DataFrame, cent: DataFrame,
+                     keep_dist: bool = False) -> DataFrame:
+    """Arrow-vectorized twin of the broadcast-join assignment
+    (``HK_ASSIGN_KERNEL=np``) — same contract, same bits, ~10× the
+    per-core throughput.
+
+    Why it exists: the join kernel materializes n·K candidate ROWS and
+    evaluates ``_l2sq`` through ``zip_with``/``aggregate`` — Catalyst
+    higher-order functions are CodegenFallback (interpreted per
+    element), so assignment pays interpreted work on n·K·D elements.
+    With the r13 corpus-derived K (K ∝ n/250) that term is the one
+    measured SUPERLINEAR cpu_sec in the tracked sf1 set (q_proto_prune
+    123.4 process-CPU-s at sf1 vs 2.4 at sf0.1 — 51× for 10× data,
+    every non-Lloyd query sits in the 10–18× band).  Dense
+    argmin-over-centroids is the canonical Arrow-batch case the repo's
+    UDF policy reserves pandas kernels for: one numpy fold does the
+    same FLOPs fused, and the n·K row explosion never exists.
+
+    Bit-discipline (the reason this is a twin, not a rewrite):
+
+    - distances accumulate ``(x_d - c_d)²`` in float64 in dimension
+      order — elementwise IEEE ops in a d-loop reproduce the JVM
+      ``aggregate`` fold's operation sequence exactly, so the raw
+      distances are bit-identical to the join kernel's;
+    - the argmin compares HALF_UP-rounded-9dp distances with ties →
+      lowest cid, like the join kernel's ``min(struct(round(dist,9),
+      cid))``.  Rounding is monotone, so only candidates within
+      2e-9 of the unrounded minimum can win; those few (usually one)
+      are rounded exactly via ``Decimal(repr(d))`` — the same
+      shortest-roundtrip-string + HALF_UP semantics as Spark's
+      ``round`` (BigDecimal.valueOf path) — and compared (dist, cid).
+      Everything else never leaves numpy.
+
+    Scale shape: centroids ship as a SparkContext broadcast (≤K rows —
+    the table the whole IVF design already keeps broadcastable), the
+    corpus streams through mapInPandas in Arrow batches (no shuffle at
+    all — the join kernel's map-side-combined exchange of n rows is
+    gone too), and memory per batch is bounded by chunking rows so the
+    (rows × K) distance block stays ≤ ~32 MB.  Assumes non-null
+    embeddings (every call site feeds the embeddings table or frames
+    derived from it).  Equivalence with the join kernel is pinned in
+    tests/test_assign_kernel.py; the measured A/B lives in SCALE.md
+    (round 14)."""
+    import numpy as np
+
+    # bounded collect: ≤K centroid rows (K = ceil(n/occupancy))
+    rows = sorted(cent.select("cid", "cemb").collect(), key=lambda r: r.cid)
+    C = np.asarray([r.cemb for r in rows], dtype=np.float64)
+    cids = np.asarray([r.cid for r in rows], dtype=np.int64)
+    spark = embeddings.sparkSession
+    b_cent = spark.sparkContext.broadcast((C, cids))
+    src = embeddings.select("vec_id", "embedding")
+    vec_id_type = src.schema["vec_id"].dataType.simpleString()
+    out_schema = f"vec_id {vec_id_type}, cell int" + (
+        ", dist double" if keep_dist else "")
+
+    def assign(batches):
+        from decimal import Decimal, ROUND_HALF_UP
+        C_l, cids_l = b_cent.value
+        K, D = C_l.shape
+        grid = Decimal("1e-9")
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.empty((n, D), dtype=np.float64)
+            for i, e in enumerate(pdf["embedding"]):
+                X[i] = np.asarray(e, dtype=np.float64)
+            # chunk so the (rows × K) block stays ~≤32 MB
+            step = max(1, (4 << 20) // max(K, 1))
+            cells = np.empty(n, dtype=np.int64)
+            dists = np.empty(n, dtype=np.float64)
+            for lo in range(0, n, step):
+                Xb = X[lo:lo + step]
+                acc = np.zeros((len(Xb), K), dtype=np.float64)
+                for d in range(D):          # JVM fold order: d = 0..D-1
+                    t = Xb[:, d, None] - C_l[None, :, d]
+                    acc += t * t
+                m = acc.min(axis=1)
+                for i in range(len(Xb)):
+                    # candidates whose ROUNDED dist could tie the min
+                    cand = np.nonzero(acc[i] <= m[i] + 2e-9)[0]
+                    best = None
+                    for j in cand:
+                        dj = Decimal(repr(float(acc[i, j]))).quantize(
+                            grid, ROUND_HALF_UP)
+                        if best is None or (dj, cids_l[j]) < best[:2]:
+                            best = (dj, cids_l[j], j)
+                    cells[lo + i] = best[1]
+                    dists[lo + i] = float(best[0])
+            out = {"vec_id": pdf["vec_id"],
+                   "cell": cells.astype("int32")}
+            if keep_dist:
+                out["dist"] = dists
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(assign, out_schema)
+
+
 def _assign_cells(embeddings: DataFrame, cent: DataFrame,
                   keep_dist: bool = False) -> DataFrame:
     """Nearest-centroid assignment (L2, ties → lowest cid): centroid
@@ -299,7 +398,15 @@ def _assign_cells(embeddings: DataFrame, cent: DataFrame,
     partition.  Measured at sf0.1 (same-JVM A/B, median of 3, results
     bit-identical): q_ann_ivf 2.07→1.93s, q_ann_pq 3.50→3.06s — local
     runs are stage-overhead-bound, so the n·K→n shuffle-volume cut is
-    the larger effect at scale."""
+    the larger effect at scale.
+
+    ``HK_ASSIGN_KERNEL=np`` routes to :func:`_assign_cells_np`, the
+    bit-identical Arrow-vectorized twin (same rounded-argmin contract,
+    no n·K row explosion) — the r14 A/B toward retiring the
+    interpreted-HOF assignment cost; see that docstring and SCALE.md
+    round 14."""
+    if __import__("os").environ.get("HK_ASSIGN_KERNEL", "join") == "np":
+        return _assign_cells_np(embeddings, cent, keep_dist)
     d = (embeddings.select("vec_id", "embedding")
          .crossJoin(F.broadcast(cent))
          .select("vec_id", "cid",
