@@ -400,12 +400,13 @@ def _assign_cells(embeddings: DataFrame, cent: DataFrame,
     runs are stage-overhead-bound, so the n·K→n shuffle-volume cut is
     the larger effect at scale.
 
-    ``HK_ASSIGN_KERNEL=np`` routes to :func:`_assign_cells_np`, the
+    Since r14 the DEFAULT routes to :func:`_assign_cells_np`, the
     bit-identical Arrow-vectorized twin (same rounded-argmin contract,
-    no n·K row explosion) — the r14 A/B toward retiring the
-    interpreted-HOF assignment cost; see that docstring and SCALE.md
-    round 14."""
-    if __import__("os").environ.get("HK_ASSIGN_KERNEL", "join") == "np":
+    no n·K row explosion) — the measured A/B (SCALE.md round 14)
+    halves trainer wall at sf0.1 and cuts sf1 trainer CPU ~45%.
+    ``HK_ASSIGN_KERNEL=join`` keeps this broadcast-join kernel
+    selectable for the equivalence pins in tests/test_assign_kernel.py."""
+    if __import__("os").environ.get("HK_ASSIGN_KERNEL", "np") == "np":
         return _assign_cells_np(embeddings, cent, keep_dist)
     d = (embeddings.select("vec_id", "embedding")
          .crossJoin(F.broadcast(cent))
@@ -1448,11 +1449,134 @@ def ann_query_from_index(spark: SparkSession, sf_dir: str,
         query_vec_id, k, nprobe, rerank_factor)
 
 
-def embedding_covariance(embeddings: DataFrame) -> DataFrame:
+def embedding_covariance(embeddings: DataFrame, dim: int = DIM) -> DataFrame:
     """Population covariance matrix of the embedding corpus (upper
     triangle, D(D+1)/2 = 2080 rows at D=64) — the input artifact for
     PCA / whitening / Mahalanobis outlier scoring over an embedding
-    column.
+    column.  Since r14 this is the DECIMAL-EXACT Arrow kernel; the
+    original posexplode form survives as
+    :func:`embedding_covariance_exploded` (the independent reference
+    implementation the equivalence test pins this against).
+
+    Why a kernel can keep the exactness contract (the r6-documented
+    blocker for :func:`embedding_covariance_fast` was that float64
+    partials are accumulation-order dependent): the contract form
+    quantizes EACH product to decimal(30,10) — i.e. HALF_UP at 10 dp
+    over the double's shortest decimal repr (Spark's double→decimal
+    cast goes through BigDecimal.valueOf = Double.toString) — and
+    sums the quantized values, which is exact integer arithmetic in
+    units of 1e-10 and therefore order-INdependent.  The kernel
+    reproduces that quantization per product (np.rint on the 1e10-
+    scaled value for the bulk; the rare products within 1e-3 of a
+    rounding boundary — where float scaling error could flip the last
+    digit — re-quantized exactly via ``Decimal(repr(p))``, the same
+    shortest-repr + HALF_UP semantics), accumulates scaled int64
+    partials per Arrow batch, and emits them as decimal(30,10) rows;
+    the downstream SUM over decimals is exact and associative, so the
+    grand totals — and the one fixed double combine after them — are
+    bit-identical to the exploded form's, regardless of batch or
+    partition boundaries (pinned exactly, not within-epsilon, in
+    test_similarity).
+
+    Shape vs the exploded form: the n·D(D+1)/2 product-row Generate
+    (4.2 M rows at sf0.1) and its hash partial-aggregate disappear
+    into one mapInPandas pass emitting ≤ D(D+1)/2 + D + 1 tiny rows
+    per batch — same ≤2080-row exchange bound, none of the per-row
+    expression evaluation (measured 6.1 → 0.9 s median at sf0.1, the win the
+    r6 verdict asked to quantify 'both ways' now landed without
+    giving up the contract).  At 100 TB the kernel is one BLAS-free
+    vectorized pass per batch; the shuffle stays O(D²) rows per
+    batch, never O(n·D²)."""
+    def kernel(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        grid = Decimal("1e-10")
+
+        def q10(v):
+            # exact decimal(30,10) quantization of each double, as
+            # scaled int64: np.rint on v*1e10 for the bulk (exact
+            # whenever the scaled value is >1e-3 clear of a rounding
+            # boundary — float scaling error is ≤~6e-5 up to |v|≤30k),
+            # Decimal(repr(v)) HALF_UP for boundary-adjacent values
+            s = v * 1e10
+            r = np.rint(s)
+            sus = (np.abs(np.abs(s - r) - 0.5) < 1e-3) | (np.abs(s) > 1e14)
+            out = r.astype(np.int64)
+            if sus.any():
+                flat_v = v.ravel()
+                flat_o = out.ravel()
+                for i in np.nonzero(sus.ravel())[0]:
+                    d = Decimal(repr(float(flat_v[i]))).quantize(
+                        grid, ROUND_HALF_UP)
+                    flat_o[i] = int(d.scaleb(10))
+                out = flat_o.reshape(out.shape)
+            return out
+
+        iu = np.triu_indices(dim)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.empty((n, dim), dtype=np.float64)
+            for i, e in enumerate(pdf["embedding"]):
+                X[i] = np.asarray(e, dtype=np.float64)
+            # int64 headroom: per-column sums of ≤n scaled products
+            # must stay < 2^62 (fixture values are O(1); a corpus that
+            # violated this would need |x| ~ 1e4 at 10k-row batches)
+            assert float(np.abs(X).max(initial=0.0)) ** 2 * 1e10 * n < 2 ** 62
+            totals = np.zeros(len(iu[0]), dtype=np.int64)
+            dsums = np.zeros(dim, dtype=np.int64)
+            step = max(1, (64 << 20) // (dim * dim * 8))
+            for lo in range(0, n, step):
+                Xb = X[lo:lo + step]
+                P = Xb[:, iu[0]] * Xb[:, iu[1]]     # float64, IEEE ==
+                totals += q10(P).sum(axis=0)        # exact scaled ints
+                dsums += q10(Xb).sum(axis=0)
+            d1s = np.concatenate([iu[0], np.arange(dim), [-1]])
+            d2s = np.concatenate([iu[1], np.full(dim, -1), [-1]])
+            vals = ([Decimal(int(t)).scaleb(-10) for t in totals]
+                    + [Decimal(int(t)).scaleb(-10) for t in dsums]
+                    + [Decimal(n)])
+            yield pd.DataFrame({"d1": d1s.astype("int32"),
+                                "d2": d2s.astype("int32"),
+                                "v": vals})
+
+    # Four consumers (prods / m1 / m2 / nrow) filter this ≤2145-row
+    # aggregate differently, so exchange reuse cannot dedupe the
+    # kernel subtree and the corpus scan + kernel would run 4× (the
+    # graph_jaccard lesson; measured: the 4-subtree plan ran 2.2 s vs
+    # 0.9 s checkpointed at sf0.1).  localCheckpoint is intra-query —
+    # every invocation recomputes it from the parquet scan.
+    parts = (embeddings.select("embedding")
+             .mapInPandas(kernel, schema="d1 int, d2 int, v decimal(30,10)")
+             .groupBy("d1", "d2").agg(F.sum("v").alias("v"))
+             .localCheckpoint(eager=True))
+    prods = (parts.filter(F.col("d2") >= 0)
+             .select("d1", "d2", F.col("v").cast("double").alias("sxy")))
+    nrow = (parts.filter(F.col("d1") == -1)
+            .select(F.col("v").cast("bigint").alias("n")))
+    m1 = (parts.filter((F.col("d2") == -1) & (F.col("d1") >= 0))
+          .select("d1", F.col("v").cast("double").alias("sx1"))
+          .crossJoin(F.broadcast(nrow)))
+    m2 = (parts.filter((F.col("d2") == -1) & (F.col("d1") >= 0))
+          .select(F.col("d1").alias("d2"),
+                  F.col("v").cast("double").alias("sx2")))
+    cov = (F.col("sxy") - F.col("sx1") * F.col("sx2") / F.col("n")) \
+        / F.col("n")
+    # + 0.0 canonicalizes IEEE negative zero (see the exploded form)
+    return (prods.join(F.broadcast(m1), "d1")
+            .join(F.broadcast(m2), "d2")
+            .select("d1", "d2",
+                    (F.round(cov, 6) + F.lit(0.0)).alias("cov")))
+
+
+def embedding_covariance_exploded(embeddings: DataFrame) -> DataFrame:
+    """The original chained-posexplode covariance (the r14 contract
+    kernel's independent reference implementation — the equivalence
+    test pins :func:`embedding_covariance` EXACTLY equal to this).
 
     Shape: one scan, two chained ``posexplode``s — the second over
     ``slice(embedding, d1+1, D−d1)`` so ONLY the upper triangle is

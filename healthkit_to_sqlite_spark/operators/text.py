@@ -1131,7 +1131,7 @@ def suffix_ranks(documents: DataFrame, w: int = SUFFIX_W,
     rank-adjacent suffixes are the candidate duplicated spans.
 
     Algorithm, Spark-first: round 0 dense-ranks single tokens; round
-    k self-joins each suffix with the suffix ``2^k`` positions ahead
+    k pairs each suffix with the suffix ``2^k`` positions ahead
     (missing → rank 0, the shorter-suffix-sorts-first sentinel) and
     dense-ranks the (r, r_next) pairs — log₂(w) rounds replace
     w-token string comparisons with integer-pair sorts, and no
@@ -1140,11 +1140,33 @@ def suffix_ranks(documents: DataFrame, w: int = SUFFIX_W,
     single-partition window — pinned in test_plans), per-round state
     is localCheckpointed (the LPA/iterative-kernel lineage
     discipline), and per-round driver traffic is the ≤ ``parts``-row
-    offset collect.  At 100 TB: each round shuffles the DISTINCT
-    rank-pair set (≤ suffix count, typically shrinking) plus one
-    (doc_id, pos)-keyed join back; the oracle sorts the materialized
+    offset collect.
+
+    The pairing step is ``lead(r, 2^k)`` over a per-doc window —
+    ``posexplode`` positions are dense 0..n−1 within a doc, so the row
+    ``2^k`` places ahead in (doc_id, pos) order IS the suffix ``2^k``
+    tokens ahead, byte-for-byte what the r9-r13 form computed with a
+    (doc_id, pos)=(doc_id, pos−2^k) self-join.  That join's build
+    side was the ENTIRE suffix set: locally the planner broadcast it
+    every round (a corpus-shaped broadcast — the one artifact class
+    this repo's scale discipline forbids; past the 8 GB relation cap
+    it degrades to a sort-merge join with two hash exchanges of the
+    suffix set per round).  The window form needs ONE exchange on
+    doc_id and a per-doc sort, with partition size bounded by
+    document length, never corpus size (guide §2.4: establish the
+    partitioning once).  Measured at sf0.1: 7.9 → 7.5 s median (the
+    wall is dominated by the rank/join-back machinery), and the
+    round's pairing fragment reads corpus-broadcast + BHJ before vs
+    one doc_id exchange + window after
+    (plans/r14/suffix_round_fragment_*.txt; the full explain hides
+    the per-round plans behind their localCheckpoints).
+
+    Per round the DISTINCT rank-pair set (≤ suffix count, typically
+    shrinking) still shuffles through the range-partitioned rank plus
+    one (r, r2)-keyed join back; the oracle sorts the materialized
     w-token prefixes directly, so the hash gate proves the integer
     recursion equals true lexicographic ranking."""
+    from pyspark.sql import Window
     if w < 1 or (w & (w - 1)) != 0:
         # the doubling loop reaches exactly the powers of two; a
         # non-power depth would silently rank at next-pow2(w) while
@@ -1161,13 +1183,11 @@ def suffix_ranks(documents: DataFrame, w: int = SUFFIX_W,
            .select("doc_id", "pos", "r").localCheckpoint(eager=True))
     width = 1
     while width < w:
-        nxt = cur.select(F.col("doc_id").alias("d2"),
-                         (F.col("pos") - width).alias("p2"),
-                         F.col("r").alias("rn"))
-        paired = (cur.join(nxt, (F.col("doc_id") == F.col("d2"))
-                           & (F.col("pos") == F.col("p2")), "left")
-                  .select("doc_id", "pos", "r",
-                          F.coalesce("rn", F.lit(0)).alias("r2")))
+        doc_w = Window.partitionBy("doc_id").orderBy("pos")
+        paired = cur.select(
+            "doc_id", "pos", "r",
+            F.coalesce(F.lead("r", width).over(doc_w),
+                       F.lit(0)).alias("r2"))
         kr = _global_key_ranks(
             paired.groupBy("r", "r2").agg(F.count(F.lit(1)).alias("cnt")),
             ["r", "r2"], parts)

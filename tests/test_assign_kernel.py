@@ -78,20 +78,21 @@ def test_np_plan_has_no_join_and_no_exchange(emb, cent):
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
 
 
-def test_env_switch_routes_and_default_is_join(emb, cent, monkeypatch):
-    # default (unset) stays on the join kernel; np routes the shared
-    # body so every quantizer family A/Bs through one switch
+def test_env_switch_routes_and_default_is_np(emb, cent, monkeypatch):
+    # r14 flip: default (unset) rides the Arrow-vectorized kernel;
+    # HK_ASSIGN_KERNEL=join keeps the broadcast-join kernel selectable
+    # so every quantizer family A/Bs through one switch
     monkeypatch.delenv("HK_ASSIGN_KERNEL", raising=False)
-    assert "MapInPandas" not in formatted_plan(_assign_cells(emb, cent))
-    monkeypatch.setenv("HK_ASSIGN_KERNEL", "np")
     assert "MapInPandas" in formatted_plan(_assign_cells(emb, cent))
+    monkeypatch.setenv("HK_ASSIGN_KERNEL", "join")
+    assert "MapInPandas" not in formatted_plan(_assign_cells(emb, cent))
 
 
-def test_proto_prune_identical_under_np_kernel(spark, emb, monkeypatch):
+def test_proto_prune_identical_under_join_kernel(spark, emb, monkeypatch):
     # an end-to-end keep_dist consumer: the kept/pruned verdict and
     # the prototypicality ordering ride the kernel unchanged
     monkeypatch.delenv("HK_ASSIGN_KERNEL", raising=False)
     a = sorted(map(tuple, proto_prune(emb).collect()))
-    monkeypatch.setenv("HK_ASSIGN_KERNEL", "np")
+    monkeypatch.setenv("HK_ASSIGN_KERNEL", "join")
     b = sorted(map(tuple, proto_prune(emb).collect()))
     assert a == b

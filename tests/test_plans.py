@@ -1052,11 +1052,16 @@ ALLOWED_BNLJ: frozenset = frozenset({
     "q_tfidf", "q_temperature_sample", "q_token_budget_mix",
     "q_bloom_prune", "q_rrf_fusion", "q_pipeline_e2e",
     "q_multimodal_embed", "q_negative_pairs",
-    # ≤K-row centroid table broadcast (Lloyd argmin assignment in
-    # build/train shapes; K is corpus-derived, n·K map-side work)
-    "q_ann_ivf", "q_ivf_postings", "q_ann_ivfpq", "q_ann_ivfpq_residual",
+    # ≤K-row centroid table broadcast (probe-side nearest-centroid
+    # joins in serve/probe shapes; K is corpus-derived).  The r14
+    # assignment-kernel flip (HK_ASSIGN_KERNEL default np) removed the
+    # TRAINER-side nested loops outright — q_dedup_semantic,
+    # q_ivf_postings and q_proto_prune left this list because their
+    # only BNLJ came from the broadcast-join assignment, now a
+    # mapInPandas pass with no join at all
+    "q_ann_ivf", "q_ann_ivfpq", "q_ann_ivfpq_residual",
     "q_ann_index_append", "q_ann_retrain", "q_ann_forget",
-    "q_ann_dv_rewrite", "q_dedup_semantic", "q_proto_prune",
+    "q_ann_dv_rewrite",
     "q_ann_binary", "q_ann_pq",
     # 1-row query vector / ≤Q-row query-set probe broadcast (serve
     # shapes: the corpus streams, the query side is KBs)
