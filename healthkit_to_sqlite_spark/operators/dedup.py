@@ -92,19 +92,75 @@ def word_shingles(documents: DataFrame, k: int = SHINGLE) -> DataFrame:
             .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle")))
 
 
+def _minhash_signatures_np(documents: DataFrame) -> DataFrame:
+    """Arrow twin of the minhash signature: one mapInPandas pass
+    tokenizes, shingles, md5s and folds the N_HASHES permutation
+    minima in Python instead of the interpreted
+    ``transform``/``array_min`` higher-order cascade (CodegenFallback
+    — the r14 profile: 1.67 s at sf0.1 for 4000 docs).
+
+    EXACT by construction, not by rounding discipline: every quantity
+    is integer arithmetic — hashlib md5 == Spark md5 == DuckDB md5
+    over the same UTF-8 shingle bytes, base-16 parse of the top 15
+    hex digits, mod-P permutations, min over the shingle set (order-
+    free) — so the signatures are value-identical with no IEEE story
+    at all (pinned in tests/test_sign_kernels.py).  Tokenization:
+    Python ``text.split(" ")`` == Spark ``split(text, ' ')`` (limit
+    −1, trailing empties kept) == DuckDB ``string_split``.  Map-only
+    like the expression form: no shuffle, partitioning preserved."""
+    src = documents.select("doc_id", "text")
+    dt = src.schema["doc_id"].dataType.simpleString()
+    schema = f"doc_id {dt}, " + ", ".join(
+        f"mh{i} bigint" for i in range(N_HASHES))
+    ab = [(i * 2 + 1, i * 7 + 13) for i in range(N_HASHES)]
+    shingle, p_mod = SHINGLE, P
+
+    def mh(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cols: list[list[int]] = [[] for _ in ab]
+            for text in pdf["text"]:
+                toks = text.split(" ")
+                npos = max(len(toks) - (shingle - 1), 1)
+                hs = {int(hashlib.md5(
+                    " ".join(toks[p:p + shingle]).encode()
+                ).hexdigest()[:15], 16) % p_mod for p in range(npos)}
+                for i, (a, b) in enumerate(ab):
+                    cols[i].append(min((a * h + b) % p_mod for h in hs))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"],
+                 **{f"mh{i}": c for i, c in enumerate(cols)}})
+
+    return src.mapInPandas(mh, schema)
+
+
 def minhash_signatures(documents: DataFrame) -> DataFrame:
     """MinHash signature per doc: for each of N_HASHES permutations i,
     min over shingles of (aᵢ·(h mod P)+bᵢ) mod P.
 
-    MAP-ONLY: a doc's shingles already live in its own row, so the
-    minima are `array_min(transform(...))` over the in-row shingle
-    array — no explode, no groupBy, ZERO shuffle.  Local wall time
-    matches the explode → groupBy form (measured 1.67s vs 1.67s at
-    sf0.1 — md5 dominates either way), but this shape removes the
-    exchange entirely, so signature computation stays embarrassingly
-    parallel at any scale and AQE has one fewer stage to plan.  md5 is
-    hashed once per distinct shingle into an `hmods` column, then the
-    N_HASHES permutations read that column."""
+    Since r14 the default rides :func:`_minhash_signatures_np` — the
+    expression form's ``transform``/``array_min`` higher-order
+    functions are interpreted per element (the assignment-kernel
+    finding), and the md5-per-shingle cascade is the dominant cost of
+    every minhash consumer.  ``HK_MINHASH_KERNEL=expr`` keeps this
+    form selectable for the value-identity pins.
+
+    MAP-ONLY (both kernels): a doc's shingles already live in its own
+    row, so the minima are `array_min(transform(...))` over the in-row
+    shingle array — no explode, no groupBy, ZERO shuffle.  Local wall
+    time of the explode → groupBy form matched (measured 1.67s vs
+    1.67s at sf0.1 — md5 dominates either way), but this shape removes
+    the exchange entirely, so signature computation stays
+    embarrassingly parallel at any scale and AQE has one fewer stage
+    to plan.  md5 is hashed once per distinct shingle into an `hmods`
+    column, then the N_HASHES permutations read that column."""
+    if __import__("os").environ.get("HK_MINHASH_KERNEL", "np") == "np":
+        return _minhash_signatures_np(documents)
     toks = ws_tokens("text")
     pos = F.sequence(F.lit(1), F.greatest(F.size(toks) - (SHINGLE - 1), F.lit(1)))
     sh = F.transform(pos, lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE)))

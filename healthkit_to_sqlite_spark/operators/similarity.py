@@ -119,12 +119,65 @@ def _plane_weights(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]
             for p in range(n_planes)]
 
 
+def _lsh_signature_np(embeddings: DataFrame, n_planes: int) -> DataFrame:
+    """Arrow-vectorized twin of the sign-LSH signature (the
+    `_assign_cells_np` pattern applied to the OTHER per-vector trainer
+    primitive): one mapInPandas pass computes all ``n_planes`` plane
+    dots per batch instead of n_planes interpreted
+    ``zip_with``/``aggregate`` folds per row (CodegenFallback — the
+    r14 profile put the 16-plane signature at 1.2 s wall / 2.5 CPU-s
+    for just 2000 sf0.1 vectors, ~0.6 ms per vector of pure
+    interpreter overhead).
+
+    Bit-discipline: distances accumulate ``v_d · w_d`` in float64 in
+    dimension order — the JVM fold's exact IEEE sequence (weights are
+    ±1.0, so each term is an exact sign flip of ``v_d``) — and the
+    bit is the same strict ``dot > 0``.  Signatures are therefore
+    bit-identical (pinned in tests/test_sign_kernels.py).  Map-only
+    like the expression form: no shuffle, input partitioning
+    preserved."""
+    import numpy as np
+
+    W = np.asarray(_plane_weights(n_planes), dtype=np.float64)
+    src = embeddings.select("vec_id", "label", "embedding")
+    vt = src.schema["vec_id"].dataType.simpleString()
+    lt = src.schema["label"].dataType.simpleString()
+
+    def sign(batches):
+        import numpy as np
+        import pandas as pd
+
+        n_pl, dim = W.shape
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.empty((n, dim), dtype=np.float64)
+            for i, e in enumerate(pdf["embedding"]):
+                X[i] = np.asarray(e, dtype=np.float64)
+            acc = np.zeros((n, n_pl), dtype=np.float64)
+            for d in range(dim):            # JVM fold order: d = 0..D-1
+                acc += X[:, d, None] * W[None, :, d]
+            chars = np.where(acc > 0.0, "1", "0")
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"], "label": pdf["label"],
+                "bucket": ["".join(row) for row in chars]})
+
+    return src.mapInPandas(sign, f"vec_id {vt}, label {lt}, bucket string")
+
+
 def lsh_signature(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     """B-bit sign-LSH signature per vector.
 
     bit_p = 1 iff Σ_d w(p,d)·v_d > 0, folded in index order against a
-    constant literal weight array (whole-stage-codegen'd; zero hashing
-    in the executor hot path)."""
+    constant weight matrix.  Since r14 the default rides
+    :func:`_lsh_signature_np` (Catalyst higher-order functions are
+    interpreted per element — the same finding that flipped the
+    assignment kernel); ``HK_SIGN_KERNEL=expr`` keeps the
+    literal-array expression form selectable for the bit-identity
+    pins."""
+    if __import__("os").environ.get("HK_SIGN_KERNEL", "np") == "np":
+        return _lsh_signature_np(embeddings, n_planes)
     weights = _plane_weights(n_planes)
 
     def bit(p: int) -> Column:

@@ -1052,6 +1052,9 @@ ALLOWED_BNLJ: frozenset = frozenset({
     "q_tfidf", "q_temperature_sample", "q_token_budget_mix",
     "q_bloom_prune", "q_rrf_fusion", "q_pipeline_e2e",
     "q_multimodal_embed", "q_negative_pairs",
+    # r14: the covariance kernel's 1-row corpus-count broadcast
+    # (crossJoin of the n row against the ≤2080 product sums)
+    "q_embed_covariance",
     # ≤K-row centroid table broadcast (probe-side nearest-centroid
     # joins in serve/probe shapes; K is corpus-derived).  The r14
     # assignment-kernel flip (HK_ASSIGN_KERNEL default np) removed the
