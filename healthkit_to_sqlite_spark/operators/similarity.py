@@ -690,6 +690,75 @@ def _pq_subspaces(m: int = PQ_M, sub_dim: int = PQ_SUB_DIM):
         for j in range(m)])
 
 
+def _assign_sub_np(staged: DataFrame, cent: DataFrame) -> DataFrame:
+    """Arrow twin of the per-(vector, subspace) assignment — the
+    `_assign_cells_np` pattern with the subspace id as an extra
+    grouping key.  Same bit-discipline: per-dimension accumulation in
+    index order (the JVM fold's IEEE sequence), argmin over HALF_UP-
+    rounded-9dp distances with ties → lowest cid via exact
+    ``Decimal(repr(d))`` on the few candidates within 2e-9 of the
+    unrounded minimum.  The n·m·K candidate row explosion and its
+    map-side-combined exchange disappear; the m·k codebook rides a
+    SparkContext broadcast.  Pinned bit-identical in
+    tests/test_assign_kernel.py."""
+    import numpy as np
+
+    # bounded collect: ≤ m·k codebook rows
+    rows = cent.select("j", "cid", "cemb").collect()
+    by_j: dict[int, list] = {}
+    for r in rows:
+        by_j.setdefault(int(r.j), []).append((int(r.cid), list(r.cemb)))
+    packed = {
+        j: (np.asarray([c for c, _ in sorted(v)], dtype=np.int64),
+            np.asarray([e for _, e in sorted(v)], dtype=np.float64))
+        for j, v in by_j.items()}
+    spark = staged.sparkSession
+    b_cent = spark.sparkContext.broadcast(packed)
+    src = staged.select("vec_id", "j", "sub")
+    vt = src.schema["vec_id"].dataType.simpleString()
+
+    def assign(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        cb = b_cent.value
+        grid = Decimal("1e-9")
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            js = pdf["j"].to_numpy()
+            subs = pdf["sub"].to_numpy()
+            cells = np.empty(n, dtype=np.int64)
+            for j in np.unique(js):
+                cids, C = cb[int(j)]
+                K, D = C.shape
+                idx = np.nonzero(js == j)[0]
+                X = np.stack([np.asarray(subs[i], dtype=np.float64)
+                              for i in idx])
+                acc = np.zeros((len(idx), K), dtype=np.float64)
+                for d in range(D):          # JVM fold order
+                    t = X[:, d, None] - C[None, :, d]
+                    acc += t * t
+                m = acc.min(axis=1)
+                for i in range(len(idx)):
+                    cand = np.nonzero(acc[i] <= m[i] + 2e-9)[0]
+                    best = None
+                    for c in cand:
+                        dj = Decimal(repr(float(acc[i, c]))).quantize(
+                            grid, ROUND_HALF_UP)
+                        if best is None or (dj, cids[c]) < best[:2]:
+                            best = (dj, cids[c])
+                    cells[idx[i]] = best[1]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "j": pdf["j"],
+                                "cell": cells.astype("int32")})
+
+    return src.mapInPandas(assign, f"vec_id {vt}, j int, cell int")
+
+
 def _assign_sub(staged: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid per (vector, subspace): centroids keyed by
     (j, cid) broadcast; argmin with the same rounded-distance /
@@ -697,7 +766,12 @@ def _assign_sub(staged: DataFrame, cent: DataFrame) -> DataFrame:
     ``min(struct)`` partial-aggregating shape (see _assign_cells:
     map-side combine collapses the K candidates per (vector,
     subspace) before the exchange; a window would shuffle and sort
-    all n·m·K rows)."""
+    all n·m·K rows).  Since r14 the default rides
+    :func:`_assign_sub_np` under the SAME ``HK_ASSIGN_KERNEL``
+    switch as the coarse assignment (one flag flips every Lloyd
+    family)."""
+    if __import__("os").environ.get("HK_ASSIGN_KERNEL", "np") == "np":
+        return _assign_sub_np(staged, cent)
     d = (staged.join(F.broadcast(cent), "j")
          .select("vec_id", "j", "cid",
                  F.round(_l2sq(F.col("sub"), F.col("cemb")), 9).alias("dist")))

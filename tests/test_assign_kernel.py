@@ -88,6 +88,39 @@ def test_env_switch_routes_and_default_is_np(emb, cent, monkeypatch):
     assert "MapInPandas" not in formatted_plan(_assign_cells(emb, cent))
 
 
+def test_sub_assignment_np_bit_identical(spark, emb, monkeypatch):
+    # r14: the per-(vector, subspace) PQ assignment rides the same
+    # switch — both kernels must agree bit-for-bit on every code
+    from pyspark.sql import functions as F
+
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        PQ_SUB_DIM,
+        _assign_sub,
+        _assign_sub_np,
+        _pq_subspaces,
+        pq_codes,
+    )
+
+    staged = (emb.select("vec_id",
+                         F.explode(_pq_subspaces()).alias("s"))
+              .select("vec_id", "s.j", "s.sub"))
+    cent = (staged.filter(F.col("vec_id") < 8)
+            .select("j", F.col("vec_id").cast("int").alias("cid"),
+                    F.transform("sub", lambda x: x.cast("double"))
+                    .alias("cemb")).localCheckpoint(eager=True))
+    monkeypatch.setenv("HK_ASSIGN_KERNEL", "join")
+    a = sorted(map(tuple, _assign_sub(staged, cent).collect()))
+    b = sorted(map(tuple, _assign_sub_np(staged, cent).collect()))
+    assert a == b
+    assert len(a) == staged.count()
+    # end-to-end: the full fused-Lloyd PQ codes agree across kernels
+    monkeypatch.setenv("HK_ASSIGN_KERNEL", "join")
+    ca = sorted(map(tuple, pq_codes(emb)[0].collect()))
+    monkeypatch.delenv("HK_ASSIGN_KERNEL", raising=False)
+    cb = sorted(map(tuple, pq_codes(emb)[0].collect()))
+    assert ca == cb
+
+
 def test_proto_prune_identical_under_join_kernel(spark, emb, monkeypatch):
     # an end-to-end keep_dist consumer: the kept/pruned verdict and
     # the prototypicality ordering ride the kernel unchanged
