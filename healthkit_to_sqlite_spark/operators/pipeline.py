@@ -493,23 +493,84 @@ def zorder_layout(events: DataFrame, bits: int = ZORDER_BITS,
 # --- C4+: Gopher-style repetition signals ---------------------------------
 
 
+def _repetition_counts_np(documents: DataFrame) -> DataFrame:
+    """Arrow twin of the repetition-stat counting (the r14 signature-
+    kernel pattern): one mapInPandas pass computes the per-doc INTEGER
+    counts — token count, distinct tokens, top-token multiplicity,
+    char sum, bigram count, top-bigram multiplicity — in Python
+    (tokenize + Counter) instead of interpreted higher-order
+    array_sort/aggregate folds with struct state per row
+    (CodegenFallback; measured 3.3 s at sf0.1 for 4000 docs).  Every
+    emitted value is an exact integer (mode multiplicity == longest
+    run in the sorted array; Python ``len`` and Spark ``length`` both
+    count code points; ``text.split(' ')`` == Spark ``split`` with
+    limit −1), so the twin is value-identical with no IEEE story —
+    the ratio arithmetic stays in the SAME Spark expressions either
+    way.  Pinned in tests/test_sign_kernels.py."""
+    src = documents.select("doc_id", "text")
+    dt = src.schema["doc_id"].dataType.simpleString()
+    schema = (f"doc_id {dt}, tok_n bigint, tok_distinct bigint, "
+              "tok_top bigint, tok_chars bigint, bg_n bigint, "
+              "bg_top bigint")
+
+    def stats(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in ("tok_n", "tok_distinct", "tok_top",
+                                   "tok_chars", "bg_n", "bg_top")}
+            for text in pdf["text"]:
+                toks = text.split(" ")
+                tc = Counter(toks)
+                npos = max(len(toks) - 1, 1)
+                bgs = Counter(" ".join(toks[i:i + 2])
+                              for i in range(npos))
+                out["tok_n"].append(len(toks))
+                out["tok_distinct"].append(len(tc))
+                out["tok_top"].append(max(tc.values()))
+                out["tok_chars"].append(sum(len(t) for t in toks))
+                out["bg_n"].append(npos)
+                out["bg_top"].append(max(bgs.values()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **out})
+
+    return src.mapInPandas(stats, schema)
+
+
 def repetition_signals(documents: DataFrame) -> DataFrame:
     """Per-document repetition/quality stats in the Gopher-rules family:
     token count, distinct-token fraction, most-common-token fraction,
     most-common-bigram fraction, mean token length.
 
     MAP-ONLY design: a doc's tokens live in its own row, so every stat
-    is a higher-order array expression — sizes and char sums via
-    `aggregate()`, distinct counts via `array_distinct`, and the
-    most-common-gram count as the longest run in the *sorted* gram
-    array (mode of a multiset = max run length after sort).  ZERO
-    shuffles; the op scales as a pure scan and is partition-layout
-    invariant by construction.  (The earlier explode → groupBy(doc,
-    gram) → groupBy(doc) form shuffled distinct-gram rows twice to
-    recompute co-location Spark already had; the rewrite measures
-    2.0s vs 2.3s at sf0.1 and drops both exchanges.)  All ratios
-    derive from
-    integer counts → bit-exact across engines; round(6) for display."""
+    is a per-row computation with ZERO shuffles; the op scales as a
+    pure scan and is partition-layout invariant by construction.
+    Since r14 the counting rides :func:`_repetition_counts_np`
+    (the expression form's array_sort + struct-state `aggregate()`
+    folds are interpreted per element — the assignment-kernel
+    finding); ``HK_REPSTATS_KERNEL=expr`` keeps the higher-order
+    expression form selectable for the value-identity pin.  (History:
+    the explode → groupBy(doc, gram) → groupBy(doc) form before r4
+    shuffled distinct-gram rows twice to recompute co-location Spark
+    already had — 2.0s vs 2.3s at sf0.1 and two exchanges dropped.)
+    All ratios derive from integer counts → bit-exact across engines;
+    round(6) for display."""
+    if __import__("os").environ.get("HK_REPSTATS_KERNEL", "np") == "np":
+        stats = _repetition_counts_np(documents).filter(F.col("tok_n") > 0)
+        return (stats
+                .select("doc_id",
+                        F.col("tok_n").alias("n_tok"),
+                        F.round(F.col("tok_distinct") / F.col("tok_n"), 6)
+                        .alias("uniq_tok_frac"),
+                        F.round(F.col("tok_top") / F.col("tok_n"), 6)
+                        .alias("top_tok_frac"),
+                        F.round(F.col("bg_top") / F.col("bg_n"), 6)
+                        .alias("top_bigram_frac"),
+                        F.round(F.col("tok_chars") / F.col("tok_n"), 6)
+                        .alias("mean_tok_len")))
     toks = ws_tokens("text")
     pos = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
     bigrams = F.transform(pos, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))

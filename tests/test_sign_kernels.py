@@ -68,6 +68,22 @@ def test_sign_kernel_defaults_and_env_switch(spark, monkeypatch):
     assert "MapInPandas" not in formatted_plan(minhash_signatures(docs))
 
 
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",
+                                "/root/testdata/sf0.01"])
+def test_repetition_signals_np_value_identical(spark, monkeypatch, sf):
+    from healthkit_to_sqlite_spark.operators.pipeline import (
+        repetition_signals,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    monkeypatch.setenv("HK_REPSTATS_KERNEL", "expr")
+    a = sorted(map(tuple, repetition_signals(docs).collect()))
+    monkeypatch.delenv("HK_REPSTATS_KERNEL", raising=False)
+    b = sorted(map(tuple, repetition_signals(docs).collect()))
+    assert a == b
+    assert len(a) == docs.count()
+
+
 def test_signature_kernels_stay_map_only(spark):
     # the expression forms' one plan property worth keeping: zero
     # exchange — signatures stay embarrassingly parallel at any scale
