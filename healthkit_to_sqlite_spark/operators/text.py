@@ -1130,17 +1130,29 @@ def suffix_ranks(documents: DataFrame, w: int = SUFFIX_W,
     suffix-array-based exact-substring dedup (Lee et al. 2022), where
     rank-adjacent suffixes are the candidate duplicated spans.
 
-    Algorithm, Spark-first: round 0 dense-ranks single tokens; round
-    k pairs each suffix with the suffix ``2^k`` positions ahead
-    (missing → rank 0, the shorter-suffix-sorts-first sentinel) and
-    dense-ranks the (r, r_next) pairs — log₂(w) rounds replace
-    w-token string comparisons with integer-pair sorts, and no
-    w-token string is ever materialized.  Every global ordering runs
-    through :func:`_global_key_ranks`' range-partitioned rank (no
+    Algorithm, Spark-first: the base round dense-ranks (token,
+    next-token) pairs directly — the '' sentinel for a missing next
+    token sorts before every token (tokens are never empty — pinned
+    in test_text), the same shorter-suffix-sorts-first order the
+    integer rank-0 sentinel encodes, so fusing what r9-r13 ran as
+    two rounds (rank single tokens, then rank the (r, r2) int pairs)
+    changes no ordering and therefore no dense rank.  Round k then
+    pairs each suffix with the suffix ``2^k`` positions ahead
+    (missing → rank 0) and dense-ranks the (r, r_next) pairs —
+    log₂(w) rounds total replace w-token string comparisons with
+    integer-pair sorts, and no w-token string is ever materialized.
+    The LAST doubling round returns :func:`_global_key_ranks`' plain
+    ``rank`` column directly: the width-w key multiset is in
+    order-preserving bijection with the final (r, r2) pair multiset,
+    so the rank over pairs IS the final suffix rank — the separate
+    final ranking round r9-r13 ran (and its full-set join-back) was
+    pure redundancy.  Every global ordering runs through
+    :func:`_global_key_ranks`' range-partitioned rank (no
     single-partition window — pinned in test_plans), per-round state
     is localCheckpointed (the LPA/iterative-kernel lineage
-    discipline), and per-round driver traffic is the ≤ ``parts``-row
-    offset collect.
+    discipline) — on the PAIRED set, so the pairing window and the
+    rank join-back each evaluate once per round, not twice — and
+    per-round driver traffic is the ≤ ``parts``-row offset collect.
 
     The pairing step is ``lead(r, 2^k)`` over a per-doc window —
     ``posexplode`` positions are dense 0..n−1 within a doc, so the row
@@ -1154,10 +1166,13 @@ def suffix_ranks(documents: DataFrame, w: int = SUFFIX_W,
     suffix set per round).  The window form needs ONE exchange on
     doc_id and a per-doc sort, with partition size bounded by
     document length, never corpus size (guide §2.4: establish the
-    partitioning once).  Measured at sf0.1: 7.9 → 7.5 s median (the
-    wall is dominated by the rank/join-back machinery), and the
-    round's pairing fragment reads corpus-broadcast + BHJ before vs
-    one doc_id exchange + window after
+    partitioning once).  Measured at sf0.1: 7.9 → 7.5 s median for
+    the join→window flip, then 6.3 → 4.65 s median (sf1 7.25 s,
+    slope 1.56) for the round fusion above — w=8 runs 3 ranking
+    rounds instead of 5, with 6 full-suffix-set exchanges instead of
+    8 and 3 offset collects instead of 5.  The round's pairing
+    fragment reads corpus-broadcast + BHJ before vs one doc_id
+    exchange + window after
     (plans/r14/suffix_round_fragment_*.txt; the full explain hides
     the per-round plans behind their localCheckpoints).
 
@@ -1175,32 +1190,36 @@ def suffix_ranks(documents: DataFrame, w: int = SUFFIX_W,
         raise ValueError(f"comparison depth w={w} must be a power of 2")
     toks = documents.select(
         "doc_id", F.posexplode(ws_tokens("text")).alias("pos", "token"))
-    kr = _global_key_ranks(
-        toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")),
-        ["token"], parts)
-    cur = (toks.join(kr.select("token", F.col("dense").alias("r")),
-                     "token")
-           .select("doc_id", "pos", "r").localCheckpoint(eager=True))
-    width = 1
-    while width < w:
-        doc_w = Window.partitionBy("doc_id").orderBy("pos")
-        paired = cur.select(
-            "doc_id", "pos", "r",
-            F.coalesce(F.lead("r", width).over(doc_w),
-                       F.lit(0)).alias("r2"))
+    doc_w = Window.partitionBy("doc_id").orderBy("pos")
+    if w == 1:
+        kr = _global_key_ranks(
+            toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")),
+            ["token"], parts)
+        return (toks.join(kr.select("token", "rank"), "token")
+                .select("doc_id", "pos", F.col("rank").alias("srank")))
+    paired = (toks.select(
+        "doc_id", "pos", F.col("token").alias("r"),
+        F.coalesce(F.lead("token", 1).over(doc_w), F.lit("")).alias("r2"))
+        .localCheckpoint(eager=True))
+    width = 2
+    while True:
         kr = _global_key_ranks(
             paired.groupBy("r", "r2").agg(F.count(F.lit(1)).alias("cnt")),
             ["r", "r2"], parts)
-        cur = (paired.join(kr.select("r", "r2",
-                                     F.col("dense").alias("nr")),
-                           ["r", "r2"])
-               .select("doc_id", "pos", F.col("nr").alias("r"))
-               .localCheckpoint(eager=True))
+        if width >= w:
+            return (paired.join(
+                kr.select("r", "r2", F.col("rank").alias("srank")),
+                ["r", "r2"])
+                .select("doc_id", "pos", "srank"))
+        paired = (paired.join(
+            kr.select("r", "r2", F.col("dense").alias("nr")),
+            ["r", "r2"])
+            .select("doc_id", "pos", F.col("nr").alias("r"))
+            .select("doc_id", "pos", "r",
+                    F.coalesce(F.lead("r", width).over(doc_w),
+                               F.lit(0)).alias("r2"))
+            .localCheckpoint(eager=True))
         width *= 2
-    final = _global_key_ranks(
-        cur.groupBy("r").agg(F.count(F.lit(1)).alias("cnt")), ["r"], parts)
-    return (cur.join(final.select("r", "rank"), "r")
-            .select("doc_id", "pos", F.col("rank").alias("srank")))
 
 
 def _suffix_ranks_oracle_sql(w: int = SUFFIX_W) -> str:

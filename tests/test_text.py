@@ -7,6 +7,8 @@ the chunker's stride/size invariants cover every token exactly.
 
 from __future__ import annotations
 
+import pytest
+
 from healthkit_to_sqlite_spark.catalog import load_table
 from healthkit_to_sqlite_spark.operators.text import (DSIR_BUCKETS, bm25_topk,
                                                       chunk_overlap,
@@ -1004,6 +1006,32 @@ def test_suffix_ranks_match_python_reference(spark):
     assert got[(2, 0)] < got[(0, 3)]
     # truncation: docs 3 and 4 agree through SUFFIX_W tokens at pos 0
     assert got[(3, 0)] == got[(4, 0)]
+
+
+@pytest.mark.parametrize("w", [1, 2, 4])
+def test_suffix_ranks_all_depths_match_python_reference(spark, w):
+    """The r14 round restructure (fused 2-token base case; final rank
+    emitted by the LAST doubling round instead of a separate ranking
+    pass) has three structural regimes — w=1 (no pairing at all),
+    w=2 (the base case IS the final round), w≥4 (doubling rounds in
+    between).  Each must still equal true depth-w lexicographic
+    ranking."""
+    from healthkit_to_sqlite_spark.operators.text import suffix_ranks
+
+    texts = {0: "b a c a b", 1: "a b", 2: "a", 3: "c a b a",
+             4: "a a a a a", 5: "b a c a c"}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id bigint, text string")
+    got = {(r.doc_id, r.pos): r.srank
+           for r in suffix_ranks(docs, w=w).collect()}
+    suf = []
+    for d, t in texts.items():
+        toks = t.split(" ")
+        for p in range(len(toks)):
+            suf.append((tuple(toks[p:p + w]), d, p))
+    ordered = sorted(s[0] for s in suf)
+    want = {(d, p): 1 + ordered.index(key) for key, d, p in suf}
+    assert got == want
 
 
 def test_curriculum_order_is_interleaved_permutation(spark):
