@@ -4,11 +4,13 @@ Language-ID (stopword-marker heuristic), quality scoring, token
 counting, and document fingerprinting over `documents` (driver north
 star, SURVEY.md §2.C row C4 + extensions).
 
-All pure builtin expressions — split/filter/explode/regexp — i.e. the
-whole module runs inside whole-stage codegen; there is no Python in the
-hot path.  Marker-word counting uses size(filter(tokens, …)) rather
-than array_intersect so duplicate hits count (and because engines
-disagree on intersect dedup semantics).
+Builtin expressions — split/filter/explode/regexp — run the module
+inside whole-stage codegen, except where the r14 kernel triage rule
+(per-element COMPUTE dominating → Arrow pass wins) applies: the
+distinct-trigram build rides :func:`_rare_tri_perdoc_np`.  Marker-word
+counting uses size(filter(tokens, …)) rather than array_intersect so
+duplicate hits count (and because engines disagree on intersect dedup
+semantics).
 """
 
 from __future__ import annotations
@@ -1483,6 +1485,42 @@ def _bm25_pruned_oracle_sql(terms: tuple[str, ...] = BM25_TERMS,
 RARE_TRI_MIN_DF = 5  # trigram seen in fewer docs than this is "rare"
 
 
+def _rare_tri_perdoc_np(documents: DataFrame) -> DataFrame:
+    """Arrow twin of the distinct (doc, trigram) build: Spark computes
+    ``lower(text)`` ONCE per doc (engine lowercase semantics — no
+    Python ``str.lower`` whose Unicode case map could diverge), then
+    one mapInPandas pass slices the pre-lowered string into its
+    DISTINCT character trigrams in Python — a set of 3-code-point
+    slices (Python slicing == Spark ``substr`` at code-point grain,
+    emitted in sorted order so the materialized intermediate is
+    deterministic).  Replaces the per-char positional Generate
+    (~|chars| rows) plus the (doc_id, tri) hash-aggregate EXCHANGE
+    with a MAP-ONLY pass that emits exactly the distinct pairs — the
+    r14 kernel-triage win case: per-element compute runs in C and the
+    output is smaller than the explode it replaces.  Closure-complete
+    (stdlib + pandas only)."""
+    base = (documents
+            .select("doc_id", F.lower(F.col("text")).alias("t"))
+            .filter(F.length("t") >= 3))
+    dt = base.schema["doc_id"].dataType.simpleString()
+
+    def tri(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids: list = []
+            tris: list[str] = []
+            for did, t in zip(pdf["doc_id"], pdf["t"]):
+                s = sorted({t[i:i + 3] for i in range(len(t) - 2)})
+                ids.extend([did] * len(s))
+                tris.extend(s)
+            yield pd.DataFrame({"doc_id": ids, "tri": tris})
+
+    return base.mapInPandas(tri, f"doc_id {dt}, tri string")
+
+
 def rare_trigram_rate(documents: DataFrame,
                       min_df: int = RARE_TRI_MIN_DF) -> DataFrame:
     """Character-LM quality proxy: fraction of a document's distinct
@@ -1510,20 +1548,32 @@ def rare_trigram_rate(documents: DataFrame,
     becomes a partial-aggregated groupBy.  The distinct (doc, trigram)
     relation is then localCheckpointed so the df-count pass and the
     per-doc scoring pass share ONE materialization — at cluster scale
-    this intermediate is the persisted corpus artifact itself."""
-    base = (documents
-            .select("doc_id", F.lower(F.col("text")).alias("t"))
-            .filter(F.length("t") >= 3))
-    per_doc = (base
-               .select("doc_id", "t",
-                       F.explode(F.sequence(F.lit(1), F.length("t") - 2))
-                       .alias("i"))
-               .select("doc_id",
-                       F.col("t").substr(F.col("i"), F.lit(3)).alias("tri"))
-               .groupBy("doc_id", "tri")
-               .agg(F.count(F.lit(1)).alias("_n"))
-               .select("doc_id", "tri")
-               .localCheckpoint())
+    this intermediate is the persisted corpus artifact itself.
+
+    Since r14 the distinct build default-rides
+    :func:`_rare_tri_perdoc_np` (``HK_TRI_KERNEL=expr`` keeps the
+    positional-explode form selectable): the Arrow pass emits the
+    per-doc distinct set map-only, deleting the Generate and the
+    (doc_id, tri) exchange — measured 3.87 → 1.50 s median at sf0.1,
+    value-identity pinned across kernels in test_text."""
+    if __import__("os").environ.get("HK_TRI_KERNEL", "np") == "np":
+        per_doc = _rare_tri_perdoc_np(documents).localCheckpoint()
+    else:
+        base = (documents
+                .select("doc_id", F.lower(F.col("text")).alias("t"))
+                .filter(F.length("t") >= 3))
+        per_doc = (base
+                   .select("doc_id", "t",
+                           F.explode(F.sequence(F.lit(1),
+                                                F.length("t") - 2))
+                           .alias("i"))
+                   .select("doc_id",
+                           F.col("t").substr(F.col("i"),
+                                             F.lit(3)).alias("tri"))
+                   .groupBy("doc_id", "tri")
+                   .agg(F.count(F.lit(1)).alias("_n"))
+                   .select("doc_id", "tri")
+                   .localCheckpoint())
     df_counts = (per_doc.groupBy("tri")
                  .agg(F.count(F.lit(1)).alias("df")))
     return (per_doc

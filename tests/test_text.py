@@ -1034,6 +1034,28 @@ def test_suffix_ranks_all_depths_match_python_reference(spark, w):
     assert got == want
 
 
+def test_rare_trigram_kernels_value_identical(spark, monkeypatch):
+    """The r14 Arrow distinct-trigram kernel == the positional-explode
+    expression form, row for row — on the fixture corpus AND on a
+    constructed edge set (doc shorter than 3 chars dropped, uppercase
+    folded by the ENGINE's lower() before the kernel, repeated
+    trigrams deduped, non-ASCII code points sliced at code-point
+    grain)."""
+    from healthkit_to_sqlite_spark.operators.text import rare_trigram_rate
+
+    edge = spark.createDataFrame(
+        [(0, "aAaAa"), (1, "xy"), (2, "ababab"), (3, "héllo héllo"),
+         (4, "the quick brown fox")],
+        "doc_id bigint, text string")
+    fixture = load_table(spark, SF, "documents")
+    for docs in (edge, fixture):
+        monkeypatch.setenv("HK_TRI_KERNEL", "np")
+        got_np = sorted(map(tuple, rare_trigram_rate(docs).collect()))
+        monkeypatch.setenv("HK_TRI_KERNEL", "expr")
+        got_expr = sorted(map(tuple, rare_trigram_rate(docs).collect()))
+        assert got_np == got_expr and len(got_np) > 0
+
+
 def test_curriculum_order_is_interleaved_permutation(spark):
     """Global positions are a permutation of 1..n; the first
     |sources| positions are each source's EASIEST doc in source
