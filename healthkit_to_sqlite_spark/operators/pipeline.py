@@ -715,25 +715,37 @@ def decontaminate_fuzzy(documents: DataFrame, n: int = FUZZY_NGRAM,
     n-grams of the doc have a fuzzy benchmark match (superset of the
     exact matches — exact overlap shares all n variants).
 
-    Grams are filtered to EXACTLY n tokens before variant expansion
-    (ADVICE r11): word_shingles emits one truncated shingle for a doc
-    with < n tokens, and its trailing-sentinel variants would collide
-    with any benchmark n-gram sharing the first m tokens — a
-    false-positive class outside the token-Hamming ≤ 1 contract (and
-    positions past the end produced duplicate variants).  A doc
-    shorter than n tokens simply has no n-grams to audit, the same
-    convention production exact audits apply at 8-13-grams."""
-    from .dedup import word_shingles
+    Grams cover EXACTLY n tokens (ADVICE r11): a doc shorter than n
+    tokens has no positions to audit (truncated grams' trailing-
+    sentinel variants would collide with any benchmark n-gram sharing
+    the first m tokens — a false-positive class outside the
+    token-Hamming ≤ 1 contract), the same convention production exact
+    audits apply at 8-13-grams.
 
-    grams = (word_shingles(documents, k=n)
-             .filter(F.size(F.split(F.col("shingle"), " ")) == n))
-    toks = F.split(F.col("shingle"), " ")
+    r14: variants build POSITIONALLY from the tokenized doc — explode
+    gram start positions, slice the n-token window once, derive the
+    shingle string and all n sentinel variants from that slice.  The
+    prior form re-split every shingle STRING back into tokens and
+    re-concatenated per variant (6× split+concat per gram through
+    word_shingles' distinct+explode); fresh-JVM median 4.48 s →
+    1.20 s at sf0.1 with identical output.  Occurrence multiplicity (vs
+    word_shingles' per-doc array_distinct) is immaterial: the eval
+    side is DISTINCT and the corpus side counts DISTINCT shingles."""
+    toks = ws_tokens("text")
+    g = (documents
+         .select("doc_id", toks.alias("toks"))
+         .filter(F.size("toks") >= n)
+         .select("doc_id",
+                 F.explode(F.sequence(
+                     F.lit(1), F.size("toks") - (n - 1))).alias("i"),
+                 "toks")
+         .select("doc_id", F.slice("toks", F.col("i"), n).alias("gt")))
     variants = [F.concat_ws(" ", F.concat(
-        F.slice(toks, 1, i - 1),
+        F.slice(F.col("gt"), 1, i - 1),
         F.array(F.lit(DECON_SENTINEL)),
-        F.slice(toks, i + 1, n - i))) for i in range(1, n + 1)]
-    v = grams.select("doc_id", "shingle",
-                     F.explode(F.array(*variants)).alias("skipgram"))
+        F.slice(F.col("gt"), i + 1, n - i))) for i in range(1, n + 1)]
+    v = g.select("doc_id", F.concat_ws(" ", "gt").alias("shingle"),
+                 F.explode(F.array(*variants)).alias("skipgram"))
     bench = (v.filter(F.col("doc_id") % bench_mod == 0)
              .select("skipgram").distinct())
     return (v.filter(F.col("doc_id") % bench_mod != 0)
