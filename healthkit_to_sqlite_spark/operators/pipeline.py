@@ -1385,8 +1385,9 @@ def pipeline_e2e_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontaminate → token-budget mixture → pack, emitting per-stage
     (docs, tokens) conservation counts.  Every stage reuses the SAME
     predicate/kernel its standalone pinned query uses
-    (`gopher_keep_expr`, `canonical_md5_expr`, the `word_shingles`
-    n-gram join, the `token_budget_mix` bucket-CDF, `PACK_BUDGET`), so
+    (`gopher_keep_expr`, `canonical_md5_expr`, `decontaminate`'s
+    broadcast n-gram join (positional gram build), the
+    `token_budget_mix` bucket-CDF, `PACK_BUDGET`), so
     this query catches interface drift between the stages the way
     `q_entity_resolution` does for the fuzzy-join stack.
 
@@ -1397,10 +1398,17 @@ def pipeline_e2e_query(spark: SparkSession, sf_dir: str) -> DataFrame:
        keys + stage booleans; no text) — localCheckpointed because six
        stage aggregates, two windows, and the mixture CDF all consume
        it;
-    2. the contamination drop set — one shingle-partitioned self-join
-       of the n-gram relation (corpus side ⋈ eval side in one
-       exchange, reused by AQE) reduced to a distinct doc_id list
-       (bounded by eval-suite overlap), then checkpointed.
+    2. the contamination drop set — the corpus-side n-gram relation
+       (built positionally: explode gram starts, slice the n-token
+       window once — the r14 `decontaminate_fuzzy` build, cheaper per
+       gram than word_shingles' interpreted `transform` + per-doc
+       array_distinct, and distinctness is immaterial here because
+       the set reduces to DISTINCT doc_id) joined against the
+       BROADCAST distinct eval-gram inventory — `decontaminate`'s own
+       declared 100 TB shape (eval-bounded side broadcasts, corpus
+       grams never shuffle), then checkpointed.  r14: this replaced a
+       shingle-partitioned self-join of the full gram relation
+       (2.15 s → 0.39 s at sf0.1, identical drop set).
 
     Every later stage is a flag column over the slim relation:
     dedup's keeper is a min-over-canon window (no join-back), the
@@ -1423,7 +1431,7 @@ def pipeline_e2e(docs: DataFrame, num: int = TOKEN_BUDGET_NUM,
     3/100; tests widen it so a two-doc corpus can keep anything)."""
     from pyspark.sql import Window
 
-    from .dedup import canonical_md5_expr, word_shingles
+    from .dedup import canonical_md5_expr
     from .text import gopher_keep_expr
 
     n_tok = F.size(ws_tokens("text"))
@@ -1435,12 +1443,27 @@ def pipeline_e2e(docs: DataFrame, num: int = TOKEN_BUDGET_NUM,
                         hb.alias("hb"),
                         (F.col("doc_id") % BENCH_MOD == 0).alias("is_bench"))
             .localCheckpoint(eager=True))
-    grams = word_shingles(docs, k=DECON_NGRAM).repartition("shingle")
-    a, b = grams.alias("a"), grams.alias("b")
-    cont = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                   & (F.col("a.doc_id") % BENCH_MOD != 0)
-                   & (F.col("b.doc_id") % BENCH_MOD == 0))
-            .select(F.col("a.doc_id").alias("doc_id")).distinct()
+    def pos_grams(d: DataFrame, n: int) -> DataFrame:
+        # Positional n-gram build (the r14 decontaminate_fuzzy shape),
+        # WITH word_shingles' short-doc convention: a doc under n
+        # tokens emits its one truncated gram (greatest(.., 1)).
+        toks = ws_tokens("text")
+        return (d.select("doc_id", toks.alias("toks"))
+                .filter(F.size("toks") >= 1)
+                .select("doc_id",
+                        F.explode(F.sequence(F.lit(1), F.greatest(
+                            F.size("toks") - (n - 1), F.lit(1)))).alias("i"),
+                        "toks")
+                .select("doc_id", F.concat_ws(
+                    " ", F.slice("toks", F.col("i"), n)).alias("shingle")))
+
+    bench_grams = (pos_grams(docs.filter(F.col("doc_id") % BENCH_MOD == 0),
+                             DECON_NGRAM)
+                   .select("shingle").distinct())
+    cont = (pos_grams(docs.filter(F.col("doc_id") % BENCH_MOD != 0),
+                      DECON_NGRAM)
+            .join(F.broadcast(bench_grams), "shingle")
+            .select("doc_id").distinct()
             .withColumn("contaminated", F.lit(True))
             .localCheckpoint(eager=True))
     w_canon = Window.partitionBy("canon")
