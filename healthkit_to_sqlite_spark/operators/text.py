@@ -138,31 +138,79 @@ def bpe_ish_token_count(documents: DataFrame) -> DataFrame:
         F.size(pieces).alias("n_bpe_tokens"))
 
 
+def _bigram_partials_np(documents: DataFrame) -> DataFrame:
+    """Arrow twin of the in-row bigram build: one mapInPandas pass
+    tokenizes each doc (``text.split(" ")`` — a literal single-space
+    split, value-identical to Spark's ``split(text, ' ')`` incl.
+    empty-token runs) and emits PER-BATCH PARTIAL ``(bigram, n)``
+    counts via a Counter — Python-side map-side aggregation.  Exact
+    integer counts, so any batch/partition boundary yields the same
+    grand totals after the groupBy-SUM.  Replaces the interpreted
+    ``transform``/``element_at`` HOF array build (CodegenFallback, one
+    lambda eval per bigram) AND shrinks the exchange from the full
+    exploded bigram volume to the per-batch distinct partials.
+    Closure-complete (stdlib + pandas only)."""
+    base = documents.select("text")
+
+    def big(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c: Counter = Counter()
+            for t in pdf["text"]:
+                if t is None:
+                    continue
+                toks = t.split(" ")
+                c.update(map(" ".join, zip(toks, toks[1:])))
+            if not c:
+                continue
+            yield pd.DataFrame({"bigram": list(c.keys()),
+                                "n": list(c.values())})
+
+    return base.mapInPandas(big, "bigram string, n bigint")
+
+
 def ngram_counts(documents: DataFrame, k: int = 20) -> DataFrame:
     """Corpus-wide top-k bigram frequencies — the n-gram statistics a
     contamination/memorization audit reads (token_counts is the n=1
     case).
 
-    The bigram array is built in-row with builtin higher-order
-    functions (transform over a 1..n-1 sequence) — no self-join of the
-    token long-form on position, which would shuffle the whole exploded
-    corpus twice.  After the in-row build: explode → partial-aggregated
-    groupBy → TakeOrdered, the same shape as token_counts.  The
-    size-guard matters: Spark's ``sequence(1, 0)`` DESCENDS (yields
-    [1,0]) rather than returning empty, so 1-token docs must shortcut
-    to an empty array explicitly."""
-    toks = ws_tokens("text")
-    idx = F.sequence(F.lit(1), F.size(toks) - 1)
-    bigram = lambda i: F.concat_ws(  # noqa: E731
-        " ", F.element_at(toks, i), F.element_at(toks, i + 1))
-    bigrams = F.when(F.size(toks) >= 2, F.transform(idx, bigram)) \
-        .otherwise(F.array().cast("array<string>"))
-    return (documents
-            .select(F.explode(bigrams).alias("bigram"))
-            .groupBy("bigram")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.col("n").desc(), "bigram")
-            .limit(k))
+    The bigram build is in-row either way — no self-join of the token
+    long-form on position, which would shuffle the whole exploded
+    corpus twice.  Since r14 the default build rides
+    :func:`_bigram_partials_np` (``HK_NGRAM_KERNEL=expr`` keeps the
+    expression form selectable): the Arrow pass tokenizes and
+    Counter-aggregates per batch in C, so the Generate disappears and
+    the exchange carries per-batch partials instead of the full bigram
+    volume; the groupBy SUM of exact integer partials equals the
+    groupBy COUNT of exploded rows at any batch boundary.
+
+    The expression form builds the bigram array with builtin
+    higher-order functions (transform over a 1..n-1 sequence), then
+    explode → partial-aggregated groupBy → TakeOrdered, the same shape
+    as token_counts.  Its size-guard matters: Spark's ``sequence(1,
+    0)`` DESCENDS (yields [1,0]) rather than returning empty, so
+    1-token docs must shortcut to an empty array explicitly."""
+    if __import__("os").environ.get("HK_NGRAM_KERNEL", "np") == "np":
+        counted = (_bigram_partials_np(documents)
+                   .groupBy("bigram")
+                   .agg(F.sum("n").alias("n")))
+    else:
+        toks = ws_tokens("text")
+        idx = F.sequence(F.lit(1), F.size(toks) - 1)
+        bigram = lambda i: F.concat_ws(  # noqa: E731
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1))
+        bigrams = F.when(F.size(toks) >= 2, F.transform(idx, bigram)) \
+            .otherwise(F.array().cast("array<string>"))
+        counted = (documents
+                   .select(F.explode(bigrams).alias("bigram"))
+                   .groupBy("bigram")
+                   .agg(F.count(F.lit(1)).alias("n")))
+    return counted.orderBy(F.col("n").desc(), "bigram").limit(k)
 
 
 def vocab_topk(documents: DataFrame, k: int = 500) -> DataFrame:

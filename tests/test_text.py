@@ -1056,6 +1056,29 @@ def test_rare_trigram_kernels_value_identical(spark, monkeypatch):
         assert got_np == got_expr and len(got_np) > 0
 
 
+def test_ngram_kernels_value_identical(spark, monkeypatch):
+    """The r14 Arrow bigram-partials kernel == the transform-HOF
+    expression form, row for row — on the fixture corpus AND on a
+    constructed edge set (1-token doc yields nothing, runs of spaces
+    yield empty tokens exactly like Spark's split, repeated bigrams
+    keep multiplicity, ties in n break by bigram asc).  k is raised
+    above the distinct-bigram count on the edge set so the WHOLE
+    aggregate is compared, not just the top slice."""
+    from healthkit_to_sqlite_spark.operators.text import ngram_counts
+
+    edge = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "x"), (2, "a  b"), (3, None),
+         (4, "héllo wörld héllo wörld"), (5, " lead"), (6, "trail ")],
+        "doc_id bigint, text string")
+    fixture = load_table(spark, SF, "documents")
+    for docs, k in ((edge, 100), (fixture, 20)):
+        monkeypatch.setenv("HK_NGRAM_KERNEL", "np")
+        got_np = [tuple(r) for r in ngram_counts(docs, k=k).collect()]
+        monkeypatch.setenv("HK_NGRAM_KERNEL", "expr")
+        got_expr = [tuple(r) for r in ngram_counts(docs, k=k).collect()]
+        assert got_np == got_expr and len(got_np) > 0
+
+
 def test_curriculum_order_is_interleaved_permutation(spark):
     """Global positions are a permutation of 1..n; the first
     |sources| positions are each source's EASIEST doc in source
