@@ -1140,7 +1140,13 @@ def _global_key_ranks(keys: DataFrame, cols: list[str],
     (the q_global_shuffle discipline: no global sort ever has one
     reducer).  Distinct keys mean the range partitioner can never
     split a tie group across a boundary, so local ranks + offsets
-    compose exactly.  Returns ``cols + [dense, rank]``."""
+    compose exactly.  Returns ``cols + [dense, rank]``.
+
+    Since r14 (continuation) the suffix machinery's default path is
+    :func:`_ranked_multiset_np`, which ranks the full multiset in
+    place; this distinct-set form remains the independent reference —
+    property-tested in test_rank_properties and selectable end-to-end
+    via ``HK_SUFFIX_KERNEL=join``."""
     from pyspark.sql import Window
 
     d = (keys.repartitionByRange(parts, *cols)
@@ -1170,6 +1176,105 @@ def _global_key_ranks(keys: DataFrame, cols: list[str],
                     .cast("bigint").alias("rank"))
 
 
+def _ranked_multiset_np(rows: DataFrame, cols: list[str],
+                        parts: int = SUFFIX_RANGE_PARTS) -> DataFrame:
+    """Global (dense, rank) of EVERY row of the full key multiset —
+    carrying (doc_id, pos) through — with no distinct aggregation, no
+    join-back, and no window: range-partition the FULL multiset by the
+    key (Spark's RangePartitioner places a row by binary search on the
+    key alone, so a tie group is never split across partitions), sort
+    within partitions (the JVM's UTF8-binary / integer order — the
+    same total order the window form used; no Python collation ever
+    decides an ordering), then ONE Arrow pass per partition computes
+    local dense/rank by pure adjacency counting (equality tests and
+    integer counters only — order-independent given the sort), and the
+    ≤ ``parts``-row offsets collect composes the local counters into
+    global values exactly (the q_global_shuffle discipline: no global
+    order through one reducer).  ``dense`` = 1-based dense rank of the
+    row's key among all distinct keys; ``rank`` = the plain RANK over
+    the full multiset (1 + #rows strictly less) — definitionally what
+    :func:`_global_key_ranks` + a key join-back produced, without
+    shuffling the distinct set three times or the multiset through a
+    join.  Counter state carries across Arrow batches within a task,
+    so any batch boundary yields identical values (pinned in
+    test_text).  Closure-complete (stdlib + numpy/pandas only)."""
+    d = _ranked_multiset_np_local(rows, cols, parts).localCheckpoint(
+        eager=True)
+    tot = sorted(d.groupBy("pid").agg(
+        F.max("ldense").alias("nkeys"),
+        F.count(F.lit(1)).alias("nrows")).collect(),
+        key=lambda r: r.pid)                      # ≤ parts rows
+    key_off, row_off, ks, rs = {}, {}, 0, 0
+    for r in tot:
+        key_off[r.pid], row_off[r.pid] = ks, rs
+        ks, rs = ks + int(r.nkeys), rs + int(r.nrows)
+    koff = F.coalesce(*[F.when(F.col("pid") == p, F.lit(v))
+                        for p, v in key_off.items()], F.lit(0)) \
+        if key_off else F.lit(0)
+    roff = F.coalesce(*[F.when(F.col("pid") == p, F.lit(v))
+                        for p, v in row_off.items()], F.lit(0)) \
+        if row_off else F.lit(0)
+    return d.select("doc_id", "pos",
+                    (F.col("ldense") + koff).cast("bigint").alias("dense"),
+                    (F.col("lrank") + roff).cast("bigint").alias("rank"))
+
+
+def _ranked_multiset_np_local(rows: DataFrame, cols: list[str],
+                              parts: int) -> DataFrame:
+    """The pre-checkpoint stage of :func:`_ranked_multiset_np` — range
+    exchange + in-partition sort + the Arrow adjacency pass emitting
+    LOCAL (ldense, lrank) counters.  Split out so the per-round plan
+    (which the eager checkpoint hides from the composed explain) can
+    be captured as evidence (plans/r14)."""
+    d = (rows.repartitionByRange(parts, *cols)
+         .sortWithinPartitions(*cols)
+         .select("doc_id", "pos", *cols,
+                 F.spark_partition_id().alias("pid")))
+    key_cols = list(cols)
+
+    def rk(batches):
+        import numpy as np
+        import pandas as pd
+
+        prev = None   # last key tuple of the previous batch
+        nrows = 0     # rows seen so far in this partition
+        ndense = 0    # distinct keys seen so far
+        grank = 0     # local rank (group-start row number) of prev
+        for pdf in batches:
+            m = len(pdf)
+            if not m:
+                continue
+            same = None
+            for c in key_cols:
+                s = pdf[c]
+                eqc = s.eq(s.shift())
+                same = eqc if same is None else (same & eqc)
+            same = same.to_numpy(dtype=bool, copy=True)
+            same[0] = prev is not None and \
+                tuple(pdf[c].iloc[0] for c in key_cols) == prev
+            new = ~same
+            rownum = nrows + np.arange(1, m + 1, dtype=np.int64)
+            dense = ndense + np.cumsum(new, dtype=np.int64)
+            gr = np.where(new, rownum, 0)
+            if not new[0]:
+                gr[0] = grank
+            gr = np.maximum.accumulate(gr)
+            prev = tuple(pdf[c].iloc[-1] for c in key_cols)
+            nrows += m
+            ndense = int(dense[-1])
+            grank = int(gr[-1])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "pos": pdf["pos"].to_numpy(),
+                "pid": pdf["pid"].to_numpy(),
+                "ldense": dense,
+                "lrank": gr,
+            })
+
+    return d.mapInPandas(
+        rk, "doc_id bigint, pos int, pid int, ldense bigint, lrank bigint")
+
+
 def suffix_ranks(documents: DataFrame, w: int = SUFFIX_W,
                  parts: int = SUFFIX_RANGE_PARTS) -> DataFrame:
     """Distributed suffix-array ranking by PREFIX DOUBLING (Manber &
@@ -1191,18 +1296,30 @@ def suffix_ranks(documents: DataFrame, w: int = SUFFIX_W,
     (missing → rank 0) and dense-ranks the (r, r_next) pairs —
     log₂(w) rounds total replace w-token string comparisons with
     integer-pair sorts, and no w-token string is ever materialized.
-    The LAST doubling round returns :func:`_global_key_ranks`' plain
-    ``rank`` column directly: the width-w key multiset is in
-    order-preserving bijection with the final (r, r2) pair multiset,
-    so the rank over pairs IS the final suffix rank — the separate
-    final ranking round r9-r13 ran (and its full-set join-back) was
-    pure redundancy.  Every global ordering runs through
-    :func:`_global_key_ranks`' range-partitioned rank (no
-    single-partition window — pinned in test_plans), per-round state
-    is localCheckpointed (the LPA/iterative-kernel lineage
-    discipline) — on the PAIRED set, so the pairing window and the
-    rank join-back each evaluate once per round, not twice — and
-    per-round driver traffic is the ≤ ``parts``-row offset collect.
+    The LAST doubling round returns the plain ``rank`` column
+    directly: the width-w key multiset is in order-preserving
+    bijection with the final (r, r2) pair multiset, so the rank over
+    pairs IS the final suffix rank — the separate final ranking round
+    r9-r13 ran (and its full-set join-back) was pure redundancy.
+
+    Since r14 (continuation) each ranking round runs through
+    :func:`_ranked_multiset_np` by default (``HK_SUFFIX_KERNEL=join``
+    keeps the r13 form selectable): the FULL paired set — (doc_id,
+    pos) riding along — range-partitions by (r, r2) once, sorts
+    within partitions, and one Arrow adjacency pass plus the
+    ≤ ``parts``-row offsets collect assigns every row its global
+    (dense, rank) in place.  The r13 form instead distinct-aggregated
+    the pairs, ranked the distinct set through
+    :func:`_global_key_ranks` (its own range + pid exchanges and two
+    windows), and hash-joined the ranks back onto the full set — per
+    round that is one distinct aggregation, three distinct-set
+    exchanges, one full-set join-back exchange, and two windows that
+    the kernel form simply does not have; the kernel keeps exactly two
+    full-set exchanges per round (range for the rank, doc_id for the
+    pairing window) and no join.  Still no single-partition window
+    anywhere (pinned in test_plans), per-round lineage is cut by the
+    kernel's internal eager localCheckpoint, and per-round driver
+    traffic stays the ≤ ``parts``-row offsets collect.
 
     The pairing step is ``lead(r, 2^k)`` over a per-doc window —
     ``posexplode`` positions are dense 0..n−1 within a doc, so the row
@@ -1238,21 +1355,45 @@ def suffix_ranks(documents: DataFrame, w: int = SUFFIX_W,
         # the oracle compares exactly w tokens — fail loud instead of
         # diverging (review finding)
         raise ValueError(f"comparison depth w={w} must be a power of 2")
+    np_kernel = __import__("os").environ.get(
+        "HK_SUFFIX_KERNEL", "np") == "np"
     toks = documents.select(
         "doc_id", F.posexplode(ws_tokens("text")).alias("pos", "token"))
     doc_w = Window.partitionBy("doc_id").orderBy("pos")
     if w == 1:
+        if np_kernel:
+            return (_ranked_multiset_np(
+                toks.select("doc_id", "pos", F.col("token").alias("r")),
+                ["r"], parts)
+                .select("doc_id", "pos", F.col("rank").alias("srank")))
         kr = _global_key_ranks(
             toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")),
             ["token"], parts)
         return (toks.join(kr.select("token", "rank"), "token")
                 .select("doc_id", "pos", F.col("rank").alias("srank")))
-    paired = (toks.select(
+    paired = toks.select(
         "doc_id", "pos", F.col("token").alias("r"),
         F.coalesce(F.lead("token", 1).over(doc_w), F.lit("")).alias("r2"))
-        .localCheckpoint(eager=True))
+    if not np_kernel:
+        paired = paired.localCheckpoint(eager=True)
     width = 2
     while True:
+        if np_kernel:
+            # one range exchange of the full paired set + Arrow
+            # adjacency counters; _ranked_multiset_np checkpoints its
+            # own output, so the per-round lineage stays one deep with
+            # no explicit checkpoint here
+            ranked = _ranked_multiset_np(paired, ["r", "r2"], parts)
+            if width >= w:
+                return ranked.select(
+                    "doc_id", "pos", F.col("rank").alias("srank"))
+            paired = (ranked
+                      .select("doc_id", "pos", F.col("dense").alias("r"))
+                      .select("doc_id", "pos", "r",
+                              F.coalesce(F.lead("r", width).over(doc_w),
+                                         F.lit(0)).alias("r2")))
+            width *= 2
+            continue
         kr = _global_key_ranks(
             paired.groupBy("r", "r2").agg(F.count(F.lit(1)).alias("cnt")),
             ["r", "r2"], parts)

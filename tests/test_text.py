@@ -1034,6 +1034,40 @@ def test_suffix_ranks_all_depths_match_python_reference(spark, w):
     assert got == want
 
 
+@pytest.mark.parametrize("w", [1, 2, 8])
+def test_suffix_kernels_value_identical(spark, monkeypatch, w):
+    """The r14 `_ranked_multiset_np` rank kernel (range-partition the
+    FULL paired multiset, Arrow adjacency counters, offsets collect)
+    must equal the r13 `_global_key_ranks` + join-back form
+    rank-for-rank — at every structural depth regime AND across Arrow
+    batch boundaries: maxRecordsPerBatch=3 forces the kernel's
+    carried counters (prev key, nrows, ndense, grank) to cross
+    hundreds of batch edges, and parts=2 forces cross-partition
+    offset composition.  String keys (w≥2 base round ranks raw token
+    pairs incl. the '' sentinel) and bigint keys (later rounds) both
+    cross the boundary."""
+    from healthkit_to_sqlite_spark.operators.text import suffix_ranks
+
+    texts = {0: "b a c a b", 1: "a b", 2: "a", 3: "c a b a",
+             4: "a a a a a", 5: "b a c a c",
+             6: "z y x w v u t s r q p o n m",
+             7: "a b a b a b a b a b"}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id bigint, text string")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        monkeypatch.setenv("HK_SUFFIX_KERNEL", "join")
+        a = {(r.doc_id, r.pos): r.srank
+             for r in suffix_ranks(docs, w=w, parts=2).collect()}
+        monkeypatch.setenv("HK_SUFFIX_KERNEL", "np")
+        b = {(r.doc_id, r.pos): r.srank
+             for r in suffix_ranks(docs, w=w, parts=2).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert a == b
+
+
 def test_rare_trigram_kernels_value_identical(spark, monkeypatch):
     """The r14 Arrow distinct-trigram kernel == the positional-explode
     expression form, row for row — on the fixture corpus AND on a
