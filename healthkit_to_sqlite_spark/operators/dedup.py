@@ -84,12 +84,67 @@ def canonical_md5_expr() -> Column:
 
 
 def word_shingles(documents: DataFrame, k: int = SHINGLE) -> DataFrame:
-    """doc_id × distinct k-word shingle (long form)."""
+    """doc_id × distinct k-word shingle (long form).
+
+    Default-rides :func:`_word_shingles_np` since r14
+    (``HK_SHINGLE_KERNEL=expr`` keeps the expression form selectable):
+    the ``transform``/``concat_ws`` shingle lambda is an interpreted
+    higher-order function evaluated once per position — the same
+    CodegenFallback cost profile the minhash/trigram kernels left
+    behind — while the Arrow pass does the per-element string work in
+    C and emits the identical distinct multiset map-only."""
+    if __import__("os").environ.get("HK_SHINGLE_KERNEL", "np") == "np":
+        return _word_shingles_np(documents, k)
     toks = ws_tokens("text")
     pos = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
     sh = F.transform(pos, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     return (documents
             .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle")))
+
+
+def _word_shingles_np(documents: DataFrame, k: int = SHINGLE) -> DataFrame:
+    """Arrow twin of the distinct k-word shingle build: one mapInPandas
+    pass tokenizes (Python ``text.split(" ")`` == Spark
+    ``split(text, ' ')``, empty tokens kept) and emits each doc's
+    DISTINCT shingles in first-occurrence order — exactly
+    ``explode(array_distinct(transform(...)))``'s rows, including the
+    short-doc convention (a doc under k tokens yields its single
+    truncated shingle, the ``greatest(.., 1)`` position floor) and
+    ``slice`` truncation at the tail.  Map-only: no Generate, no
+    exchange, partitioning preserved.  Closure-complete (stdlib +
+    pandas only)."""
+    src = documents.select("doc_id", "text")
+    dt = src.schema["doc_id"].dataType.simpleString()
+
+    def sh(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids: list = []
+            out: list[str] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    # expression form: null toks → greatest(null,1)=1
+                    # position, concat_ws swallows the null slice → ""
+                    ids.append(did)
+                    out.append("")
+                    continue
+                toks = text.split(" ")
+                npos = max(len(toks) - (k - 1), 1)
+                seen = set()
+                for i in range(npos):
+                    s = " ".join(toks[i:i + k])
+                    if s not in seen:
+                        seen.add(s)
+                        ids.append(did)
+                        out.append(s)
+            if not ids:
+                continue
+            yield pd.DataFrame({"doc_id": ids, "shingle": out})
+
+    return src.mapInPandas(sh, f"doc_id {dt}, shingle string")
 
 
 def _minhash_signatures_np(documents: DataFrame) -> DataFrame:
@@ -234,7 +289,15 @@ def paragraphs(documents: DataFrame,
     paragraph boundaries come from the same deterministic regrouping
     as :func:`text.reflow_lines` (a real corpus splits on blank
     lines instead — one-line change, same downstream kernel).
-    Map-only explode; a doc's paragraphs stay on its partition."""
+    Map-only; a doc's paragraphs stay on its partition.
+
+    Default-rides :func:`_paragraphs_np` since r14
+    (``HK_PARA_KERNEL=expr`` keeps the expression form selectable):
+    the struct-per-paragraph ``transform`` lambda is interpreted per
+    paragraph (CodegenFallback) while the Arrow pass slices the token
+    list in C — identical rows, still map-only."""
+    if __import__("os").environ.get("HK_PARA_KERNEL", "np") == "np":
+        return _paragraphs_np(documents, words_per_para)
     ws = F.split(F.col("text"), " ")
     n_para = F.floor((F.size(ws) + words_per_para - 1)
                      / F.lit(float(words_per_para))).cast("int")
@@ -247,6 +310,46 @@ def paragraphs(documents: DataFrame,
     return (documents.select("doc_id", F.explode(paras).alias("p"))
             .select("doc_id", "p.para_idx",
                     F.col("p.ptext").alias("text")))
+
+
+def _paragraphs_np(documents: DataFrame,
+                   words_per_para: int = PARA_WORDS) -> DataFrame:
+    """Arrow twin of the paragraph regrouping: tokenize (``text.split
+    (" ")`` == Spark ``split(text, ' ')``, empty tokens kept) and
+    re-join each consecutive ``words_per_para``-token window —
+    ``" ".join(toks[i:i+w])`` == ``array_join(slice(ws, i·w+1, w),
+    ' ')`` (no nulls to skip).  n_para = ceil(|toks|/w) in exact
+    integer arithmetic; null text → null token array → explode(null)
+    → no rows.  Map-only like the expression form.  Closure-complete
+    (stdlib + pandas only)."""
+    src = documents.select("doc_id", "text")
+    dt = src.schema["doc_id"].dataType.simpleString()
+    w = words_per_para
+
+    def para(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids: list = []
+            idxs: list[int] = []
+            out: list[str] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                n_para = (len(toks) + w - 1) // w
+                for i in range(n_para):
+                    ids.append(did)
+                    idxs.append(i)
+                    out.append(" ".join(toks[i * w:(i + 1) * w]))
+            if not ids:
+                continue
+            yield pd.DataFrame({"doc_id": ids, "para_idx": idxs,
+                                "text": out})
+
+    return src.mapInPandas(para, f"doc_id {dt}, para_idx int, text string")
 
 
 def dedup_paragraph_pairs(documents: DataFrame,
@@ -398,15 +501,24 @@ def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
     hashes have bit b set (duplicate tokens weigh by frequency, like
     the classic Charikar construction).
 
-    Plan shape, measured: explode(tokens) → groupBy(doc_id) with 60
-    parallel conditional sums.  A zero-shuffle alternative (per-bit
-    `aggregate()` over the in-row token array) was tried and is 2×
-    SLOWER at sf0.1 (1.52s vs 0.76s): higher-order functions are
-    interpreted per element while the explode+sum pipeline stays
-    inside whole-stage codegen, and map-side partial aggregation
-    already collapses each doc's tokens before the exchange — the
-    shuffle carries ~1 row per doc regardless of token count, so the
-    codegen'd form wins at any scale."""
+    Default-rides :func:`_simhash_np` since r14
+    (``HK_SIMHASH_KERNEL=expr`` keeps the expression form selectable):
+    the md5-per-token hashing is per-element COMPUTE — the kernel-triage
+    win case — and the whole signature folds per doc in one Arrow pass,
+    map-only, so the explode AND the groupBy(doc_id) exchange disappear.
+
+    Expression-form plan shape, measured: explode(tokens) →
+    groupBy(doc_id) with 60 parallel conditional sums.  A zero-shuffle
+    alternative (per-bit `aggregate()` over the in-row token array) was
+    tried and is 2× SLOWER at sf0.1 (1.52s vs 0.76s): higher-order
+    functions are interpreted per element while the explode+sum
+    pipeline stays inside whole-stage codegen, and map-side partial
+    aggregation already collapses each doc's tokens before the
+    exchange — the shuffle carries ~1 row per doc regardless of token
+    count, so the codegen'd form wins over HOFs at any scale."""
+    if (bits == 60 and __import__("os").environ
+            .get("HK_SIMHASH_KERNEL", "np") == "np"):
+        return _simhash_np(documents)
     tok = (documents
            .select("doc_id", F.explode(ws_tokens("text")).alias("tok"))
            .withColumn("h", hash60(F.col("tok"))))
@@ -420,6 +532,65 @@ def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
         folded = term if folded is None else folded + term
     return (tok.groupBy("doc_id").agg(*bit_sums)
             .select("doc_id", folded.alias("simhash")))
+
+
+def _simhash_np(documents: DataFrame, bits: int = 60) -> DataFrame:
+    """Arrow twin of the SimHash signature: one mapInPandas pass
+    tokenizes (``text.split(" ")`` == Spark ``split(text, ' ')``,
+    empty tokens kept — they hash like any other), md5-hashes each
+    DISTINCT token once (memoized across the batch — Zipf makes the
+    cross-doc hit rate high), and folds the per-bit ±count majority
+    vote in vectorized int64 numpy — every quantity is INTEGER
+    arithmetic (hashlib md5 == Spark md5, top-15 hex parse, signed
+    counts, strict ``> 0`` majority), so signatures are
+    value-identical with no IEEE story at all.  Map-only: the token
+    explode AND the groupBy(doc_id) exchange are gone; each doc's
+    signature leaves on its own partition.  Closure-complete (stdlib
+    + numpy + pandas only)."""
+    src = documents.select("doc_id", "text")
+    dt = src.schema["doc_id"].dataType.simpleString()
+
+    def sh(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+        from collections import Counter
+
+        shifts = np.arange(bits, dtype=np.uint64)
+        memo: dict[str, int] = {}
+
+        def h60(tok: str) -> int:
+            v = memo.get(tok)
+            if v is None:
+                v = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                memo[tok] = v
+            return v
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids: list = []
+            sigs: list[int] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:   # explode(null) → no rows → no group
+                    continue
+                cnt = Counter(text.split(" "))
+                hs = np.fromiter((h60(t) for t in cnt), dtype=np.uint64,
+                                 count=len(cnt))
+                ws = np.fromiter(cnt.values(), dtype=np.int64,
+                                 count=len(cnt))
+                bitm = ((hs[:, None] >> shifts) & 1).astype(np.int64)
+                s = ((2 * bitm - 1) * ws[:, None]).sum(axis=0)
+                sigs.append(int(((s > 0).astype(np.uint64)
+                                 << shifts).sum()))
+                ids.append(did)
+            if not ids:
+                continue
+            yield pd.DataFrame({"doc_id": ids,
+                                "simhash": pd.array(sigs, dtype="int64")})
+
+    return src.mapInPandas(sh, f"doc_id {dt}, simhash bigint")
 
 
 SIMHASH_BITS = 60

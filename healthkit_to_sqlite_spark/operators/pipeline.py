@@ -671,12 +671,17 @@ def decontaminate(documents: DataFrame, n: int = DECON_NGRAM,
     join applies downstream."""
     from .dedup import word_shingles
 
-    grams = word_shingles(documents, k=n)
+    # Filter BEFORE the shingle build: word_shingles is per-doc, so the
+    # doc-subset predicate commutes with it — and since the build rides
+    # an opaque Arrow kernel (r14), Catalyst can no longer push the
+    # filter through it; applying it to `documents` keeps the excluded
+    # side's shingle compute from running at all.
+    grams = word_shingles(
+        documents.filter(F.col("doc_id") % bench_mod != 0), k=n)
     bench_grams = (word_shingles(
         documents.filter(F.col("doc_id") % bench_mod == 0), k=n)
         .select("shingle").distinct())
     return (grams
-            .filter(F.col("doc_id") % bench_mod != 0)
             .join(F.broadcast(bench_grams), "shingle")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_shared")))
@@ -1181,7 +1186,20 @@ def cms_sketch(documents: DataFrame, d: int = CMS_D,
     (and per map-side partial), whatever the corpus size.  Integer
     counts sum associatively, so per-shard/per-batch sketches fold
     into the corpus sketch bit-identically (the mergeability the
-    streaming maintenance in streaming/sketch.py relies on)."""
+    streaming maintenance in streaming/sketch.py relies on).
+
+    Default-rides :func:`_cms_partials_np` since r14
+    (``HK_CMS_KERNEL=expr`` keeps the expression form selectable): the
+    expression build explodes every token d ways and salted-md5-hashes
+    each of the d·|tokens| rows through interpreted conv/pmod — while
+    the Arrow pass Counter-aggregates tokens per batch first, hashes
+    each DISTINCT token's d cells once, and emits ≤ d·w exact integer
+    partials per batch that the groupBy SUMs (associative, so any
+    batch boundary yields the identical matrix)."""
+    if __import__("os").environ.get("HK_CMS_KERNEL", "np") == "np":
+        return (_cms_partials_np(documents, d, w)
+                .groupBy("r", "c")
+                .agg(F.sum("pn").alias("n")))
     toks = documents.select(F.explode(ws_tokens("text")).alias("token"))
     rows = toks.select(
         "token",
@@ -1190,6 +1208,59 @@ def cms_sketch(documents: DataFrame, d: int = CMS_D,
                         .alias("c"))
             .groupBy("r", "c")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _cms_partials_np(documents: DataFrame, d: int = CMS_D,
+                     w: int = CMS_W) -> DataFrame:
+    """Arrow twin of the Count-Min build: per batch, tokenize
+    (``text.split(" ")`` == Spark ``split(text, ' ')``, empty tokens
+    kept) and Counter-count the token multiset, salt-md5 each DISTINCT
+    token's d cells ONCE (memoized across batches — the md5 work drops
+    from d·|occurrences| to d·|distinct|), and emit the batch's (r, c,
+    pn) partial counts — ≤ d·w rows per batch.  Every quantity is
+    integer arithmetic (hashlib md5 == Spark md5 == DuckDB md5, top-4
+    hex parse, mod w), so partials sum to the exact matrix at any
+    batch/partition boundary.  Map-only; the token explode, the d-way
+    row explode and their interpreted per-row hashing are gone.
+    Closure-complete (stdlib + pandas only)."""
+    base = documents.select("text")
+
+    def cms(batches):
+        import hashlib
+        from collections import Counter
+
+        import pandas as pd
+
+        memo: dict[str, list[int]] = {}
+
+        def cells(tok: str) -> list[int]:
+            cs = memo.get(tok)
+            if cs is None:
+                cs = [int(hashlib.md5(f"cms:{r}:{tok}".encode())
+                          .hexdigest()[:4], 16) % w for r in range(d)]
+                memo[tok] = cs
+            return cs
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cnt: Counter = Counter()
+            for t in pdf["text"]:
+                if t is None:
+                    continue
+                cnt.update(t.split(" "))
+            part: Counter = Counter()
+            for tok, n in cnt.items():
+                for r, c in enumerate(cells(tok)):
+                    part[(r, c)] += n
+            if not part:
+                continue
+            ks = list(part.keys())
+            yield pd.DataFrame({"r": [k[0] for k in ks],
+                                "c": [k[1] for k in ks],
+                                "pn": list(part.values())})
+
+    return base.mapInPandas(cms, "r int, c bigint, pn bigint")
 
 
 def cms_token_counts(documents: DataFrame, d: int = CMS_D, w: int = CMS_W,

@@ -256,31 +256,88 @@ WINNOW_W = 4   # winnowing window (guarantee: any ≥ w+k-1-token match
                # shares ≥1 fingerprint; expected density 2/(w+1))
 
 
+def _winnow_grams_np(documents: DataFrame, k: int) -> DataFrame:
+    """Arrow twin of the winnowing gram build: one mapInPandas pass
+    tokenizes (``text.split(" ")`` with empties dropped — equal to the
+    expression form's ``filter(split(text, ' '), x -> x != '')``),
+    slides the k-token window and md5-hashes each gram in Python —
+    emitting exactly the (doc_id, n_grams, pos, h) rows of the
+    posexplode form.  Every quantity is integer arithmetic (hashlib
+    md5 == Spark md5 over the same UTF-8 bytes, top-8 hex parse), so
+    the rows are value-identical; the interpreted ``transform`` gram
+    lambda and its per-gram md5/conv expression tree are gone.
+    Map-only — the per-doc window pass downstream still provides the
+    one (doc_id) exchange.  Closure-complete (stdlib + pandas only)."""
+    src = documents.select("doc_id", "text")
+    dt = src.schema["doc_id"].dataType.simpleString()
+
+    def grams(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids: list = []
+            ngs: list[int] = []
+            poss: list[int] = []
+            hs: list[int] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = [t for t in text.split(" ") if t != ""]
+                n = len(toks) - (k - 1)
+                if n < 1:
+                    continue
+                for p in range(n):
+                    g = " ".join(toks[p:p + k])
+                    ids.append(did)
+                    ngs.append(n)
+                    poss.append(p)
+                    hs.append(int(hashlib.md5(
+                        b"winnow:" + g.encode()).hexdigest()[:8], 16))
+            if not ids:
+                continue
+            yield pd.DataFrame({"doc_id": ids, "n_grams": ngs,
+                                "pos": poss, "h": hs})
+
+    return src.mapInPandas(
+        grams, f"doc_id {dt}, n_grams bigint, pos int, h bigint")
+
+
 def _winnow_select(documents: DataFrame, k: int = WINNOW_K,
                    w: int = WINNOW_W) -> DataFrame:
     """The winnowing selection itself: distinct (doc_id, n_grams, h,
     fpos) fingerprints — min gram-hash per w-gram window, rightmost
     on ties, full windows only.  Shared by the per-doc report
-    (`winnowing_fingerprints`) and the pair miner (`winnowing_pairs`)."""
+    (`winnowing_fingerprints`) and the pair miner (`winnowing_pairs`).
+
+    The gram build default-rides :func:`_winnow_grams_np` since r14
+    (``HK_WINNOW_KERNEL=expr`` keeps the posexplode form selectable);
+    the window selection stays a JVM windowed aggregate either way."""
     from pyspark.sql import Window
 
-    toked = (documents
-             .select("doc_id",
-                     F.filter(ws_tokens("text"),
-                              lambda x: x != "").alias("toks"))
-             .filter(F.size("toks") >= k))
-    gram_terms = ", ".join(f"toks[i + {j}]" for j in range(k))
-    gram_expr = F.expr(
-        f"transform(sequence(0, size(toks) - {k}), "
-        f"i -> concat_ws(' ', {gram_terms}))")
-    grams = (toked
-             .select("doc_id", (F.size("toks") - F.lit(k - 1))
-                     .cast("bigint").alias("n_grams"),
-                     F.posexplode(gram_expr).alias("pos", "gram")))
-    h = F.conv(F.substring(
-        F.md5(F.concat(F.lit("winnow:"), F.col("gram"))), 1, 8),
-        16, 10).cast("bigint")
-    hashed = grams.select("doc_id", "n_grams", "pos", h.alias("h"))
+    if __import__("os").environ.get("HK_WINNOW_KERNEL", "np") == "np":
+        hashed = _winnow_grams_np(documents, k)
+    else:
+        toked = (documents
+                 .select("doc_id",
+                         F.filter(ws_tokens("text"),
+                                  lambda x: x != "").alias("toks"))
+                 .filter(F.size("toks") >= k))
+        gram_terms = ", ".join(f"toks[i + {j}]" for j in range(k))
+        gram_expr = F.expr(
+            f"transform(sequence(0, size(toks) - {k}), "
+            f"i -> concat_ws(' ', {gram_terms}))")
+        grams = (toked
+                 .select("doc_id", (F.size("toks") - F.lit(k - 1))
+                         .cast("bigint").alias("n_grams"),
+                         F.posexplode(gram_expr).alias("pos", "gram")))
+        h = F.conv(F.substring(
+            F.md5(F.concat(F.lit("winnow:"), F.col("gram"))), 1, 8),
+            16, 10).cast("bigint")
+        hashed = grams.select("doc_id", "n_grams", "pos", h.alias("h"))
     frame = (Window.partitionBy("doc_id").orderBy("pos")
              .rowsBetween(Window.currentRow, w - 1))
     sel = F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))) \
@@ -2509,7 +2566,17 @@ def bpe_apply(documents: DataFrame,
     so unit tests can drive it with a hand model).  Single-pass
     non-overlapping replace per merge, in rank order — identical
     semantics to training's apply step, including the odd-self-run
-    straggler behavior (``aaa`` under merge (a,a) → ``aa a``)."""
+    straggler behavior (``aaa`` under merge (a,a) → ``aa a``).
+
+    Default-rides :func:`_bpe_apply_np` since r14
+    (``HK_BPE_KERNEL=expr`` keeps the expression form selectable): the
+    expression form runs the |merges|-deep replace chain once per word
+    OCCURRENCE; the Arrow pass memoizes the piece count per DISTINCT
+    word (Zipf makes the hit rate high) and folds per-doc totals
+    map-only — the word explode and the groupBy(doc_id) exchange
+    disappear."""
+    if __import__("os").environ.get("HK_BPE_KERNEL", "np") == "np":
+        return _bpe_apply_np(documents, merge_list)
     words = (documents.select("doc_id",
                               F.explode(ws_tokens("text")).alias("word"))
              .filter(F.col("word") != ""))
@@ -2522,6 +2589,69 @@ def bpe_apply(documents: DataFrame,
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum("np").cast("bigint").alias("n_pieces")))
+
+
+def _bpe_apply_np(documents: DataFrame,
+                  merge_list: list[tuple[str, str]]) -> DataFrame:
+    """Arrow twin of the BPE encode rollup: per doc, tokenize
+    (``text.split(" ")`` with empties dropped == the explode+filter)
+    and count pieces per word via the SAME rank-ordered
+    non-overlapping replace chain — Python ``str.replace`` ==
+    Spark ``replace`` (literal, left-to-right, non-overlapping), the
+    char expansion ``re.sub("(.)", "\\1 ", w)`` == Spark
+    ``regexp_replace(word, '(.)', '$1 ')`` (both engines' ``.``
+    excludes newline and matches one code point).  The piece count
+    memoizes per DISTINCT word across the whole task, so the
+    |merges|-deep chain runs once per vocabulary entry instead of
+    once per occurrence.  Integer counts only — no IEEE story.
+    Map-only: each doc's (n_words, n_pieces) row leaves on its own
+    partition.  Closure-complete (stdlib + pandas only)."""
+    src = documents.select("doc_id", "text")
+    dt = src.schema["doc_id"].dataType.simpleString()
+    merges = [(f" {a} {b} ", f" {a}{b} ") for a, b in merge_list]
+
+    def enc(batches):
+        import re
+
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+        # Java's `.` excludes ALL line terminators, not just \n —
+        # spell the class out so exotic control chars can't diverge
+        dot = re.compile("([^\n\r\u0085\u2028\u2029])")
+
+        def pieces(w: str) -> int:
+            n = memo.get(w)
+            if n is None:
+                s = " " + dot.sub("\\1 ", w)
+                for pat, rep in merges:
+                    s = s.replace(pat, rep)
+                n = len(s.strip(" ").split(" "))
+                memo[w] = n
+            return n
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids: list = []
+            nws: list[int] = []
+            nps: list[int] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                words = [t for t in text.split(" ") if t != ""]
+                if not words:   # expr form: no rows → no group
+                    continue
+                ids.append(did)
+                nws.append(len(words))
+                nps.append(sum(map(pieces, words)))
+            if not ids:
+                continue
+            yield pd.DataFrame({"doc_id": ids, "n_words": nws,
+                                "n_pieces": nps})
+
+    return src.mapInPandas(
+        enc, f"doc_id {dt}, n_words bigint, n_pieces bigint")
 
 
 def bpe_fertility(spark: SparkSession, sf_dir: str,

@@ -83,10 +83,11 @@ def test_sessionize_reuses_user_partitioning(spark, specs):
 
 
 def test_simhash_single_shuffle(spark, specs):
-    # wide bit-sum aggregation: one groupBy(doc_id) shuffle, no
-    # explode-by-bit second exchange
+    # r14 Arrow kernel: the signature folds per doc in one map-only
+    # pass — zero exchanges (value identity across kernels is pinned
+    # in test_batch_kernels)
     df = specs["q_dedup_simhash"].build(spark, SF)
-    assert shuffle_count(df) == 1
+    assert shuffle_count(df) == 0
     # signature width pinned with the cost it buys (VERDICT r4 item 4):
     # 60 bits ≈ 2.4s at sf0.1 — a width change re-prices the kernel,
     # so it must re-measure and update SCALE.md "Recall/cost operating
@@ -607,17 +608,20 @@ def test_dedup_append_serve_reads_committed_signatures(spark, specs):
 
 def test_bpe_encode_serve_plan_is_map_only(spark, specs):
     """The tokenizer serve split (r7): the committed merge table is a
-    bounded driver-side collect folded into literal replaces, so the
-    encode plan must be ONE corpus scan → codegen'd map → a single
-    per-doc aggregation exchange — zero training (no argmax heaps, no
-    per-round shuffles), and the merges visible as folded literals."""
+    bounded driver-side collect folded into the encode kernel, so the
+    plan must be ONE corpus scan → per-doc map — zero training (no
+    argmax heaps, no per-round shuffles).  Since the r14 Arrow kernel
+    the per-doc rollup happens inside the map pass, so even the
+    groupBy(doc_id) exchange is gone (the expression form's 1-shuffle
+    + folded-literal-replace shape stays pinned via HK_BPE_KERNEL in
+    test_batch_kernels' value-identity suite)."""
     df = specs["q_bpe_encode"].build(spark, SF)
     plan = formatted_plan(df)
-    assert shuffle_count(df) == 1
+    assert shuffle_count(df) == 0
     # one scan = tree line + detail header in the formatted plan
     assert plan.count("Scan parquet") == 2
     assert "TakeOrderedAndProject" not in plan
-    assert "replace(" in plan          # folded literal merge chain
+    assert "MapInPandas" in plan       # the bounded-model encode kernel
 
 
 def test_bm25_pruned_serve_plan_is_bounded_artifact_scan(spark, specs):
