@@ -635,6 +635,7 @@ def bench_ingest(spark, n_records: int) -> dict:
         from pyspark.sql import functions as F
         from pyspark.sql import Observation
 
+        c0 = _tree_cpu()
         t0 = time.perf_counter()
         tables = convert(spark, zp, os.path.join(tmp, "staging"))
         total_rows = 0
@@ -645,8 +646,14 @@ def bench_ingest(spark, n_records: int) -> dict:
             force(df.observe(obs, F.count(F.lit(1)).alias("n")))
             total_rows += obs.get["n"]
         sec = time.perf_counter() - t0
+        # process-tree CPU next to wall (VERDICT r14 item 7): the
+        # ingest gate had no box-phase discriminator — a 27.9k rows/s
+        # sample against a 96.7k band was unexplainable from the
+        # artifact alone.
+        cpu = _tree_cpu() - c0
         return {"records": n_records, "tables": len(tables),
                 "rows": total_rows, "sec": round(sec, 4),
+                "cpu_sec": round(cpu, 4),
                 "rows_per_sec": round(total_rows / sec)}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -893,10 +900,14 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     cpu_sec: dict[str, float] = {}
     for name in names:
-        runs, cpus = _time_runs(spark, qs[name], sf_dir)
+        # NOTE: do not rebind ``cpus`` here — r14 shipped
+        # ``runs, cpus = _time_runs(...)`` which shadowed the core
+        # count, so BENCH_r14.json recorded "cpus": [1.17] (the last
+        # query's cpu-seconds list) instead of 32.
+        runs, run_cpu = _time_runs(spark, qs[name], sf_dir)
         timings[name] = round(statistics.median(runs), 4)
         spread[name] = [round(min(runs), 4), round(max(runs), 4)]
-        cpu_sec[name] = round(statistics.median(cpus), 4)
+        cpu_sec[name] = round(statistics.median(run_cpu), 4)
 
     # tail pass (VERDICT r6 item 3): one timed run for every contract
     # query NOT in HEADLINE, so no registered query is perf-invisible.
@@ -911,8 +922,8 @@ def main() -> None:
         if name in timings:
             continue
         try:
-            walls, cpus = _time_runs(spark, qs[name], sf_dir, n_runs=1)
-            tail[name] = [round(walls[0], 4), round(cpus[0], 4)]
+            walls, cpu1 = _time_runs(spark, qs[name], sf_dir, n_runs=1)
+            tail[name] = [round(walls[0], 4), round(cpu1[0], 4)]
         except Exception as e:  # noqa: BLE001 — record, don't abort
             tail_errors[name] = f"{type(e).__name__}: {str(e)[:160]}"
 
@@ -982,12 +993,17 @@ def main() -> None:
         out["value"] = round(sum(timings.values()), 4)
     full_line = json.dumps(out)
     print(full_line)
-    try:  # sidecar copy for the judge (repo-local, cheap)
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_FULL_LOCAL.json"), "w") as fh:
-            fh.write(full_line + "\n")
-    except OSError:
-        pass
+    # Sidecar copies for the judge (repo-local, cheap).  Keyed by core
+    # count as well (VERDICT r14 item 1/2): the r14 8-core scaling run
+    # overwrote the 32-core run's only per-query record.  The plain
+    # file stays as the committed-baseline slot the rerun gate reads.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    for fn in ("BENCH_FULL_LOCAL.json", f"BENCH_FULL_LOCAL_c{cpus}.json"):
+        try:
+            with open(os.path.join(repo_dir, fn), "w") as fh:
+                fh.write(full_line + "\n")
+        except OSError:
+            pass
     print(json.dumps(_compact(out, timings)))
     spark.stop()
 
@@ -1053,17 +1069,28 @@ def _compact(out: dict, timings: dict[str, float],
             sum(v[0] if isinstance(v, list) else v
                 for v in out["tail_queries"].values()), 2)
         compact["tail_n"] = len(out["tail_queries"])
-    for k in (15, 10, 6, 3, 0):
+    # Priority (VERDICT r14 item 1 — the r14 line fell to k=0 and the
+    # driver judged the round on totals only): the slowest-10 query
+    # dict MUST survive the budget.  Shed the bulk optional fields
+    # first (fresh_reruns, then the sf1 ratio table, then family
+    # subtotals) and only then let the query dict shrink below 10.
+    shed = ("fresh_reruns", "sf1_ratio_vs_sf0.1", "family_subtotals")
+    for dropped in range(len(shed) + 1):
+        for k in (15, 12, 10):
+            compact["queries"] = dict(slowest[:k])
+            if len(json.dumps(compact)) <= budget:
+                return compact
+        if dropped < len(shed):
+            compact.pop(shed[dropped], None)
+    # ENFORCED bound, not just empirical (r5 ADVICE): with every bulk
+    # field already shed, shrink the query dict below 10 and then drop
+    # the remaining small fields — the driver must always be able to
+    # parse the tail line.
+    for k in (6, 3, 0):
         compact["queries"] = dict(slowest[:k])
         if len(json.dumps(compact)) <= budget:
-            break
-    # ENFORCED bound, not just empirical (r5 ADVICE): if the k=0
-    # shrink still exceeds the budget (a grown family table, a long
-    # sf1 error string), drop the optional fields largest-first until
-    # it fits — the driver must always be able to parse the tail line.
-    for field in ("fresh_reruns", "tail_total_sec", "tail_n",
-                  "family_subtotals", "queries_note",
-                  "sf1_ratio_vs_sf0.1", "metric"):
+            return compact
+    for field in ("tail_total_sec", "tail_n", "queries_note", "metric"):
         if len(json.dumps(compact)) <= budget:
             break
         compact.pop(field, None)

@@ -334,7 +334,8 @@ def _l2sq(a: Column, b: Column) -> Column:
 
 
 def _assign_cells_np(embeddings: DataFrame, cent: DataFrame,
-                     keep_dist: bool = False) -> DataFrame:
+                     keep_dist: bool = False,
+                     keep_residual: bool = False) -> DataFrame:
     """Arrow-vectorized twin of the broadcast-join assignment
     (``HK_ASSIGN_KERNEL=np``) — same contract, same bits, ~10× the
     per-core throughput.
@@ -375,7 +376,18 @@ def _assign_cells_np(embeddings: DataFrame, cent: DataFrame,
     embeddings (every call site feeds the embeddings table or frames
     derived from it).  Equivalence with the join kernel is pinned in
     tests/test_assign_kernel.py; the measured A/B lives in SCALE.md
-    (round 14)."""
+    (round 14).
+
+    ``keep_residual=True`` (r15, VERDICT r14 item 2) additionally
+    emits ``residual = embedding − centroid[cell]`` from the SAME
+    batch — the vector is already in hand next to its argmin, so the
+    residual-IVFPQ build's separate (embeddings ⋈ cells ⋈ centroids)
+    pass and its interpreted ``zip_with`` subtraction disappear (one
+    corpus scan instead of two plus a join).  Bit-discipline:
+    elementwise float64 subtraction of the same widened operands IS
+    the JVM ``zip_with(x.cast(double) − c)`` — no accumulation, no
+    rounding, so the residuals are bit-identical by construction
+    (pinned in tests/test_assign_kernel.py)."""
     import numpy as np
 
     # bounded collect: ≤K centroid rows (K = ceil(n/occupancy))
@@ -387,7 +399,8 @@ def _assign_cells_np(embeddings: DataFrame, cent: DataFrame,
     src = embeddings.select("vec_id", "embedding")
     vec_id_type = src.schema["vec_id"].dataType.simpleString()
     out_schema = f"vec_id {vec_id_type}, cell int" + (
-        ", dist double" if keep_dist else "")
+        ", dist double" if keep_dist else "") + (
+        ", residual array<double>" if keep_residual else "")
 
     def assign(batches):
         from decimal import Decimal, ROUND_HALF_UP
@@ -405,6 +418,7 @@ def _assign_cells_np(embeddings: DataFrame, cent: DataFrame,
             step = max(1, (4 << 20) // max(K, 1))
             cells = np.empty(n, dtype=np.int64)
             dists = np.empty(n, dtype=np.float64)
+            idxs = np.empty(n, dtype=np.int64)
             for lo in range(0, n, step):
                 Xb = X[lo:lo + step]
                 acc = np.zeros((len(Xb), K), dtype=np.float64)
@@ -423,10 +437,15 @@ def _assign_cells_np(embeddings: DataFrame, cent: DataFrame,
                             best = (dj, cids_l[j], j)
                     cells[lo + i] = best[1]
                     dists[lo + i] = float(best[0])
+                    idxs[lo + i] = best[2]
             out = {"vec_id": pdf["vec_id"],
                    "cell": cells.astype("int32")}
             if keep_dist:
                 out["dist"] = dists
+            if keep_residual:
+                # elementwise float64 subtract == zip_with's
+                # x.cast(double) − c, bit for bit (no accumulation)
+                out["residual"] = list(X - C_l[idxs])
             yield pd.DataFrame(out)
 
     return src.mapInPandas(assign, out_schema)
@@ -470,6 +489,169 @@ def _assign_cells(embeddings: DataFrame, cent: DataFrame,
                 .select("vec_id", F.col("m.cid").alias("cell"),
                         F.col("m.dist").alias("dist")))
     return assigned if keep_dist else assigned.drop("dist")
+
+
+def _cells_and_residuals(vectors: DataFrame,
+                         cent: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """ONE corpus pass for the residual-IVFPQ build prologue (r15,
+    VERDICT r14 item 2): returns ``(cells, res)`` — the coarse
+    assignment and the residual relation ``x − c(cell(x))`` — computed
+    together.  Under the default Arrow kernel the residual is emitted
+    from the same batch as the argmin (`_assign_cells_np`
+    ``keep_residual=True``), so the second corpus scan, the
+    (embeddings ⋈ cells) n-row join with its two exchanges, and the
+    interpreted per-element ``zip_with`` subtraction all disappear;
+    one eager ``localCheckpoint`` materializes both outputs (the
+    residual chain's lineage-truncation contract, VERDICT r5 item 1).
+    ``HK_ASSIGN_KERNEL=join`` or ``HK_RESIDUAL_KERNEL=join`` keep the
+    original two-pass join form — the independent reference
+    implementation the bit-identity test pins this against (the
+    latter isolates just the residual fusion for A/B)."""
+    env = __import__("os").environ
+    if (env.get("HK_ASSIGN_KERNEL", "np") == "np"
+            and env.get("HK_RESIDUAL_KERNEL", "np") == "np"):
+        assigned = _assign_cells_np(vectors, cent, keep_residual=True) \
+            .localCheckpoint(eager=True)
+        return (assigned.select("vec_id", "cell"),
+                assigned.select("vec_id",
+                                F.col("residual").alias("embedding")))
+    cells = _assign_cells(vectors, cent).localCheckpoint(eager=True)
+    res = (vectors.select("vec_id", "embedding")
+           .join(cells, "vec_id")
+           .join(F.broadcast(cent), F.col("cell") == F.col("cid"))
+           .select("vec_id",
+                   F.zip_with("embedding", "cemb",
+                              lambda x, c: x.cast("double") - c)
+                   .alias("embedding"))
+           .localCheckpoint(eager=True))
+    return cells, res
+
+
+def _mean_partials_np(embeddings: DataFrame, cent: DataFrame) -> DataFrame:
+    """Fused Lloyd-iteration body (r15): ONE Arrow pass assigns each
+    vector to its nearest centroid (the identical argmin discipline of
+    `_assign_cells_np`) and accumulates the per-cell member sums as
+    exact scaled-int64 partials IN THE SAME BATCH.  The per-iteration
+    (embeddings ⋈ assignment) join with its two n-row exchanges and
+    the n·D ``posexplode`` Generate disappear; the shuffle carries
+    ≤ K·D partial rows per batch (guide §2.3/§2.4 + §4.2 — Python
+    map-side aggregation, project before the exchange).
+
+    Exactness (the `embedding_covariance` argument, r14 §2): the
+    expression form quantizes EACH member value to decimal(30,10) —
+    HALF_UP at 10 dp over the double's shortest decimal repr (Spark's
+    double→decimal cast) — and SUMs, which is exact integer
+    arithmetic in units of 1e-10 and therefore order-independent.
+    The kernel reproduces that quantization per value (np.rint on the
+    1e10-scaled value for the bulk; rounding-boundary values
+    re-quantized exactly via ``Decimal(repr(v))``), sums int64 per
+    (cell, pos) per batch, and emits decimal(30,10) partials; the
+    downstream decimal SUM and the single double division are the
+    same expressions as the reference form, so the means are
+    bit-identical at any batch or partition boundary (pinned in
+    tests/test_assign_kernel.py).  Returns the ``(cell, pos, m)``
+    relation of the expression form's ``means``."""
+    import numpy as np
+
+    rows = sorted(cent.select("cid", "cemb").collect(), key=lambda r: r.cid)
+    C = np.asarray([r.cemb for r in rows], dtype=np.float64)
+    cids = np.asarray([r.cid for r in rows], dtype=np.int64)
+    spark = embeddings.sparkSession
+    b_cent = spark.sparkContext.broadcast((C, cids))
+    src = embeddings.select("embedding")
+
+    def kern(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        C_l, cids_l = b_cent.value
+        K, D = C_l.shape
+        grid9 = Decimal("1e-9")
+        grid10 = Decimal("1e-10")
+
+        def q10(v):
+            # exact decimal(30,10) quantization as scaled int64 (the
+            # embedding_covariance q10 — see its docstring)
+            s = v * 1e10
+            r = np.rint(s)
+            sus = (np.abs(np.abs(s - r) - 0.5) < 1e-3) | (np.abs(s) > 1e14)
+            out = r.astype(np.int64)
+            if sus.any():
+                flat_v = v.ravel()
+                flat_o = out.ravel()
+                for i in np.nonzero(sus.ravel())[0]:
+                    d = Decimal(repr(float(flat_v[i]))).quantize(
+                        grid10, ROUND_HALF_UP)
+                    flat_o[i] = int(d.scaleb(10))
+                out = flat_o.reshape(out.shape)
+            return out
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.empty((n, D), dtype=np.float64)
+            for i, e in enumerate(pdf["embedding"]):
+                X[i] = np.asarray(e, dtype=np.float64)
+            # assignment: identical discipline to _assign_cells_np
+            step = max(1, (4 << 20) // max(K, 1))
+            lab = np.empty(n, dtype=np.int64)     # index into C_l
+            for lo in range(0, n, step):
+                Xb = X[lo:lo + step]
+                acc = np.zeros((len(Xb), K), dtype=np.float64)
+                for d in range(D):          # JVM fold order
+                    t = Xb[:, d, None] - C_l[None, :, d]
+                    acc += t * t
+                m = acc.min(axis=1)
+                for i in range(len(Xb)):
+                    cand = np.nonzero(acc[i] <= m[i] + 2e-9)[0]
+                    best = None
+                    for j in cand:
+                        dj = Decimal(repr(float(acc[i, j]))).quantize(
+                            grid9, ROUND_HALF_UP)
+                        if best is None or (dj, cids_l[j]) < best[:2]:
+                            best = (dj, cids_l[j], j)
+                    lab[lo + i] = best[2]
+            # int64 headroom: per-cell sums of ≤n scaled values must
+            # stay < 2^62 (fixture values are O(1) — see covariance)
+            assert float(np.abs(X).max(initial=0.0)) * 1e10 * n < 2 ** 62
+            Q = q10(X)
+            order = np.argsort(lab, kind="stable")
+            sl = lab[order]
+            uniq, starts = np.unique(sl, return_index=True)
+            S = np.add.reduceat(Q[order], starts, axis=0)
+            cnts = np.diff(np.append(starts, n))
+            yield pd.DataFrame({
+                "cell": np.repeat(cids_l[uniq], D).astype("int32"),
+                "pos": np.tile(np.arange(D), len(uniq)).astype("int32"),
+                "s": [Decimal(int(v)).scaleb(-10) for v in S.ravel()],
+                "c": np.repeat(cnts, D).astype("int64")})
+
+    return (src.mapInPandas(kern,
+                            "cell int, pos int, s decimal(30,10), c long")
+            .groupBy("cell", "pos")
+            .agg((F.sum("s").cast("double") / F.sum("c")).alias("m")))
+
+
+def _lloyd_means(embeddings: DataFrame, cent: DataFrame) -> DataFrame:
+    """Per-iteration member means, routed: the fused Arrow partials
+    kernel by default; ``HK_LLOYD_MEANS=expr`` isolates the means
+    change for A/B, and ``HK_ASSIGN_KERNEL=join`` selects the complete
+    expression reference pipeline (assignment join + posexplode +
+    decimal hash aggregate) exactly as before r15."""
+    env = __import__("os").environ
+    if (env.get("HK_LLOYD_MEANS", "np") == "np"
+            and env.get("HK_ASSIGN_KERNEL", "np") == "np"):
+        return _mean_partials_np(embeddings, cent)
+    assign = _assign_cells(embeddings, cent)
+    exploded = (embeddings.select("vec_id", "embedding")
+                .join(assign, "vec_id")
+                .select("cell", F.posexplode("embedding").alias("pos", "val")))
+    return (exploded.groupBy("cell", "pos")
+            .agg((F.sum(F.col("val").cast("double").cast("decimal(30,10)"))
+                  .cast("double") / F.count(F.lit(1))).alias("m")))
 
 
 def kmeans_centroids(embeddings: DataFrame,
@@ -541,13 +723,12 @@ def kmeans_centroids(embeddings: DataFrame,
                     F.transform("embedding",
                                 lambda x: x.cast("double")).alias("cemb")))
     for it in range(iters):
-        assign = _assign_cells(embeddings, cent)
-        exploded = (embeddings.select("vec_id", "embedding")
-                    .join(assign, "vec_id")
-                    .select("cell", F.posexplode("embedding").alias("pos", "val")))
-        means = (exploded.groupBy("cell", "pos")
-                 .agg((F.sum(F.col("val").cast("double").cast("decimal(30,10)"))
-                       .cast("double") / F.count(F.lit(1))).alias("m")))
+        # since r15 the per-iteration (assign → join-back → posexplode
+        # → decimal hash agg) body routes through _lloyd_means — the
+        # fused Arrow partials kernel by default (one corpus pass per
+        # iteration, ≤K·D-row exchange), the expression form under
+        # HK_LLOYD_MEANS=expr / HK_ASSIGN_KERNEL=join
+        means = _lloyd_means(embeddings, cent)
         cent = _lloyd_ckpt(
             means.groupBy("cell")
             .agg(F.transform(
@@ -780,6 +961,198 @@ def _assign_sub(staged: DataFrame, cent: DataFrame) -> DataFrame:
             .select("vec_id", "j", F.col("m.cid").alias("cell")))
 
 
+def _collect_codebook(cent: DataFrame):
+    """Bounded collect of the (j, cid, cemb) codebook (≤ m·k rows),
+    packed per subspace sorted by cid — shared by the fused PQ
+    kernels."""
+    import numpy as np
+
+    by_j: dict[int, list] = {}
+    for r in cent.select("j", "cid", "cemb").collect():
+        by_j.setdefault(int(r.j), []).append((int(r.cid), list(r.cemb)))
+    return {
+        j: (np.asarray([c for c, _ in sorted(v)], dtype=np.int64),
+            np.asarray([e for _, e in sorted(v)], dtype=np.float64))
+        for j, v in by_j.items()}
+
+
+def _sub_mean_partials_np(vectors: DataFrame, cent: DataFrame,
+                          m: int = PQ_M,
+                          sub_dim: int = PQ_SUB_DIM) -> DataFrame:
+    """Fused PQ-Lloyd iteration body over the UNEXPLODED n-row vector
+    relation (r15): subspace slicing, the per-(vector, subspace)
+    argmin (the `_assign_sub_np` bit discipline) and the per-(j, cell)
+    member-sum partials all happen in ONE Arrow pass, so the n·m
+    subspace Generate, the (vec_id, j) join-back with its exchanges
+    and the n·m·sub_dim posexplode disappear; the shuffle carries
+    ≤ m·k·sub_dim partial rows per batch.  Exactness is the
+    `_mean_partials_np` argument verbatim (per-value decimal(30,10)
+    quantization, exact int64 partial sums, shared downstream
+    decimal SUM + double division) — pinned end-to-end in
+    tests/test_assign_kernel.py.  Returns the ``(j, cell, pos, m)``
+    relation of the expression form's ``means``."""
+    spark = vectors.sparkSession
+    b_cent = spark.sparkContext.broadcast(_collect_codebook(cent))
+    src = vectors.select("embedding")
+
+    def kern(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        cb = b_cent.value
+        grid9 = Decimal("1e-9")
+        grid10 = Decimal("1e-10")
+
+        def q10(v):
+            s = v * 1e10
+            r = np.rint(s)
+            sus = (np.abs(np.abs(s - r) - 0.5) < 1e-3) | (np.abs(s) > 1e14)
+            out = r.astype(np.int64)
+            if sus.any():
+                flat_v = v.ravel()
+                flat_o = out.ravel()
+                for i in np.nonzero(sus.ravel())[0]:
+                    d = Decimal(repr(float(flat_v[i]))).quantize(
+                        grid10, ROUND_HALF_UP)
+                    flat_o[i] = int(d.scaleb(10))
+                out = flat_o.reshape(out.shape)
+            return out
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.empty((n, m * sub_dim), dtype=np.float64)
+            for i, e in enumerate(pdf["embedding"]):
+                X[i] = np.asarray(e, dtype=np.float64)
+            assert float(np.abs(X).max(initial=0.0)) * 1e10 * n < 2 ** 62
+            js, cells_o, poss, ss, cs = [], [], [], [], []
+            for j in sorted(cb):
+                cids, C = cb[j]
+                K, D = C.shape
+                Xj = X[:, j * sub_dim:j * sub_dim + sub_dim]
+                acc = np.zeros((n, K), dtype=np.float64)
+                for d in range(D):          # JVM fold order
+                    t = Xj[:, d, None] - C[None, :, d]
+                    acc += t * t
+                mn = acc.min(axis=1)
+                lab = np.empty(n, dtype=np.int64)
+                for i in range(n):
+                    cand = np.nonzero(acc[i] <= mn[i] + 2e-9)[0]
+                    best = None
+                    for c in cand:
+                        dj = Decimal(repr(float(acc[i, c]))).quantize(
+                            grid9, ROUND_HALF_UP)
+                        if best is None or (dj, cids[c]) < best[:2]:
+                            best = (dj, cids[c], c)
+                    lab[i] = best[2]
+                Q = q10(Xj)
+                order = np.argsort(lab, kind="stable")
+                sl = lab[order]
+                uniq, starts = np.unique(sl, return_index=True)
+                S = np.add.reduceat(Q[order], starts, axis=0)
+                cnts = np.diff(np.append(starts, n))
+                js.append(np.full(len(uniq) * D, j, dtype=np.int64))
+                cells_o.append(np.repeat(cids[uniq], D))
+                poss.append(np.tile(np.arange(D), len(uniq)))
+                ss.extend(Decimal(int(v)).scaleb(-10) for v in S.ravel())
+                cs.append(np.repeat(cnts, D))
+            yield pd.DataFrame({
+                "j": np.concatenate(js).astype("int32"),
+                "cell": np.concatenate(cells_o).astype("int32"),
+                "pos": np.concatenate(poss).astype("int32"),
+                "s": ss,
+                "c": np.concatenate(cs).astype("int64")})
+
+    return (src.mapInPandas(
+        kern, "j int, cell int, pos int, s decimal(30,10), c long")
+        .groupBy("j", "cell", "pos")
+        .agg((F.sum("s").cast("double") / F.sum("c")).alias("m")))
+
+
+def _codes_np(vectors: DataFrame, cent: DataFrame, m: int = PQ_M,
+              sub_dim: int = PQ_SUB_DIM) -> DataFrame:
+    """Final PQ code assignment emitted WIDE in one Arrow pass (r15):
+    (vec_id, code0..code{m-1}) directly from the n-row vector
+    relation — the n·m subspace Generate, the per-(vector, subspace)
+    assignment rows and `_codes_wide`'s pivot groupBy (an n·m → n
+    exchange) all disappear; the pass is map-only.  Per-subspace
+    argmin follows the `_assign_sub_np` bit discipline exactly
+    (float64 dimension-order accumulation, HALF_UP-9dp rounded
+    comparison, ties → lowest cid) — value-identity with the staged
+    pipeline pinned in tests/test_assign_kernel.py."""
+    spark = vectors.sparkSession
+    b_cent = spark.sparkContext.broadcast(_collect_codebook(cent))
+    src = vectors.select("vec_id", "embedding")
+    vt = src.schema["vec_id"].dataType.simpleString()
+    out_schema = f"vec_id {vt}, " + ", ".join(
+        f"code{j} int" for j in range(m))
+
+    def kern(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        cb = b_cent.value
+        grid9 = Decimal("1e-9")
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.empty((n, m * sub_dim), dtype=np.float64)
+            for i, e in enumerate(pdf["embedding"]):
+                X[i] = np.asarray(e, dtype=np.float64)
+            out = {"vec_id": pdf["vec_id"]}
+            for j in range(m):
+                cids, C = cb[j]
+                K, D = C.shape
+                Xj = X[:, j * sub_dim:j * sub_dim + sub_dim]
+                acc = np.zeros((n, K), dtype=np.float64)
+                for d in range(D):          # JVM fold order
+                    t = Xj[:, d, None] - C[None, :, d]
+                    acc += t * t
+                mn = acc.min(axis=1)
+                codes = np.empty(n, dtype=np.int64)
+                for i in range(n):
+                    cand = np.nonzero(acc[i] <= mn[i] + 2e-9)[0]
+                    best = None
+                    for c in cand:
+                        dj = Decimal(repr(float(acc[i, c]))).quantize(
+                            grid9, ROUND_HALF_UP)
+                        if best is None or (dj, cids[c]) < best[:2]:
+                            best = (dj, cids[c])
+                    codes[i] = best[1]
+                out[f"code{j}"] = codes.astype("int32")
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(kern, out_schema)
+
+
+def _pq_fused() -> bool:
+    """True when the fused PQ training/encoding kernels are selected —
+    the default; HK_LLOYD_MEANS=expr or HK_ASSIGN_KERNEL=join select
+    the staged expression pipeline (the reference form)."""
+    env = __import__("os").environ
+    return (env.get("HK_LLOYD_MEANS", "np") == "np"
+            and env.get("HK_ASSIGN_KERNEL", "np") == "np")
+
+
+def _encode_codes(vectors: DataFrame, book: DataFrame, m: int = PQ_M,
+                  sub_dim: int = PQ_SUB_DIM) -> DataFrame:
+    """Frozen-codebook encoder: vectors → wide (vec_id, code*) rows.
+    Fused Arrow pass by default; the staged explode + `_assign_sub` +
+    `_codes_wide` pivot pipeline under the reference switches."""
+    if _pq_fused():
+        return _codes_np(vectors, book, m, sub_dim)
+    staged = (vectors.select("vec_id",
+                             F.explode(_pq_subspaces(m, sub_dim)).alias("s"))
+              .select("vec_id", "s.j", "s.sub"))
+    return _codes_wide(_assign_sub(staged, book), m)
+
+
 #: Per-process memo of passed seed-count guards, keyed on
 #: (corpus semanticHash, sorted inputFiles, seed_stride, k) — see
 #: pq_codes.  semanticHash identifies the LOGICAL PLAN only (and is
@@ -818,18 +1191,32 @@ def pq_codes(embeddings: DataFrame, m: int = PQ_M, sub_dim: int = PQ_SUB_DIM,
     eagerly ``localCheckpoint``ed (m·k rows) so assignment lineage
     stays one-iteration deep instead of re-executing the whole
     training prefix per evaluation (VERDICT r5 item 1)."""
-    staged = (embeddings
-              .select("vec_id", F.explode(_pq_subspaces(m, sub_dim)).alias("s"))
-              .select("vec_id", "s.j", "s.sub"))
+    # Since r15 the fused default (`_pq_fused`) never builds the n·m
+    # exploded subspace relation at all: iteration means ride
+    # `_sub_mean_partials_np` and the final codes `_codes_np`, both
+    # over the n-row vector relation (subspaces sliced in the kernel).
+    # The staged pipeline below remains the reference form.
+    fused = _pq_fused()
+    staged = None if fused else (
+        embeddings
+        .select("vec_id", F.explode(_pq_subspaces(m, sub_dim)).alias("s"))
+        .select("vec_id", "s.j", "s.sub"))
     # seed_stride > 1 spreads the k seed vectors across the corpus
     # (vec_id 0, stride, 2·stride, …) — for RESIDUAL training the
     # first k residuals are degenerate (the coarse seeds sit near
     # their own centroids, so their residuals cluster at the origin
     # and Lloyd collapses; measured recall@5·8 0.6 → 1.0 at sf0.01
     # from this one change).  stride=1 is the original raw-vector
-    # seeding, unchanged.
-    cent = (staged.filter((F.col("vec_id") % seed_stride == 0)
-                          & (F.col("vec_id") < k * seed_stride))
+    # seeding, unchanged.  The seed build only ever explodes the ≤k
+    # seed rows under the fused path (identical values either way).
+    seed_src = staged if staged is not None else (
+        embeddings
+        .filter((F.col("vec_id") % seed_stride == 0)
+                & (F.col("vec_id") < k * seed_stride))
+        .select("vec_id", F.explode(_pq_subspaces(m, sub_dim)).alias("s"))
+        .select("vec_id", "s.j", "s.sub"))
+    cent = (seed_src.filter((F.col("vec_id") % seed_stride == 0)
+                            & (F.col("vec_id") < k * seed_stride))
             .select("j", (F.col("vec_id") / seed_stride)
                     .cast("int").alias("cid"),
                     F.transform("sub", lambda x: x.cast("double")).alias("cemb")))
@@ -858,12 +1245,17 @@ def pq_codes(embeddings: DataFrame, m: int = PQ_M, sub_dim: int = PQ_SUB_DIM,
                     f"for small corpora)")
             _SEED_GUARD_OK.add(guard_key)
     for it in range(iters):
-        assign = _assign_sub(staged, cent)
-        exploded = (staged.join(assign, ["vec_id", "j"])
-                    .select("j", "cell", F.posexplode("sub").alias("pos", "val")))
-        means = (exploded.groupBy("j", "cell", "pos")
-                 .agg((F.sum(F.col("val").cast("double").cast("decimal(30,10)"))
-                       .cast("double") / F.count(F.lit(1))).alias("m")))
+        if fused:
+            means = _sub_mean_partials_np(embeddings, cent, m, sub_dim)
+        else:
+            assign = _assign_sub(staged, cent)
+            exploded = (staged.join(assign, ["vec_id", "j"])
+                        .select("j", "cell",
+                                F.posexplode("sub").alias("pos", "val")))
+            means = (exploded.groupBy("j", "cell", "pos")
+                     .agg((F.sum(F.col("val").cast("double")
+                                 .cast("decimal(30,10)"))
+                           .cast("double") / F.count(F.lit(1))).alias("m")))
         cent = _lloyd_ckpt(
             means.groupBy("j", "cell")
             .agg(F.transform(
@@ -871,8 +1263,9 @@ def pq_codes(embeddings: DataFrame, m: int = PQ_M, sub_dim: int = PQ_SUB_DIM,
                 lambda s: s.m).alias("cemb"))
             .select("j", F.col("cell").alias("cid"), "cemb"),
             is_last=it == iters - 1)
-    codes_long = _assign_sub(staged, cent)
-    return _codes_wide(codes_long, m), cent
+    if fused:
+        return _codes_np(embeddings, cent, m, sub_dim), cent
+    return _codes_wide(_assign_sub(staged, cent), m), cent
 
 
 def _codes_wide(codes_long: DataFrame, m: int = PQ_M) -> DataFrame:
@@ -1042,16 +1435,10 @@ def ann_ivfpq_residual_topk(embeddings: DataFrame, query_vec_id: int = 0,
     train-once/serve-many split (`q_ann_index_build` /
     `q_ann_query_from_index`)."""
     cent = kmeans_centroids(embeddings)
-    cells = _assign_cells(embeddings, cent).localCheckpoint(eager=True)
-    # residual relation (double precision; float x widens exactly)
-    res = (embeddings.select("vec_id", "embedding")
-           .join(cells, "vec_id")
-           .join(F.broadcast(cent), F.col("cell") == F.col("cid"))
-           .select("vec_id",
-                   F.zip_with("embedding", "cemb",
-                              lambda x, c: x.cast("double") - c)
-                   .alias("embedding"))
-           .localCheckpoint(eager=True))
+    # coarse cells AND residuals from ONE corpus pass (r15 — the
+    # residual join and its second scan are gone; see
+    # _cells_and_residuals)
+    cells, res = _cells_and_residuals(embeddings, cent)
     codes, book = pq_codes(res, seed_stride=RES_SEED_STRIDE)
     return _residual_adc_serve(embeddings, cent, cells, codes, book,
                                query_vec_id, k, nprobe, rerank_factor)
@@ -1197,15 +1584,7 @@ def build_ann_index(spark: SparkSession, sf_dir: str,
     if cat.current_version() < 1:
         emb = load_table(spark, sf_dir, "embeddings")
         cent = kmeans_centroids(emb, n_centroids)
-        cells = _assign_cells(emb, cent).localCheckpoint(eager=True)
-        res = (emb.select("vec_id", "embedding")
-               .join(cells, "vec_id")
-               .join(F.broadcast(cent), F.col("cell") == F.col("cid"))
-               .select("vec_id",
-                       F.zip_with("embedding", "cemb",
-                                  lambda x, c: x.cast("double") - c)
-                       .alias("embedding"))
-               .localCheckpoint(eager=True))
+        cells, res = _cells_and_residuals(emb, cent)
         codes, book = pq_codes(res, seed_stride=RES_SEED_STRIDE)
         cat.publish_pass({"centroids": cent, "cells": cells,
                           "codes": codes, "codebook": book})
@@ -1513,15 +1892,7 @@ def retrain_ann_index(spark: SparkSession, sf_dir: str,
         emb = (load_table(spark, sf_dir, "embeddings")
                .join(tomb, "vec_id", "left_anti"))
         cent = kmeans_centroids(emb)
-        cells = _assign_cells(emb, cent).localCheckpoint(eager=True)
-        res = (emb.select("vec_id", "embedding")
-               .join(cells, "vec_id")
-               .join(F.broadcast(cent), F.col("cell") == F.col("cid"))
-               .select("vec_id",
-                       F.zip_with("embedding", "cemb",
-                                  lambda x, c: x.cast("double") - c)
-                       .alias("embedding"))
-               .localCheckpoint(eager=True))
+        cells, res = _cells_and_residuals(emb, cent)
         codes, book = pq_codes(res, seed_stride=RES_SEED_STRIDE)
         cat.publish_pass({"centroids": cent, "cells": cells,
                           "codes": codes, "codebook": book,
@@ -2259,15 +2630,7 @@ def build_ann_index_appended(spark: SparkSession, sf_dir: str,
     if cat.current_version() < 1:
         base = emb.filter(F.col("vec_id") < split)
         cent = kmeans_centroids(base)
-        cells = _assign_cells(base, cent).localCheckpoint(eager=True)
-        res = (base.select("vec_id", "embedding")
-               .join(cells, "vec_id")
-               .join(F.broadcast(cent), F.col("cell") == F.col("cid"))
-               .select("vec_id",
-                       F.zip_with("embedding", "cemb",
-                                  lambda x, c: x.cast("double") - c)
-                       .alias("embedding"))
-               .localCheckpoint(eager=True))
+        cells, res = _cells_and_residuals(base, cent)
         codes, book = pq_codes(res, seed_stride=RES_SEED_STRIDE)
         cat.publish_pass({"centroids": cent, "cells": cells,
                           "codes": codes, "codebook": book})
@@ -2275,18 +2638,8 @@ def build_ann_index_appended(spark: SparkSession, sf_dir: str,
         cent = cat.read(spark, "centroids")
         book = cat.read(spark, "codebook")
         new = emb.filter(F.col("vec_id") >= split)
-        ncells = _assign_cells(new, cent).localCheckpoint(eager=True)
-        nres = (new.select("vec_id", "embedding")
-                .join(ncells, "vec_id")
-                .join(F.broadcast(cent), F.col("cell") == F.col("cid"))
-                .select("vec_id",
-                        F.zip_with("embedding", "cemb",
-                                   lambda x, c: x.cast("double") - c)
-                        .alias("embedding")))
-        staged = (nres.select("vec_id",
-                              F.explode(_pq_subspaces()).alias("s"))
-                  .select("vec_id", "s.j", "s.sub"))
-        ncodes = _codes_wide(_assign_sub(staged, book))
+        ncells, nres = _cells_and_residuals(new, cent)
+        ncodes = _encode_codes(nres, book)
         cat.publish_pass({"cells": ncells, "codes": ncodes})
     return cat
 
@@ -2490,9 +2843,7 @@ def _rebalance_pass(spark: SparkSession, emb: DataFrame, cat,
                    F.zip_with("embedding", "cemb",
                               lambda x, c: x.cast("double") - c)
                    .alias("embedding")))
-    staged = (res.select("vec_id", F.explode(_pq_subspaces()).alias("s"))
-              .select("vec_id", "s.j", "s.sub"))
-    codes_delta = _codes_wide(_assign_sub(staged, book))
+    codes_delta = _encode_codes(res, book)
     cat.publish_pass({"centroids": surv, "cells_delta": moved,
                       "codes_delta": codes_delta},
                      replace={"centroids"})

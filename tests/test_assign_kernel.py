@@ -121,6 +121,101 @@ def test_sub_assignment_np_bit_identical(spark, emb, monkeypatch):
     assert ca == cb
 
 
+def test_residual_fusion_bit_identical(spark, emb, cent, monkeypatch):
+    # r15 (VERDICT r14 item 2): cells AND residuals from ONE Arrow
+    # pass must equal the two-pass join form bit for bit — the
+    # elementwise float64 subtraction is the JVM zip_with's exact
+    # operation on the same widened operands
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        _cells_and_residuals,
+    )
+
+    monkeypatch.delenv("HK_ASSIGN_KERNEL", raising=False)
+    cells_n, res_n = _cells_and_residuals(emb, cent)
+    cn = sorted(map(tuple, cells_n.collect()))
+    rn = sorted((r.vec_id, tuple(r.embedding)) for r in res_n.collect())
+    monkeypatch.setenv("HK_ASSIGN_KERNEL", "join")
+    cells_j, res_j = _cells_and_residuals(emb, cent)
+    cj = sorted(map(tuple, cells_j.collect()))
+    rj = sorted((r.vec_id, tuple(r.embedding)) for r in res_j.collect())
+    assert cn == cj
+    assert rn == rj
+    assert len(rn) == emb.count()
+
+
+def test_fused_lloyd_means_bit_identical(spark, emb, monkeypatch):
+    # r15: the fused assign+mean-partials kernel must train the SAME
+    # centroids as (a) np-assign + expression means and (b) the full
+    # join reference — per-value decimal(30,10) quantization + exact
+    # integer partials make the means order/batch-boundary independent
+    def cent_rows():
+        return sorted((r.cid, tuple(r.cemb))
+                      for r in kmeans_centroids(emb).collect())
+
+    monkeypatch.delenv("HK_ASSIGN_KERNEL", raising=False)
+    monkeypatch.delenv("HK_LLOYD_MEANS", raising=False)
+    fused = cent_rows()
+    monkeypatch.setenv("HK_LLOYD_MEANS", "expr")
+    exprm = cent_rows()
+    monkeypatch.delenv("HK_LLOYD_MEANS", raising=False)
+    monkeypatch.setenv("HK_ASSIGN_KERNEL", "join")
+    ref = cent_rows()
+    assert fused == exprm
+    assert fused == ref
+
+
+def test_fused_lloyd_means_plan_shape(spark, emb, cent):
+    # the kernel's reason to exist: per iteration the corpus crosses
+    # ONE MapInPandas with a ≤K·D-row partial exchange — no join of
+    # the n-row assignment back onto the corpus, no posexplode
+    # Generate over n·D rows
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        _mean_partials_np,
+    )
+
+    plan = formatted_plan(_mean_partials_np(emb, cent))
+    assert "MapInPandas" in plan
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # the partial-sum aggregate only
+
+
+def test_fused_pq_means_and_codes_bit_identical(spark, emb, monkeypatch):
+    # r15: fused PQ training (subspace slicing + sub-argmin + partial
+    # sums in one pass, wide codes map-only) must equal the staged
+    # explode/join/pivot reference end to end — codes AND codebook
+    from healthkit_to_sqlite_spark.operators.similarity import pq_codes
+
+    monkeypatch.delenv("HK_ASSIGN_KERNEL", raising=False)
+    monkeypatch.delenv("HK_LLOYD_MEANS", raising=False)
+    codes_f, book_f = pq_codes(emb)
+    cf = sorted(map(tuple, codes_f.collect()))
+    bf = sorted((r.j, r.cid, tuple(r.cemb)) for r in book_f.collect())
+    monkeypatch.setenv("HK_LLOYD_MEANS", "expr")
+    codes_r, book_r = pq_codes(emb)
+    cr = sorted(map(tuple, codes_r.collect()))
+    br = sorted((r.j, r.cid, tuple(r.cemb)) for r in book_r.collect())
+    assert cf == cr
+    assert bf == br
+    assert len(cf) == emb.count()
+
+
+def test_fused_codes_plan_is_map_only(spark, emb, monkeypatch):
+    # wide codes: no pivot exchange, no Generate — one Arrow pass
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        _codes_np,
+        pq_codes,
+    )
+
+    monkeypatch.delenv("HK_ASSIGN_KERNEL", raising=False)
+    monkeypatch.delenv("HK_LLOYD_MEANS", raising=False)
+    _, book = pq_codes(emb)
+    plan = formatted_plan(_codes_np(emb, book.localCheckpoint(eager=True)))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+
+
 def test_proto_prune_identical_under_join_kernel(spark, emb, monkeypatch):
     # an end-to-end keep_dist consumer: the kept/pruned verdict and
     # the prototypicality ordering ride the kernel unchanged

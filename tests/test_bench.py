@@ -92,3 +92,36 @@ def test_compact_totals_tail_wall_for_both_shapes():
     compact = b._compact(out, {"q_a": 1.0}, budget=2000)
     assert compact["tail_total_sec"] == 5.0
     assert compact["tail_n"] == 2
+
+
+def test_compact_sheds_bulk_fields_before_slowest_ten():
+    """VERDICT r14 item 1: the r14 tail line overflowed (fresh_reruns
+    + a 36-entry sf1 dict) and _compact shrank the query dict to k=0
+    BEFORE touching the bulk fields — the driver got zero per-query
+    data (n_common 0, null geomean, empty scaling block).  Replay that
+    overflow: the slowest-10 dict must survive, bulk fields shed."""
+    import json
+
+    b = _bench()
+    timings = {f"q_name_{i:03d}": round(0.1 + i * 0.01, 4)
+               for i in range(177)}
+    out = {"metric": "headline query wall time (median of 3, noop sink)",
+           "value": round(sum(timings.values()), 4), "unit": "sec",
+           "sf": 0.1, "cpus": 32, "queries": timings,
+           "tail_queries": {f"q_tail_{i}": [1.0, 2.0] for i in range(52)},
+           "ingest": {"rows_per_sec": 100000, "rows": 400012,
+                      "rows_per_sec_band": [100000, 90000, 110000]},
+           "sf1": {"ratio_vs_sf0.1": {f"q_sf1_{i:02d}": 2.13
+                                      for i in range(36)}},
+           "fresh_reruns": {f"q_fresh_rerun_entry_{i:02d}": {"in_loop": 2.0,
+                                                             "fresh": 1.5,
+                                                             "prev": 1.0,
+                                                             "kept": 1.5}
+                            for i in range(40)}}
+    compact = b._compact(out, timings, budget=1800)
+    assert len(json.dumps(compact)) <= 1800
+    assert len(compact["queries"]) >= 10, compact
+    # the slowest entries, not arbitrary ones
+    assert "q_name_176" in compact["queries"]
+    # bulk fields shed before the query dict — fresh_reruns first
+    assert "fresh_reruns" not in compact
