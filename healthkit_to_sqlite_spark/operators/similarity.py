@@ -3926,7 +3926,27 @@ def kcenter_coreset(embeddings: DataFrame, k: int = K_CENTERS) -> DataFrame:
     selection job with nothing to select is a pipeline bug, not an
     answer); the oracle — which cannot raise — emits ZERO rows via a
     WHERE EXISTS guard on the seed row (ADVICE r12), the closest SQL
-    analogue of the same refusal."""
+    analogue of the same refusal.
+
+    Since r15 (VERDICT r14 item 5) the default rides the BATCHED
+    sweep: ONE TakeOrdered(pool) corpus scan collects the ``pool``
+    globally-farthest candidates, the k−1 greedy rounds run on the
+    driver over that bounded pool with EXACT Spark arithmetic
+    (dimension-order float64 fold + HALF_UP-9dp rounding — the
+    assignment-kernel discipline), and every pick is VERIFIED by
+    strict domination: dmin only ever decreases, so any point outside
+    the pool is forever ≤ the pool's collect-time threshold T, and a
+    pick whose value is > T is provably the global argmax.  A pick
+    that cannot be certified (≤ T — ties included) triggers a fresh
+    corpus rescan with the updated dmin expression, so the greedy
+    contract is preserved EXACTLY, not approximately (oracle
+    unchanged, hash-verified).  Corpus scans drop from k to 1 (+1 per
+    rare uncertified pick); the k−1 n-row localCheckpoints disappear.
+    ``HK_KCENTER_KERNEL=scan`` keeps the per-round scan form — the
+    independent reference the equivalence test pins this against."""
+    if __import__("os").environ.get("HK_KCENTER_KERNEL", "batched") \
+            != "scan":
+        return _kcenter_batched(embeddings, k)
     spark = embeddings.sparkSession
     base = embeddings.select("vec_id", "embedding")
 
@@ -3953,6 +3973,175 @@ def kcenter_coreset(embeddings: DataFrame, k: int = K_CENTERS) -> DataFrame:
                              dist_to(far.embedding)).alias("dmin"))
     return spark.createDataFrame(
         picks, "sel_order int, vec_id bigint, radius double")
+
+
+def _kcenter_batched(embeddings: DataFrame, k: int = K_CENTERS,
+                     pool: int | None = None) -> DataFrame:
+    """The batched greedy k-center sweep — see `kcenter_coreset` for
+    the contract and the domination argument.  ``pool`` defaults to
+    256·k (measured: pool=2048 certifies all k−1 picks from ONE scan
+    at both fixture scales, vs 4 rescans at pool=32; the collected
+    pool is ~1 MB — a bounded TakeOrdered heap, never corpus-shaped).
+    The verification rescan keeps correctness independent of the
+    choice (pinned at pool=3 in test_similarity)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    base = embeddings.select("vec_id", "embedding")
+    if pool is None:
+        pool = max(256 * k, 2048)
+
+    def dist_to(vec):
+        lits = F.array(*[F.lit(float(v)) for v in vec])
+        return F.round(_l2sq(F.col("embedding"), lits), 9)
+
+    # seed = the min-vec_id row: a column-pruned min scan + a pushed
+    # equality fetch (an orderBy(vec_id).limit(1) TakeOrdered decodes
+    # the whole embedding column for every row — measured 0.6-2.0 s of
+    # the query at sf0.1)
+    mn = base.agg(F.min("vec_id").alias("m")).first().m
+    if mn is None:
+        raise ValueError("kcenter_coreset: empty embedding corpus — "
+                         "no seed row to select")
+    seed = base.filter(F.col("vec_id") == mn).limit(1).collect()[0]
+    grid = Decimal("1e-9")
+
+    def r9(v: float) -> float:
+        # Spark round(x, 9): HALF_UP over the double's shortest
+        # decimal repr (BigDecimal.valueOf path) — the repo-wide
+        # rounding convention every np kernel reproduces
+        return float(Decimal(repr(float(v))).quantize(
+            grid, ROUND_HALF_UP))
+
+    vt = base.schema["vec_id"].dataType.simpleString()
+
+    def collect_pool(picked_embs):
+        # ONE corpus pass: an Arrow kernel computes every row's
+        # current dmin (min over picks of the 9dp-rounded fold — the
+        # `_assign_cells_np` bit discipline) and pre-selects its
+        # BATCH-LOCAL top-pool rows, so the global TakeOrdered runs
+        # over ≤ pool·batches rows and only those rows' embeddings
+        # ever cross the Arrow boundary.  The interpreted zip_with
+        # fold this replaces ran single-threaded over the whole
+        # corpus (measured 4-6 s of the sf0.1 query).
+        P = np.asarray(picked_embs, dtype=np.float64)
+
+        def kern(batches):
+            from decimal import ROUND_HALF_UP, Decimal
+
+            import numpy as np
+            import pandas as pd
+
+            grid10 = Decimal("1e-9")
+
+            def r9v(v):
+                # vectorized Spark round(x, 9): rint on the 1e9-scaled
+                # value, rounding-boundary stragglers re-quantized via
+                # the exact shortest-repr HALF_UP path; the final
+                # int/1e9 division is correctly rounded, matching
+                # float(Decimal(n).scaleb(-9)) bit for bit
+                s = v * 1e9
+                r = np.rint(s)
+                sus = (np.abs(np.abs(s - r) - 0.5) < 1e-3) \
+                    | (np.abs(s) > 1e14)
+                if sus.any():
+                    for i in np.nonzero(sus)[0]:
+                        d = Decimal(repr(float(v[i]))).quantize(
+                            grid10, ROUND_HALF_UP)
+                        r[i] = float(d.scaleb(9))
+                return r / 1e9
+
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                X = np.empty((n, P.shape[1]), dtype=np.float64)
+                for i, e in enumerate(pdf["embedding"]):
+                    X[i] = np.asarray(e, dtype=np.float64)
+                dmins = None
+                for p in P:
+                    acc = np.zeros(n, dtype=np.float64)
+                    for d in range(P.shape[1]):     # JVM fold order
+                        t = X[:, d] - p[d]
+                        acc += t * t
+                    nd = r9v(acc)
+                    dmins = nd if dmins is None else np.minimum(dmins, nd)
+                ids_b = pdf["vec_id"].to_numpy()
+                top = np.lexsort((ids_b, -dmins))[:pool]
+                yield pd.DataFrame({
+                    "vec_id": pdf["vec_id"].iloc[top],
+                    "dmin": dmins[top],
+                    "embedding": list(X[top])})
+
+        rows = (base.select("vec_id", "embedding")
+                .mapInPandas(kern, f"vec_id {vt}, dmin double, "
+                                   "embedding array<double>")
+                .orderBy(F.col("dmin").desc(), "vec_id")
+                .limit(pool).collect())
+        ids = np.asarray([r.vec_id for r in rows], dtype=np.int64)
+        X = np.asarray([r.embedding for r in rows], dtype=np.float64)
+        dm = np.asarray([r.dmin for r in rows], dtype=np.float64)
+        # any out-of-pool point's CURRENT dmin is ≤ the pool's
+        # collect-time minimum (dmin only decreases); a full-corpus
+        # pool certifies every pick (T = −inf)
+        thresh = float(dm.min()) if len(rows) == pool else float("-inf")
+        return ids, X, dm, thresh
+
+    picks = [(0, int(seed.vec_id), None)]
+    picked_embs = [list(seed.embedding)]
+    ids, X, dm, thresh = collect_pool(picked_embs)
+    i = 1
+    while i < k:
+        j = int(np.lexsort((ids, -dm))[0])   # max dmin, ties → low id
+        if not dm[j] > thresh:
+            # uncertified (an out-of-pool point could match or beat
+            # it): rescan with the updated dmin expression
+            ids, X, dm, thresh = collect_pool(picked_embs)
+            j = int(np.lexsort((ids, -dm))[0])
+            if not dm[j] > thresh and len(ids) == pool:
+                # still tied with the threshold after a fresh scan —
+                # only possible when the pool boundary itself is a tie
+                # group wider than the pool; fall back to the exact
+                # per-round scan for this pick (bounded: 1 row)
+                far = (base.select(
+                    "vec_id", "embedding",
+                    _kcenter_running_dmin(picked_embs).alias("dmin"))
+                    .orderBy(F.col("dmin").desc(), "vec_id")
+                    .limit(1).collect()[0])
+                picks.append((i, int(far.vec_id), float(far.dmin)))
+                picked_embs.append(list(far.embedding))
+                ids, X, dm, thresh = collect_pool(picked_embs)
+                i += 1
+                continue
+        picks.append((i, int(ids[j]), float(dm[j])))
+        c = X[j]
+        picked_embs.append([float(v) for v in c])
+        # update pool dmins exactly as Spark would: dimension-order
+        # float64 fold, HALF_UP-9dp round, least as double min
+        acc = np.zeros(len(ids), dtype=np.float64)
+        for d in range(X.shape[1]):          # JVM fold order
+            t = X[:, d] - c[d]
+            acc += t * t
+        nd = np.asarray([r9(v) for v in acc], dtype=np.float64)
+        dm = np.minimum(dm, nd)
+        i += 1
+    return spark.createDataFrame(
+        picks, "sel_order int, vec_id bigint, radius double")
+
+
+def _kcenter_running_dmin(picked_embs) -> Column:
+    """least(dist_to(p0), …, dist_to(pn)) — the scan form's running
+    dmin as one expression (fallback path of `_kcenter_batched`)."""
+    def dist_to(vec):
+        lits = F.array(*[F.lit(float(v)) for v in vec])
+        return F.round(_l2sq(F.col("embedding"), lits), 9)
+
+    dmin = dist_to(picked_embs[0])
+    for e in picked_embs[1:]:
+        dmin = F.least(dmin, dist_to(e))
+    return dmin
 
 
 def _kcenter_oracle_sql(k: int = K_CENTERS) -> str:

@@ -1246,6 +1246,27 @@ def test_kcenter_matches_numpy_audit(spark, emb):
     assert got == expect
 
 
+def test_kcenter_batched_equals_scan_kernel(spark, emb, monkeypatch):
+    """r15 (VERDICT r14 item 5): the batched pool sweep must produce
+    the EXACT per-round scan selection — including under a pool
+    smaller than k, where every pick rides the verification rescan
+    (the strict-domination guard, not the pool size, carries
+    correctness)."""
+    from healthkit_to_sqlite_spark.operators.similarity import (
+        _kcenter_batched,
+        kcenter_coreset,
+    )
+
+    monkeypatch.setenv("HK_KCENTER_KERNEL", "scan")
+    ref = sorted(map(tuple, kcenter_coreset(emb).collect()))
+    monkeypatch.delenv("HK_KCENTER_KERNEL", raising=False)
+    got = sorted(map(tuple, kcenter_coreset(emb).collect()))
+    assert got == ref
+    tiny_pool = sorted(map(tuple,
+                           _kcenter_batched(emb, pool=3).collect()))
+    assert tiny_pool == ref
+
+
 def test_kcenter_radius_non_increasing(spark, emb):
     """The greedy invariant that certifies the 2-approximation: each
     pick's max-min distance can only shrink as centers accumulate."""
