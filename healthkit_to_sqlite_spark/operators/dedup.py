@@ -119,6 +119,10 @@ def _word_shingles_np(documents: DataFrame, k: int = SHINGLE) -> DataFrame:
     def sh(batches):
         import pandas as pd
 
+        # output is ~|tokens| rows per input batch — flush in bounded
+        # chunks so peak worker memory is not batch-size-amplified
+        # (ADVICE r14)
+        flush_rows = 200_000
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -140,6 +144,9 @@ def _word_shingles_np(documents: DataFrame, k: int = SHINGLE) -> DataFrame:
                         seen.add(s)
                         ids.append(did)
                         out.append(s)
+                if len(ids) >= flush_rows:
+                    yield pd.DataFrame({"doc_id": ids, "shingle": out})
+                    ids, out = [], []
             if not ids:
                 continue
             yield pd.DataFrame({"doc_id": ids, "shingle": out})
@@ -516,9 +523,14 @@ def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
     aggregation already collapses each doc's tokens before the
     exchange — the shuffle carries ~1 row per doc regardless of token
     count, so the codegen'd form wins over HOFs at any scale."""
-    if (bits == 60 and __import__("os").environ
+    # the np twin generalizes to any bits ≤ 60 (the md5 hash is 60
+    # bits in BOTH forms — ADVICE r14: the old bits==60 guard silently
+    # fell back to the expression form on a narrower signature); a
+    # caller asking for >60 bits keeps the expression form, whose
+    # shiftright semantics define that (degenerate) case
+    if (bits <= 60 and __import__("os").environ
             .get("HK_SIMHASH_KERNEL", "np") == "np"):
-        return _simhash_np(documents)
+        return _simhash_np(documents, bits)
     tok = (documents
            .select("doc_id", F.explode(ws_tokens("text")).alias("tok"))
            .withColumn("h", hash60(F.col("tok"))))
@@ -558,11 +570,17 @@ def _simhash_np(documents: DataFrame, bits: int = 60) -> DataFrame:
         from collections import Counter
 
         shifts = np.arange(bits, dtype=np.uint64)
+        # memo is distinct-token-keyed: cap it so adversarial /
+        # high-cardinality text cannot bloat a worker (ADVICE r14);
+        # a reset only costs re-hashing, never correctness
         memo: dict[str, int] = {}
+        memo_cap = 1_000_000
 
         def h60(tok: str) -> int:
             v = memo.get(tok)
             if v is None:
+                if len(memo) >= memo_cap:
+                    memo.clear()
                 v = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
                 memo[tok] = v
             return v

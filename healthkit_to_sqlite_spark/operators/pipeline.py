@@ -1231,11 +1231,16 @@ def _cms_partials_np(documents: DataFrame, d: int = CMS_D,
 
         import pandas as pd
 
+        # distinct-token memo, capped so adversarial vocabulary can't
+        # bloat a worker (ADVICE r14) — a reset re-hashes, never drifts
         memo: dict[str, list[int]] = {}
+        memo_cap = 1_000_000
 
         def cells(tok: str) -> list[int]:
             cs = memo.get(tok)
             if cs is None:
+                if len(memo) >= memo_cap:
+                    memo.clear()
                 cs = [int(hashlib.md5(f"cms:{r}:{tok}".encode())
                           .hexdigest()[:4], 16) % w for r in range(d)]
                 memo[tok] = cs

@@ -276,6 +276,10 @@ def _winnow_grams_np(documents: DataFrame, k: int) -> DataFrame:
 
         import pandas as pd
 
+        # output is ~|tokens| rows per input batch — flush in bounded
+        # chunks so peak worker memory is not batch-size-amplified
+        # (ADVICE r14)
+        flush_rows = 200_000
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -297,6 +301,10 @@ def _winnow_grams_np(documents: DataFrame, k: int) -> DataFrame:
                     poss.append(p)
                     hs.append(int(hashlib.md5(
                         b"winnow:" + g.encode()).hexdigest()[:8], 16))
+                if len(ids) >= flush_rows:
+                    yield pd.DataFrame({"doc_id": ids, "n_grams": ngs,
+                                        "pos": poss, "h": hs})
+                    ids, ngs, poss, hs = [], [], [], []
             if not ids:
                 continue
             yield pd.DataFrame({"doc_id": ids, "n_grams": ngs,
@@ -2615,7 +2623,10 @@ def _bpe_apply_np(documents: DataFrame,
 
         import pandas as pd
 
+        # distinct-word memo, capped so adversarial vocabulary can't
+        # bloat a worker (ADVICE r14) — a reset re-encodes, never drifts
         memo: dict[str, int] = {}
+        memo_cap = 1_000_000
         # Java's `.` excludes ALL line terminators, not just \n —
         # spell the class out so exotic control chars can't diverge
         dot = re.compile("([^\n\r\u0085\u2028\u2029])")
@@ -2623,6 +2634,8 @@ def _bpe_apply_np(documents: DataFrame,
         def pieces(w: str) -> int:
             n = memo.get(w)
             if n is None:
+                if len(memo) >= memo_cap:
+                    memo.clear()
                 s = " " + dot.sub("\\1 ", w)
                 for pat, rep in merges:
                     s = s.replace(pat, rep)

@@ -61,20 +61,27 @@ def test_word_shingles_np_value_identical(spark, monkeypatch, sf, k):
     assert len(a) > 0
 
 
-def test_word_shingles_np_edge_set(spark, monkeypatch):
+@pytest.mark.parametrize("k", [2, 4])
+def test_word_shingles_np_edge_set(spark, monkeypatch, k):
+    # k parametrized (ADVICE r14): the k=2 path hits a different
+    # greatest(.., 1) truncation boundary than the default k=4
     docs = _edge_docs(spark)
     monkeypatch.setenv("HK_SHINGLE_KERNEL", "expr")
-    a = sorted(map(tuple, word_shingles(docs).collect()))
-    b = sorted(map(tuple, _word_shingles_np(docs).collect()))
+    a = sorted(map(tuple, word_shingles(docs, k=k).collect()))
+    b = sorted(map(tuple, _word_shingles_np(docs, k=k).collect()))
     assert a == b
     # the conventions the kernel must reproduce, pinned explicitly:
     got = dict()
     for did, sh in a:
         got.setdefault(did, []).append(sh)
-    assert got[1] == ["x"]            # <k tokens → one truncated shingle
+    if k == 4:
+        assert got[1] == ["x"]        # <k tokens → one truncated shingle
+        assert got[2] == ["a  b"]     # empty token BETWEEN words kept
+    else:
+        assert got[1] == ["x"]        # 1 token < k=2 → truncated
+        assert got[2] == [" b", "a "]  # 3 tokens → two 2-shingles (sorted)
     assert got[3] == [""]             # null text → concat_ws-swallowed ""
     assert got[7] == [""]             # empty text → [""] token → "" shingle
-    assert got[2] == ["a  b"]         # empty token BETWEEN words kept
 
 
 @pytest.mark.parametrize("sf", SCALES)
