@@ -83,3 +83,15 @@ def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v)
     return dot / (na * nb)
+
+
+def one_slice_df(spark, rows, schema):
+    """Local relation as ONE slice.  A bare ``createDataFrame(rows)``
+    parallelizes even a handful of rows to one slice PER CORE, so
+    every downstream job over it launches a task per core (32 at
+    local[32]) and every write/exchange pays a 32-task stage —
+    measured 7.3-8.7 CPU-s per 10-row state write vs 0.44-0.47 with
+    one explicit slice (r15).  Rows and schema semantics are
+    unchanged; only the slicing is."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions import ws_tokens
+from ..functions import one_slice_df, ws_tokens
 from ..spec import Spec, sql_in_list
 
 P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
@@ -872,7 +872,7 @@ def forget_from_signature_index(spark: "SparkSession", sf_dir: str,
     if cat.current_version() < 1:
         cat.clone_pass(base)
     if cat.current_version() < 2:
-        tomb = F.broadcast(spark.createDataFrame(
+        tomb = F.broadcast(one_slice_df(spark,
             [(int(i),) for i in ids], "doc_id bigint"))
         cat.publish_pass(
             {"signatures": cat.read(spark, "signatures", version=1)

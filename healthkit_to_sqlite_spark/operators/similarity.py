@@ -25,7 +25,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions import cosine_from_norms, cosine_similarity, l2_norm
+from ..functions import (cosine_from_norms, cosine_similarity, l2_norm,
+                         one_slice_df)
 from ..spec import Spec, sql_in_list
 
 N_PLANES = 8   # LSH signature bits
@@ -1653,7 +1654,7 @@ def forget_from_ann_index(spark: SparkSession, sf_dir: str,
     if cat.current_version() < 1:
         cat.clone_pass(base)
     if cat.current_version() < 2:
-        cat.publish_pass({"deleted": spark.createDataFrame(
+        cat.publish_pass({"deleted": one_slice_df(spark,
             [(int(i),) for i in vec_ids], "vec_id bigint")})
     return cat
 
@@ -1775,7 +1776,7 @@ def _dv_rewrite_pass(spark: SparkSession, cat,
         due = sorted(r.cell for r in rows
                      if r.n_tomb * 100 > rewrite_pct * r.n_total)
         retrain_due = n_tomb_all * 100 > retrain_pct * n_corpus
-        decision = spark.createDataFrame(
+        decision = one_slice_df(spark,
             [(int(r.cell), int(r.n_total - r.n_tomb), int(r.n_tomb),
               bool(r.cell in set(due)), bool(retrain_due))
              for r in sorted(rows, key=lambda r: r.cell)],
@@ -1887,7 +1888,7 @@ def retrain_ann_index(spark: SparkSession, sf_dir: str,
     cat = ManifestCatalog(os.path.join(
         _work_dir(f"ann_retrain_{ids_key}", sf_dir), "cat"))
     if cat.current_version() < 1:
-        tomb = F.broadcast(spark.createDataFrame(
+        tomb = F.broadcast(one_slice_df(spark,
             [(int(i),) for i in vec_ids], "vec_id bigint"))
         emb = (load_table(spark, sf_dir, "embeddings")
                .join(tomb, "vec_id", "left_anti"))
@@ -1896,7 +1897,7 @@ def retrain_ann_index(spark: SparkSession, sf_dir: str,
         codes, book = pq_codes(res, seed_stride=RES_SEED_STRIDE)
         cat.publish_pass({"centroids": cent, "cells": cells,
                           "codes": codes, "codebook": book,
-                          "deleted": spark.createDataFrame(
+                          "deleted": one_slice_df(spark,
                               [], "vec_id bigint")})
     return cat
 
@@ -2269,12 +2270,12 @@ def build_pca_model(spark: SparkSession, sf_dir: str, p: int = PCA_P):
         comp_rows = [(d, c, float(comps[d, c]))
                      for d in range(DIM) for c in range(p)]
         cat.publish_pass({
-            "components": spark.createDataFrame(
+            "components": one_slice_df(spark,
                 comp_rows, "d int, c int, v double"),
-            "offsets": spark.createDataFrame(
+            "offsets": one_slice_df(spark,
                 [(c, float(offsets[c])) for c in range(p)],
                 "c int, off double"),
-            "evals": spark.createDataFrame(
+            "evals": one_slice_df(spark,
                 [(c, float(w[order[c]])) for c in range(p)],
                 "c int, lam double")})
     return cat
@@ -2805,7 +2806,7 @@ def _rebalance_pass(spark: SparkSession, emb: DataFrame, cat,
                        lambda s: s.m).alias("cemb"))
                    .localCheckpoint(eager=True))
     final = _sub_assign(subcent)
-    child_map = spark.createDataFrame(
+    child_map = one_slice_df(spark,
         [(c, s, base_cid + 2 * i + s)
          for i, c in enumerate(hot_ids) for s in (0, 1)],
         "cell int, sub int, new_cid int")
@@ -3971,7 +3972,7 @@ def kcenter_coreset(embeddings: DataFrame, k: int = K_CENTERS) -> DataFrame:
         d = d.select("vec_id", "embedding",
                      F.least(F.col("dmin"),
                              dist_to(far.embedding)).alias("dmin"))
-    return spark.createDataFrame(
+    return one_slice_df(spark,
         picks, "sel_order int, vec_id bigint, radius double")
 
 
@@ -4127,7 +4128,7 @@ def _kcenter_batched(embeddings: DataFrame, k: int = K_CENTERS,
         nd = np.asarray([r9(v) for v in acc], dtype=np.float64)
         dm = np.minimum(dm, nd)
         i += 1
-    return spark.createDataFrame(
+    return one_slice_df(spark,
         picks, "sel_order int, vec_id bigint, radius double")
 
 
@@ -4501,8 +4502,8 @@ def mmr_rerank(embeddings: DataFrame, query_vec_id: int = 0,
         selected.append(best_v)
         remaining.discard(best_v)
         rows.append((step, best_v, best_score))
-    out = embeddings.sparkSession.createDataFrame(
-        rows, schema="step INT, vec_id BIGINT, mmr_score DOUBLE")
+    out = one_slice_df(embeddings.sparkSession,
+        rows, "step INT, vec_id BIGINT, mmr_score DOUBLE")
     return out.select("step", "vec_id",
                       F.round("mmr_score", 6).alias("mmr_score"))
 

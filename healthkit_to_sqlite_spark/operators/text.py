@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions import ws_tokens
+from ..functions import one_slice_df, ws_tokens
 from ..spec import Spec, sql_in_list
 
 #: Tiny per-language marker lexicons (n-gram-heuristic stand-in; a real
@@ -1567,7 +1567,7 @@ def text_index_forget_pass(spark: SparkSession, cat,
     on the SAME catalog make the erasure physical: the replaced files
     holding the erased rows are exactly the orphans the pre-erasure
     manifests pinned (pinned in test_maintenance)."""
-    tomb = F.broadcast(spark.createDataFrame(
+    tomb = F.broadcast(one_slice_df(spark,
         [(int(i),) for i in doc_ids], "doc_id bigint"))
     doclen = cat.read(spark, "doclen")
     removed = doclen.join(tomb, "doc_id", "left_semi")
@@ -2186,7 +2186,7 @@ def _fit_ridge_weights(spark: SparkSession, docs: DataFrame, dim: int,
     for r in xty.collect():         # ≤ dim+1 rows
         b[r.d] = float(r.b)
     w = np.linalg.solve(A + ridge * np.eye(dim + 1), b)
-    return spark.createDataFrame(
+    return one_slice_df(spark,
         [(int(d), float(w[d])) for d in range(dim + 1)],
         "d int, w double")
 
@@ -2361,7 +2361,7 @@ def retrain_quality_classifier(spark: SparkSession, sf_dir: str,
         # where nothing fails would re-run the confusion scan on
         # every call (measured as a 1.1 s driver stall per build at
         # sf0.1, where no source trips the threshold).
-        decision = spark.createDataFrame(
+        decision = one_slice_df(spark,
             [(s,) for s in failing], "source string")
         tables: dict = {"decision": decision}
         rep: set = set()
@@ -2472,7 +2472,7 @@ def bpe_train(documents: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
     only on those runs)."""
     words = _bpe_word_table(documents)
     learned = _bpe_rounds(words, start_rank=0, n_rounds=merges)
-    return documents.sparkSession.createDataFrame(
+    return one_slice_df(documents.sparkSession,
         learned,
         "merge_rank int, lhs string, rhs string, merged string, n bigint")
 
@@ -2796,11 +2796,11 @@ def extend_bpe_model(spark: SparkSession, sf_dir: str,
                                    start_rank=len(base_list),
                                    n_rounds=extra)
         cat.publish_pass({
-            "merges": spark.createDataFrame(
+            "merges": one_slice_df(spark,
                 new_rows,
                 "merge_rank int, lhs string, rhs string, "
                 "merged string, n bigint"),
-            "decision": spark.createDataFrame(
+            "decision": one_slice_df(spark,
                 [(lg,) for lg in flagged], "lang string"),
         })
     return cat

@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import one_slice_df
+
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
@@ -383,7 +385,7 @@ class ManifestTable(_ManifestLog):
         m = self._load(v)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         if not m["files"]:
-            return spark.createDataFrame([], schema)
+            return one_slice_df(spark, [], schema)
         return spark.read.schema(schema).parquet(*m["files"])
 
     # -- streaming ---------------------------------------------------------
@@ -785,5 +787,5 @@ class ManifestCatalog(_ManifestLog):
             raise KeyError(f"table {table!r} not in catalog version {v}")
         schema = T.StructType.fromJson(json.loads(t["schema"]))
         if not t["files"]:
-            return spark.createDataFrame([], schema)
+            return one_slice_df(spark, [], schema)
         return spark.read.schema(schema).parquet(*t["files"])

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from ..functions import one_slice_df
 from ..sinks.manifest import CommitConflict, ManifestCatalog, ManifestTable
 
 
@@ -94,7 +95,7 @@ def sync_tombstones_pass(spark: SparkSession, queue: ManifestTable,
                       .select("vec_id") if "deleted" in tables
                    else incoming.limit(0))
         merged = deleted.unionByName(incoming).distinct()
-        sync = spark.createDataFrame([(int(qv),)], "queue_version bigint")
+        sync = one_slice_df(spark, [(int(qv),)], "queue_version bigint")
         try:
             return cat.publish_pass({"deleted": merged, "dv_sync": sync},
                                     replace={"deleted", "dv_sync"},

@@ -103,14 +103,17 @@ def incremental_topk(stream: DataFrame, query_vec: list[float],
         import uuid
         vname = f"v={batch_id}-{uuid.uuid4().hex[:8]}"
         vdir = os.path.join(state_dir, vname)
-        # repartition(1), NOT coalesce(1): a local-relation DataFrame
-        # parallelizes to one partition per core, and coalesce makes
-        # the single write task drain all of them SEQUENTIALLY through
-        # the Python serializer (~4.3s/write at local[32] vs 0.4s —
-        # measured; even coalesce(1).count() pays it).  repartition
-        # keeps the upstream evaluation parallel and shuffles k rows.
-        (spark.createDataFrame(top, _STATE_SCHEMA)
-         .repartition(1).write.mode("overwrite").parquet(vdir))
+        # parallelize(rows, 1): a bare createDataFrame parallelizes
+        # even these ≤k rows to one slice PER CORE, and both exits are
+        # expensive — coalesce(1) drains all 32 slices sequentially
+        # through the Python serializer (~4.3 s/write, measured r13)
+        # and repartition(1) pays a 32-task stage + exchange per write
+        # (measured 7.3-8.7 CPU-s per batch at local[32], ~30 of this
+        # query's 34 CPU-s).  One explicit slice = one task, no
+        # exchange: 0.44-0.47 CPU-s per write, identical rows.
+        (spark.createDataFrame(spark.sparkContext.parallelize(
+            top, 1), _STATE_SCHEMA)
+         .write.mode("overwrite").parquet(vdir))
         tmp = os.path.join(state_dir, "LATEST.tmp")
         with open(tmp, "w") as fh:
             fh.write(vname)

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import one_slice_df
 from ..operators.pipeline import CMS_D, CMS_W, _cms_cell, cms_sketch
 from ..sinks.manifest import ManifestTable
 
@@ -56,7 +57,7 @@ def read_estimates(spark: SparkSession, table: ManifestTable,
     to exactly zero, CMS's one-sided-error floor) — including the
     never-folded artifact, whose zero-column read short-circuits to
     all-zero estimates."""
-    probes = spark.createDataFrame([(t,) for t in tokens], "token string")
+    probes = one_slice_df(spark, [(t,) for t in tokens], "token string")
     art = table.read(spark)
     if not art.columns:
         return (probes.select("token", F.lit(0).cast("bigint")
