@@ -283,12 +283,74 @@ def dedup_embedding_pairs(embeddings: DataFrame, min_cosine: float = 0.4,
     withn = embeddings.select("vec_id", "embedding",
                               l2_norm(F.col("embedding")).alias("nrm"))
     va, vb = withn.alias("va"), withn.alias("vb")
-    sim = cosine_from_norms(F.col("va.embedding"), F.col("vb.embedding"),
-                            F.col("va.nrm"), F.col("vb.nrm"))
-    return (cand.join(va, cand.vec_a == F.col("va.vec_id"))
-            .join(vb, cand.vec_b == F.col("vb.vec_id"))
-            .select("vec_a", "vec_b", F.round(sim, 6).alias("cosine_sim"))
-            .filter(F.col("cosine_sim") >= min_cosine))
+    joined = (cand.join(va, cand.vec_a == F.col("va.vec_id"))
+              .join(vb, cand.vec_b == F.col("vb.vec_id")))
+    # The exact verify: r14 measured the Arrow twin a WASH at sf0.1
+    # (1.68 s/18.3 CPU-s vs 1.66/17.2 — the pair transfer costs what
+    # the interpreted fold saves) and kept the expression; the r15
+    # sf1 re-measure (VERDICT r14 item 6) is recorded in
+    # OPTIMIZATION_r15.md — HK_VERIFY_KERNEL=np selects the twin,
+    # value-identity pinned in test_similarity.
+    if __import__("os").environ.get("HK_VERIFY_KERNEL", "expr") == "np":
+        scored = _pair_cosine_np(joined)
+    else:
+        sim = cosine_from_norms(F.col("va.embedding"),
+                                F.col("vb.embedding"),
+                                F.col("va.nrm"), F.col("vb.nrm"))
+        scored = joined.select("vec_a", "vec_b",
+                               F.round(sim, 6).alias("cosine_sim"))
+    return scored.filter(F.col("cosine_sim") >= min_cosine)
+
+
+def _pair_cosine_np(joined: DataFrame) -> DataFrame:
+    """Arrow twin of the pair-verify cosine fold: per batch, the dot
+    accumulates per dimension in index order (the JVM ``aggregate``
+    fold's IEEE sequence), divides by the SUPPLIED norms (same
+    operand order: dot / (na·nb)) and rounds HALF_UP at 6 dp via the
+    repo's rint+boundary-requantize convention — bit-identical to
+    ``round(cosine_from_norms(..), 6)``."""
+    src = joined.select("vec_a", "vec_b",
+                        F.col("va.embedding").alias("ea"),
+                        F.col("vb.embedding").alias("eb"),
+                        F.col("va.nrm").alias("na"),
+                        F.col("vb.nrm").alias("nb"))
+    vt = src.schema["vec_a"].dataType.simpleString()
+
+    def kern(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        grid = Decimal("1e-6")
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            D = len(pdf["ea"].iloc[0])
+            A = np.empty((n, D), dtype=np.float64)
+            B = np.empty((n, D), dtype=np.float64)
+            for i, (a, b) in enumerate(zip(pdf["ea"], pdf["eb"])):
+                A[i] = np.asarray(a, dtype=np.float64)
+                B[i] = np.asarray(b, dtype=np.float64)
+            dot = np.zeros(n, dtype=np.float64)
+            for d in range(D):              # JVM fold order
+                dot += A[:, d] * B[:, d]
+            cs = dot / (pdf["na"].to_numpy() * pdf["nb"].to_numpy())
+            s = cs * 1e6
+            r = np.rint(s)
+            sus = (np.abs(np.abs(s - r) - 0.5) < 1e-3) | (np.abs(s) > 1e14)
+            if sus.any():
+                for i in np.nonzero(sus)[0]:
+                    d6 = Decimal(repr(float(cs[i]))).quantize(
+                        grid, ROUND_HALF_UP)
+                    r[i] = float(d6.scaleb(6))
+            yield pd.DataFrame({"vec_a": pdf["vec_a"],
+                                "vec_b": pdf["vec_b"],
+                                "cosine_sim": r / 1e6})
+
+    return src.mapInPandas(
+        kern, f"vec_a {vt}, vec_b {vt}, cosine_sim double")
 
 
 N_CENTROIDS = 8

@@ -1,5 +1,5 @@
 """One parametrized smoke over EVERY HK_* kernel switch (VERDICT r14
-item 8): flip each switch to its reference (expression/join/scan) arm,
+item 8): flip each switch to its non-default arm,
 run one representative consumer query on the tiny fixture, and assert
 VALUE equality with the default (Arrow-kernel) arm.  The deep
 bit-identity pins live in test_assign_kernel / test_sign_kernels /
@@ -29,6 +29,9 @@ SWITCHES = {
     "HK_RESIDUAL_KERNEL": ("join", "q_ann_ivfpq_residual"),
     "HK_KCENTER_KERNEL": ("scan", "q_kcenter_coreset"),
     "HK_SIGN_KERNEL": ("expr", "q_dedup_embedding"),
+    # default is expr (the sf0.1 AND sf1 A/Bs both keep it — SCALE.md
+    # r15); the smoke flips to the non-default np twin
+    "HK_VERIFY_KERNEL": ("np", "q_dedup_embedding"),
     "HK_MINHASH_KERNEL": ("expr", "q_dedup_minhash_lsh"),
     "HK_SUFFIX_KERNEL": ("join", "q_suffix_ranks"),
     "HK_TRI_KERNEL": ("expr", "q_rare_trigram_rate"),
